@@ -1,0 +1,2864 @@
+"""Tree-walking jq evaluator: AST → Python closures producing lazy
+value streams.
+
+This is the from-scratch replacement for the reference's embedded
+jackson-jq engine (SURVEY §2.2 Tier A+B).  Each AST node compiles to
+``f(value, env) -> iterable`` — the 1→0..N stream semantics that make
+the reference a UDTF rather than a UDF (JsonQueryUDTF.java:97-99).
+"""
+
+from __future__ import annotations
+
+import base64
+import calendar
+import hashlib
+import math
+import re
+import time
+import urllib.parse
+from typing import Any, Callable, Iterable, Iterator
+
+from .errors import JQBreak, JQError, JQSyntaxError
+from .parser import AST, parse
+from .values import (
+    SortKey,
+    cmp_values,
+    is_truthy,
+    tojson,
+    tostring,
+    typename,
+    values_equal,
+)
+
+# ---------------------------------------------------------------------------
+# Environment: immutable chain of variable + function scopes
+# ---------------------------------------------------------------------------
+
+
+class FuncDef:
+    __slots__ = ("params", "body", "env_cell", "body_ast", "path_body")
+
+    def __init__(self, params, body, env_cell, body_ast=None):
+        self.params = params  # list[str]; "$x" = value param, "f" = filter param
+        self.body = body  # compiled fn(v, env) -> iterable
+        self.env_cell = env_cell  # 1-elem list, set post-construction (recursion)
+        self.body_ast = body_ast  # AST, for lazy path-mode compilation
+        self.path_body = None  # compiled path-mode body (lazy)
+
+
+class Env:
+    __slots__ = ("vars", "funcs", "parent")
+
+    def __init__(self, vars=None, funcs=None, parent=None):
+        self.vars = vars
+        self.funcs = funcs
+        self.parent = parent
+
+    def get_var(self, name: str) -> Any:
+        e = self
+        while e is not None:
+            if e.vars is not None and name in e.vars:
+                return e.vars[name]
+            e = e.parent
+        if name == "__loc__":
+            return {"file": "<stdin>", "line": 1}
+        if name == "ENV":
+            return {}
+        raise JQError(f"${name} is not defined")
+
+    def get_func(self, name: str, arity: int):
+        e = self
+        key = (name, arity)
+        while e is not None:
+            if e.funcs is not None and key in e.funcs:
+                return e.funcs[key]
+            e = e.parent
+        return None
+
+    def bind_var(self, name: str, value: Any) -> "Env":
+        return Env(vars={name: value}, parent=self)
+
+    def bind_vars(self, mapping: dict) -> "Env":
+        return Env(vars=mapping, parent=self)
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic / operators
+# ---------------------------------------------------------------------------
+
+
+def _desc(v: Any) -> str:
+    s = tojson(v)
+    if len(s) > 11:
+        s = s[:10] + "..."
+    return f"{typename(v)} ({s})"
+
+
+def op_add(a: Any, b: Any) -> Any:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if not isinstance(a, bool) and not isinstance(b, bool):
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            return a + b
+        if isinstance(a, str) and isinstance(b, str):
+            return a + b
+        if isinstance(a, list) and isinstance(b, list):
+            return a + b
+        if isinstance(a, dict) and isinstance(b, dict):
+            out = dict(a)
+            out.update(b)
+            return out
+    raise JQError(f"{_desc(a)} and {_desc(b)} cannot be added")
+
+
+def _deep_merge(a: dict, b: dict) -> dict:
+    out = dict(a)
+    for k, v in b.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _is_num(v: Any) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def op_arith(op: str, a: Any, b: Any) -> Any:
+    if op == "+":
+        return op_add(a, b)
+    if op == "-":
+        if _is_num(a) and _is_num(b):
+            return a - b
+        if isinstance(a, list) and isinstance(b, list):
+            return [x for x in a if not any(values_equal(x, y) for y in b)]
+        raise JQError(f"{_desc(a)} and {_desc(b)} cannot be subtracted")
+    if op == "*":
+        if _is_num(a) and _is_num(b):
+            return a * b
+        if isinstance(a, str) and _is_num(b):
+            n = int(b)
+            return a * n if n > 0 else None
+        if _is_num(a) and isinstance(b, str):
+            n = int(a)
+            return b * n if n > 0 else None
+        if isinstance(a, dict) and isinstance(b, dict):
+            return _deep_merge(a, b)
+        raise JQError(f"{_desc(a)} and {_desc(b)} cannot be multiplied")
+    if op == "/":
+        if _is_num(a) and _is_num(b):
+            if b == 0:
+                raise JQError(f"{_desc(a)} and {_desc(b)} cannot be divided because the divisor is zero")
+            if isinstance(a, int) and isinstance(b, int) and a % b == 0:
+                return a // b
+            return a / b
+        if isinstance(a, str) and isinstance(b, str):
+            return split_plain(a, b)
+        raise JQError(f"{_desc(a)} and {_desc(b)} cannot be divided")
+    if op == "%":
+        if _is_num(a) and _is_num(b):
+            ia, ib = int(a), int(b)
+            if ib == 0:
+                raise JQError(f"{_desc(a)} and {_desc(b)} cannot be divided because the divisor is zero")
+            r = abs(ia) % abs(ib)
+            return r if ia >= 0 else -r
+        raise JQError(f"{_desc(a)} and {_desc(b)} cannot be divided")
+    raise AssertionError(op)
+
+
+def split_plain(s: str, sep: str) -> list:
+    if sep == "":
+        return list(s)
+    return s.split(sep)
+
+
+def do_index(v: Any, idx: Any) -> Any:
+    """jq ``.[idx]`` semantics (null-lenient on missing, type-strict)."""
+    if isinstance(idx, str):
+        if v is None:
+            return None
+        if isinstance(v, dict):
+            return v.get(idx)
+        raise JQError(f'Cannot index {typename(v)} with "{idx}"')
+    if _is_num(idx):
+        if v is None:
+            return None
+        if isinstance(v, list):
+            i = math.floor(idx)
+            if i < 0:
+                i += len(v)
+            if 0 <= i < len(v):
+                return v[i]
+            return None
+        raise JQError(f"Cannot index {typename(v)} with number")
+    if idx is None:
+        if v is None:
+            return None
+        raise JQError(f"Cannot index {typename(v)} with null")
+    if isinstance(idx, list):
+        if isinstance(v, list):
+            return _indices_list(v, idx)
+        if v is None:
+            return None
+        raise JQError(f"Cannot index {typename(v)} with array")
+    if isinstance(idx, dict) and ("start" in idx or "end" in idx):
+        if v is None or isinstance(v, (list, str)):
+            return do_slice(v, idx.get("start"), idx.get("end"))
+        raise JQError(f"Cannot index {typename(v)} with object")
+    raise JQError(f"Cannot index {typename(v)} with {typename(idx)}")
+
+
+def do_slice(v: Any, lo: Any, hi: Any) -> Any:
+    if v is None:
+        return None
+    if not isinstance(v, (list, str)):
+        raise JQError(f"Cannot index {typename(v)} with object")
+    n = len(v)
+    lo_i = 0 if lo is None else math.floor(lo)
+    hi_i = n if hi is None else math.ceil(hi)
+    if lo_i < 0:
+        lo_i = max(0, n + lo_i)
+    if hi_i < 0:
+        hi_i = max(0, n + hi_i)
+    lo_i, hi_i = min(lo_i, n), min(hi_i, n)
+    if hi_i < lo_i:
+        hi_i = lo_i
+    return v[lo_i:hi_i]
+
+
+def _indices_list(hay: list, needle: list) -> list:
+    if not needle:
+        return None
+    out = []
+    for i in range(len(hay) - len(needle) + 1):
+        if all(values_equal(hay[i + j], needle[j]) for j in range(len(needle))):
+            out.append(i)
+    return out
+
+
+def do_iterate(v: Any) -> Iterable:
+    if isinstance(v, list):
+        return v
+    if isinstance(v, dict):
+        return list(v.values())
+    raise JQError(f"Cannot iterate over {typename(v)}" + ("" if isinstance(v, (list, dict)) else f" ({tojson(v)})" if v is not None else ""))
+
+
+def contains_value(a: Any, b: Any) -> bool:
+    """jq ``contains``: deep, substring for strings, subset for arrays."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        return all(k in a and contains_value(a[k], bv) for k, bv in b.items())
+    if isinstance(a, list) and isinstance(b, list):
+        return all(any(contains_value(x, y) for x in a) for y in b)
+    if isinstance(a, str) and isinstance(b, str):
+        return b in a
+    return values_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Path machinery (getpath / setpath / delpaths)
+# ---------------------------------------------------------------------------
+
+
+def getpath_value(v: Any, path: list) -> Any:
+    for p in path:
+        if v is None:
+            continue
+        if isinstance(p, str):
+            v = v.get(p) if isinstance(v, dict) else None
+        elif _is_num(p):
+            if isinstance(v, list):
+                i = math.floor(p)
+                if i < 0:
+                    i += len(v)
+                v = v[i] if 0 <= i < len(v) else None
+            else:
+                v = None
+        elif isinstance(p, dict):
+            v = do_slice(v, p.get("start"), p.get("end")) if isinstance(v, (list, str)) else None
+        else:
+            v = None
+    return v
+
+
+def setpath_value(v: Any, path: list, newval: Any) -> Any:
+    if not path:
+        return newval
+    p = path[0]
+    rest = path[1:]
+    if isinstance(p, str):
+        if v is None:
+            v = {}
+        if not isinstance(v, dict):
+            raise JQError(f'Cannot index {typename(v)} with "{p}"')
+        out = dict(v)
+        out[p] = setpath_value(out.get(p), rest, newval)
+        return out
+    if _is_num(p):
+        i = math.floor(p)
+        if v is None:
+            v = []
+        if not isinstance(v, list):
+            raise JQError(f"Cannot index {typename(v)} with number")
+        out = list(v)
+        if i < 0:
+            i += len(out)
+            if i < 0:
+                raise JQError("Out of bounds negative array index")
+        if i >= len(out):
+            out.extend([None] * (i - len(out) + 1))
+        out[i] = setpath_value(out[i], rest, newval)
+        return out
+    if isinstance(p, dict):
+        lo, hi = p.get("start"), p.get("end")
+        if v is None:
+            v = []
+        if not isinstance(v, list):
+            raise JQError(f"Cannot update field at object index of {typename(v)}")
+        if not isinstance(newval, list) and rest:
+            raise JQError("A slice of an array can only be assigned another array")
+        n = len(v)
+        lo_i = 0 if lo is None else max(0, (math.floor(lo) + n) if lo < 0 else math.floor(lo))
+        hi_i = n if hi is None else max(0, (math.ceil(hi) + n) if hi < 0 else math.ceil(hi))
+        lo_i, hi_i = min(lo_i, n), min(hi_i, n)
+        if hi_i < lo_i:
+            hi_i = lo_i
+        sub = setpath_value(v[lo_i:hi_i], rest, newval) if rest else newval
+        if not isinstance(sub, list):
+            raise JQError("A slice of an array can only be assigned another array")
+        return v[:lo_i] + sub + v[hi_i:]
+    raise JQError(f"Invalid path component: {tojson(p)}")
+
+
+def delpath_value(v: Any, path: list) -> Any:
+    if not path:
+        return None
+    if v is None:
+        return None
+    p = path[0]
+    rest = path[1:]
+    if isinstance(p, str):
+        if not isinstance(v, dict):
+            raise JQError(f'Cannot delete field at object index of {typename(v)}')
+        if p not in v:
+            return v
+        out = dict(v)
+        if rest:
+            out[p] = delpath_value(out[p], rest)
+        else:
+            del out[p]
+        return out
+    if _is_num(p):
+        if not isinstance(v, list):
+            raise JQError(f"Cannot delete field at number index of {typename(v)}")
+        i = math.floor(p)
+        if i < 0:
+            i += len(v)
+        if not (0 <= i < len(v)):
+            return v
+        out = list(v)
+        if rest:
+            out[i] = delpath_value(out[i], rest)
+        else:
+            del out[i]
+        return out
+    if isinstance(p, dict):
+        if not isinstance(v, list):
+            raise JQError(f"Cannot delete slice of {typename(v)}")
+        n = len(v)
+        lo, hi = p.get("start"), p.get("end")
+        lo_i = 0 if lo is None else max(0, (math.floor(lo) + n) if lo < 0 else math.floor(lo))
+        hi_i = n if hi is None else max(0, (math.ceil(hi) + n) if hi < 0 else math.ceil(hi))
+        lo_i, hi_i = min(lo_i, n), min(hi_i, n)
+        if rest:
+            raise JQError("Cannot delete inside a slice")
+        return v[:lo_i] + v[hi_i:]
+    raise JQError(f"Invalid path component: {tojson(p)}")
+
+
+def delpaths_value(v: Any, paths: list) -> Any:
+    # delete longest/rightmost first so earlier deletions don't shift later ones
+    for p in sorted(paths, key=SortKey, reverse=True):
+        if not isinstance(p, list):
+            raise JQError("Paths must be specified as an array")
+        v = delpath_value(v, p)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# @format functions
+# ---------------------------------------------------------------------------
+
+
+def _fmt_csv_cell(x: Any) -> str:
+    if x is None:
+        return ""
+    if x is True or x is False:
+        return "true" if x else "false"
+    if _is_num(x):
+        return tojson(x)
+    if isinstance(x, str):
+        return '"' + x.replace('"', '""') + '"'
+    raise JQError(f"{typename(x)} is not valid in a csv row")
+
+
+def _fmt_tsv_cell(x: Any) -> str:
+    if x is None:
+        return ""
+    if x is True or x is False:
+        return "true" if x else "false"
+    if _is_num(x):
+        return tojson(x)
+    if isinstance(x, str):
+        return x.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n").replace("\r", "\\r")
+    raise JQError(f"{typename(x)} is not valid in a tsv row")
+
+
+def _fmt_sh_word(x: Any) -> str:
+    if _is_num(x) or x is True or x is False or x is None:
+        return tojson(x)
+    if isinstance(x, str):
+        return "'" + x.replace("'", "'\\''") + "'"
+    raise JQError(f"{typename(x)} can not be escaped for shell")
+
+
+_HTML_ESC = {"&": "&amp;", "<": "&lt;", ">": "&gt;", "'": "&#39;", '"': "&quot;"}
+
+
+def apply_format(name: str, v: Any) -> str:
+    if name == "@text":
+        return tostring(v)
+    if name == "@json":
+        return tojson(v)
+    if name == "@html":
+        return "".join(_HTML_ESC.get(c, c) for c in tostring(v))
+    if name == "@uri":
+        return urllib.parse.quote(tostring(v), safe="-_.~")
+    if name == "@csv":
+        if not isinstance(v, list):
+            raise JQError(f"{typename(v)} cannot be csv-formatted, only an array can be")
+        return ",".join(_fmt_csv_cell(x) for x in v)
+    if name == "@tsv":
+        if not isinstance(v, list):
+            raise JQError(f"{typename(v)} cannot be tsv-formatted, only an array can be")
+        return "\t".join(_fmt_tsv_cell(x) for x in v)
+    if name == "@sh":
+        if isinstance(v, list):
+            return " ".join(_fmt_sh_word(x) for x in v)
+        return _fmt_sh_word(v)
+    if name == "@base64":
+        return base64.b64encode(tostring(v).encode("utf-8")).decode("ascii")
+    if name == "@base64d":
+        if not isinstance(v, str):
+            raise JQError(f"{typename(v)} cannot be base64-decoded")
+        return base64.b64decode(v + "=" * (-len(v) % 4)).decode("utf-8", errors="replace")
+    raise JQError(f"{name} is not a valid format")
+
+
+# ---------------------------------------------------------------------------
+# Regex helpers (jq uses Oniguruma; we use Python `re` — dialect deltas
+# documented in SURVEY §2.2 J22)
+# ---------------------------------------------------------------------------
+
+_NAMED_GROUP_RE = re.compile(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>")
+
+
+def _compile_regex(pattern: str, flags: Any) -> tuple[re.Pattern, bool, bool]:
+    if not isinstance(pattern, str):
+        raise JQError(f"{typename(pattern)} cannot be matched, as it is not a string")
+    f = 0
+    glob = False
+    ignore_empty = False
+    if flags:
+        if not isinstance(flags, str):
+            raise JQError(f"{tojson(flags)} is not a string")
+        for c in flags:
+            if c == "g":
+                glob = True
+            elif c == "i":
+                f |= re.IGNORECASE
+            elif c == "x":
+                f |= re.VERBOSE
+            elif c == "s":
+                f |= re.DOTALL
+            elif c == "m":
+                f |= re.MULTILINE
+            elif c == "n":
+                ignore_empty = True
+            elif c == "l":
+                pass
+            else:
+                raise JQError(f"{flags} is not a valid modifier string")
+    py_pattern = _NAMED_GROUP_RE.sub(r"(?P<\1>", pattern)
+    try:
+        return re.compile(py_pattern, f), glob, ignore_empty
+    except re.error as e:
+        raise JQError(f"{pattern} (error: {e})") from None
+
+
+def _match_object(m: re.Match) -> dict:
+    captures = []
+    names = {v: k for k, v in (m.re.groupindex or {}).items()}
+    for gi in range(1, (m.re.groups or 0) + 1):
+        g = m.group(gi)
+        captures.append(
+            {
+                "offset": m.start(gi) if g is not None else -1,
+                "length": (m.end(gi) - m.start(gi)) if g is not None else 0,
+                "string": g,
+                "name": names.get(gi),
+            }
+        )
+    return {
+        "offset": m.start(),
+        "length": m.end() - m.start(),
+        "string": m.group(0),
+        "captures": captures,
+    }
+
+
+def _iter_matches(rx: re.Pattern, s: str, glob: bool, ignore_empty: bool) -> Iterator[re.Match]:
+    if not glob:
+        m = rx.search(s)
+        if m is not None and not (ignore_empty and m.group(0) == ""):
+            yield m
+        return
+    pos = 0
+    n = len(s)
+    while pos <= n:
+        m = rx.search(s, pos)
+        if m is None:
+            return
+        if m.group(0) == "":
+            if not ignore_empty:
+                yield m
+            pos = m.end() + 1
+        else:
+            yield m
+            pos = m.end()
+
+
+def _captures_object(m: re.Match) -> dict:
+    out = {}
+    for name, gi in (m.re.groupindex or {}).items():
+        out[name] = m.group(gi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Compiler
+# ---------------------------------------------------------------------------
+
+Fn = Callable[[Any, Env], Iterable]
+
+
+def compile_node(node: AST) -> Fn:
+    tag = node[0]
+    c = _COMPILERS.get(tag)
+    if c is None:
+        raise JQSyntaxError(f"cannot compile node {tag}")
+    return c(node)
+
+
+def _c_identity(node):
+    return lambda v, e: (v,)
+
+
+def _c_literal(node):
+    val = node[1]
+    return lambda v, e: (val,)
+
+
+def _c_field(node):
+    name = node[1]
+
+    def f(v, e):
+        if v is None:
+            return (None,)
+        if isinstance(v, dict):
+            return (v.get(name),)
+        raise JQError(f'Cannot index {typename(v)} with "{name}"')
+
+    return f
+
+
+def _c_index(node):
+    # ('index', idx_ast) standalone  OR  ('index_on', target, idx_ast)
+    idx_fn = compile_node(node[1])
+
+    def f(v, e):
+        for idx in idx_fn(v, e):
+            yield do_index(v, idx)
+
+    return f
+
+
+def _c_index_on(node):
+    target_fn = compile_node(node[1])
+    idx_fn = compile_node(node[2])
+
+    def f(v, e):
+        for idx in idx_fn(v, e):
+            for tv in target_fn(v, e):
+                yield do_index(tv, idx)
+
+    return f
+
+
+def _c_slice_on(node):
+    target_fn = compile_node(node[1])
+    lo_fn = compile_node(node[2]) if node[2] is not None else None
+    hi_fn = compile_node(node[3]) if node[3] is not None else None
+
+    def f(v, e):
+        his = list(hi_fn(v, e)) if hi_fn else [None]
+        los = list(lo_fn(v, e)) if lo_fn else [None]
+        for hi in his:
+            for lo in los:
+                for tv in target_fn(v, e):
+                    if lo is not None and not _is_num(lo) or hi is not None and not _is_num(hi):
+                        raise JQError("Start and end indices of an array slice must be numbers")
+                    yield do_slice(tv, lo, hi)
+
+    return f
+
+
+def _c_iterate_on(node):
+    target_fn = compile_node(node[1])
+
+    def f(v, e):
+        for tv in target_fn(v, e):
+            yield from do_iterate(tv)
+
+    return f
+
+
+def _c_pipe(node):
+    a = compile_node(node[1])
+    b = compile_node(node[2])
+
+    def f(v, e):
+        for av in a(v, e):
+            yield from b(av, e)
+
+    return f
+
+
+def _c_comma(node):
+    a = compile_node(node[1])
+    b = compile_node(node[2])
+
+    def f(v, e):
+        yield from a(v, e)
+        yield from b(v, e)
+
+    return f
+
+
+def _c_neg(node):
+    a = compile_node(node[1])
+
+    def f(v, e):
+        for av in a(v, e):
+            if not _is_num(av):
+                raise JQError(f"{_desc(av)} cannot be negated")
+            yield -av
+
+    return f
+
+
+def _c_binop(node):
+    op = node[1]
+    a = compile_node(node[2])
+    b = compile_node(node[3])
+    if op in ("==", "!=", "<", "<=", ">", ">="):
+
+        def f(v, e):
+            for bv in b(v, e):
+                for av in a(v, e):
+                    c = cmp_values(av, bv)
+                    if op == "==":
+                        yield c == 0
+                    elif op == "!=":
+                        yield c != 0
+                    elif op == "<":
+                        yield c < 0
+                    elif op == "<=":
+                        yield c <= 0
+                    elif op == ">":
+                        yield c > 0
+                    else:
+                        yield c >= 0
+
+        return f
+
+    def f(v, e):
+        for bv in b(v, e):
+            for av in a(v, e):
+                yield op_arith(op, av, bv)
+
+    return f
+
+
+def _c_and(node):
+    a = compile_node(node[1])
+    b = compile_node(node[2])
+
+    def f(v, e):
+        for av in a(v, e):
+            if not is_truthy(av):
+                yield False
+            else:
+                for bv in b(v, e):
+                    yield is_truthy(bv)
+
+    return f
+
+
+def _c_or(node):
+    a = compile_node(node[1])
+    b = compile_node(node[2])
+
+    def f(v, e):
+        for av in a(v, e):
+            if is_truthy(av):
+                yield True
+            else:
+                for bv in b(v, e):
+                    yield is_truthy(bv)
+
+    return f
+
+
+def _c_alt(node):
+    a = compile_node(node[1])
+    b = compile_node(node[2])
+
+    def f(v, e):
+        got = False
+        try:
+            for av in a(v, e):
+                if is_truthy(av):
+                    got = True
+                    yield av
+        except JQBreak:
+            raise
+        except JQError:
+            pass
+        if not got:
+            yield from b(v, e)
+
+    return f
+
+
+def _c_if(node):
+    branches = [(compile_node(c), compile_node(t)) for c, t in node[1]]
+    els = compile_node(node[2]) if node[2] is not None else None
+
+    def f(v, e):
+        yield from _if_eval(branches, 0, els, v, e)
+
+    return f
+
+
+def _if_eval(branches, i, els, v, e):
+    if i >= len(branches):
+        if els is None:
+            yield v
+        else:
+            yield from els(v, e)
+        return
+    cond, then = branches[i]
+    for cv in cond(v, e):
+        if is_truthy(cv):
+            yield from then(v, e)
+        else:
+            yield from _if_eval(branches, i + 1, els, v, e)
+
+
+def _c_try(node):
+    body = compile_node(node[1])
+    handler = compile_node(node[2]) if node[2] is not None else None
+
+    def f(v, e):
+        try:
+            yield from body(v, e)
+        except JQBreak:
+            raise
+        except JQError as err:
+            if handler is not None:
+                yield from handler(err.value, e)
+
+    return f
+
+
+def _c_array(node):
+    if node[1] is None:
+        return lambda v, e: ([],)
+    body = compile_node(node[1])
+
+    def f(v, e):
+        return ([*body(v, e)],)
+
+    return f
+
+
+def _c_object(node):
+    entries = [(compile_node(k), compile_node(val)) for k, val in node[1]]
+
+    def f(v, e):
+        yield from _obj_eval(entries, 0, {}, v, e)
+
+    return f
+
+
+def _obj_eval(entries, i, acc, v, e):
+    if i >= len(entries):
+        yield dict(acc)
+        return
+    kfn, vfn = entries[i]
+    for kv in kfn(v, e):
+        if not isinstance(kv, str):
+            raise JQError(f"Object keys must be strings")
+        for vv in vfn(v, e):
+            acc2 = dict(acc)
+            acc2[kv] = vv
+            yield from _obj_eval(entries, i + 1, acc2, v, e)
+
+
+def _c_string(node):
+    parts, fmt = node[1], node[2]
+    compiled = [(p if isinstance(p, str) else compile_node(p)) for p in parts]
+    fmt_name = fmt if fmt else "@text"
+
+    def f(v, e):
+        yield from _str_eval(compiled, 0, "", v, e, fmt_name)
+
+    return f
+
+
+def _str_eval(parts, i, acc, v, e, fmt):
+    if i >= len(parts):
+        yield acc
+        return
+    p = parts[i]
+    if isinstance(p, str):
+        yield from _str_eval(parts, i + 1, acc + p, v, e, fmt)
+    else:
+        for pv in p(v, e):
+            yield from _str_eval(parts, i + 1, acc + apply_format(fmt, pv), v, e, fmt)
+
+
+def _c_format(node):
+    name = node[1]
+
+    def f(v, e):
+        return (apply_format(name, v),)
+
+    return f
+
+
+def _c_var(node):
+    name = node[1]
+
+    def f(v, e):
+        return (e.get_var(name),)
+
+    return f
+
+
+def _c_as(node):
+    src = compile_node(node[1])
+    patterns = node[2]
+    body = compile_node(node[3])
+    pat_fns = [_compile_pattern(p) for p in patterns]
+    all_names = sorted({n for p in patterns for n in _pattern_names(p)})
+
+    def f(v, e):
+        for sv in src(v, e):
+            for bindings in _destructure_alts(pat_fns, sv, v, e, all_names):
+                yield from body(v, e.bind_vars(bindings))
+
+    return f
+
+
+def _pattern_names(p: AST) -> list[str]:
+    if p[0] == "pvar":
+        return [p[1]]
+    if p[0] == "parray":
+        return [n for sub in p[1] for n in _pattern_names(sub)]
+    if p[0] == "pobject":
+        out = []
+        for _k, sub in p[1]:
+            out.extend(_pattern_names(sub))
+        return out
+    return []
+
+
+def _compile_pattern(p: AST):
+    kind = p[0]
+    if kind == "pvar":
+        name = p[1]
+
+        def f(val, v, e):
+            yield {name: val}
+
+        return f
+    if kind == "parray":
+        subs = [_compile_pattern(s) for s in p[1]]
+
+        def f(val, v, e):
+            if val is not None and not isinstance(val, list):
+                raise JQError(f"Cannot index {typename(val)} with number")
+            yield from _destr_array(subs, 0, {}, val, v, e)
+
+        return f
+    if kind == "pobject":
+        items = [(compile_node(k), _compile_pattern(s)) for k, s in p[1]]
+
+        def f(val, v, e):
+            if val is not None and not isinstance(val, dict):
+                raise JQError(f"Cannot index {typename(val)} with string")
+            yield from _destr_obj(items, 0, {}, val, v, e)
+
+        return f
+    raise JQSyntaxError(f"bad pattern {kind}")
+
+
+def _destr_array(subs, i, acc, val, v, e):
+    if i >= len(subs):
+        yield acc
+        return
+    elem = None
+    if isinstance(val, list) and i < len(val):
+        elem = val[i]
+    for b in subs[i](elem, v, e):
+        acc2 = dict(acc)
+        acc2.update(b)
+        yield from _destr_array(subs, i + 1, acc2, val, v, e)
+
+
+def _destr_obj(items, i, acc, val, v, e):
+    if i >= len(items):
+        yield acc
+        return
+    kfn, sub = items[i]
+    for kv in kfn(v, e):
+        if not isinstance(kv, str):
+            raise JQError("Cannot index object with non-string")
+        elem = val.get(kv) if isinstance(val, dict) else None
+        for b in sub(elem, v, e):
+            acc2 = dict(acc)
+            acc2.update(b)
+            yield from _destr_obj(items, i + 1, acc2, val, v, e)
+
+
+def _destructure_alts(pat_fns, sv, v, e, all_names):
+    """Destructure ``sv`` against alternative patterns (``?//``): try
+    each in order, moving on when one raises; unmatched variables of
+    the chosen pattern bind to null."""
+    last = len(pat_fns) - 1
+    for i, pf in enumerate(pat_fns):
+        try:
+            results = list(pf(sv, v, e))
+        except JQError:
+            if i == last:
+                raise
+            continue
+        for bindings in results:
+            full = {n: None for n in all_names}
+            full.update(bindings)
+            yield full
+        return
+
+
+def _c_reduce(node):
+    src = compile_node(node[1])
+    pat_fn = _compile_pattern(node[2])
+    names = sorted(_pattern_names(node[2]))
+    init = compile_node(node[3])
+    update = compile_node(node[4])
+
+    def f(v, e):
+        for acc0 in init(v, e):
+            acc = acc0
+            for sv in src(v, e):
+                for bindings in _destructure_alts([pat_fn], sv, v, e, names):
+                    e2 = e.bind_vars(bindings)
+                    last = _SENTINEL
+                    for uv in update(acc, e2):
+                        last = uv
+                    acc = None if last is _SENTINEL else last
+            yield acc
+
+    return f
+
+
+_SENTINEL = object()
+
+
+def _c_foreach(node):
+    src = compile_node(node[1])
+    pat_fn = _compile_pattern(node[2])
+    names = sorted(_pattern_names(node[2]))
+    init = compile_node(node[3])
+    update = compile_node(node[4])
+    extract = compile_node(node[5]) if node[5] is not None else None
+
+    def f(v, e):
+        for acc0 in init(v, e):
+            acc = acc0
+            for sv in src(v, e):
+                for bindings in _destructure_alts([pat_fn], sv, v, e, names):
+                    e2 = e.bind_vars(bindings)
+                    for uv in update(acc, e2):
+                        acc = uv
+                        if extract is None:
+                            yield uv
+                        else:
+                            yield from extract(uv, e2)
+
+    return f
+
+
+def _c_label(node):
+    name = node[1]
+    body = compile_node(node[2])
+
+    def f(v, e):
+        try:
+            yield from body(v, e)
+        except JQBreak as b:
+            if b.name != name:
+                raise
+
+    return f
+
+
+def _c_break(node):
+    name = node[1]
+
+    def f(v, e):
+        raise JQBreak(name)
+        yield  # pragma: no cover
+
+    return f
+
+
+def _c_funcdef(node):
+    _, name, params, body_ast, rest_ast = node
+    body = compile_node(body_ast)
+    rest = compile_node(rest_ast)
+    arity = len(params)
+
+    def f(v, e):
+        cell = [None]
+        fd = FuncDef(params, body, cell, body_ast)
+        e2 = Env(funcs={(name, arity): fd}, parent=e)
+        cell[0] = e2
+        yield from rest(v, e2)
+
+    return f
+
+
+def _c_call(node):
+    _, name, args = node
+    arg_fns = [compile_node(a) for a in args]
+    arity = len(args)
+
+    native = NATIVE.get((name, arity))
+
+    def f(v, e):
+        fd = e.get_func(name, arity)
+        if fd is not None:
+            yield from _call_funcdef(fd, arg_fns, v, e)
+            return
+        if native is not None:
+            yield from native(v, e, arg_fns)
+            return
+        nat = NATIVE.get((name, arity))
+        if nat is not None:
+            yield from nat(v, e, arg_fns)
+            return
+        raise JQError(f"{name}/{arity} is not defined")
+
+    return f
+
+
+def _call_funcdef(fd: FuncDef, arg_fns, v, e):
+    def_env = fd.env_cell[0]
+    if not fd.params:
+        yield from fd.body(v, def_env)
+        return
+    # value params ($x) fan out over their argument streams; filter
+    # params bind lazily as closures over the caller env.
+    yield from _bind_params(fd, arg_fns, 0, {}, {}, v, e, def_env)
+
+
+def _bind_params(fd, arg_fns, i, var_binds, func_binds, v, e, def_env):
+    if i >= len(fd.params):
+        env2 = Env(vars=var_binds or None, funcs=func_binds or None, parent=def_env)
+        yield from fd.body(v, env2)
+        return
+    p = fd.params[i]
+    afn = arg_fns[i]
+    if p.startswith("$"):
+        pname = p[1:]
+        for av in afn(v, e):
+            vb = dict(var_binds)
+            vb[pname] = av
+            fb = dict(func_binds)
+            cell = [e]
+            fb[(pname, 0)] = FuncDef([], (lambda val, env, _a=av: (_a,)), cell)
+            yield from _bind_params(fd, arg_fns, i + 1, vb, fb, v, e, def_env)
+    else:
+        fb = dict(func_binds)
+        cell = [e]
+        fb[(p, 0)] = FuncDef([], (lambda val, env, _f=afn, _e=e: _f(val, _e)), cell)
+        yield from _bind_params(fd, arg_fns, i + 1, var_binds, fb, v, e, def_env)
+
+
+# ---------------------------------------------------------------------------
+# Assignment (path-based updates)
+# ---------------------------------------------------------------------------
+
+
+def _c_assign(node):
+    _, op, lhs, rhs = node
+    paths_fn = compile_path_node(lhs)
+    rhs_fn = compile_node(rhs)
+
+    if op == "=":
+
+        def f(v, e):
+            for rv in rhs_fn(v, e):
+                out = v
+                for p, _pv in paths_fn(v, [], e):
+                    out = setpath_value(out, p, rv)
+                yield out
+
+        return f
+
+    if op == "|=":
+
+        def f(v, e):
+            out = v
+            for p, _pv in paths_fn(v, [], e):
+                cur = getpath_value(out, p)
+                new = _SENTINEL
+                for nv in rhs_fn(cur, e):
+                    new = nv
+                    break
+                if new is _SENTINEL:
+                    out = delpath_value(out, p)
+                else:
+                    out = setpath_value(out, p, new)
+            yield out
+
+        return f
+
+    if op == "//=":
+
+        def f(v, e):
+            for rv in rhs_fn(v, e):
+                out = v
+                for p, _pv in paths_fn(v, [], e):
+                    cur = getpath_value(out, p)
+                    if not is_truthy(cur):
+                        out = setpath_value(out, p, rv)
+                yield out
+
+        return f
+
+    arith = op[0]
+
+    def f(v, e):
+        for rv in rhs_fn(v, e):
+            out = v
+            for p, _pv in paths_fn(v, [], e):
+                cur = getpath_value(out, p)
+                out = setpath_value(out, p, op_arith(arith, cur, rv))
+            yield out
+
+    return f
+
+
+# ---------------------------------------------------------------------------
+# Path-mode compilation: fn(v, path, env) -> yields (path, value)
+# ---------------------------------------------------------------------------
+
+
+def compile_path_node(node: AST):
+    tag = node[0]
+    c = _PATH_COMPILERS.get(tag)
+    if c is None:
+        raise JQSyntaxError(f"Invalid path expression: {tag}")
+    return c(node)
+
+
+def _p_identity(node):
+    def f(v, path, e):
+        yield path, v
+
+    return f
+
+
+def _p_field(node):
+    name = node[1]
+
+    def f(v, path, e):
+        if v is None or isinstance(v, dict):
+            yield path + [name], (v.get(name) if isinstance(v, dict) else None)
+        else:
+            raise JQError(f'Cannot index {typename(v)} with "{name}"')
+
+    return f
+
+
+def _p_index(node):
+    idx_fn = compile_node(node[1])
+
+    def f(v, path, e):
+        for idx in idx_fn(v, e):
+            yield path + [idx], do_index(v, idx)
+
+    return f
+
+
+def _p_index_on(node):
+    target = compile_path_node(node[1])
+    idx_fn = compile_node(node[2])
+
+    def f(v, path, e):
+        for idx in idx_fn(v, e):
+            for p, tv in target(v, path, e):
+                yield p + [idx], do_index(tv, idx)
+
+    return f
+
+
+def _p_slice_on(node):
+    target = compile_path_node(node[1])
+    lo_fn = compile_node(node[2]) if node[2] is not None else None
+    hi_fn = compile_node(node[3]) if node[3] is not None else None
+
+    def f(v, path, e):
+        his = list(hi_fn(v, e)) if hi_fn else [None]
+        los = list(lo_fn(v, e)) if lo_fn else [None]
+        for hi in his:
+            for lo in los:
+                for p, tv in target(v, path, e):
+                    comp = {"start": lo, "end": hi}
+                    yield p + [comp], do_slice(tv, lo, hi)
+
+    return f
+
+
+def _p_iterate_on(node):
+    target = compile_path_node(node[1])
+
+    def f(v, path, e):
+        for p, tv in target(v, path, e):
+            if isinstance(tv, list):
+                for i, x in enumerate(tv):
+                    yield p + [i], x
+            elif isinstance(tv, dict):
+                for k, x in tv.items():
+                    yield p + [k], x
+            else:
+                raise JQError(f"Cannot iterate over {typename(tv)}")
+
+    return f
+
+
+def _p_pipe(node):
+    a = compile_path_node(node[1])
+    b = compile_path_node(node[2])
+
+    def f(v, path, e):
+        for p1, v1 in a(v, path, e):
+            yield from b(v1, p1, e)
+
+    return f
+
+
+def _p_comma(node):
+    a = compile_path_node(node[1])
+    b = compile_path_node(node[2])
+
+    def f(v, path, e):
+        yield from a(v, path, e)
+        yield from b(v, path, e)
+
+    return f
+
+
+def _p_if(node):
+    branches = [(compile_node(c), compile_path_node(t)) for c, t in node[1]]
+    els = compile_path_node(node[2]) if node[2] is not None else None
+
+    def f(v, path, e):
+        yield from _p_if_eval(branches, 0, els, v, path, e)
+
+    return f
+
+
+def _p_if_eval(branches, i, els, v, path, e):
+    if i >= len(branches):
+        if els is None:
+            yield path, v
+        else:
+            yield from els(v, path, e)
+        return
+    cond, then = branches[i]
+    for cv in cond(v, e):
+        if is_truthy(cv):
+            yield from then(v, path, e)
+        else:
+            yield from _p_if_eval(branches, i + 1, els, v, path, e)
+
+
+def _p_try(node):
+    body = compile_path_node(node[1])
+
+    def f(v, path, e):
+        try:
+            yield from body(v, path, e)
+        except JQBreak:
+            raise
+        except JQError:
+            return
+
+    return f
+
+
+def _p_alt(node):
+    a = compile_path_node(node[1])
+    b = compile_path_node(node[2])
+
+    def f(v, path, e):
+        got = False
+        try:
+            for p, pv in a(v, path, e):
+                if is_truthy(pv):
+                    got = True
+                    yield p, pv
+        except JQBreak:
+            raise
+        except JQError:
+            pass
+        if not got:
+            yield from b(v, path, e)
+
+    return f
+
+
+def _p_as(node):
+    src = compile_node(node[1])
+    patterns = node[2]
+    body = compile_path_node(node[3])
+    pat_fns = [_compile_pattern(p) for p in patterns]
+    all_names = sorted({n for p in patterns for n in _pattern_names(p)})
+
+    def f(v, path, e):
+        for sv in src(v, e):
+            for bindings in _destructure_alts(pat_fns, sv, v, e, all_names):
+                yield from body(v, path, e.bind_vars(bindings))
+
+    return f
+
+
+def _p_funcdef(node):
+    _, name, params, body_ast, rest_ast = node
+    body = compile_node(body_ast)  # value-mode body, for calls outside paths
+    rest = compile_path_node(rest_ast)
+    arity = len(params)
+
+    def f(v, path, e):
+        cell = [None]
+        fd = FuncDef(params, body, cell, body_ast)
+        e2 = Env(funcs={(name, arity): fd}, parent=e)
+        cell[0] = e2
+        yield from rest(v, path, e2)
+
+    return f
+
+
+def _p_call(node):
+    _, name, args = node
+    arg_fns = [compile_node(a) for a in args]
+    arg_asts = list(args)
+    arity = len(args)
+
+    def f(v, path, e):
+        fd = e.get_func(name, arity)
+        if fd is not None:
+            pbody = fd.path_body
+            if pbody is None:
+                if fd.body_ast is None:
+                    raise JQError(f"Invalid path expression near {name}")
+                pbody = compile_path_node(fd.body_ast)
+                fd.path_body = pbody
+            yield from _p_call_funcdef(fd, pbody, arg_fns, arg_asts, v, path, e)
+            return
+        nat = NATIVE_PATH.get((name, arity))
+        if nat is not None:
+            yield from nat(v, path, e, arg_fns, arg_asts)
+            return
+        if (name, arity) in NATIVE:
+            raise JQError(f"Invalid path expression with result {name}/{arity}")
+        raise JQError(f"{name}/{arity} is not defined")
+
+    return f
+
+
+def _p_call_funcdef(fd, pbody, arg_fns, arg_asts, v, path, e):
+    def_env = fd.env_cell[0]
+    if not fd.params:
+        yield from pbody(v, path, def_env)
+        return
+    yield from _p_bind_params(fd, pbody, arg_fns, arg_asts, 0, {}, {}, v, path, e, def_env)
+
+
+def _p_bind_params(fd, pbody, arg_fns, arg_asts, i, var_binds, func_binds, v, path, e, def_env):
+    if i >= len(fd.params):
+        env2 = Env(vars=var_binds or None, funcs=func_binds or None, parent=def_env)
+        yield from pbody(v, path, env2)
+        return
+    p = fd.params[i]
+    afn = arg_fns[i]
+    if p.startswith("$"):
+        pname = p[1:]
+        for av in afn(v, e):
+            vb = dict(var_binds)
+            vb[pname] = av
+            fb = dict(func_binds)
+            fb[(pname, 0)] = FuncDef([], (lambda val, env, _a=av: (_a,)), [e])
+            yield from _p_bind_params(fd, pbody, arg_fns, arg_asts, i + 1, vb, fb, v, path, e, def_env)
+    else:
+        # filter param: calls inside the body see the caller's env; the
+        # AST is kept so the param works in path position too
+        fb = dict(func_binds)
+        caller_env = e
+
+        def _fp_body(val, env, _f=afn, _e=caller_env):
+            return _f(val, _e)
+
+        nfd = FuncDef([], _fp_body, [caller_env], arg_asts[i])
+
+        def _fp_path(val, pth, env, _ast=arg_asts[i], _e=caller_env):
+            return compile_path_node(_ast)(val, pth, _e)
+
+        nfd.path_body = _fp_path
+        fb[(p, 0)] = nfd
+        yield from _p_bind_params(fd, pbody, arg_fns, arg_asts, i + 1, var_binds, fb, v, path, e, def_env)
+
+
+def _p_label(node):
+    name = node[1]
+    body = compile_path_node(node[2])
+
+    def f(v, path, e):
+        try:
+            yield from body(v, path, e)
+        except JQBreak as b:
+            if b.name != name:
+                raise
+
+    return f
+
+
+def _p_break(node):
+    name = node[1]
+
+    def f(v, path, e):
+        raise JQBreak(name)
+        yield  # pragma: no cover
+
+    return f
+
+
+def _np_empty(v, path, e, arg_fns, arg_asts):
+    return ()
+
+
+def _np_error(v, path, e, arg_fns, arg_asts):
+    if arg_fns:
+        for m in arg_fns[0](v, e):
+            raise JQError(m)
+        return ()
+    raise JQError(v)
+
+
+def _np_getpath(v, path, e, arg_fns, arg_asts):
+    for pth in arg_fns[0](v, e):
+        if not isinstance(pth, list):
+            raise JQError("Path must be specified as an array")
+        yield path + pth, getpath_value(v, pth)
+
+
+def _np_limit(v, path, e, arg_fns, arg_asts):
+    body = compile_path_node(arg_asts[1])
+    for nv in arg_fns[0](v, e):
+        if not _is_num(nv):
+            raise JQError("limit count must be a number")
+        n = math.floor(nv)
+        if n <= 0:
+            continue
+        count = 0
+        for item in body(v, path, e):
+            yield item
+            count += 1
+            if count >= n:
+                break
+
+
+def _np_first(v, path, e, arg_fns, arg_asts):
+    body = compile_path_node(arg_asts[0])
+    for item in body(v, path, e):
+        yield item
+        return
+
+
+def _np_last(v, path, e, arg_fns, arg_asts):
+    body = compile_path_node(arg_asts[0])
+    last = _SENTINEL
+    for item in body(v, path, e):
+        last = item
+    if last is not _SENTINEL:
+        yield last
+
+
+def _np_select(v, path, e, arg_fns, arg_asts):
+    for cv in arg_fns[0](v, e):
+        if is_truthy(cv):
+            yield path, v
+
+
+_PATH_COMPILERS = {
+    "identity": _p_identity,
+    "field": _p_field,
+    "index": _p_index,
+    "index_on": _p_index_on,
+    "slice_on": _p_slice_on,
+    "iterate_on": _p_iterate_on,
+    "pipe": _p_pipe,
+    "comma": _p_comma,
+    "if": _p_if,
+    "try": _p_try,
+    "alt": _p_alt,
+    "as": _p_as,
+    "funcdef": _p_funcdef,
+    "call": _p_call,
+    "label": _p_label,
+    "break": _p_break,
+}
+
+NATIVE_PATH = {
+    ("empty", 0): _np_empty,
+    ("error", 0): _np_error,
+    ("error", 1): _np_error,
+    ("getpath", 1): _np_getpath,
+    ("limit", 2): _np_limit,
+    ("first", 1): _np_first,
+    ("last", 1): _np_last,
+    ("select", 1): _np_select,
+}
+
+
+_COMPILERS = {
+    "identity": _c_identity,
+    "literal": _c_literal,
+    "field": _c_field,
+    "index": _c_index,
+    "index_on": _c_index_on,
+    "slice_on": _c_slice_on,
+    "iterate_on": _c_iterate_on,
+    "pipe": _c_pipe,
+    "comma": _c_comma,
+    "neg": _c_neg,
+    "binop": _c_binop,
+    "and": _c_and,
+    "or": _c_or,
+    "alt": _c_alt,
+    "if": _c_if,
+    "try": _c_try,
+    "array": _c_array,
+    "object": _c_object,
+    "string": _c_string,
+    "format": _c_format,
+    "var": _c_var,
+    "as": _c_as,
+    "reduce": _c_reduce,
+    "foreach": _c_foreach,
+    "label": _c_label,
+    "break": _c_break,
+    "funcdef": _c_funcdef,
+    "call": _c_call,
+    "assign": _c_assign,
+}
+
+
+# ---------------------------------------------------------------------------
+# Native builtins: fn(v, env, arg_fns) -> iterable
+# ---------------------------------------------------------------------------
+
+
+def _one(x):
+    return (x,)
+
+
+def _n_empty(v, e, a):
+    return ()
+
+
+def _n_error0(v, e, a):
+    raise JQError(v)
+
+
+def _n_error1(v, e, a):
+    for m in a[0](v, e):
+        raise JQError(m)
+    return ()
+
+
+def _n_not(v, e, a):
+    return (not is_truthy(v),)
+
+
+def _n_length(v, e, a):
+    if v is None:
+        return (0,)
+    if isinstance(v, bool):
+        raise JQError("boolean has no length")
+    if _is_num(v):
+        return (abs(v),)
+    return (len(v),)
+
+
+def _n_utf8bytelength(v, e, a):
+    if not isinstance(v, str):
+        raise JQError(f"{typename(v)} only strings have UTF-8 byte length")
+    return (len(v.encode("utf-8")),)
+
+
+def _n_keys(v, e, a):
+    if isinstance(v, dict):
+        return (sorted(v.keys()),)
+    if isinstance(v, list):
+        return (list(range(len(v))),)
+    raise JQError(f"{typename(v)} has no keys")
+
+
+def _n_keys_unsorted(v, e, a):
+    if isinstance(v, dict):
+        return (list(v.keys()),)
+    if isinstance(v, list):
+        return (list(range(len(v))),)
+    raise JQError(f"{typename(v)} has no keys")
+
+
+def _n_has(v, e, a):
+    for k in a[0](v, e):
+        if isinstance(v, dict):
+            if not isinstance(k, str):
+                raise JQError("null has no keys" if k is None else "Cannot check whether object has a key of non-string type")
+            yield k in v
+        elif isinstance(v, list):
+            if not _is_num(k):
+                raise JQError("Cannot check whether array has a key of non-number type")
+            yield 0 <= math.floor(k) < len(v)
+        else:
+            raise JQError(f"Cannot check whether {typename(v)} has a key")
+
+
+def _n_contains(v, e, a):
+    for b in a[0](v, e):
+        if typename(v) != typename(b) and not (isinstance(v, (list, dict)) and isinstance(b, (list, dict))):
+            if not isinstance(v, (str, list, dict)):
+                raise JQError(f"{_desc(v)} and {_desc(b)} cannot have their containment checked")
+        yield contains_value(v, b)
+
+
+def _n_range1(v, e, a):
+    for n in a[0](v, e):
+        if not _is_num(n):
+            raise JQError("Range bounds must be numeric")
+        i = 0
+        while i < n:
+            yield i
+            i += 1
+
+
+def _n_range2(v, e, a):
+    for frm in a[0](v, e):
+        for to in a[1](v, e):
+            if not _is_num(frm) or not _is_num(to):
+                raise JQError("Range bounds must be numeric")
+            i = frm
+            while i < to:
+                yield i
+                i += 1
+
+
+def _n_range3(v, e, a):
+    for frm in a[0](v, e):
+        for to in a[1](v, e):
+            for step in a[2](v, e):
+                if not (_is_num(frm) and _is_num(to) and _is_num(step)):
+                    raise JQError("Range bounds must be numeric")
+                if step == 0:
+                    continue
+                i = frm
+                if step > 0:
+                    while i < to:
+                        yield i
+                        i += step
+                else:
+                    while i > to:
+                        yield i
+                        i += step
+
+
+def _num_only(v, name):
+    if not _is_num(v):
+        raise JQError(f"{typename(v)} ({tojson(v)}) number required ({name})")
+    return v
+
+
+def _math1(pyfn, name):
+    def f(v, e, a):
+        x = _num_only(v, name)
+        try:
+            return (pyfn(x),)
+        except (ValueError, OverflowError) as err:
+            raise JQError(f"{name}: {err}") from None
+
+    return f
+
+
+def _n_floor(v, e, a):
+    return (math.floor(_num_only(v, "floor")),)
+
+
+def _n_ceil(v, e, a):
+    return (math.ceil(_num_only(v, "ceil")),)
+
+
+def _n_round(v, e, a):
+    x = _num_only(v, "round")
+    return (math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5),)
+
+
+def _n_fabs(v, e, a):
+    return (abs(_num_only(v, "fabs")),)
+
+
+def _n_pow(v, e, a):
+    for x in a[0](v, e):
+        for y in a[1](v, e):
+            yield math.pow(_num_only(x, "pow"), _num_only(y, "pow"))
+
+
+def _n_atan2(v, e, a):
+    for x in a[0](v, e):
+        for y in a[1](v, e):
+            yield math.atan2(_num_only(x, "atan2"), _num_only(y, "atan2"))
+
+
+def _n_sort(v, e, a):
+    if not isinstance(v, list):
+        raise JQError(f"{typename(v)} ({tojson(v)}) cannot be sorted, as it is not an array")
+    return (sorted(v, key=SortKey),)
+
+
+def _sort_key_fn(fe, e):
+    def key(x):
+        return SortKey(list(fe(x, e)))
+
+    return key
+
+
+def _n_sort_by(v, e, a):
+    if not isinstance(v, list):
+        raise JQError(f"{typename(v)} cannot be sorted, as it is not an array")
+    return (sorted(v, key=_sort_key_fn(a[0], e)),)
+
+
+def _n_group_by(v, e, a):
+    if not isinstance(v, list):
+        raise JQError(f"{typename(v)} cannot be grouped, as it is not an array")
+    keyed = [(list(a[0](x, e)), x) for x in v]
+    keyed.sort(key=lambda kx: SortKey(kx[0]))
+    out = []
+    cur_key = None
+    cur: list = []
+    for k, x in keyed:
+        if cur and cmp_values(cur_key, k) == 0:
+            cur.append(x)
+        else:
+            if cur:
+                out.append(cur)
+            cur, cur_key = [x], k
+    if cur:
+        out.append(cur)
+    return (out,)
+
+
+def _n_unique(v, e, a):
+    if not isinstance(v, list):
+        raise JQError(f"{typename(v)} cannot be unique-d, as it is not an array")
+    s = sorted(v, key=SortKey)
+    out = []
+    for x in s:
+        if not out or cmp_values(out[-1], x) != 0:
+            out.append(x)
+    return (out,)
+
+
+def _n_unique_by(v, e, a):
+    if not isinstance(v, list):
+        raise JQError(f"{typename(v)} cannot be unique-d, as it is not an array")
+    keyed = [(list(a[0](x, e)), x) for x in v]
+    keyed.sort(key=lambda kx: SortKey(kx[0]))
+    out = []
+    last_key = _SENTINEL
+    for k, x in keyed:
+        if last_key is _SENTINEL or cmp_values(last_key, k) != 0:
+            out.append(x)
+            last_key = k
+    return (out,)
+
+
+def _n_min(v, e, a):
+    if not isinstance(v, list):
+        raise JQError(f"{typename(v)} cannot be searched for min")
+    if not v:
+        return (None,)
+    return (min(v, key=SortKey),)
+
+
+def _n_max(v, e, a):
+    if not isinstance(v, list):
+        raise JQError(f"{typename(v)} cannot be searched for max")
+    if not v:
+        return (None,)
+    return (max(v, key=SortKey),)
+
+
+def _n_min_by(v, e, a):
+    if not isinstance(v, list):
+        raise JQError(f"{typename(v)} cannot be searched for min")
+    if not v:
+        return (None,)
+    return (min(v, key=_sort_key_fn(a[0], e)),)
+
+
+def _n_max_by(v, e, a):
+    if not isinstance(v, list):
+        raise JQError(f"{typename(v)} cannot be searched for max")
+    if not v:
+        return (None,)
+    # jq max_by keeps the *last* maximal element; Python max keeps first
+    best = None
+    best_key = None
+    for x in v:
+        k = SortKey(list(a[0](x, e)))
+        if best_key is None or not (k < best_key):
+            best, best_key = x, k
+    return (best,)
+
+
+def _n_reverse(v, e, a):
+    if v is None:
+        return ([],)
+    if isinstance(v, str):
+        return (v[::-1],)
+    if isinstance(v, list):
+        return (v[::-1],)
+    raise JQError(f"{typename(v)} cannot be reversed")
+
+
+def _n_flatten0(v, e, a):
+    return _flatten(v, float("inf"))
+
+
+def _n_flatten1(v, e, a):
+    for d in a[0](v, e):
+        if not _is_num(d) or d < 0:
+            raise JQError("flatten depth must not be negative")
+        yield from _flatten(v, d)
+
+
+def _flatten(v, depth):
+    if not isinstance(v, list):
+        raise JQError(f"{typename(v)} cannot be flattened")
+
+    def rec(lst, d):
+        out = []
+        for x in lst:
+            if isinstance(x, list) and d > 0:
+                out.extend(rec(x, d - 1))
+            else:
+                out.append(x)
+        return out
+
+    return (rec(v, depth),)
+
+
+def _n_tostring(v, e, a):
+    return (tostring(v),)
+
+
+def _n_tonumber(v, e, a):
+    if _is_num(v):
+        return (v,)
+    if isinstance(v, str):
+        try:
+            return (int(v.strip()),)
+        except ValueError:
+            try:
+                return (float(v),)
+            except ValueError:
+                raise JQError(f"Cannot parse '{v}' as JSON") from None
+    raise JQError(f"{typename(v)} ({tojson(v)}) cannot be parsed as a number")
+
+
+def _n_tojson(v, e, a):
+    return (tojson(v),)
+
+
+def _n_fromjson(v, e, a):
+    if not isinstance(v, str):
+        raise JQError(f"{typename(v)} ({tojson(v)}) cannot be parsed as JSON")
+    import json as _json
+
+    try:
+        return (_json.loads(v),)
+    except ValueError as err:
+        raise JQError(f"{v} cannot be parsed as JSON: {err}") from None
+
+
+def _n_type(v, e, a):
+    return (typename(v),)
+
+
+def _n_infinite(v, e, a):
+    return (float("inf"),)
+
+
+def _n_nan(v, e, a):
+    return (float("nan"),)
+
+
+def _n_isinfinite(v, e, a):
+    return (isinstance(v, float) and math.isinf(v),)
+
+
+def _n_isnan(v, e, a):
+    return (isinstance(v, float) and math.isnan(v),)
+
+
+def _n_isnormal(v, e, a):
+    x = _num_only(v, "isnormal")
+    return (x != 0 and not (isinstance(x, float) and (math.isnan(x) or math.isinf(x))) and abs(x) >= 2.2250738585072014e-308,)
+
+
+def _n_ascii_downcase(v, e, a):
+    if not isinstance(v, str):
+        raise JQError(f"{typename(v)} cannot be case-folded")
+    return ("".join(chr(ord(c) + 32) if "A" <= c <= "Z" else c for c in v),)
+
+
+def _n_ascii_upcase(v, e, a):
+    if not isinstance(v, str):
+        raise JQError(f"{typename(v)} cannot be case-folded")
+    return ("".join(chr(ord(c) - 32) if "a" <= c <= "z" else c for c in v),)
+
+
+def _n_explode(v, e, a):
+    if not isinstance(v, str):
+        raise JQError(f"{typename(v)} cannot be exploded")
+    return ([ord(c) for c in v],)
+
+
+def _n_implode(v, e, a):
+    if not isinstance(v, list):
+        raise JQError(f"{typename(v)} cannot be imploded")
+    try:
+        return ("".join(chr(int(c)) for c in v),)
+    except (TypeError, ValueError):
+        raise JQError("Unicode codepoints must be numeric") from None
+
+
+def _n_split1(v, e, a):
+    if not isinstance(v, str):
+        raise JQError(f"{typename(v)} cannot be split")
+    for sep in a[0](v, e):
+        if not isinstance(sep, str):
+            raise JQError("split separator must be a string")
+        yield split_plain(v, sep)
+
+
+def _n_split2(v, e, a):
+    if not isinstance(v, str):
+        raise JQError(f"{typename(v)} cannot be split")
+    for pat in a[0](v, e):
+        for flags in a[1](v, e):
+            rx, _g, ignore_empty = _compile_regex(pat, flags)
+            out = []
+            pos = 0
+            for m in _iter_matches(rx, v, True, ignore_empty):
+                out.append(v[pos : m.start()])
+                pos = m.end()
+            out.append(v[pos:])
+            yield out
+
+
+def _n_join(v, e, a):
+    if not isinstance(v, list):
+        raise JQError(f"{typename(v)} cannot be joined")
+    for sep in a[0](v, e):
+        if not isinstance(sep, str):
+            raise JQError("join separator must be a string")
+        parts = []
+        for x in v:
+            if x is None:
+                parts.append("")
+            elif isinstance(x, str):
+                parts.append(x)
+            elif _is_num(x) or isinstance(x, bool):
+                parts.append(tojson(x))
+            else:
+                raise JQError(f"Cannot join with {typename(x)}")
+        yield sep.join(parts)
+
+
+def _n_ltrimstr(v, e, a):
+    for pre in a[0](v, e):
+        if isinstance(v, str) and isinstance(pre, str) and v.startswith(pre):
+            yield v[len(pre) :]
+        else:
+            yield v
+
+
+def _n_rtrimstr(v, e, a):
+    for suf in a[0](v, e):
+        if isinstance(v, str) and isinstance(suf, str) and suf and v.endswith(suf):
+            yield v[: -len(suf)]
+        else:
+            yield v
+
+
+def _n_startswith(v, e, a):
+    if not isinstance(v, str):
+        raise JQError(f"{typename(v)} has no keys")
+    for pre in a[0](v, e):
+        if not isinstance(pre, str):
+            raise JQError("startswith() requires string inputs")
+        yield v.startswith(pre)
+
+
+def _n_endswith(v, e, a):
+    if not isinstance(v, str):
+        raise JQError(f"{typename(v)} has no keys")
+    for suf in a[0](v, e):
+        if not isinstance(suf, str):
+            raise JQError("endswith() requires string inputs")
+        yield v.endswith(suf)
+
+
+def _n_test1(v, e, a):
+    yield from _n_test2(v, e, [a[0], lambda _v, _e: (None,)])
+
+
+def _n_test2(v, e, a):
+    if not isinstance(v, str):
+        raise JQError(f"{typename(v)} cannot be matched, as it is not a string")
+    for pat in a[0](v, e):
+        for flags in a[1](v, e):
+            rx, glob, ignore_empty = _compile_regex(pat, flags)
+            yield rx.search(v) is not None
+
+
+def _n_match1(v, e, a):
+    yield from _n_match2(v, e, [a[0], lambda _v, _e: (None,)])
+
+
+def _n_match2(v, e, a):
+    if not isinstance(v, str):
+        raise JQError(f"{typename(v)} ({tojson(v)}) cannot be matched, as it is not a string")
+    for pat in a[0](v, e):
+        # jq also accepts [re, flags] as the single argument
+        if isinstance(pat, list):
+            rx, glob, ignore_empty = _compile_regex(
+                pat[0] if pat else None, pat[1] if len(pat) > 1 else None
+            )
+        else:
+            flags = next(iter(a[1](v, e)))
+            rx, glob, ignore_empty = _compile_regex(pat, flags)
+        for m in _iter_matches(rx, v, glob, ignore_empty):
+            yield _match_object(m)
+
+
+def _n_capture1(v, e, a):
+    yield from _n_capture2(v, e, [a[0], lambda _v, _e: (None,)])
+
+
+def _n_capture2(v, e, a):
+    if not isinstance(v, str):
+        raise JQError(f"{typename(v)} cannot be matched, as it is not a string")
+    for pat in a[0](v, e):
+        for flags in a[1](v, e):
+            rx, glob, ignore_empty = _compile_regex(pat, flags)
+            for m in _iter_matches(rx, v, glob, ignore_empty):
+                yield _captures_object(m)
+
+
+def _n_scan1(v, e, a):
+    yield from _n_scan2(v, e, [a[0], lambda _v, _e: (None,)])
+
+
+def _n_scan2(v, e, a):
+    if not isinstance(v, str):
+        raise JQError(f"{typename(v)} cannot be scanned, as it is not a string")
+    for pat in a[0](v, e):
+        for flags in a[1](v, e):
+            rx, _g, ignore_empty = _compile_regex(pat, flags)
+            for m in _iter_matches(rx, v, True, ignore_empty):
+                if m.re.groups:
+                    yield [m.group(i) for i in range(1, m.re.groups + 1)]
+                else:
+                    yield m.group(0)
+
+
+def _sub_impl(v, e, pat_fn, repl_fn, flags_fn, glob_default):
+    if not isinstance(v, str):
+        raise JQError(f"{typename(v)} cannot be matched, as it is not a string")
+    for pat in pat_fn(v, e):
+        for flags in flags_fn(v, e):
+            rx, glob, ignore_empty = _compile_regex(pat, flags)
+            glob = glob or glob_default
+            out = []
+            pos = 0
+            for m in _iter_matches(rx, v, glob, ignore_empty):
+                out.append(v[pos : m.start()])
+                caps = _captures_object(m)
+                rvals = list(repl_fn(caps, e))
+                if not rvals:
+                    raise JQError("sub replacement produced no output")
+                r = rvals[0]
+                if not isinstance(r, str):
+                    raise JQError(f"{typename(r)} cannot be used as a substitution")
+                out.append(r)
+                pos = m.end()
+            out.append(v[pos:])
+            yield "".join(out)
+
+
+def _n_sub2(v, e, a):
+    yield from _sub_impl(v, e, a[0], a[1], lambda _v, _e: (None,), False)
+
+
+def _n_sub3(v, e, a):
+    yield from _sub_impl(v, e, a[0], a[1], a[2], False)
+
+
+def _n_gsub2(v, e, a):
+    yield from _sub_impl(v, e, a[0], a[1], lambda _v, _e: ("g",), True)
+
+
+def _n_gsub3(v, e, a):
+    def flags_g(_v, _e):
+        for fl in a[2](v, e):
+            yield (fl or "") + "g"
+
+    yield from _sub_impl(v, e, a[0], a[1], flags_g, True)
+
+
+def _n_indices(v, e, a):
+    for needle in a[0](v, e):
+        if v is None:
+            yield None
+        elif isinstance(v, str) and isinstance(needle, str):
+            if needle == "":
+                yield None
+            else:
+                out = []
+                start = 0
+                while True:
+                    i = v.find(needle, start)
+                    if i < 0:
+                        break
+                    out.append(i)
+                    start = i + 1
+                yield out
+        elif isinstance(v, list) and isinstance(needle, list):
+            yield _indices_list(v, needle)
+        elif isinstance(v, list):
+            yield [i for i, x in enumerate(v) if values_equal(x, needle)]
+        else:
+            raise JQError(f"Cannot index {typename(v)} with {typename(needle)}")
+
+
+def _n_index(v, e, a):
+    for res in _n_indices(v, e, a):
+        yield res[0] if res else None
+
+
+def _n_rindex(v, e, a):
+    for res in _n_indices(v, e, a):
+        yield res[-1] if res else None
+
+
+def _n_getpath(v, e, a):
+    for p in a[0](v, e):
+        if not isinstance(p, list):
+            raise JQError("Path must be specified as an array")
+        yield getpath_value(v, p)
+
+
+def _n_setpath(v, e, a):
+    for p in a[0](v, e):
+        if not isinstance(p, list):
+            raise JQError("Path must be specified as an array")
+        for nv in a[1](v, e):
+            yield setpath_value(v, p, nv)
+
+
+def _n_delpaths(v, e, a):
+    for ps in a[0](v, e):
+        if not isinstance(ps, list):
+            raise JQError("Paths must be specified as an array")
+        yield delpaths_value(v, ps)
+
+
+def _n_path(v, e, a):
+    # a[0] is compiled value-mode; we need its AST — provided via closure
+    raise JQError("path/1 requires AST support")
+
+
+def _n_limit(v, e, a):
+    for nv in a[0](v, e):
+        if not _is_num(nv):
+            raise JQError("limit count must be a number")
+        n = math.floor(nv)
+        if n <= 0:
+            continue
+        count = 0
+        for x in a[1](v, e):
+            yield x
+            count += 1
+            if count >= n:
+                break
+
+
+def _n_first0(v, e, a):
+    return (do_index(v, 0),)
+
+
+def _n_first1(v, e, a):
+    for x in a[0](v, e):
+        yield x
+        return
+
+
+def _n_last0(v, e, a):
+    return (do_index(v, -1),)
+
+
+def _n_last1(v, e, a):
+    last = _SENTINEL
+    for x in a[0](v, e):
+        last = x
+    if last is not _SENTINEL:
+        yield last
+
+
+def _n_select(v, e, a):
+    for cv in a[0](v, e):
+        if is_truthy(cv):
+            yield v
+
+
+def _n_recurse0(v, e, a):
+    yield v
+    if isinstance(v, list):
+        for x in v:
+            yield from _n_recurse0(x, e, a)
+    elif isinstance(v, dict):
+        for x in v.values():
+            yield from _n_recurse0(x, e, a)
+
+
+def _n_recurse1(v, e, a):
+    yield v
+    for x in a[0](v, e):
+        yield from _n_recurse1(x, e, a)
+
+
+def _n_recurse2(v, e, a):
+    yield v
+    for x in a[0](v, e):
+        keep = False
+        for cv in a[1](x, e):
+            if is_truthy(cv):
+                keep = True
+        if keep:
+            yield from _n_recurse2(x, e, a)
+
+
+def _n_env(v, e, a):
+    return ({},)
+
+
+def _n_builtins(v, e, a):
+    names = sorted({f"{n}/{ar}" for (n, ar) in NATIVE} | set(_PRELUDE_NAMES))
+    return (names,)
+
+
+def _n_input(v, e, a):
+    raise JQError("No more inputs")
+
+
+def _n_inputs(v, e, a):
+    return ()
+
+
+def _n_debug(v, e, a):
+    return (v,)
+
+
+def _n_stderr(v, e, a):
+    return (v,)
+
+
+def _n_input_line_number(v, e, a):
+    return (0,)
+
+
+def _n_now(v, e, a):
+    return (time.time(),)
+
+
+def _n_gmtime(v, e, a):
+    x = _num_only(v, "gmtime")
+    t = time.gmtime(math.floor(x))
+    frac = x - math.floor(x)
+    return ([t.tm_year, t.tm_mon - 1, t.tm_mday, t.tm_hour, t.tm_min, t.tm_sec + frac, (t.tm_wday + 1) % 7, t.tm_yday - 1],)
+
+
+def _n_mktime(v, e, a):
+    if not isinstance(v, list) or len(v) < 6:
+        raise JQError("mktime requires array of 6 numbers")
+    y, mo, d, h, mi, s = v[:6]
+    return (calendar.timegm((int(y), int(mo) + 1, int(d), int(h), int(mi), int(s), 0, 0, 0)),)
+
+
+def _broken_down(v):
+    if _is_num(v):
+        t = time.gmtime(math.floor(v))
+        return t
+    if isinstance(v, list) and len(v) >= 6:
+        y, mo, d, h, mi, s = v[:6]
+        wday = v[6] if len(v) > 6 else 0
+        yday = v[7] if len(v) > 7 else 0
+        return time.struct_time((int(y), int(mo) + 1, int(d), int(h), int(mi), int(math.floor(s)), (int(wday) - 1) % 7, int(yday) + 1, 0))
+    raise JQError("strftime/1 requires parsed datetime inputs")
+
+
+def _n_strftime(v, e, a):
+    for fmt in a[0](v, e):
+        if not isinstance(fmt, str):
+            raise JQError("strftime/1 requires a string format")
+        yield time.strftime(fmt, _broken_down(v))
+
+
+def _n_strptime(v, e, a):
+    if not isinstance(v, str):
+        raise JQError("strptime/1 requires string inputs and arguments")
+    for fmt in a[0](v, e):
+        try:
+            t = time.strptime(v, fmt)
+        except ValueError as err:
+            raise JQError(f"date \"{v}\" does not match format \"{fmt}\"") from None
+        yield [t.tm_year, t.tm_mon - 1, t.tm_mday, t.tm_hour, t.tm_min, t.tm_sec, (t.tm_wday + 1) % 7, t.tm_yday - 1]
+
+
+def _n_localtime(v, e, a):
+    # deterministic engine: localtime == gmtime (UTC); documented delta
+    return _n_gmtime(v, e, a)
+
+
+def _hash_fn(algo):
+    def f(v, e, a):
+        if not isinstance(v, str):
+            raise JQError(f"{algo} requires a string input")
+        h = hashlib.new(algo, v.encode("utf-8"))
+        return (h.hexdigest(),)
+
+    return f
+
+
+def _n_uriparse(v, e, a):
+    if not isinstance(v, str):
+        raise JQError("uriparse requires a string input")
+    u = urllib.parse.urlparse(v)
+    out = {
+        "scheme": u.scheme or None,
+        "host": u.hostname,
+        "port": u.port,
+        "path": u.path or None,
+        "query": u.query or None,
+        "fragment": u.fragment or None,
+        "userinfo": (u.username + (":" + u.password if u.password else "")) if u.username else None,
+        "authority": u.netloc or None,
+    }
+    return (out,)
+
+
+def _n_uridecode(v, e, a):
+    if not isinstance(v, str):
+        raise JQError("uridecode requires a string input")
+    return (urllib.parse.unquote(v),)
+
+
+def _n_uuid4(v, e, a):
+    import uuid
+
+    return (str(uuid.uuid4()),)
+
+
+def _n_random(v, e, a):
+    import random as _random
+
+    return (_random.random(),)
+
+
+def _n_halt_error0(v, e, a):
+    raise JQError(v)
+
+
+def _n_splits_impl(v, e, a, flags_fn):
+    for parts in _n_split2(v, e, [a[0], flags_fn]):
+        yield from parts
+
+
+def _n_tostream(v, e, a):
+    def walk(val, path):
+        if isinstance(val, list) and val:
+            for i, x in enumerate(val):
+                yield from walk(x, path + [i])
+            yield [path + [len(val) - 1]]
+        elif isinstance(val, dict) and val:
+            last_k = None
+            for k, x in val.items():
+                yield from walk(x, path + [k])
+                last_k = k
+            yield [path + [last_k]]
+        else:
+            yield [path, val]
+
+    for item in walk(v, []):
+        yield item
+
+
+def _n_fromstream(v, e, a):
+    # fromstream(f): consume stream events from f
+    acc = [None]
+    have = [False]
+    for ev in a[0](v, e):
+        if not isinstance(ev, list) or not ev:
+            raise JQError("Invalid streaming format")
+        path = ev[0]
+        if len(ev) >= 2:
+            if not path:
+                yield ev[1]
+            else:
+                acc[0] = setpath_value(acc[0], path, ev[1])
+                have[0] = True
+        else:
+            if len(path) == 1 and have[0]:
+                yield acc[0]
+                acc[0] = None
+                have[0] = False
+
+
+def _n_truncate_stream(v, e, a):
+    # input: depth; arg: stream expr — jq signature: truncate_stream(stream)
+    # with `.` being [depth, stream-input]? Actual jq: `n | truncate_stream(f)`
+    depth = v
+    if not _is_num(depth):
+        raise JQError("truncate_stream requires a number input")
+    d = math.floor(depth)
+    for ev in a[0](v, e):
+        if not isinstance(ev, list) or not isinstance(ev[0], list):
+            raise JQError("Invalid streaming format")
+        if len(ev[0]) > d:
+            yield [ev[0][d:]] + ev[1:]
+
+
+def _n_splits1(v, e, a):
+    yield from _n_splits_impl(v, e, a, lambda _v, _e: (None,))
+
+
+def _n_splits2(v, e, a):
+    yield from _n_splits_impl(v, e, [a[0]], a[1])
+
+
+def _n_getpath_or_null(v, e, a):  # helper for internal use
+    yield from _n_getpath(v, e, a)
+
+
+def _n_error_message(v, e, a):
+    return (v,)
+
+
+NATIVE = {
+    ("empty", 0): _n_empty,
+    ("error", 0): _n_error0,
+    ("error", 1): _n_error1,
+    ("not", 0): _n_not,
+    ("length", 0): _n_length,
+    ("utf8bytelength", 0): _n_utf8bytelength,
+    ("keys", 0): _n_keys,
+    ("keys_unsorted", 0): _n_keys_unsorted,
+    ("has", 1): _n_has,
+    ("contains", 1): _n_contains,
+    ("range", 1): _n_range1,
+    ("range", 2): _n_range2,
+    ("range", 3): _n_range3,
+    ("floor", 0): _n_floor,
+    ("ceil", 0): _n_ceil,
+    ("round", 0): _n_round,
+    ("fabs", 0): _n_fabs,
+    ("sqrt", 0): _math1(math.sqrt, "sqrt"),
+    ("exp", 0): _math1(math.exp, "exp"),
+    ("exp2", 0): _math1(lambda x: 2.0**x, "exp2"),
+    ("exp10", 0): _math1(lambda x: 10.0**x, "exp10"),
+    ("log", 0): _math1(math.log, "log"),
+    ("log2", 0): _math1(math.log2, "log2"),
+    ("log10", 0): _math1(math.log10, "log10"),
+    ("cbrt", 0): _math1(lambda x: math.copysign(abs(x) ** (1 / 3), x), "cbrt"),
+    ("sin", 0): _math1(math.sin, "sin"),
+    ("cos", 0): _math1(math.cos, "cos"),
+    ("tan", 0): _math1(math.tan, "tan"),
+    ("asin", 0): _math1(math.asin, "asin"),
+    ("acos", 0): _math1(math.acos, "acos"),
+    ("atan", 0): _math1(math.atan, "atan"),
+    ("sinh", 0): _math1(math.sinh, "sinh"),
+    ("cosh", 0): _math1(math.cosh, "cosh"),
+    ("tanh", 0): _math1(math.tanh, "tanh"),
+    ("significand", 0): _math1(lambda x: math.frexp(x)[0] * 2 if x != 0 else 0.0, "significand"),
+    ("logb", 0): _math1(lambda x: float(math.frexp(x)[1] - 1) if x != 0 else float("-inf"), "logb"),
+    ("pow", 2): _n_pow,
+    ("atan2", 2): _n_atan2,
+    ("sort", 0): _n_sort,
+    ("sort_by", 1): _n_sort_by,
+    ("group_by", 1): _n_group_by,
+    ("unique", 0): _n_unique,
+    ("unique_by", 1): _n_unique_by,
+    ("min", 0): _n_min,
+    ("max", 0): _n_max,
+    ("min_by", 1): _n_min_by,
+    ("max_by", 1): _n_max_by,
+    ("reverse", 0): _n_reverse,
+    ("flatten", 0): _n_flatten0,
+    ("flatten", 1): _n_flatten1,
+    ("tostring", 0): _n_tostring,
+    ("tonumber", 0): _n_tonumber,
+    ("tojson", 0): _n_tojson,
+    ("fromjson", 0): _n_fromjson,
+    ("type", 0): _n_type,
+    ("infinite", 0): _n_infinite,
+    ("nan", 0): _n_nan,
+    ("isinfinite", 0): _n_isinfinite,
+    ("isnan", 0): _n_isnan,
+    ("isnormal", 0): _n_isnormal,
+    ("ascii_downcase", 0): _n_ascii_downcase,
+    ("ascii_upcase", 0): _n_ascii_upcase,
+    ("explode", 0): _n_explode,
+    ("implode", 0): _n_implode,
+    ("split", 1): _n_split1,
+    ("split", 2): _n_split2,
+    ("splits", 1): _n_splits1,
+    ("splits", 2): _n_splits2,
+    ("join", 1): _n_join,
+    ("ltrimstr", 1): _n_ltrimstr,
+    ("rtrimstr", 1): _n_rtrimstr,
+    ("startswith", 1): _n_startswith,
+    ("endswith", 1): _n_endswith,
+    ("test", 1): _n_test1,
+    ("test", 2): _n_test2,
+    ("match", 1): _n_match1,
+    ("match", 2): _n_match2,
+    ("capture", 1): _n_capture1,
+    ("capture", 2): _n_capture2,
+    ("scan", 1): _n_scan1,
+    ("scan", 2): _n_scan2,
+    ("sub", 2): _n_sub2,
+    ("sub", 3): _n_sub3,
+    ("gsub", 2): _n_gsub2,
+    ("gsub", 3): _n_gsub3,
+    ("indices", 1): _n_indices,
+    ("index", 1): _n_index,
+    ("rindex", 1): _n_rindex,
+    ("getpath", 1): _n_getpath,
+    ("setpath", 2): _n_setpath,
+    ("delpaths", 1): _n_delpaths,
+    ("limit", 2): _n_limit,
+    ("first", 0): _n_first0,
+    ("first", 1): _n_first1,
+    ("last", 0): _n_last0,
+    ("last", 1): _n_last1,
+    ("select", 1): _n_select,
+    ("recurse", 0): _n_recurse0,
+    ("recurse", 1): _n_recurse1,
+    ("recurse", 2): _n_recurse2,
+    ("env", 0): _n_env,
+    ("builtins", 0): _n_builtins,
+    ("input", 0): _n_input,
+    ("inputs", 0): _n_inputs,
+    ("debug", 0): _n_debug,
+    ("stderr", 0): _n_stderr,
+    ("input_line_number", 0): _n_input_line_number,
+    ("now", 0): _n_now,
+    ("gmtime", 0): _n_gmtime,
+    ("localtime", 0): _n_localtime,
+    ("mktime", 0): _n_mktime,
+    ("strftime", 1): _n_strftime,
+    ("strptime", 1): _n_strptime,
+    ("md5", 0): _hash_fn("md5"),
+    ("sha1", 0): _hash_fn("sha1"),
+    ("sha256", 0): _hash_fn("sha256"),
+    ("sha512", 0): _hash_fn("sha512"),
+    ("uriparse", 0): _n_uriparse,
+    ("uridecode", 0): _n_uridecode,
+    ("uuid4", 0): _n_uuid4,
+    ("random", 0): _n_random,
+    ("tostream", 0): _n_tostream,
+    ("fromstream", 1): _n_fromstream,
+    ("truncate_stream", 1): _n_truncate_stream,
+    ("halt_error", 0): _n_halt_error0,
+}
+
+
+# ---------------------------------------------------------------------------
+# path/1 and paths — need AST access, registered via special compiler
+# ---------------------------------------------------------------------------
+
+
+def _c_call_path(node):
+    """Special-case ``path(f)``: compile f in path mode."""
+    _, name, args = node
+    pfn = compile_path_node(args[0])
+
+    def f(v, e):
+        for p, _pv in pfn(v, [], e):
+            yield p
+
+    return f
+
+
+def _c_call_paths_like(node):
+    return None
+
+
+_orig_c_call = _c_call
+
+
+def _c_call_dispatch(node):
+    _, name, args = node
+    if name == "path" and len(args) == 1:
+        return _c_call_path(node)
+    if name == "del" and len(args) == 1:
+        pfn = compile_path_node(args[0])
+
+        def f(v, e):
+            paths = [p for p, _pv in pfn(v, [], e)]
+            yield delpaths_value(v, paths)
+
+        return f
+    if name == "paths" and len(args) == 0:
+
+        def f(v, e):
+            for p, _pv in _ALL_PATHS(v, [], None):
+                if p:
+                    yield p
+
+        return f
+    if name == "leaf_paths" and len(args) == 0:
+
+        def f(v, e):
+            for p, pv in _ALL_PATHS(v, [], None):
+                if p and not isinstance(pv, (list, dict)):
+                    yield p
+
+        return f
+    if name == "paths" and len(args) == 1:
+        cond = compile_node(args[0])
+
+        def f(v, e):
+            for p, pv in _ALL_PATHS(v, [], None):
+                if not p:
+                    continue
+                for cv in cond(pv, e):
+                    if is_truthy(cv):
+                        yield p
+
+        return f
+    return _orig_c_call(node)
+
+
+def _ALL_PATHS(v, path, _e):
+    yield path, v
+    if isinstance(v, list):
+        for i, x in enumerate(v):
+            yield from _ALL_PATHS(x, path + [i], _e)
+    elif isinstance(v, dict):
+        for k, x in v.items():
+            yield from _ALL_PATHS(x, path + [k], _e)
+
+
+_COMPILERS["call"] = _c_call_dispatch
+
+
+# ---------------------------------------------------------------------------
+# Prelude: derived builtins defined in jq itself (public jq manual
+# semantics, written from scratch — SURVEY §2.2 Tier B)
+# ---------------------------------------------------------------------------
+
+PRELUDE = r"""
+def map(f): [.[] | f];
+def map_values(f): .[] |= f;
+def values: select(. != null);
+def nulls: select(. == null);
+def booleans: select(type == "boolean");
+def numbers: select(type == "number");
+def strings: select(type == "string");
+def arrays: select(type == "array");
+def objects: select(type == "object");
+def iterables: select(type == "array" or type == "object");
+def scalars: select(type != "array" and type != "object");
+def add: reduce .[] as $x (null; . + $x);
+def any: reduce .[] as $x (false; . or $x);
+def any(f): reduce (.[] | f) as $x (false; . or $x);
+def any(g; f): reduce (g | f) as $x (false; . or $x);
+def all: reduce .[] as $x (true; . and $x);
+def all(f): reduce (.[] | f) as $x (true; . and $x);
+def all(g; f): reduce (g | f) as $x (true; . and $x);
+def in(xs): . as $x | xs | has($x);
+def inside(xs): . as $x | xs | contains($x);
+def to_entries: [keys_unsorted[] as $k | {key: $k, value: .[$k]}];
+def from_entries:
+  reduce .[] as $x ({};
+    . + { ($x.key? // $x.k? // $x.name? // $x.Name? // $x.K? // $x.Key? // null
+           | if type == "string" then .
+             elif type == "number" then tostring
+             elif . == null then "null"
+             else tojson end):
+          (if ($x | has("value")) then $x.value
+           elif ($x | has("v")) then $x.v
+           else null end) });
+def with_entries(f): to_entries | map(f) | from_entries;
+def while(cond; update): def _while: if cond then ., (update | _while) else empty end; _while;
+def until(cond; update): def _until: if cond then . else (update | _until) end; _until;
+def repeat(f): def _repeat: f | (., _repeat); _repeat;
+def del(f): delpaths([path(f)]);
+def nth($n): .[$n];
+def nth($n; f): if $n < 0 then error("Out of bounds negative array index") else last(limit($n + 1; f)) end;
+def isvalid(f): try (f | true) catch false;
+def error_message: .;
+def todate: strftime("%Y-%m-%dT%H:%M:%SZ");
+def fromdate: strptime("%Y-%m-%dT%H:%M:%SZ") | mktime;
+def fromdateiso8601: fromdate;
+def todateiso8601: todate;
+def date: todate;
+def dateadd(u; $n): . + ($n * (if u == "seconds" then 1 elif u == "minutes" then 60 elif u == "hours" then 3600 elif u == "days" then 86400 else error("unknown unit") end));
+def datesub(u; $n): dateadd(u; -$n);
+def combinations: if length == 0 then [[]] | .[] else .[0][] as $x | [$x] + (.[1:] | combinations) end;
+def combinations(n): . as $dot | [range(n) | $dot] | combinations;
+def walk(f): def w: if type == "object" then map_values(w) elif type == "array" then map(w) else . end | f; w;
+def ascii: [.] | implode;
+def tostream_compat: tostream;
+def getpath_or_null($p): getpath($p);
+def halt: error("halt");
+def splits_compat($re): splits($re);
+def ltrimstr_all($x): ltrimstr($x);
+def input_filename: null;
+def have_literal_numbers: true;
+def have_decnum: false;
+"""
+
+_PRELUDE_NAMES: list[str] = []
+
+
+def _build_root_env() -> Env:
+    """Compile the prelude once; its funcdefs become the root scope."""
+    ast = parse(PRELUDE + " .")
+    env = Env()
+    # walk nested funcdefs, binding each into a growing env chain
+    node = ast
+    while node[0] == "funcdef":
+        _, name, params, body_ast, rest = node
+        body = compile_node(body_ast)
+        cell = [None]
+        fd = FuncDef(params, body, cell, body_ast)
+        env = Env(funcs={(name, len(params)): fd}, parent=env)
+        cell[0] = env
+        _PRELUDE_NAMES.append(f"{name}/{len(params)}")
+        node = rest
+    return env
+
+
+ROOT_ENV = _build_root_env()
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+class JQProgram:
+    """A compiled jq program: callable mapping one JSON value to a
+    list of output values (the jq 1→0..N stream, materialized)."""
+
+    __slots__ = ("source", "_fn", "_ast")
+
+    def __init__(self, source: str):
+        self.source = source
+        self._ast = parse(source)
+        self._fn = compile_node(self._ast)
+
+    def __call__(self, value: Any, vars: dict | None = None) -> list:
+        return list(self.iter(value, vars))
+
+    def iter(self, value: Any, vars: dict | None = None) -> Iterator:
+        env = ROOT_ENV if not vars else ROOT_ENV.bind_vars(dict(vars))
+        try:
+            yield from self._fn(value, env)
+        except JQBreak:
+            # a break outside any label terminates the program quietly
+            # (jq: error "break"); choose quiet termination
+            return
+
+    def first(self, value: Any, vars: dict | None = None) -> Any:
+        for x in self.iter(value, vars):
+            return x
+        return None
+
+
+_COMPILE_CACHE: dict[str, JQProgram] = {}
+
+
+def jq_compile(source: str) -> JQProgram:
+    """Compile (with memoization) a jq program."""
+    prog = _COMPILE_CACHE.get(source)
+    if prog is None:
+        prog = JQProgram(source)
+        if len(_COMPILE_CACHE) < 1024:
+            _COMPILE_CACHE[source] = prog
+    return prog
