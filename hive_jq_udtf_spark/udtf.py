@@ -1,0 +1,224 @@
+"""PySpark adapters for the jq engine (layer C, SURVEY §3).
+
+Three invocation surfaces, mirroring the reference's integration with
+its host engine (README.md:107-131):
+
+1. SQL UDTF:  ``SELECT ... FROM t, LATERAL jq(t.json, '.[]',
+   'name:string', 'offset:int') tz`` — registered via
+   :func:`register`; the static ``analyze`` plays the role of the
+   reference's ``initialize`` (JsonQueryUDTF.java:49-71): validates
+   constant args (D3), compiles the program once (O2), and fixes the
+   output schema at plan time (O3).
+2. DataFrame operator: :func:`jq_explode` — Arrow-batched pandas UDF
+   returning ``array<struct<...>>`` + ``explode`` (a Generate node
+   Catalyst can prune/push through).
+3. Pure library: :func:`process_json` — engine-free per-row call, the
+   analog of the reference's direct-invocation test path (§3.3).
+
+Error channel (D4/D5/D8, README.md:133-178): corrupt JSON binds
+``$error`` = {message, class, input} with a null document; the user's
+program decides substitute/skip/abort.  ``error(...)`` aborts the
+query (task failure) with the input echoed, like HiveException at
+JsonQueryUDTF.java:100-102.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .jqlib import JQError, JQSyntaxError, jq_compile
+from .jqlib.evaluator import JQProgram
+from .marshal import RowMarshaller
+from .schema import SchemaDeclarationError, parse_output_schema
+
+
+class JsonQueryError(RuntimeError):
+    """Hard abort from ``error(...)`` — D8 (JsonQueryUDTF.java:100-102)."""
+
+
+_QUERY_CACHE: dict = {}
+
+
+def compile_query(program: str, decls: tuple[str, ...]):
+    """Compile (program, declarations) → (JQProgram, RowMarshaller).
+
+    Cached per (program, decls) — compile-once semantics (O2,
+    JsonQueryUDTF.java:53); cache also serves each Python worker
+    process once shipped.
+    """
+    key = (program, decls)
+    hit = _QUERY_CACHE.get(key)
+    if hit is None:
+        prog = jq_compile(program)
+        schema, single = parse_output_schema(list(decls))
+        hit = (prog, RowMarshaller(schema, single))
+        if len(_QUERY_CACHE) < 256:
+            _QUERY_CACHE[key] = hit
+    return hit
+
+
+def parse_document(json_str: Optional[str]) -> tuple[Any, Optional[dict]]:
+    """Parse one JSON cell → (document, $error).
+
+    NULL input → (None, None): still *processed* (identity emits one
+    NULL row) — NULL input ≠ zero rows (JsonQueryUDTF.java:80-81,
+    testNullInputs).  Corrupt input → (None, {message, class, input})
+    (JsonQueryUDTF.java:89-95).  ``strict=False`` mirrors Jackson's
+    ALLOW_UNQUOTED_CONTROL_CHARS (JsonQueryUDTF.java:61).
+    """
+    if json_str is None:
+        return None, None
+    try:
+        return json.loads(json_str, strict=False), None
+    except ValueError as ex:
+        return None, {
+            "message": str(ex),
+            "class": type(ex).__name__,
+            "input": json_str,
+        }
+
+
+def process_json(
+    prog: JQProgram, marshaller: RowMarshaller, json_str: Optional[str]
+) -> Iterator[tuple]:
+    """Per-row core: parse → bind $error → run jq → marshal 0..N rows
+    (the reference's ``process()``, JsonQueryUDTF.java:74-107)."""
+    doc, err = parse_document(json_str)
+    try:
+        for result in prog.iter(doc, vars={"error": err}):
+            yield marshaller.marshal(result)
+    except JQError as ex:
+        raise JsonQueryError(
+            f"jq error: {ex} (input: {json_str!r})"
+        ) from None
+
+
+# ---------------------------------------------------------------------------
+# 1. SQL UDTF surface
+# ---------------------------------------------------------------------------
+
+
+def _make_udtf_class():
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class JsonQueryUDTF:
+        """``jq(json, 'PROGRAM', 'TYPE' | 'name:type'...)`` — emits
+        0..N typed rows per input row."""
+
+        @staticmethod
+        def analyze(*args: "AnalyzeArgument") -> "AnalyzeResult":
+            if len(args) < 3:
+                raise Exception(
+                    "jq() takes at least three arguments: jq(JSON, JQ, TYPES...)"
+                )
+            json_arg, prog_arg, *decl_args = args
+            if json_arg.dataType is not None and not isinstance(
+                json_arg.dataType, (T.StringType, T.NullType)
+            ):
+                raise Exception("jq(): JSON argument must be a string column")
+            # D3: program + type declarations must be foldable constants
+            # (WritableConstantStringObjectInspector analog,
+            # JsonQueryUDTF.java:136-143)
+            if prog_arg.value is None or not isinstance(prog_arg.value, str):
+                raise Exception("jq(): the jq program must be a constant string")
+            decls = []
+            for i, d in enumerate(decl_args):
+                if d.value is None or not isinstance(d.value, str):
+                    raise Exception(
+                        f"jq(): type declaration #{i + 1} must be a constant string"
+                    )
+                decls.append(d.value)
+            try:
+                prog = jq_compile(prog_arg.value)  # compile-once, O2
+                schema, single = parse_output_schema(decls)
+            except (JQSyntaxError, SchemaDeclarationError) as ex:
+                raise Exception(f"jq(): {ex}") from None
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, json_str, program, *decls):
+            prog, marshaller = compile_query(program, tuple(decls))
+            yield from process_json(prog, marshaller, json_str)
+
+    return JsonQueryUDTF
+
+
+def register(spark: SparkSession, name: str = "jq") -> None:
+    """Register the SQL UDTF (versioned names à la ``jq3`` shade
+    relocation, pom.xml:101-115, are just extra ``name`` calls)."""
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register(name, udtf(_make_udtf_class()))
+
+
+# ---------------------------------------------------------------------------
+# 2. DataFrame-level operator (Arrow-batched)
+# ---------------------------------------------------------------------------
+
+
+def jq_array_udf(program: str, *decls: str) -> Column:
+    """Build an Arrow-batched pandas UDF ``string -> array<struct>``
+    for the given program (the array-returning-UDF formulation of
+    §3.2; pair with ``explode``/``explode_outer``)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    schema, single = parse_output_schema(list(decls))
+    ret_type = T.ArrayType(schema)
+    names = tuple(f.name for f in schema.fields)
+    prog_src = program
+    decls_t = tuple(decls)
+
+    @pandas_udf(ret_type)
+    def _jq(s: pd.Series) -> pd.Series:
+        prog, marshaller = compile_query(prog_src, decls_t)
+
+        def one(js):
+            return [
+                dict(zip(names, row)) for row in process_json(prog, marshaller, js)
+            ]
+
+        return s.map(one)
+
+    return _jq
+
+
+def jq_explode(
+    df: DataFrame,
+    column: str | Column,
+    program: str,
+    *decls: str,
+    alias: str = "jq",
+    outer: bool = False,
+) -> DataFrame:
+    """LATERAL VIEW jq(...) equivalent: every input column is kept,
+    generated columns appear flattened under their declared names
+    (README.md:109-131 semantics).
+
+    outer=True keeps input rows that generate zero output rows
+    (LATERAL VIEW OUTER), with NULL generated columns.
+    """
+    col = F.col(column) if isinstance(column, str) else column
+    arr = jq_array_udf(program, *decls)(col)
+    gen = F.explode_outer(arr) if outer else F.explode(arr)
+    out = df.withColumn(alias, gen)
+    schema, _single = parse_output_schema(list(decls))
+    flat = [F.col(f"{alias}.{f.name}").alias(f.name) for f in schema.fields]
+    return out.select(*df.columns, *flat)
+
+
+# ---------------------------------------------------------------------------
+# 3. Engine-free convenience
+# ---------------------------------------------------------------------------
+
+
+def run_jq(program: str, json_str: Optional[str], *decls: str) -> list[tuple]:
+    """Run one cell through the full pipeline without Spark — the
+    reference's direct-invocation test path (JsonQueryUDTFTest.java:
+    22-33)."""
+    prog, marshaller = compile_query(program, tuple(decls))
+    return list(process_json(prog, marshaller, json_str))

@@ -1,0 +1,318 @@
+"""Table-driven jq conformance corpus (SURVEY §5 item 3): cases
+written against the public jq-1.5 manual semantics for every §2.2
+construct group (J1–J26)."""
+
+import math
+
+import pytest
+
+from hive_jq_udtf_spark.jqlib import JQError, JQSyntaxError, jq_compile
+
+# (program, input, expected output stream)
+CASES = [
+    # J1-J5: identity, field access, iteration, pipe
+    (".", {"a": 1}, [{"a": 1}]),
+    (".a", {"a": {"b": 5}}, [{"b": 5}]),
+    (".a.b", {"a": {"b": 5}}, [5]),
+    (".a", {}, [None]),
+    (".a", None, [None]),
+    (".a[]", {"a": [1, 2, 3]}, [1, 2, 3]),
+    (".[]", {"x": 1, "y": 2}, [1, 2]),
+    (".a | .b", {"a": {"b": 9}}, [9]),
+    # J6-J7: select, equality
+    (".[] | select(.x == 1)", [{"x": 1}, {"x": 2}], [{"x": 1}]),
+    ("select(. == null)", None, [None]),
+    ('select(. != "a")', "b", ["b"]),
+    ("1 == 1.0", None, [True]),
+    ('[1, "1"] | .[0] == .[1]', None, [False]),
+    ('{"a":1,"b":2} == {"b":2,"a":1}', None, [True]),
+    # J8-J9: variables
+    (".a as $x | .b + $x", {"a": 1, "b": 2}, [3]),
+    ("(.[] | select(. > 1)) as $x | $x * 10", [1, 2, 3], [20, 30]),
+    ("$__loc__", None, [{"file": "<stdin>", "line": 1}]),
+    # J10: object construction
+    ("{a: 1}", None, [{"a": 1}]),
+    ("{a}", {"a": 7, "b": 8}, [{"a": 7}]),
+    ('{"x": .a}', {"a": 2}, [{"x": 2}]),
+    ("{(.k): .v}", {"k": "key", "v": 3}, [{"key": 3}]),
+    ('{a: 1, b: (2, 3)}', None, [{"a": 1, "b": 2}, {"a": 1, "b": 3}]),
+    ("{$__loc__}", None, [{"__loc__": {"file": "<stdin>", "line": 1}}]),
+    # J11: + polymorphism
+    ("1 + 2", None, [3]),
+    ('"a" + "b"', None, ["ab"]),
+    ("[1] + [2]", None, [[1, 2]]),
+    ('{"a":1} + {"b":2}', None, [{"a": 1, "b": 2}]),
+    ('{"a":1} + {"a":2}', None, [{"a": 2}]),
+    ("null + 5", None, [5]),
+    ('"x" + null', None, ["x"]),
+    # J12: if/elif/else
+    ("if . then 1 else 2 end", True, [1]),
+    ("if . then 1 else 2 end", None, [2]),
+    ("if . == 0 then 'z' elif . == 1 then 1 else 2 end".replace("'z'", '"z"'), 0, ["z"]),
+    ("if . then 1 end", False, [False]),  # missing else = identity
+    ("if (true, false) then 1 else 2 end", None, [1, 2]),
+    # J13-J14: empty, error
+    ("empty", 1, []),
+    ("[1, empty, 2]", None, [[1, 2]]),
+    # J15: literals
+    ("1.5", None, [1.5]),
+    ("1e3", None, [1000.0]),
+    ('"s"', None, ["s"]),
+    ("true, false, null", None, [True, False, None]),
+    ("[1, [2]]", None, [[1, [2]]]),
+    ('{"a": {"b": [1]}}', None, [{"a": {"b": [1]}}]),
+    # J16: access variants
+    ('.["key"]', {"key": 1}, [1]),
+    (".[0]", [9, 8], [9]),
+    (".[-1]", [9, 8], [8]),
+    (".[5]", [9, 8], [None]),
+    (".[1:3]", [0, 1, 2, 3], [[1, 2]]),
+    (".[:2]", [0, 1, 2], [[0, 1]]),
+    (".[1:]", "abc", ["bc"]),
+    (".a?", 5, []),
+    (".[]?", 5, []),
+    ('."quoted key"', {"quoted key": 1}, [1]),
+    ("..", [1], [[1], 1]),
+    ("getpath([\"a\",\"b\"])", {"a": {"b": 2}}, [2]),
+    ("getpath([\"a\",\"x\"])", {"a": {}}, [None]),
+    ("[paths]", [1, [2]], [[[0], [1], [1, 0]]]),
+    ("[leaf_paths]", {"a": {"b": 1}}, [[["a", "b"]]]),
+    # J17: arithmetic
+    ("5 - 3", None, [2]),
+    ("2 * 3", None, [6]),
+    ("10 / 4", None, [2.5]),
+    ("10 / 5", None, [2]),
+    ("7 % 3", None, [1]),
+    ("-7 % 3", None, [-1]),
+    ("[1,2,3] - [2]", None, [[1, 3]]),
+    ('"a,b,c" / ","', None, [["a", "b", "c"]]),
+    ('{"a":{"x":1}} * {"a":{"y":2}}', None, [{"a": {"x": 1, "y": 2}}]),
+    # J18: boolean
+    ("true and false", None, [False]),
+    ("null and true", None, [False]),
+    ("1 and 2", None, [True]),
+    ("false or 1", None, [True]),
+    ("true | not", None, [False]),
+    ("null | not", None, [True]),
+    # J19: alternative, try/catch
+    (".a // 1", {}, [1]),
+    ("(false, 1, null, 2) // 3", None, [1, 2]),
+    ("(false, null) // 3", None, [3]),
+    ("try error(\"x\") catch .", None, ["x"]),
+    ("try .a", 5, []),
+    ("(1 | .a) // 9", None, [9]),
+    ('.[] | .a?', [1, {"a": 2}], [2]),
+    ("try (1/0) catch .", None, None),  # error message text unpinned
+    # J20: comma
+    ("1, 2", None, [1, 2]),
+    ("(1, 2) + (10, 20)", None, [11, 12, 21, 22]),
+    # J21: array/object functions
+    ("length", [1, 2], [2]),
+    ("length", "ab", [2]),
+    ("length", {"a": 1}, [1]),
+    ("length", None, [0]),
+    ("length", -5, [5]),
+    ("utf8bytelength", "ä", [2]),
+    ("keys", {"b": 1, "a": 2}, [["a", "b"]]),
+    ("keys_unsorted", {"b": 1, "a": 2}, [["b", "a"]]),
+    ("keys", [5, 6], [[0, 1]]),
+    ('has("a")', {"a": None}, [True]),
+    ("has(1)", [9, 8], [True]),
+    ("has(2)", [9, 8], [False]),
+    ('. as $x | "a" | in($x)', {"a": 1}, [True]),
+    ('contains([2])', [1, 2, 3], [True]),
+    ('contains({a: 1})', {"a": 1, "b": 2}, [True]),
+    ('[1] | inside([1, 2])', None, [True]),
+    ("add", [1, 2], [3]),
+    ("add", [], [None]),
+    ("add", ["a", "b"], ["ab"]),
+    ("any", [false_ := False, True], [True]),
+    ("any", [], [False]),
+    ("all", [True, True], [True]),
+    ("all", [], [True]),
+    ("any(. > 2)", [1, 3], [True]),
+    ("all(. > 2)", [1, 3], [False]),
+    ("flatten", [[1], [[2]]], [[1, 2]]),
+    ("flatten(1)", [[1], [[2]]], [[1, [2]]]),
+    ("[range(3)]", None, [[0, 1, 2]]),
+    ("[range(1; 4)]", None, [[1, 2, 3]]),
+    ("[range(0; 10; 3)]", None, [[0, 3, 6, 9]]),
+    ("[range(5; 0; -2)]", None, [[5, 3, 1]]),
+    ("reverse", [1, 2], [[2, 1]]),
+    ("sort", [3, None, 1], [[None, 1, 3]]),
+    ('sort', [[1], "a", 1, {"a":1}, True, None], [[None, True, 1, "a", [1], {"a": 1}]]),
+    ("sort_by(-.)", [1, 3, 2], [[3, 2, 1]]),
+    ("group_by(. % 2) | map(sort)", [1, 2, 3, 4], [[[2, 4], [1, 3]]]),
+    ("unique", [2, 1, 2], [[1, 2]]),
+    ("unique_by(length)", ["a", "bb", "c"], [["a", "bb"]]),
+    ("min", [], [None]),
+    ("max", [3, 1], [3]),
+    ("min_by(.a)", [{"a": 2}, {"a": 1}], [{"a": 1}]),
+    ("max_by(.a)", [{"a": 2}, {"a": 1}], [{"a": 2}]),
+    ("to_entries", {"a": 1, "b": 2}, [[{"key": "a", "value": 1}, {"key": "b", "value": 2}]]),
+    ("from_entries", [{"k": "a", "v": 1}], [{"a": 1}]),
+    ("from_entries", [{"name": "a", "value": 1}], [{"a": 1}]),
+    ("with_entries(.value += 1)", {"a": 1}, [{"a": 2}]),
+    ("map(. * 2)", [1, 2], [[2, 4]]),
+    ("map_values(. + 1)", {"a": 1, "b": 2}, [{"a": 2, "b": 3}]),
+    ("del(.a)", {"a": 1, "b": 2}, [{"b": 2}]),
+    ("del(.[1])", [1, 2, 3], [[1, 3]]),
+    ("del(.[0], .[2])", [1, 2, 3], [[2]]),
+    ("delpaths([[\"a\"],[\"b\",0]])", {"a": 1, "b": [9, 8]}, [{"b": [8]}]),
+    ("setpath([\"a\", 0]; 9)", {}, [{"a": [9]}]),
+    ("[limit(2; .[])]", [1, 2, 3], [[1, 2]]),
+    ("[limit(0; .[])]", [1, 2, 3], [[]]),
+    ("first", [4, 5], [4]),
+    ("last", [4, 5], [5]),
+    ("first(empty)", None, []),
+    ("nth(1)", [4, 5], [5]),
+    ("nth(2; range(10))", None, [2]),
+    ('indices(", ")', "a, b, c", [[1, 4]]),
+    ("indices(1)", [0, 1, 2, 1], [[1, 3]]),
+    ("indices([1, 2])", [0, 1, 2, 1, 2], [[1, 3]]),
+    ('index(", ")', "a, b", [1]),
+    ('rindex(", ")', "a, b, c", [4]),
+    # J22: string functions
+    ("tostring", 1, ["1"]),
+    ("tostring", "s", ["s"]),
+    ("tostring", [1], ["[1]"]),
+    ("tonumber", "1.5", [1.5]),
+    ("ascii_downcase", "AbC", ["abc"]),
+    ("ascii_upcase", "AbC", ["ABC"]),
+    ("explode", "ab", [[97, 98]]),
+    ("implode", [97, 98], ["ab"]),
+    ('split(", ")', "a, b", [["a", "b"]]),
+    ('split(", *"; null)', "a,  b", [["a", "b"]]),
+    ('join(", ")', ["a", "b"], ["a, b"]),
+    ('join("-")', [1, None, "x"], ["1--x"]),
+    ('ltrimstr("pre")', "prefix", ["fix"]),
+    ('ltrimstr("pre")', 5, [5]),
+    ('rtrimstr("fix")', "prefix", ["pre"]),
+    ('startswith("ab")', "abc", [True]),
+    ('endswith("bc")', "abc", [True]),
+    ('test("a+")', "caat", [True]),
+    ('test("A"; "i")', "a", [True]),
+    ('match("a+").length', "caaat", [3]),
+    ('[match("a"; "g")] | length', "banana", [3]),
+    ('capture("(?<first>[a-z]+)-(?<second>[0-9]+)")', "ab-12", [{"first": "ab", "second": "12"}]),
+    ('sub("a"; "X")', "banana", ["bXnana"]),
+    ('gsub("a"; "X")', "banana", ["bXnXnX"]),
+    ('gsub("(?<c>[aeiou])"; "<\\(.c)>")', "hi", ["h<i>"]),
+    ('[scan("[0-9]+")]', "a1b22", [["1", "22"]]),
+    ('[splits(",")]', "a,b", [["a", "b"]]),
+    # J23: type/json functions
+    ("type", None, ["null"]),
+    ("type", True, ["boolean"]),
+    ("type", 1, ["number"]),
+    ("type", "s", ["string"]),
+    ("type", [], ["array"]),
+    ("type", {}, ["object"]),
+    ("tojson", {"a": 1}, ['{"a":1}']),
+    ('fromjson', '{"a":1}', [{"a": 1}]),
+    ("infinite > 1e308", None, [True]),
+    ("isnan", float("nan"), [True]),
+    ("nan | isnan", None, [True]),
+    ("isinfinite", 1.0, [False]),
+    ("floor", 1.7, [1]),
+    ("ceil", 1.2, [2]),
+    ("sqrt", 9, [3.0]),
+    ("pow(2; 10)", None, [1024.0]),
+    ("log | floor", 100, [4]),
+    ("fabs", -3, [3]),
+    # J24: control/recursion
+    ("reduce .[] as $x (0; . + $x)", [1, 2, 3], [6]),
+    ("reduce empty as $x (99; . + 1)", None, [99]),
+    ("[foreach .[] as $x (0; . + $x)]", [1, 2, 3], [[1, 3, 6]]),
+    ("[foreach .[] as $x (0; . + $x; [$x, .])]", [1, 2], [[[1, 1], [2, 3]]]),
+    ("[while(. < 5; . + 1)]", 0, [[0, 1, 2, 3, 4]]),
+    ("until(. >= 5; . + 1)", 0, [5]),
+    ("[recurse(if . < 3 then . + 1 else empty end)]", 0, [[0, 1, 2, 3]]),
+    ("[recurse]", {"a": [1]}, [[{"a": [1]}, [1], 1]]),
+    ("def double: . * 2; double", 21, [42]),
+    ("def add3(a; b; c): a + b + c; add3(1; 2; 3)", None, [6]),
+    ("def f($v): $v, v; f(9)", None, [9, 9]),  # $v also binds v/0
+    ("def outer: def inner: 1; inner + 1; outer", None, [2]),
+    ("label $out | 1, break $out, 2", None, [1]),
+    ("[limit(3; repeat(1))]", None, [[1, 1, 1]]),
+    # J25: assignment
+    (".a = 1", {}, [{"a": 1}]),
+    (".a.b = 1", {}, [{"a": {"b": 1}}]),
+    (".a = (1, 2)", {}, [{"a": 1}, {"a": 2}]),
+    (".[] = 0", [1, 2], [[0, 0]]),
+    (".a |= . + 1", {"a": 1}, [{"a": 2}]),
+    (".a += 1", {"a": 1}, [{"a": 2}]),
+    (".a -= 1", {"a": 1}, [{"a": 0}]),
+    (".a *= 2", {"a": 3}, [{"a": 6}]),
+    (".a /= 2", {"a": 6}, [{"a": 3}]),
+    (".a %= 2", {"a": 5}, [{"a": 1}]),
+    (".a //= 9", {"a": None}, [{"a": 9}]),
+    (".a //= 9", {"a": 1}, [{"a": 1}]),
+    (".b += .a", {"a": 1, "b": 2}, [{"a": 1, "b": 3}]),  # RHS vs original input
+    ("(.a, .b) = 1", {}, [{"a": 1, "b": 1}]),
+    (".[].x = 1", [{}, {}], [[{"x": 1}, {"x": 1}]]),
+    # J26: extras
+    ('"abc" | md5', None, ["900150983cd24fb0d6963f7d28e17f72"]),
+    ('"abc" | sha256', None, ["ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"]),
+    ("1700000000 | gmtime | mktime", None, [1700000000]),
+    ('1700000000 | strftime("%Y")', None, ["2023"]),
+    ('"2023-11-14T22:13:20Z" | strptime("%Y-%m-%dT%H:%M:%SZ") | mktime', None, [1700000000]),
+    ('"http://h/p?q=1" | uriparse | .host', None, ["h"]),
+    ('"a%20b" | uridecode', None, ["a b"]),
+    # string interpolation + formats
+    ('"\\(1 + 1)"', None, ["2"]),
+    ('@text "v=\\(.)"', 5, ["v=5"]),
+    ('@json "\\(.)"', [1], ["[1]"]),
+    ('@csv', [[1, "a"]][0], ['1,"a"']),
+    ('@tsv', [1, "a\tb"], ["1\ta\\tb"]),
+    ('@sh', "it's", ["'it'\\''s'"]),
+    ('@html', "<a>", ["&lt;a&gt;"]),
+    ('@base64 | @base64d', "round", ["round"]),
+    # destructuring
+    (". as [$a, $b, $c] | [$c, $b, $a]", [1, 2], [[None, 2, 1]]),
+    (". as {a: [$x, $y]} | $x + $y", {"a": [1, 2]}, [3]),
+    (". as {$a, $b} | [$a, $b]", {"a": 1, "b": 2}, [[1, 2]]),
+    ("[.[] | . as [$x] ?// $x | $x]", [[1], 2], [[1, 2]]),
+    # misc semantics
+    ("[.[] | numbers]", [1, "a", None, 2], [[1, 2]]),
+    ("[.[] | values]", [1, None, 2], [[1, 2]]),
+    ('[tostream]', {"a": 1}, [[[["a"], 1], [["a"]]]]),
+    ('fromstream(tostream)', [[1, {"b": 2}], "x"], [[[1, {"b": 2}], "x"]]),
+    ("tojson | fromjson", {"a": [1, 2.5, None]}, [{"a": [1, 2.5, None]}]),
+    ('{} | .a.b.c = 1', None, [{"a": {"b": {"c": 1}}}]),
+]
+
+
+@pytest.mark.parametrize("program,value,expected", CASES, ids=[c[0][:40] for c in CASES])
+def test_conformance(program, value, expected):
+    got = jq_compile(program)(value)
+    if expected is None:
+        return  # exercised for absence-of-crash only
+    assert got == expected
+
+
+ERROR_CASES = [
+    ('.a', 5),  # cannot index number
+    ('.[]', 5),
+    ('.[0]', {"a": 1}),
+    ('1 + "a"', None),
+    ('error("boom")', None),
+    ('"abc" | implode', None),
+    ('{} | keys | .[0] | error', None),
+    ('[] | first(error("x"))', None),
+    ('1/0', None),
+]
+
+
+@pytest.mark.parametrize("program,value", ERROR_CASES, ids=[c[0][:40] for c in ERROR_CASES])
+def test_errors(program, value):
+    with pytest.raises(JQError):
+        list(jq_compile(program).iter(value))
+
+
+SYNTAX_ERRORS = ["", ".|", "if x then", "def f", "{a:}", "[1,", '"unterminated', "1 +"]
+
+
+@pytest.mark.parametrize("program", SYNTAX_ERRORS)
+def test_syntax_errors(program):
+    with pytest.raises(JQSyntaxError):
+        jq_compile(program + " ")  # avoid cache hits on ""
