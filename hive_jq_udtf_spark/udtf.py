@@ -27,6 +27,8 @@ from __future__ import annotations
 import json
 from typing import Any, Iterator, Optional
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -164,7 +166,6 @@ def jq_array_udf(program: str, *decls: str) -> Column:
     """Build an Arrow-batched pandas UDF ``string -> array<struct>``
     for the given program (the array-returning-UDF formulation of
     §3.2; pair with ``explode``/``explode_outer``)."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     schema, single = parse_output_schema(list(decls))
@@ -173,7 +174,6 @@ def jq_array_udf(program: str, *decls: str) -> Column:
     prog_src = program
     decls_t = tuple(decls)
 
-    @pandas_udf(ret_type)
     def _jq(s: pd.Series) -> pd.Series:
         prog, marshaller = compile_query(prog_src, decls_t)
 
@@ -184,7 +184,7 @@ def jq_array_udf(program: str, *decls: str) -> Column:
 
         return s.map(one)
 
-    return _jq
+    return pandas_udf(ret_type)(_jq)
 
 
 def jq_explode(
