@@ -1,0 +1,456 @@
+"""jq → native Catalyst expression compiler (SURVEY §4.2 tier 2).
+
+A large fraction of real jq programs are "simple paths":
+``.a.b``, ``.a[]``, ``.a[0]``, ``{x: .p, y: .q}``,
+``select(.k == lit)`` pipelines of J1–J7.  These compile to pure
+Spark expressions (``get_json_object`` / ``from_json`` + ``explode``
++ ``filter``) and skip the Python worker entirely — whole-stage
+codegen keeps the hot path JVM-side, the single biggest lever at
+100 TB (the reference had no JVM↔Python boundary; this tier removes
+ours).
+
+``compile_native(program, decls)`` returns a plan or None; the
+`jq_explode(..., native="auto")` entry point in udtf.py uses it
+transparently and falls back to the Python UDTF for general
+programs.
+
+Semantics delta vs the Python tier (documented per D1): Spark casts
+produce NULL where Jackson-lenient marshalling produces 0/false for
+*non-coercible* garbage.  On clean data the tiers agree — pinned by
+the property tests in tests/test_native.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .jqlib.parser import AST, parse
+from .schema import parse_output_schema
+
+# ---------------------------------------------------------------------------
+# AST analysis → IR
+# ---------------------------------------------------------------------------
+
+Path = tuple  # of str (field) / int (array index)
+
+
+@dataclass
+class Filter:
+    lhs: Path
+    op: str  # == != < <= > >= or "truthy"
+    lit: Any
+    combine: str = "and"  # reserved
+
+
+@dataclass
+class NativeIR:
+    pre_path: Path = ()
+    iterate: bool = False
+    pre_filters: list[Filter] = field(default_factory=list)
+    post_filters: list[Filter] = field(default_factory=list)
+    # projection: None = identity; {name: Path|("lit", v)} = object construct
+    project: Optional[dict[str, Any]] = None
+    single_path: Optional[Path] = None  # trailing bare path
+
+
+def _flatten(ast: AST, out: list) -> bool:
+    """Flatten pipe/postfix chains into a stage list; False = reject."""
+    tag = ast[0]
+    if tag == "pipe":
+        return _flatten(ast[1], out) and _flatten(ast[2], out)
+    if tag == "identity":
+        return True
+    if tag == "field":
+        out.append(("step", ast[1]))
+        return True
+    if tag == "index_on":
+        if not _flatten(ast[1], out):
+            return False
+        idx = ast[2]
+        if idx[0] == "literal" and isinstance(idx[1], (int, str)) and not isinstance(idx[1], bool):
+            out.append(("step", idx[1]))
+            return True
+        return False
+    if tag == "iterate_on":
+        if not _flatten(ast[1], out):
+            return False
+        out.append(("iterate",))
+        return True
+    if tag == "call" and ast[1] == "select" and len(ast[2]) == 1:
+        f = _parse_filters(ast[2][0])
+        if f is None:
+            return False
+        out.append(("select", f))
+        return True
+    if tag == "object":
+        proj = {}
+        for k_ast, v_ast in ast[1]:
+            if k_ast[0] != "literal" or not isinstance(k_ast[1], str):
+                return False
+            p = _as_path(v_ast)
+            if p is not None:
+                proj[k_ast[1]] = p
+            elif v_ast[0] == "literal":
+                proj[k_ast[1]] = ("lit", v_ast[1])
+            elif v_ast[0] == "neg" and v_ast[1][0] == "literal":
+                proj[k_ast[1]] = ("lit", -v_ast[1][1])
+            else:
+                return False
+        out.append(("project", proj))
+        return True
+    return False
+
+
+def _as_path(ast: AST) -> Optional[Path]:
+    """Pure access chain → path tuple, else None."""
+    acc: list = []
+    if not _flatten_path_only(ast, acc):
+        return None
+    return tuple(acc)
+
+
+def _flatten_path_only(ast: AST, acc: list) -> bool:
+    tag = ast[0]
+    if tag == "identity":
+        return True
+    if tag == "pipe":
+        return _flatten_path_only(ast[1], acc) and _flatten_path_only(ast[2], acc)
+    if tag == "field":
+        acc.append(ast[1])
+        return True
+    if tag == "index_on":
+        if not _flatten_path_only(ast[1], acc):
+            return False
+        idx = ast[2]
+        if idx[0] == "literal" and isinstance(idx[1], (int, str)) and not isinstance(idx[1], bool):
+            acc.append(idx[1])
+            return True
+        return False
+    return False
+
+
+_CMP_OPS = {"==", "!=", "<", "<=", ">", ">="}
+
+
+def _parse_filters(cond: AST) -> Optional[list[Filter]]:
+    """select condition → AND-list of path-vs-literal comparisons."""
+    if cond[0] == "and":
+        l = _parse_filters(cond[1])
+        r = _parse_filters(cond[2])
+        if l is None or r is None:
+            return None
+        return l + r
+    if cond[0] == "binop" and cond[1] in _CMP_OPS:
+        op, lhs, rhs = cond[1], cond[2], cond[3]
+        p = _as_path(lhs)
+        if p is not None and rhs[0] == "literal":
+            return [Filter(p, op, rhs[1])]
+        p = _as_path(rhs)
+        if p is not None and lhs[0] == "literal":
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+            return [Filter(p, flip.get(op, op), lhs[1])]
+        return None
+    p = _as_path(cond)
+    if p is not None:
+        return [Filter(p, "truthy", None)]
+    return None
+
+
+def analyze_program(program: str) -> Optional[NativeIR]:
+    try:
+        ast = parse(program)
+    except Exception:
+        return None
+    stages: list = []
+    if not _flatten(ast, stages):
+        return None
+    ir = NativeIR()
+    seen_iterate = False
+    post_steps: list = []
+    for st in stages:
+        kind = st[0]
+        if kind == "step":
+            # filters record absolute paths at select-time, so steps
+            # before/after a select can both extend the base path
+            if seen_iterate:
+                post_steps.append(st[1])
+            else:
+                ir.pre_path = ir.pre_path + (st[1],)
+        elif kind == "iterate":
+            if seen_iterate:
+                return None  # one explode max in this tier
+            seen_iterate = True
+        elif kind == "select":
+            fl = st[1]
+            if seen_iterate:
+                base = tuple(post_steps)
+                ir.post_filters.extend(Filter(base + f.lhs, f.op, f.lit) for f in fl)
+            else:
+                if post_steps:
+                    return None
+                ir.pre_filters.extend(Filter(ir.pre_path + f.lhs, f.op, f.lit) for f in fl)
+        elif kind == "project":
+            base = tuple(post_steps) if seen_iterate else ir.pre_path
+            proj = {}
+            for k, v in st[1].items():
+                if isinstance(v, tuple) and v and v[0] == "lit":
+                    proj[k] = v
+                else:
+                    proj[k] = base + v
+            ir.project = proj
+            ir.iterate = seen_iterate
+            # projection must be final
+            return ir if st is stages[-1] else None
+    ir.iterate = seen_iterate
+    if seen_iterate:
+        ir.single_path = tuple(post_steps) if post_steps else ()
+    else:
+        ir.single_path = ir.pre_path
+        ir.pre_path = ()
+    return ir
+
+
+# ---------------------------------------------------------------------------
+# IR → Columns
+# ---------------------------------------------------------------------------
+
+
+def _json_path(p: Path) -> str:
+    out = "$"
+    for s in p:
+        if isinstance(s, int):
+            out += f"[{s}]"
+        else:
+            out += f".{s}"
+    return out
+
+
+def _cast_extracted(raw: Column, dt: T.DataType) -> Column:
+    """get_json_object string → declared type."""
+    if isinstance(dt, T.StringType):
+        return raw
+    if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+        # via double so "1.5" truncates like the lenient marshaller
+        return raw.cast("double").cast(dt)
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.BooleanType)):
+        return raw.cast(dt)
+    # nested declared types: parse the extracted JSON text
+    return F.from_json(raw, dt)
+
+
+def _filter_col(json_col: Column, f: Filter) -> Column:
+    raw = F.get_json_object(json_col, _json_path(f.lhs))
+    if f.op == "truthy":
+        return raw.isNotNull() & (raw != F.lit("false")) & (raw != F.lit("null"))
+    lit = f.lit
+    if isinstance(lit, bool):
+        lhs = raw.cast("boolean")
+    elif isinstance(lit, (int, float)):
+        lhs = raw.cast("double")
+    elif lit is None:
+        return raw.isNull() if f.op == "==" else raw.isNotNull()
+    else:
+        lhs = raw
+    ops = {
+        "==": lambda a, b: a == b,
+        "!=": lambda a, b: a != b,
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+    }
+    return ops[f.op](lhs, F.lit(lit))
+
+
+def _struct_filter_col(struct_col: Column, f: Filter) -> Column:
+    c = struct_col
+    for s in f.lhs:
+        c = c.getItem(s) if isinstance(s, int) else c.getField(s)
+    if f.op == "truthy":
+        return c.isNotNull() & (c != F.lit(False))
+    if f.lit is None:
+        return c.isNull() if f.op == "==" else c.isNotNull()
+    ops = {
+        "==": lambda a, b: a == b,
+        "!=": lambda a, b: a != b,
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+    }
+    return ops[f.op](c, F.lit(f.lit))
+
+
+def _spark_type_for_filter_lit(lit: Any) -> T.DataType:
+    if isinstance(lit, bool):
+        return T.BooleanType()
+    if isinstance(lit, (int, float)):
+        return T.DoubleType()
+    return T.StringType()
+
+
+class NativePlan:
+    """Executable plan: apply(df, column, alias, outer) → DataFrame
+    with the same shape jq_explode produces."""
+
+    def __init__(self, ir: NativeIR, decls: tuple[str, ...]):
+        self.ir = ir
+        self.decls = decls
+        self.schema, self.single = parse_output_schema(list(decls))
+
+    # -- scalar (no explode) path --------------------------------------
+    def _apply_scalar(self, df: DataFrame, col: Column) -> DataFrame:
+        ir = self.ir
+        for f in ir.pre_filters:
+            df = df.where(_filter_col(col, f))
+        out_cols = []
+        if self.single:
+            fdt = self.schema.fields[0]
+            src = ir.single_path if ir.project is None else None
+            raw = F.get_json_object(col, _json_path(src or ()))
+            out_cols.append(_cast_extracted(raw, fdt.dataType).alias(fdt.name))
+        elif ir.project is not None:
+            for fdt in self.schema.fields:
+                spec = ir.project.get(fdt.name)
+                if spec is None:
+                    out_cols.append(F.lit(None).cast(fdt.dataType).alias(fdt.name))
+                elif isinstance(spec, tuple) and spec and spec[0] == "lit":
+                    out_cols.append(F.lit(spec[1]).cast(fdt.dataType).alias(fdt.name))
+                else:
+                    raw = F.get_json_object(col, _json_path(spec))
+                    out_cols.append(_cast_extracted(raw, fdt.dataType).alias(fdt.name))
+        else:
+            # bare path + NAME:TYPE decls → destructure result object
+            base = ir.single_path or ()
+            for fdt in self.schema.fields:
+                raw = F.get_json_object(col, _json_path(base + (fdt.name,)))
+                out_cols.append(_cast_extracted(raw, fdt.dataType).alias(fdt.name))
+        return df.select("*", *out_cols)
+
+    # -- explode path ---------------------------------------------------
+    def _elem_schema(self) -> T.DataType:
+        """Schema of one iterated element for from_json."""
+        ir = self.ir
+        needed: dict = {}
+
+        def add(path: Path, dt: T.DataType):
+            cur = needed
+            for s in path[:-1]:
+                cur = cur.setdefault(s, {})
+                if not isinstance(cur, dict):
+                    return
+            if path:
+                cur[path[-1]] = dt
+
+        if self.single and ir.project is None:
+            if not ir.single_path:
+                # scalar elements (filters unsupported; guarded in compile)
+                return self.schema.fields[0].dataType
+            add(ir.single_path, self.schema.fields[0].dataType)
+        elif ir.project is not None:
+            for fdt in self.schema.fields:
+                spec = ir.project.get(fdt.name)
+                if spec is not None and not (isinstance(spec, tuple) and spec and spec[0] == "lit"):
+                    add(spec, fdt.dataType)
+        else:
+            for fdt in self.schema.fields:
+                add(ir.single_path + (fdt.name,), fdt.dataType)
+        for f in ir.post_filters:
+            add(f.lhs, _spark_type_for_filter_lit(f.lit))
+
+        def to_struct(d: dict) -> T.DataType:
+            fields = []
+            for k, v in d.items():
+                fields.append(T.StructField(str(k), to_struct(v) if isinstance(v, dict) else v))
+            return T.StructType(fields)
+
+        return to_struct(needed)
+
+    def _apply_explode(self, df: DataFrame, col: Column, outer: bool) -> DataFrame:
+        ir = self.ir
+        for f in ir.pre_filters:
+            df = df.where(_filter_col(col, f))
+        elem = self._elem_schema()
+        # wrap element schema in the pre-path nesting
+        arr_t: T.DataType = T.ArrayType(elem)
+        for s in reversed(ir.pre_path):
+            if isinstance(s, int):
+                arr_t = T.ArrayType(arr_t)
+            else:
+                arr_t = T.StructType([T.StructField(s, arr_t)])
+        parsed = F.from_json(col, arr_t)
+        nav = parsed
+        for s in ir.pre_path:
+            nav = nav.getItem(s) if isinstance(s, int) else nav.getField(s)
+        gen = F.explode_outer(nav) if outer else F.explode(nav)
+        tmp = "__jq_elem"
+        out = df.withColumn(tmp, gen)
+        ec = F.col(tmp)
+        for f in ir.post_filters:
+            out = out.where(_struct_filter_col(ec, f))
+        out_cols = []
+        if self.single and ir.project is None:
+            c = ec
+            for s in ir.single_path:
+                c = c.getItem(s) if isinstance(s, int) else c.getField(s)
+            out_cols.append(c.cast(self.schema.fields[0].dataType).alias(self.schema.fields[0].name))
+        elif ir.project is not None:
+            for fdt in self.schema.fields:
+                spec = ir.project.get(fdt.name)
+                if spec is None:
+                    out_cols.append(F.lit(None).cast(fdt.dataType).alias(fdt.name))
+                elif isinstance(spec, tuple) and spec and spec[0] == "lit":
+                    out_cols.append(F.lit(spec[1]).cast(fdt.dataType).alias(fdt.name))
+                else:
+                    c = ec
+                    for s in spec:
+                        c = c.getItem(s) if isinstance(s, int) else c.getField(s)
+                    out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
+        else:
+            for fdt in self.schema.fields:
+                c = ec
+                for s in ir.single_path + (fdt.name,):
+                    c = c.getItem(s) if isinstance(s, int) else c.getField(s)
+                out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
+        return out.select(*[c for c in df.columns], *out_cols)
+
+    def apply(self, df: DataFrame, column: str | Column, outer: bool = False) -> DataFrame:
+        col = F.col(column) if isinstance(column, str) else column
+        if self.ir.iterate:
+            return self._apply_explode(df, col, outer)
+        return self._apply_scalar(df, col)
+
+
+def compile_native(program: str, decls: tuple[str, ...]) -> Optional[NativePlan]:
+    """Try to compile a jq program + declarations to a native plan.
+
+    Returns None when the program falls outside the simple-path
+    subset (the caller falls back to the Python UDTF tier).
+    """
+    ir = analyze_program(program)
+    if ir is None:
+        return None
+    try:
+        schema, single = parse_output_schema(list(decls))
+    except Exception:
+        return None
+    # single-TYPE form with an object construct would marshal the whole
+    # object into col1 — not covered by this tier
+    if single and ir.project is not None:
+        return None
+    # guard: scalar-element explode with post filters/steps is fine,
+    # but filters on a *scalar* element (no struct) aren't expressible
+    if ir.iterate and single and ir.project is None and not ir.single_path and ir.post_filters:
+        return None
+    # map/struct/array declared types inside explode tier use casts that
+    # only work field-by-field; allow only atomic decls there
+    if ir.iterate:
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.MapType,)):
+                return None
+    return NativePlan(ir, tuple(decls))

@@ -194,6 +194,7 @@ def jq_explode(
     *decls: str,
     alias: str = "jq",
     outer: bool = False,
+    native: str = "auto",
 ) -> DataFrame:
     """LATERAL VIEW jq(...) equivalent: every input column is kept,
     generated columns appear flattened under their declared names
@@ -201,7 +202,24 @@ def jq_explode(
 
     outer=True keeps input rows that generate zero output rows
     (LATERAL VIEW OUTER), with NULL generated columns.
+
+    native: "auto" compiles simple-path programs to pure Catalyst
+    expressions (no Python worker — SURVEY §4.2); "never" forces the
+    Python UDTF tier; "require" raises if the program can't compile
+    natively (for perf-critical pipelines that must stay JVM-side).
     """
+    if native not in ("auto", "never", "require"):
+        raise ValueError("native must be auto|never|require")
+    if native != "never":
+        from .native import compile_native
+
+        plan = compile_native(program, tuple(decls))
+        if plan is not None:
+            return plan.apply(df, column, outer=outer)
+        if native == "require":
+            raise ValueError(
+                f"jq program not compilable to native expressions: {program!r}"
+            )
     col = F.col(column) if isinstance(column, str) else column
     arr = jq_array_udf(program, *decls)(col)
     gen = F.explode_outer(arr) if outer else F.explode(arr)

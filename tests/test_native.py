@@ -1,0 +1,93 @@
+"""Native Catalyst tier (SURVEY §4.2): correctness vs the Python
+UDTF tier on clean data, and plan assertions (no Python execution
+node in the physical plan)."""
+
+import json
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_jq_udtf_spark.native import analyze_program, compile_native
+from hive_jq_udtf_spark.udtf import jq_explode
+
+
+def _plan_is_pythonfree(df) -> bool:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "EvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_analyze_accepts_simple_paths():
+    assert analyze_program(".k") is not None
+    assert analyze_program(".a.b[0]") is not None
+    assert analyze_program(".arr[]") is not None
+    assert analyze_program("{x: .a, y: .b}") is not None
+    assert analyze_program('.tz[] | select(.name == "T") | .offset') is not None
+    assert analyze_program("select(.k > 5) | {k: .k}") is not None
+
+
+def test_analyze_rejects_general_programs():
+    assert analyze_program("reduce .[] as $x (0; . + $x)") is None
+    assert analyze_program(".a as $x | $x") is None
+    assert analyze_program(".[] | .a + 1") is None
+    assert analyze_program("if .a then .b else .c end") is None
+    assert analyze_program("to_entries") is None
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    random.seed(7)
+    rows = []
+    for i in range(200):
+        doc = {
+            "k": random.randint(0, 100),
+            "name": random.choice(["Tokyo", "Paris", "NY"]),
+            "nested": {"v": random.random() * 10},
+            "arr": [
+                {"name": random.choice(["a", "b"]), "offset": random.randint(-600, 600)}
+                for _ in range(random.randint(0, 4))
+            ],
+            "tags": [random.choice(["x", "y", "z"]) for _ in range(random.randint(0, 3))],
+        }
+        rows.append((i, json.dumps(doc)))
+    return spark.createDataFrame(rows, "id int, j string")
+
+
+TIER_CASES = [
+    ("{k: .k}", ("k:int",)),
+    ("{k: .k, name: .name}", ("k:int", "name:string")),
+    (".k", ("int",)),
+    (".name", ("string",)),
+    (".nested.v", ("double",)),
+    (".arr[]", ("name:string", "offset:int")),
+    (".arr[] | .offset", ("int",)),
+    (".tags[]", ("string",)),
+    ('.arr[] | select(.name == "a") | {offset}', ("offset:int",)),
+    ('.arr[] | select(.offset > 0)', ("name:string", "offset:int")),
+    ("select(.k > 50) | {k: .k}", ("k:int",)),
+    ('select(.name == "Tokyo") | .k', ("int",)),
+    ("{v: .nested.v, first_tag: .tags[0]}", ("v:double", "first_tag:string")),
+]
+
+
+@pytest.mark.parametrize("program,decls", TIER_CASES, ids=[c[0] for c in TIER_CASES])
+def test_native_matches_python_tier(docs_df, program, decls):
+    plan = compile_native(program, decls)
+    assert plan is not None, f"expected native compilation for {program!r}"
+    nat = jq_explode(docs_df, "j", program, *decls, native="require")
+    py = jq_explode(docs_df, "j", program, *decls, native="never")
+    assert _plan_is_pythonfree(nat), "native tier must not contain a Python node"
+    cols = [c for c in nat.columns if c != "j"]
+    a = sorted(map(tuple, nat.select(cols).collect()))
+    b = sorted(map(tuple, py.select(cols).collect()))
+    assert a == b
+
+
+def test_native_fallback_runs_python(docs_df):
+    out = jq_explode(docs_df, "j", "[.k] | add", "int", native="auto")
+    assert out.count() == 200
+
+
+def test_require_raises_on_general_program(docs_df):
+    with pytest.raises(ValueError):
+        jq_explode(docs_df, "j", "reduce .[] as $x (0; .+$x)", "int", native="require")
