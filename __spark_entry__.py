@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship query at sf0.001 (smoke: rows > 0)
+queries()      — name → callable(spark, sf_dir) → DataFrame
+oracle_sql()   — name → equivalent DuckDB SQL over the same tables
+
+Implementation lives in hive_jq_udtf_spark/ (SURVEY §2 operator
+inventory; §7 build plan).
 """
 
 from __future__ import annotations
@@ -15,24 +16,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: jq-UDTF lateral explode of events.props + aggregate
+    (the README.md:121 lateral-view shape on the driver's testdata)."""
+    from hive_jq_udtf_spark.plans.queries import q_jq_extract_agg
+
+    return q_jq_extract_agg(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from hive_jq_udtf_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from hive_jq_udtf_spark.plans.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,331 @@
+"""Deduplication operators for large-scale text pipelines (driver
+mandate, SURVEY §2.6).
+
+All of these stay JVM-side (built-in functions + higher-order
+expressions — no Python UDFs in any hot path) and are written for
+the 100 TB shape:
+
+- exact / fingerprint dedup: hash + groupBy — one shuffle on the
+  hash, map-side partial aggregation for the counts.
+- exact n-gram Jaccard: the distributed inverted-index shingle join
+  (explode → hash join on shingle → pair aggregation).  Exact, but
+  pair cardinality is data-dependent; at very high duplication rates
+  switch to the MinHash-LSH variant below which prunes candidates to
+  near-duplicate buckets first.
+- MinHash-LSH: per-doc signatures via xxhash64 min-hashing (pure
+  codegen expressions), banded LSH bucketing, exact Jaccard
+  verification on candidates only.  This is the 100 TB path: the
+  only shuffle of full rows is on (band_idx, band_hash), whose
+  cardinality is O(docs × bands), independent of pair count.
+- SimHash: 64-bit signatures via per-token hashing + bitwise
+  majority vote, all in aggregate expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact / fingerprint
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Counts of exact duplicates by content hash (md5)."""
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(F.md5(F.col(text_col)))).alias("n_dupes"),
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per exact content hash.
+
+    groupBy on the hash (one shuffle); survivors join back by id —
+    at scale prefer this over dropDuplicates so the keeper choice is
+    deterministic."""
+    keep = (
+        docs.select(F.md5(F.col(text_col)).alias("__h"), F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(keep, on=id_col, how="left_semi")
+
+
+def fingerprint_dedup_stats(
+    docs: DataFrame, prefix_len: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Dedup stats by prefix fingerprint (rolling-hash stand-in:
+    md5 of the normalized document head)."""
+    fp = docs.select(
+        F.col(id_col), F.md5(F.substring(F.col(text_col), 1, prefix_len)).alias("f")
+    )
+    kept = fp.groupBy("f").agg(F.min(id_col).alias("keeper"))
+    n_kept = kept.agg(F.count("*").alias("n_kept"))
+    n_all = fp.agg(F.count("*").alias("n_all"))
+    return n_kept.crossJoin(n_all).select(
+        "n_kept", (F.col("n_all") - F.col("n_kept")).alias("n_removed")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> — pure
+    higher-order expressions (codegen, no Python)."""
+    toks = F.split(text_col, " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(k >= 1, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs above threshold
+    via the inverted-index shingle join.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    sh = docs.select(
+        F.col(id_col).alias("did"), F.explode(shingles_col(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy("did").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.did") < F.col("b.did")))
+        .groupBy(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("did").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("did").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the 100 TB candidate-pruning path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature_col(sh_col: Column, num_perms: int = 128) -> Column:
+    """MinHash signature as array<bigint>: perm i = min over shingles
+    of xxhash64(shingle, i).  Seeded xxhash64 *is* the family of hash
+    functions — deterministic, JVM codegen."""
+    sigs = [
+        F.array_min(F.transform(sh_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_perms)
+    ]
+    return F.array(*sigs)
+
+
+def add_minhash(
+    docs: DataFrame,
+    n: int = 3,
+    num_perms: int = 128,
+    text_col: str = "text",
+) -> DataFrame:
+    sh = shingles_col(F.col(text_col), n)
+    return docs.withColumn("__shingles", sh).withColumn(
+        "minhash", minhash_signature_col(F.col("__shingles"), num_perms)
+    )
+
+
+def lsh_candidate_pairs(
+    with_sig: DataFrame,
+    bands: int = 16,
+    rows: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidates.
+
+    Shuffle key is (band_idx, band_hash): cardinality O(docs×bands),
+    never O(pairs).  Returns distinct (doc_a, doc_b), doc_a < doc_b."""
+    band_hashes = F.array(
+        *[
+            F.xxhash64(F.concat_ws(",", *[F.col("minhash")[b * rows + r] for r in range(rows)]))
+            for b in range(bands)
+        ]
+    )
+    banded = with_sig.select(
+        F.col(id_col).alias("did"), F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.did") < F.col("b.did")),
+        )
+        .select(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_perms: int = 128,
+    bands: int = 16,
+    rows: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH candidates + exact Jaccard verification.
+
+    At threshold t, catch probability per true pair is
+    1-(1-t^rows)^bands (≈1 for t≥0.9 at 16×8); verification is exact
+    so no false positives."""
+    with_sig = add_minhash(docs, n=n, num_perms=num_perms, text_col=text_col)
+    cands = lsh_candidate_pairs(with_sig, bands=bands, rows=rows, id_col=id_col)
+    sh = with_sig.select(F.col(id_col).alias("did"), F.col("__shingles").alias("sh"))
+    a = sh.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Remove near-duplicates: drop the higher id of each matched
+    pair (greedy single-pass; full transitive clustering would use
+    iterative label propagation — see connected_components)."""
+    pairs = minhash_neardup_pairs(
+        docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col, **kw
+    )
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Label propagation over (doc_a, doc_b) edges → (doc_id,
+    component) with component = min reachable id.  Iterative
+    small-step joins; each iteration is one shuffle.  Converges in
+    O(log longest-path) iterations for dedup-cluster shapes."""
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.union(edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+    labels = (
+        sym.select(F.col("doc_a").alias("id"))
+        .union(sym.select(F.col("doc_b").alias("id")))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym.doc_b == labels.id)
+            .select(F.col("doc_a").alias("id"), F.col("comp"))
+            .union(labels.select("id", "comp"))
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        changed = (
+            prop.alias("p")
+            .join(labels.alias("l"), "id")
+            .where(F.col("p.comp") != F.col("l.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = prop.localCheckpoint(eager=True) if changed else prop
+        if not changed:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, bitwise
+    majority vote via 64 conditional-sum aggregates (all codegen)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash near-dup candidates: block on 16-bit chunks (a pair
+    within hamming ≤3 of 64 bits shares at least one of 4 chunks),
+    verify hamming distance exactly via bit_count(xor)."""
+    sh = simhash64(docs, text_col=text_col, id_col=id_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = sh.select(
+        F.col(id_col).alias("did"), F.col("simhash"), F.explode(chunks).alias("ch")
+    ).select("did", "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.did") < F.col("b.did")),
+        )
+        .select(
+            F.col("a.did").alias("doc_a"),
+            F.col("b.did").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

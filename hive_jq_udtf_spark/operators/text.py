@@ -1,0 +1,116 @@
+"""Text-analysis operators (SURVEY §2.6): token stats, quality
+scoring, fingerprinting, language-ID heuristic, token counting.
+
+Everything except language-ID is pure built-in expressions.  The
+oracle-checked shapes (token_stats / quality_scores /
+doc_fingerprints) mirror the DuckDB SQL in plans/queries.py
+term-for-term, including rounding order."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-language corpus statistics."""
+    toks = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.withColumn("n_tokens", toks)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length/density-based quality gate per language; density is
+    rounded per-doc BEFORE averaging (matches oracle)."""
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    density = F.round(n_tokens / F.nullif(F.col("n_chars"), F.lit(0)), 4)
+    passes = F.when(
+        (n_tokens >= 20) & F.col("n_chars").between(50, 5000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        docs.select(F.col("lang"), density.alias("tok_density"), passes.alias("passes"))
+        .groupBy("lang")
+        .agg(
+            F.sum("passes").alias("n_pass"),
+            (F.count("*") - F.sum("passes")).alias("n_fail"),
+            F.round(F.avg("tok_density"), 4).alias("avg_density"),
+        )
+        .orderBy("lang")
+    )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """Content + prefix hashes and token count per document."""
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_hash"),
+        F.md5(F.substring(F.col("text"), 1, 64)).alias("prefix_hash"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pretokenizer shape: word pieces, numbers, punctuation
+# runs, whitespace runs (public BPE pretokenization pattern family)
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish token counts per document — the cheap
+    pre-tokenization estimate used for budget planning."""
+    ws = F.size(F.split(F.col(text_col), r"\s+"))
+    bpe = F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}', 0)"))
+    return docs.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_ish_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (character n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+# tiny per-language profiles: characteristic words / character
+# patterns with weights; scored by summed match counts.  This is a
+# deterministic heuristic (real pipelines plug fastText etc. here).
+_LANG_PROFILES: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is ", "th", "he", "ing "],
+    "de": [" der ", " die ", " und ", " ist ", " das ", "ch", "ei", "sch"],
+    "fr": [" le ", " la ", " et ", " est ", " les ", "ou", "qu", "tion"],
+    "es": [" el ", " la ", " y ", " es ", " los ", "ción", "qu", "ll"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: per-language profile hit counts via
+    regexp_count, argmax via greatest + chained when.  All codegen;
+    extendable profile table."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum(
+            (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit(""))))
+            / max(len(pat), 1)
+            for pat in pats
+        ).alias(f"score_{lang}")
+        for lang, pats in _LANG_PROFILES.items()
+    }
+    scored = docs.select("doc_id", *scores.values())
+    langs = list(_LANG_PROFILES)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit(None).cast("string")
+    for l in reversed(langs):
+        pred = F.when(F.col(f"score_{l}") == best, F.lit(l)).otherwise(pred)
+    return scored.withColumn("pred_lang", pred).select("doc_id", "pred_lang", *[f"score_{l}" for l in langs])

@@ -1,0 +1,666 @@
+"""Driver-contract query definitions (SURVEY §5 item 5, §7 steps 7-8).
+
+Every entry couples a Spark DataFrame query with an equivalent
+ANSI-SQL oracle that DuckDB runs over the same parquet tables; the
+driver hash-compares them at sf0.01 (CORRECTNESS_r{N}.json).
+
+Scale notes (100 TB design):
+- jq extraction queries keep filters/aggregation AFTER a Generate
+  that Catalyst prunes; the native tier ones never leave the JVM.
+- joins declare the small side via broadcast() (region/nation/
+  customer at TPC-H ratios are the canonical broadcast dims).
+- the near-dup join is the inverted-index shingle join (explode →
+  hash-join on shingle → pair aggregation), the standard distributed
+  exact algorithm; MinHash-LSH (operators/dedup.py) is the
+  candidate-pruning variant for when pair cardinality explodes.
+- float aggregates are rounded to 4dp on BOTH sides so value hashes
+  are stable across summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from ..udtf import jq_explode, register
+
+
+# ---------------------------------------------------------------------------
+# jq-engine queries over events.props
+# ---------------------------------------------------------------------------
+
+
+def q_jq_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: lateral-explode props through the jq UDTF (Python
+    tier forced — this is the engine correctness probe), aggregate
+    per event_type.  Direct restatement of README.md:121."""
+    events = load_table(spark, sf_dir, "events")
+    x = jq_explode(events, "props", "{k: .k}", "k:int", native="never")
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_jq_native_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same extraction via the native Catalyst tier (no Python in
+    plan) — §4.2; oracle identical to the UDTF variant."""
+    events = load_table(spark, sf_dir, "events")
+    x = jq_explode(events, "props", "{k: .k}", "k:int", native="require")
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_JQ_AGG = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_jq_select_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jq select() semantics (J6): rows with k > 50 only."""
+    events = load_table(spark, sf_dir, "events")
+    x = jq_explode(events, "props", "select(.k > 50) | {k: .k}", "k:int", native="never")
+    return (
+        x.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_JQ_SELECT = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events)
+WHERE k > 50 GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_jq_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column destructure + computed field (J10/J11/J17)."""
+    events = load_table(spark, sf_dir, "events")
+    x = jq_explode(
+        events,
+        "props",
+        "{k: .k, big: (.k > 50), bucket: (.k % 10)}",
+        "k:int",
+        "big:boolean",
+        "bucket:int",
+        native="never",
+    )
+    return (
+        x.groupBy("big", "bucket")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("big", "bucket")
+    )
+
+
+_ORACLE_JQ_MULTICOL = """
+SELECT k > 50 AS big, k % 10 AS bucket, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_jq_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N fan-out via the comma stream (J20): each row emits two."""
+    events = load_table(spark, sf_dir, "events")
+    x = jq_explode(
+        events, "props", "{k: .k}, {k: (.k + 1000)}", "k:int", native="never"
+    )
+    return x.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+_ORACLE_JQ_FANOUT = """
+WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events),
+u AS (SELECT k FROM k UNION ALL SELECT k + 1000 FROM k)
+SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k FROM u
+"""
+
+
+def q_jq_error_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$error substitute-on-corrupt (D5, README.md:145-160): every
+    10th row's JSON is truncated; the program substitutes k = -1."""
+    events = load_table(spark, sf_dir, "events")
+    corrupted = events.withColumn(
+        "j",
+        F.when(
+            F.col("event_id") % 10 == 0,
+            F.expr("substr(props, 1, length(props) - 1)"),
+        ).otherwise(F.col("props")),
+    )
+    x = jq_explode(
+        corrupted,
+        "j",
+        "if $error == null then {k: .k} else {k: -1} end",
+        "k:int",
+        native="never",
+    )
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("k") == -1, 1).otherwise(0)).alias("n_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_JQ_ERROR = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CASE WHEN event_id % 10 = 0 THEN -1
+                ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) END) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_jq_single_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-TYPE form → auto-named col1 (D7/M10)."""
+    events = load_table(spark, sf_dir, "events")
+    x = jq_explode(events, "props", ".k", "int", native="never")
+    return x.agg(
+        F.count("*").alias("n"),
+        F.sum("col1").alias("sum_k"),
+    )
+
+
+_ORACLE_JQ_SINGLE = """
+SELECT count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+FROM events
+"""
+
+
+def q_jq_tostring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 stringify rule: whole document as compact-JSON string."""
+    events = load_table(spark, sf_dir, "events")
+    x = jq_explode(events, "props", ".", "string", native="never")
+    return (
+        x.groupBy("col1")
+        .agg(F.count("*").alias("n"))
+        .orderBy("col1")
+        .limit(100)
+    )
+
+
+_ORACLE_JQ_TOSTRING = """
+SELECT CAST(json_extract(props, '$') AS VARCHAR) AS col1, count(*) AS n
+FROM events GROUP BY 1 ORDER BY 1 LIMIT 100
+"""
+
+
+def q_jq_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercise Tier-B builtins (keys/length/tostring/arith) through
+    the UDTF on real rows."""
+    events = load_table(spark, sf_dir, "events")
+    x = jq_explode(
+        events,
+        "props",
+        '{nk: (keys | length), ks: (keys | join(",")), '
+        "kk: (.k | tostring), k2: ((.k + 1) * 2)}",
+        "nk:int",
+        "ks:string",
+        "kk:string",
+        "k2:int",
+        native="never",
+    )
+    return x.agg(
+        F.sum("nk").alias("sum_nk"),
+        F.max("ks").alias("max_ks"),
+        F.max("kk").alias("max_kk"),
+        F.sum("k2").alias("sum_k2"),
+    )
+
+
+_ORACLE_JQ_BUILTINS = """
+WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+SELECT CAST(count(*) AS BIGINT) AS sum_nk,
+       'k' AS max_ks,
+       max(CAST(k AS VARCHAR)) AS max_kk,
+       CAST(sum((k + 1) * 2) AS BIGINT) AS sum_k2
+FROM k
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational composition (§2.3 — host-engine operators around jq)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation on lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1999-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + aggregation + top-k (TPC-H Q3-shaped).
+    customer is broadcast (small dim at every SF)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_ORACLE_TOP_REVENUE = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join: revenue per region (broadcast dims)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_ORACLE_REGION_REVENUE = """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: each customer's 2 highest-value orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_top2_price"),
+        )
+    )
+
+
+_ORACLE_WINDOW_TOPK = """
+SELECT count(*) AS n, round(sum(o_totalprice), 4) AS sum_top2_price
+FROM (SELECT o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders)
+WHERE rk <= 2
+"""
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over the nation/region hierarchy."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust = load_table(spark, sf_dir, "customer")
+    j = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 4).alias("sum_bal"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+_ORACLE_ROLLUP = """
+SELECT r_name, n_name, count(*) AS n, round(sum(c_acctbal), 4) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name, n_name
+"""
+
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers with orders vs high-balance customers."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    high_bal = cust.where(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    both = with_orders.intersect(high_bal)
+    only_orders = with_orders.exceptAll(high_bal)
+    return both.agg(F.count("*").alias("n_both")).crossJoin(
+        only_orders.agg(F.count("*").alias("n_only_orders"))
+    )
+
+
+_ORACLE_SETOPS = """
+SELECT
+  (SELECT count(*) FROM (
+      SELECT DISTINCT o_custkey FROM orders
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000)) AS n_both,
+  (SELECT count(*) FROM (
+      SELECT DISTINCT o_custkey FROM orders
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000)) AS n_only_orders
+"""
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join shapes."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    with_o = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    without_o = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return with_o.agg(F.count("*").alias("n_with")).crossJoin(
+        without_o.agg(F.count("*").alias("n_without"))
+    )
+
+
+_ORACLE_SEMI_ANTI = """
+SELECT
+  (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with,
+  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators (§2.6) over documents / embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_stats(docs)
+
+
+_ORACLE_DEDUP_EXACT = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dupes
+FROM documents
+"""
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint dedup: keep min doc_id per 50-char prefix
+    fingerprint; report survivors + removed counts."""
+    from ..operators.dedup import fingerprint_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_dedup_stats(docs, prefix_len=50)
+
+
+_ORACLE_DEDUP_FP = """
+WITH fp AS (SELECT doc_id, md5(substr(text, 1, 50)) AS f FROM documents),
+keep AS (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY f)
+SELECT (SELECT count(*) FROM keep) AS n_kept,
+       (SELECT count(*) FROM fp) - (SELECT count(*) FROM keep) AS n_removed
+"""
+
+
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard near-dup pairs (threshold 0.8) via the
+    distributed inverted-index shingle join."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+_ORACLE_NEARDUP = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+s AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 2)) AS i, ts FROM t),
+g AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh FROM s),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+          FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i AS doc_a, j AS doc_b,
+       round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+FROM inter
+JOIN sz na ON na.doc_id = i
+JOIN sz nb ON nb.doc_id = j
+WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 5 against
+    the rest — JVM-side higher-order functions, no Python."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return brute_force_topk(queries, corpus, k=5).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+    ).orderBy("query_id", "rank")
+
+
+_ORACLE_SIMSEARCH = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+s AS (SELECT query_id, neighbor_id,
+             list_cosine_similarity(qe, ce) AS cosine
+      FROM q CROSS JOIN c),
+r AS (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(cosine, 4) AS cosine
+FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_stats(docs)
+
+
+_ORACLE_TEXT_STATS = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       round(avg(n_chars), 4) AS avg_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_scores(docs)
+
+
+_ORACLE_QUALITY = """
+WITH s AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         n_chars,
+         round(len(string_split(text, ' ')) * 1.0
+               / NULLIF(n_chars, 0), 4) AS tok_density,
+         CASE WHEN len(string_split(text, ' ')) >= 20
+               AND n_chars BETWEEN 50 AND 5000 THEN 1 ELSE 0 END AS passes
+  FROM documents)
+SELECT lang,
+       CAST(sum(passes) AS BIGINT) AS n_pass,
+       CAST(count(*) - sum(passes) AS BIGINT) AS n_fail,
+       round(avg(tok_density), 4) AS avg_density
+FROM s GROUP BY lang ORDER BY lang
+"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import doc_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_fingerprints(docs).orderBy("doc_id").limit(200)
+
+
+_ORACLE_FINGERPRINTS = """
+SELECT doc_id,
+       md5(text) AS content_hash,
+       md5(substr(text, 1, 64)) AS prefix_hash,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+FROM documents ORDER BY doc_id LIMIT 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "jq_extract_agg": q_jq_extract_agg,
+    "jq_native_agg": q_jq_native_agg,
+    "jq_select_filter": q_jq_select_filter,
+    "jq_multicol": q_jq_multicol,
+    "jq_fanout": q_jq_fanout,
+    "jq_error_channel": q_jq_error_channel,
+    "jq_single_type": q_jq_single_type,
+    "jq_tostring": q_jq_tostring,
+    "jq_builtins": q_jq_builtins,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "region_revenue": q_region_revenue,
+    "window_topk": q_window_topk,
+    "rollup_counts": q_rollup_counts,
+    "setops": q_setops,
+    "semi_anti_join": q_semi_anti_join,
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "neardup_jaccard": q_neardup_jaccard,
+    "simsearch_topk": q_simsearch_topk,
+    "text_stats": q_text_stats,
+    "quality_score": q_quality_score,
+    "doc_fingerprints": q_doc_fingerprints,
+}
+
+ORACLES = {
+    "jq_extract_agg": _ORACLE_JQ_AGG,
+    "jq_native_agg": _ORACLE_JQ_AGG,
+    "jq_select_filter": _ORACLE_JQ_SELECT,
+    "jq_multicol": _ORACLE_JQ_MULTICOL,
+    "jq_fanout": _ORACLE_JQ_FANOUT,
+    "jq_error_channel": _ORACLE_JQ_ERROR,
+    "jq_single_type": _ORACLE_JQ_SINGLE,
+    "jq_tostring": _ORACLE_JQ_TOSTRING,
+    "jq_builtins": _ORACLE_JQ_BUILTINS,
+    "pricing_summary": _ORACLE_PRICING,
+    "top_revenue_orders": _ORACLE_TOP_REVENUE,
+    "region_revenue": _ORACLE_REGION_REVENUE,
+    "window_topk": _ORACLE_WINDOW_TOPK,
+    "rollup_counts": _ORACLE_ROLLUP,
+    "setops": _ORACLE_SETOPS,
+    "semi_anti_join": _ORACLE_SEMI_ANTI,
+    "dedup_exact": _ORACLE_DEDUP_EXACT,
+    "dedup_fingerprint": _ORACLE_DEDUP_FP,
+    "neardup_jaccard": _ORACLE_NEARDUP,
+    "simsearch_topk": _ORACLE_SIMSEARCH,
+    "text_stats": _ORACLE_TEXT_STATS,
+    "quality_score": _ORACLE_QUALITY,
+    "doc_fingerprints": _ORACLE_FINGERPRINTS,
+}
