@@ -1,0 +1,86 @@
+"""Benchmark runner: times the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Methodology: one warm-up execution of a trivial action to absorb JVM
+startup, then each query measured as full plan → collect.  Times are
+end-to-end wall-clock per query; metric is total seconds across the
+suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import SparkSession
+
+    from hive_jq_udtf_spark.plans.queries import QUERIES
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("spark-graft-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        # NOTE: no autoBroadcastJoinThreshold override — size estimates
+        # on these single-row-group files are bogus and a large
+        # threshold makes Spark broadcast big computed subtrees;
+        # intended broadcasts are explicit broadcast() hints in the
+        # query definitions
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM codegen AND the Python/pandas-UDF worker pool, so
+    # the first timed query doesn't absorb one-time startup
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    warm = spark.createDataFrame([('{"k": 1}',)] * 256, "j string").repartition(int(cpus))
+    jq_explode(warm, "j", "{k: .k}", "k:int", native="never").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.collect()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # record failures as negative sentinel
+            sys.stderr.write(f"bench {name} failed: {ex}\n")
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

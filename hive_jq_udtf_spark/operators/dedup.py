@@ -95,11 +95,89 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    method: str = "prefix",
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs above threshold
-    via the inverted-index shingle join.
+    """Exact n-gram Jaccard similarity for all pairs above threshold.
+
+    method="prefix" (default): prefix-filtered set-similarity join
+    (PPJoin-family): shingles get a global canonical order (document
+    frequency ascending — rarest first), each doc only emits its
+    first |d| - ceil(t·|d|) + 1 shingles to the inverted index, and
+    candidates passing the length filter are verified against full
+    shingle sets.  EXACT for the given threshold — a qualifying pair
+    must share at least one prefix shingle — while shuffling ~(1-t)
+    of the shingle volume and pruning the frequent-shingle pair
+    blow-up that makes the naive join quadratic at 100 TB.
+
+    method="invert": the plain inverted-index join (reference
+    semantics baseline; used by tests to cross-check prefix).
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    if method == "invert":
+        return _jaccard_invert(docs, n, threshold, text_col, id_col)
+    if method != "prefix":
+        raise ValueError("method must be prefix|invert")
+    t = float(threshold)
+    # shingles hashed to int64 (cheaper shuffle/compare than strings)
+    sh = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+    ).select("did", F.xxhash64("s").alias("h"))
+    df_counts = sh.groupBy("h").agg(F.count("*").alias("df"))
+    ordered = (
+        sh.join(df_counts, "h")
+        .groupBy("did")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "h"))).alias("arr"),
+        )
+        .select(
+            "did",
+            F.transform("arr", lambda x: x["h"]).alias("full"),
+            F.size("arr").alias("sz"),
+        )
+    )
+    # referenced by the prefix index AND both sides of verification —
+    # persist so the shingle aggregation runs once, not 4× (at scale
+    # this is the dominant stage)
+    ordered = ordered.persist()
+    # prefix length |d| - ceil(t*|d|) + 1
+    pref_len = (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int")
+    prefixes = ordered.select(
+        "did",
+        "sz",
+        F.explode(F.slice("full", 1, pref_len)).alias("h"),
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.did") < F.col("b.did"))
+            # length filter: t*|a| <= |b| <= |a|/t possible only when
+            & (F.col("b.sz") >= F.ceil(F.lit(t) * F.col("a.sz")))
+            & (F.col("a.sz") >= F.ceil(F.lit(t) * F.col("b.sz"))),
+        )
+        .select(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
+        .distinct()
+    )
+    fa = ordered.select(F.col("did").alias("doc_a"), F.col("full").alias("fa"))
+    fb = ordered.select(F.col("did").alias("doc_b"), F.col("full").alias("fb"))
+    return (
+        cands.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("fa", "fb"))
+            / F.size(F.array_union("fa", "fb")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _jaccard_invert(
+    docs: DataFrame, n: int, threshold: float, text_col: str, id_col: str
+) -> DataFrame:
     sh = docs.select(
         F.col(id_col).alias("did"), F.explode(shingles_col(F.col(text_col), n)).alias("sh")
     )

@@ -37,7 +37,8 @@ def q_jq_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier forced — this is the engine correctness probe), aggregate
     per event_type.  Direct restatement of README.md:121."""
     events = load_table(spark, sf_dir, "events")
-    x = jq_explode(events, "props", "{k: .k}", "k:int", native="never")
+    x = jq_explode(events, "props", "{k: .k}", "k:int", native="never",
+        min_parallelism=spark.sparkContext.defaultParallelism)
     return (
         x.groupBy("event_type")
         .agg(
@@ -77,7 +78,8 @@ FROM events GROUP BY event_type ORDER BY event_type
 def q_jq_select_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jq select() semantics (J6): rows with k > 50 only."""
     events = load_table(spark, sf_dir, "events")
-    x = jq_explode(events, "props", "select(.k > 50) | {k: .k}", "k:int", native="never")
+    x = jq_explode(events, "props", "select(.k > 50) | {k: .k}", "k:int", native="never",
+        min_parallelism=spark.sparkContext.defaultParallelism)
     return (
         x.groupBy("event_type")
         .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
@@ -105,6 +107,7 @@ def q_jq_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "big:boolean",
         "bucket:int",
         native="never",
+        min_parallelism=spark.sparkContext.defaultParallelism,
     )
     return (
         x.groupBy("big", "bucket")
@@ -160,6 +163,7 @@ def q_jq_error_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "if $error == null then {k: .k} else {k: -1} end",
         "k:int",
         native="never",
+        min_parallelism=spark.sparkContext.defaultParallelism,
     )
     return (
         x.groupBy("event_type")
@@ -184,7 +188,8 @@ FROM events GROUP BY event_type ORDER BY event_type
 def q_jq_single_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-TYPE form → auto-named col1 (D7/M10)."""
     events = load_table(spark, sf_dir, "events")
-    x = jq_explode(events, "props", ".k", "int", native="never")
+    x = jq_explode(events, "props", ".k", "int", native="never",
+        min_parallelism=spark.sparkContext.defaultParallelism)
     return x.agg(
         F.count("*").alias("n"),
         F.sum("col1").alias("sum_k"),
@@ -201,7 +206,8 @@ FROM events
 def q_jq_tostring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 stringify rule: whole document as compact-JSON string."""
     events = load_table(spark, sf_dir, "events")
-    x = jq_explode(events, "props", ".", "string", native="never")
+    x = jq_explode(events, "props", ".", "string", native="never",
+        min_parallelism=spark.sparkContext.defaultParallelism)
     return (
         x.groupBy("col1")
         .agg(F.count("*").alias("n"))
@@ -230,6 +236,7 @@ def q_jq_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kk:string",
         "k2:int",
         native="never",
+        min_parallelism=spark.sparkContext.defaultParallelism,
     )
     return x.agg(
         F.sum("nk").alias("sum_nk"),

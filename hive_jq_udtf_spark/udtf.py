@@ -195,6 +195,7 @@ def jq_explode(
     alias: str = "jq",
     outer: bool = False,
     native: str = "auto",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """LATERAL VIEW jq(...) equivalent: every input column is kept,
     generated columns appear flattened under their declared names
@@ -207,6 +208,13 @@ def jq_explode(
     expressions (no Python worker — SURVEY §4.2); "never" forces the
     Python UDTF tier; "require" raises if the program can't compile
     natively (for perf-critical pipelines that must stay JVM-side).
+
+    min_parallelism: repartition the input up to this many partitions
+    BEFORE the (expensive, per-row) Python tier when the scan came in
+    with fewer — e.g. a handful of unsplittable single-row-group
+    files.  A real multi-file dataset already exceeds it, so this is
+    a no-op at scale; never applied to the native tier (pure codegen
+    needs no Python parallelism boost).
     """
     if native not in ("auto", "never", "require"):
         raise ValueError("native must be auto|never|require")
@@ -220,6 +228,8 @@ def jq_explode(
             raise ValueError(
                 f"jq program not compilable to native expressions: {program!r}"
             )
+    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
+        df = df.repartition(min_parallelism)
     col = F.col(column) if isinstance(column, str) else column
     arr = jq_array_udf(program, *decls)(col)
     gen = F.explode_outer(arr) if outer else F.explode(arr)
