@@ -359,14 +359,19 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(-1))
+            F.when(
+                F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
         ).alias(f"b{i}")
         for i in range(64)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
     sim = F.lit(0).cast("long")
     for i in range(64):
-        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        sim = sim + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 

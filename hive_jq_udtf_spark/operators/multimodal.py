@@ -1,0 +1,188 @@
+"""Multimodal column operators (driver mandate, SURVEY §2.6).
+
+Image/audio/video payloads are opaque ``binary`` columns with a
+typed metadata struct; jq (on a JSON metadata column) doubles as the
+metadata-extraction operator.  Decode/resize/frame-sample run as
+Arrow-batched ``mapInPandas`` stages — the real codec calls are
+STUBBED (no image/audio libraries in this container) behind
+``use_real_codecs``; the Spark-side plumbing (schemas, batch
+iteration, partition behavior) is real and tested.
+
+Scale shape: mapInPandas streams Arrow batches; binary payloads
+never pass through Python row-at-a-time, and metadata-only
+operations (filtering, routing by modality/size) stay JVM-side so
+pruning happens before any decode."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),  # image|audio|video|text
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def docs_as_media(docs: DataFrame) -> DataFrame:
+    """Pack the documents table into the multimodal shape (text
+    payloads as bytes) — the deterministic stand-in corpus."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("modality"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(F.encode(F.col("text"), "utf-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode_features(content: bytes, modality: str, dim: int) -> list[float]:
+    """Deterministic fake feature extractor: byte-histogram moments.
+    Stands in for a real decoder+model; same signature and batch
+    shape as the real thing."""
+    if content is None:
+        return [0.0] * dim
+    n = len(content)
+    out = []
+    for i in range(dim):
+        # stride the payload — cheap, deterministic, content-sensitive
+        s = content[i::dim] if n else b""
+        out.append(float(sum(s) % 997) / 997.0 if s else 0.0)
+    return out
+
+
+def extract_features(
+    media: DataFrame, dim: int = 8, use_real_codecs: bool = False
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads."""
+    if use_real_codecs:
+        raise NotImplementedError(
+            "real image/audio codecs are not available in this environment; "
+            "plug a decoder into _fake_decode_features's slot"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "feature": [
+                        _fake_decode_features(c, m, dim)
+                        for c, m in zip(pdf["content"], pdf["modality"])
+                    ],
+                    "decode_ok": [c is not None for c in pdf["content"]],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, use_real_codecs: bool = False
+) -> DataFrame:
+    """Image resize stage (stub): passes payloads through and stamps
+    the target dimensions into metadata; a real implementation swaps
+    the passthrough for decode→resize→encode inside the same
+    mapInPandas body."""
+    if use_real_codecs:
+        raise NotImplementedError("no image codecs in this environment")
+
+    out_schema = MEDIA_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [
+                {**(m or {}), "width": width, "height": height}
+                for m in pdf["meta"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "content": pdf["content"],
+                    "meta": meta,
+                }
+            )
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, use_real_codecs: bool = False
+) -> DataFrame:
+    """Video frame sampling (stub): 1→N fan-out per video payload,
+    one synthetic frame marker per interval of duration_ms."""
+    if use_real_codecs:
+        raise NotImplementedError("no video codecs in this environment")
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
+            for mid, meta, content in zip(pdf["media_id"], pdf["meta"], pdf["content"]):
+                dur = (meta or {}).get("duration_ms") or 0
+                n = max(int(dur // every_ms), 0)
+                for i in range(n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_ts_ms"].append(i * every_ms)
+                    rows["frame"].append(content[:16] if content is not None else None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=schema)
+
+
+def modality_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only statistics — stays entirely JVM-side (column
+    pruning drops the binary payload from the scan)."""
+    return (
+        media.groupBy("modality")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+            F.round(F.avg(F.col("meta.n_bytes")), 4).alias("avg_bytes"),
+        )
+        .orderBy("modality")
+    )

@@ -1,0 +1,197 @@
+"""Operator-level tests: dedup (minhash/simhash/jaccard/components),
+similarity (brute force vs SRP), text, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_jq_udtf_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps on the warm mat near the old wooden door of the house"
+    )
+    variant = base.replace("warm mat", "cold mat")  # near-dup of 0
+    other = (
+        "completely different content about spark query engines and "
+        "distributed joins with shuffles partitions and broadcast trees"
+    )
+    dup = base  # exact dup of 0
+    rows = [(0, base), (1, variant), (2, other), (3, dup)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(near_dup_docs):
+    out = dedup.exact_dedup(near_dup_docs)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 1, 2]  # 3 removed (exact dup of 0)
+    stats = dedup.exact_dedup_stats(near_dup_docs).collect()[0]
+    assert (stats.n_docs, stats.n_distinct, stats.n_dupes) == (4, 3, 1)
+
+
+def test_jaccard_prefix_equals_invert(near_dup_docs):
+    a = sorted(
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in dedup.ngram_jaccard_pairs(near_dup_docs, threshold=0.5).collect()
+    )
+    b = sorted(
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in dedup.ngram_jaccard_pairs(
+            near_dup_docs, threshold=0.5, method="invert"
+        ).collect()
+    )
+    assert a == b
+    assert (0, 3, 1.0) in a  # exact dup pair
+    assert any(x[0] == 0 and x[1] == 1 for x in a)  # near-dup pair
+
+
+def test_minhash_finds_planted_pairs(near_dup_docs):
+    pairs = dedup.minhash_neardup_pairs(near_dup_docs, threshold=0.5)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 3) in got
+    assert (0, 1) in got
+    assert not any(2 in p for p in got)  # unrelated doc never matches
+
+
+def test_minhash_dedup_removes_losers(near_dup_docs):
+    out = dedup.minhash_dedup(near_dup_docs, threshold=0.5)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 2]  # 1 and 3 both matched 0 and have higher ids
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {r.doc_id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_simhash_near_pairs(near_dup_docs):
+    pairs = dedup.simhash_neardup_pairs(near_dup_docs, max_hamming=10)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 3) in got  # identical text → hamming 0
+    h = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert h[(0, 3)] == 0
+
+
+def test_simhash_distinct_docs_far(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta " * 10), (1, "omega psi chi phi " * 10)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_neardup_pairs(docs, max_hamming=3).collect()
+    assert pairs == []
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    import random
+
+    random.seed(3)
+    rows = []
+    for i in range(60):
+        v = [random.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+    # plant: 100 near-identical to 0
+    base = rows[0][1]
+    rows.append((100, [x + 0.001 for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(emb_df):
+    q = emb_df.where(F.col("vec_id") == 0)
+    c = emb_df.where(F.col("vec_id") != 0)
+    out = similarity.brute_force_topk(q, c, k=3).collect()
+    assert len(out) == 3
+    assert out[0].neighbor_id == 100  # planted near-identical
+    assert out[0].cosine > 0.999
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_pairwise_cosine(emb_df):
+    pairs = similarity.pairwise_cosine(emb_df, threshold=0.999).collect()
+    assert {(r.vec_a, r.vec_b) for r in pairs} == {(0, 100)}
+
+
+def test_srp_topk_finds_planted(emb_df):
+    q = emb_df.where(F.col("vec_id") == 0)
+    c = emb_df.where(F.col("vec_id") != 0)
+    out = similarity.srp_topk(q, c, k=3, n_planes=4, dim=16).collect()
+    # planted near-identical vector falls in the same SRP bucket
+    assert out and out[0].neighbor_id == 100
+
+
+def test_srp_recall_vs_brute(emb_df):
+    q = emb_df.where(F.col("vec_id") < 5)
+    c = emb_df.where(F.col("vec_id") >= 5)
+    brute = similarity.brute_force_topk(q, c, k=1).collect()
+    srp = similarity.srp_topk(q, c, k=1, n_planes=2, dim=16).collect()
+    b1 = {r.query_id: r.neighbor_id for r in brute}
+    s1 = {r.query_id: r.neighbor_id for r in srp}
+    hits = sum(1 for k in b1 if s1.get(k) == b1[k])
+    assert hits >= 2  # coarse buckets (2 planes) keep recall reasonable
+
+
+def test_text_operators(spark, sf_dir):
+    from hive_jq_udtf_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ts = text.token_stats(docs).collect()
+    assert len(ts) == 5 and all(r.n_docs > 0 for r in ts)
+    qs = text.quality_scores(docs).collect()
+    assert all(r.n_pass + r.n_fail > 0 for r in qs)
+    tc = text.token_counts(docs.limit(10)).collect()
+    assert all(r.ws_tokens > 0 and r.bpe_ish_tokens > 0 for r in tc)
+
+
+def test_language_id(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the dog went to the house and this is the end"),
+            (1, "der hund und die katze sind in das haus und der garten ist schoen"),
+            (2, "el gato y el perro es los animales y la casa es grande"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in text.language_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "es"
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    from hive_jq_udtf_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.docs_as_media(docs)
+    assert media.schema.simpleString() == multimodal.MEDIA_SCHEMA.simpleString()
+    feats = multimodal.extract_features(media, dim=8).collect()
+    assert len(feats) == 20
+    assert all(len(r.feature) == 8 and r.decode_ok for r in feats)
+    # determinism
+    feats2 = multimodal.extract_features(media, dim=8).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+    stats = multimodal.modality_stats(media).collect()
+    assert stats[0].modality == "text" and stats[0].n == 20
+    resized = multimodal.resize_images(media).collect()
+    assert all(r.meta.width == 224 for r in resized)
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, use_real_codecs=True)
+
+
+def test_frame_sampling(spark):
+    rows = [
+        (1, "video", b"\x00" * 64, {"mime": "video/mp4", "width": None, "height": None, "duration_ms": 3500, "n_bytes": 64}),
+        (2, "video", b"\x01" * 64, {"mime": "video/mp4", "width": None, "height": None, "duration_ms": 500, "n_bytes": 64}),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    frames = multimodal.sample_frames(media, every_ms=1000).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id.get(1, [])) == 3
+    assert 2 not in by_id  # sub-interval video yields no frames

@@ -1,0 +1,91 @@
+"""Structured Streaming: the jq operator applied to a stream, with
+watermarked windows — deterministic availableNow + memory sink."""
+
+import json
+import shutil
+
+import pytest
+
+from hive_jq_udtf_spark.streaming.jq_stream import (
+    jq_stream_explode,
+    run_file_stream_once,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    rows = []
+    for i in range(100):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": f"2026-01-01T00:{i % 60:02d}:00.000Z",
+                "event_type": "click" if i % 2 == 0 else "view",
+                "props": json.dumps({"k": i}),
+            }
+        )
+    p = tmp_path / "events"
+    p.mkdir()
+    with open(p / "part-0.jsonl", "w") as f:
+        for r in rows[:50]:
+            f.write(json.dumps(r) + "\n")
+    with open(p / "part-1.jsonl", "w") as f:
+        for r in rows[50:]:
+            f.write(json.dumps(r) + "\n")
+    return str(p)
+
+
+SCHEMA = "event_id long, ts timestamp, event_type string, props string"
+
+
+def test_jq_on_stream(spark, stream_dir):
+    out = run_file_stream_once(
+        spark,
+        stream_dir,
+        SCHEMA,
+        lambda src: jq_stream_explode(src, "props", "{k: .k}", "k:int"),
+        out_table="jq_stream_plain",
+    )
+    rows = out.collect()
+    assert len(rows) == 100
+    assert sorted(r.k for r in rows) == list(range(100))
+
+
+def test_jq_stream_requires_stream(spark):
+    df = spark.createDataFrame([("{}",)], "props string")
+    with pytest.raises(ValueError):
+        jq_stream_explode(df, "props", ".", "string")
+
+
+def test_windowed_counts_with_watermark(spark, stream_dir):
+    out = run_file_stream_once(
+        spark,
+        stream_dir,
+        SCHEMA,
+        lambda src: windowed_event_counts(src, window="10 minutes", watermark="1 hour"),
+        out_table="jq_stream_windowed",
+        # complete mode: append would withhold windows the watermark
+        # hasn't finalized by end-of-stream
+        output_mode="complete",
+    )
+    rows = out.collect()
+    # 60 distinct minutes → 6 windows of 10 min × 2 event types
+    assert len(rows) > 0
+    assert all(r.n > 0 for r in rows)
+    total = sum(r.n for r in rows)
+    assert total == 100
+
+
+def test_native_tier_on_stream(spark, stream_dir):
+    # native tier (pure expressions) is streaming-safe by construction
+    out = run_file_stream_once(
+        spark,
+        stream_dir,
+        SCHEMA,
+        lambda src: jq_stream_explode(
+            src, "props", "{k: .k}", "k:int", native="require"
+        ),
+        out_table="jq_stream_native",
+    )
+    assert out.count() == 100
