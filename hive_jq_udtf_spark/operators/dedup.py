@@ -208,11 +208,16 @@ def _jaccard_invert(
 def minhash_signature_col(sh_col: Column, num_perms: int = 128) -> Column:
     """MinHash signature as array<bigint>: perm i = min over shingles
     of xxhash64(shingle, i).  Seeded xxhash64 *is* the family of hash
-    functions — deterministic, JVM codegen."""
-    sigs = [
-        F.array_min(F.transform(sh_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_perms)
-    ]
+    functions — deterministic, JVM codegen.
+
+    NOTE the closure factory: a `lambda s, i=i` two-parameter lambda
+    would be interpreted by F.transform as (element, INDEX) and the
+    permutation seed silently replaced by the array position."""
+
+    def perm_hash(i: int):
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    sigs = [F.array_min(F.transform(sh_col, perm_hash(i))) for i in range(num_perms)]
     return F.array(*sigs)
 
 

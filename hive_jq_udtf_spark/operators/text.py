@@ -70,9 +70,14 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace and BPE-ish token counts per document — the cheap
-    pre-tokenization estimate used for budget planning."""
+    pre-tokenization estimate used for budget planning.
+
+    Column-API regexp (NOT F.expr) so backslashes survive — SQL
+    string literals would swallow the \\s escape."""
     ws = F.size(F.split(F.col(text_col), r"\s+"))
-    bpe = F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}', 0)"))
+    bpe = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    )
     return docs.select(
         "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_ish_tokens")
     )

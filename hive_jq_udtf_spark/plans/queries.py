@@ -671,3 +671,225 @@ ORACLES = {
     "quality_score": _ORACLE_QUALITY,
     "doc_fingerprints": _ORACLE_FINGERPRINTS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Additional coverage: jq language groups J24/J25/J22, MinHash path,
+# embedding near-dup, components, token counts, multimodal metadata
+# ---------------------------------------------------------------------------
+
+
+def q_jq_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J25 path-assignment through the UDTF: update then destructure."""
+    events = load_table(spark, sf_dir, "events")
+    x = jq_explode(
+        events,
+        "props",
+        ".k2 = (.k * 2) | .k3 += 5 | {k: .k, k2: .k2, k3: .k3}",
+        "k:int",
+        "k2:int",
+        "k3:int",
+        native="never",
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return x.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.sum("k2").alias("sum_k2"),
+        F.sum("k3").alias("sum_k3"),
+    )
+
+
+_ORACLE_JQ_ASSIGN = """
+WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+SELECT count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(sum(k * 2) AS BIGINT) AS sum_k2,
+       CAST(count(*) * 5 AS BIGINT) AS sum_k3
+FROM k
+"""
+
+
+def q_jq_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J24 reduce/foreach through the UDTF."""
+    events = load_table(spark, sf_dir, "events")
+    x = jq_explode(
+        events,
+        "props",
+        "{s: (reduce (.k, .k + 1, .k + 2) as $x (0; . + $x)),"
+        " f: ([foreach (1, 2, 3) as $i (0; . + $i)] | last)}",
+        "s:int",
+        "f:int",
+        native="never",
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return x.agg(
+        F.count("*").alias("n"),
+        F.sum("s").alias("sum_s"),
+        F.sum("f").alias("sum_f"),
+    )
+
+
+_ORACLE_JQ_REDUCE = """
+WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+SELECT count(*) AS n,
+       CAST(sum(3 * k + 3) AS BIGINT) AS sum_s,
+       CAST(count(*) * 6 AS BIGINT) AS sum_f
+FROM k
+"""
+
+
+def q_jq_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J22 string/regex builtins through the UDTF."""
+    events = load_table(spark, sf_dir, "events")
+    x = jq_explode(
+        events,
+        "props",
+        '{isnum: (.k | tostring | test("^[0-9]+$")),'
+        " ndig: (.k | tostring | length),"
+        ' padded: ("v-" + (.k | tostring))}',
+        "isnum:boolean",
+        "ndig:int",
+        "padded:string",
+        native="never",
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return (
+        x.groupBy("isnum", "ndig")
+        .agg(F.count("*").alias("n"), F.max("padded").alias("max_padded"))
+        .orderBy("isnum", "ndig")
+    )
+
+
+_ORACLE_JQ_REGEX = """
+WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+SELECT true AS isnum, length(CAST(k AS VARCHAR)) AS ndig,
+       count(*) AS n, max('v-' || CAST(k AS VARCHAR)) AS max_padded
+FROM k GROUP BY 2 ORDER BY 1, 2
+"""
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact verification: at the planted
+    duplication level (all planted pairs have jaccard ≥0.9) LSH
+    recall at 32 bands × 4 rows is 1-(1-0.9^4)^32 ≈ 1-1.5e-15 —
+    results deterministically equal the exact oracle."""
+    from ..operators.dedup import minhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(docs, n=3, threshold=0.8, bands=32, rows=4)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.45)."""
+    from ..operators.similarity import pairwise_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        pairwise_cosine(emb, threshold=0.45)
+        .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_ORACLE_EMB_NEARDUP = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+ORDER BY vec_a, vec_b
+"""
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph (iterative
+    label propagation; oracle via recursive CTE)."""
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return connected_components(pairs).orderBy("doc_id")
+
+
+_ORACLE_COMPONENTS = """
+WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+s AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 2)) AS i, ts FROM t),
+g AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh FROM s),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+          FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+edges AS (
+  SELECT i AS a, j AS b FROM inter
+  JOIN sz na ON na.doc_id = i JOIN sz nb ON nb.doc_id = j
+  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+walk(id, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.id)
+SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id ORDER BY doc_id
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    from ..operators.text import token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_counts(docs).orderBy("doc_id").limit(300)
+
+
+_ORACLE_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS INTEGER) AS bpe_ish_tokens
+FROM documents ORDER BY doc_id LIMIT 300
+"""
+
+
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata aggregation (binary payloads pruned from
+    the scan — JVM-side only)."""
+    from ..operators.multimodal import docs_as_media, modality_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return modality_stats(docs_as_media(docs))
+
+
+_ORACLE_MM_STATS = """
+SELECT 'text' AS modality, count(*) AS n,
+       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+       round(avg(octet_length(CAST(text AS BLOB))), 4) AS avg_bytes
+FROM documents
+"""
+
+
+QUERIES.update(
+    {
+        "jq_assignment": q_jq_assignment,
+        "jq_reduce": q_jq_reduce,
+        "jq_regex": q_jq_regex,
+        "minhash_neardup": q_minhash_neardup,
+        "embedding_neardup": q_embedding_neardup,
+        "dedup_components": q_dedup_components,
+        "token_counts": q_token_counts,
+        "multimodal_stats": q_multimodal_stats,
+    }
+)
+
+ORACLES.update(
+    {
+        "jq_assignment": _ORACLE_JQ_ASSIGN,
+        "jq_reduce": _ORACLE_JQ_REDUCE,
+        "jq_regex": _ORACLE_JQ_REGEX,
+        "minhash_neardup": _ORACLE_NEARDUP,
+        "embedding_neardup": _ORACLE_EMB_NEARDUP,
+        "dedup_components": _ORACLE_COMPONENTS,
+        "token_counts": _ORACLE_TOKEN_COUNTS,
+        "multimodal_stats": _ORACLE_MM_STATS,
+    }
+)

@@ -195,3 +195,15 @@ def test_frame_sampling(spark):
         by_id.setdefault(r.media_id, []).append(r)
     assert len(by_id.get(1, [])) == 3
     assert 2 not in by_id  # sub-interval video yields no frames
+
+
+def test_minhash_signature_varies_across_perms(spark):
+    # regression: F.transform 2-arg lambdas receive (element, index) —
+    # a seed passed via default arg gets shadowed and every perm
+    # collapses to the same hash
+    docs = spark.createDataFrame(
+        [(0, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    sig = dedup.add_minhash(docs, num_perms=8).collect()[0].minhash
+    assert len(set(sig)) > 1, "permutations must produce distinct min-hashes"
