@@ -23,6 +23,8 @@ the 100 TB shape:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -221,16 +223,50 @@ def minhash_signature_col(sh_col: Column, num_perms: int = 128) -> Column:
     return F.array(*sigs)
 
 
+def _minhash_sig_udf(num_perms: int, seed: int = 42):
+    """Arrow-batched signature kernel: input = array<bigint> of base
+    shingle hashes (computed once, JVM-side xxhash64), output =
+    array<bigint> MinHash signature.  All ``num_perms`` permutations
+    are affine maps a_i·h + b_i over uint64 (a_i odd ⇒ bijective),
+    evaluated as ONE vectorized (perms × shingles) numpy min-reduce
+    per row — replaces num_perms interpreted HOF expressions."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(1, 2**62, size=num_perms, dtype=np.int64).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 2**62, size=num_perms, dtype=np.int64).astype(np.uint64)
+    empty = np.full(num_perms, np.iinfo(np.int64).max, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            H = np.asarray(h, dtype=np.int64).view(np.uint64)
+            if H.size == 0:
+                out.append(empty)
+                continue
+            out.append((a[:, None] * H[None, :] + b[:, None]).min(axis=1).view(np.int64))
+        return pd.Series(out)
+
+    return sig
+
+
 def add_minhash(
     docs: DataFrame,
     n: int = 3,
     num_perms: int = 128,
     text_col: str = "text",
+    impl: str = "pandas",
 ) -> DataFrame:
     sh = shingles_col(F.col(text_col), n)
-    return docs.withColumn("__shingles", sh).withColumn(
-        "minhash", minhash_signature_col(F.col("__shingles"), num_perms)
-    )
+    docs = docs.withColumn("__shingles", sh)
+    if impl == "expr":
+        return docs.withColumn(
+            "minhash", minhash_signature_col(F.col("__shingles"), num_perms)
+        )
+    base = F.transform(F.col("__shingles"), lambda s: F.xxhash64(s))
+    return docs.withColumn("minhash", _minhash_sig_udf(num_perms)(base))
 
 
 def lsh_candidate_pairs(
@@ -281,7 +317,13 @@ def minhash_neardup_pairs(
     At threshold t, catch probability per true pair is
     1-(1-t^rows)^bands (≈1 for t≥0.9 at 16×8); verification is exact
     so no false positives."""
-    with_sig = add_minhash(docs, n=n, num_perms=num_perms, text_col=text_col)
+    # Spread the signature computation across the cluster even when
+    # the source is a single row group, and materialize it once — it
+    # feeds BOTH the LSH-candidate join and the exact-verify join.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    with_sig = add_minhash(
+        docs.repartition(par), n=n, num_perms=num_perms, text_col=text_col
+    ).localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(with_sig, bands=bands, rows=rows, id_col=id_col)
     sh = with_sig.select(F.col(id_col).alias("did"), F.col("__shingles").alias("sh"))
     a = sh.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -290,9 +332,15 @@ def minhash_neardup_pairs(
         cands.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn(
+            # try_divide: two empty-shingle docs (shorter than n
+            # tokens) share the sentinel signature and reach the
+            # verifier with |union| = 0 — their jaccard is undefined
+            # (NULL), never a match, not an ANSI error.
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.try_divide(
+                F.size(F.array_intersect("sh_a", "sh_b")),
+                F.size(F.array_union("sh_a", "sh_b")),
+            ),
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -322,7 +370,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     component) with component = min reachable id.  Iterative
     small-step joins; each iteration is one shuffle.  Converges in
     O(log longest-path) iterations for dedup-cluster shapes."""
-    edges = pairs.select("doc_a", "doc_b")
+    # Materialize the edge list ONCE — it is reused every iteration,
+    # and without this the (possibly expensive) pair-generation
+    # lineage (e.g. a similarity join) re-executes per iteration.
+    edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
     sym = edges.union(edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
     labels = (
         sym.select(F.col("doc_a").alias("id"))

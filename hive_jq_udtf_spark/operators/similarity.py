@@ -134,19 +134,51 @@ def pairwise_cosine(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", threshold: float = 0.9
 ) -> DataFrame:
     """All pairs above a cosine threshold (embedding near-dup
-    detection).  Quadratic — use srp buckets first at scale."""
-    d = with_norm(df, vec_col).select(
-        F.col(id_col).alias("did"), F.col("__vec_d").alias("v"), F.col("__norm").alias("n")
-    )
-    a, b = d.alias("a"), d.alias("b")
-    return (
-        a.join(b, F.col("a.did") < F.col("b.did"))
-        .withColumn(
-            "cosine",
-            dot_col(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")),
-        )
-        .where(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.did").alias("vec_a"), F.col("b.did").alias("vec_b"), "cosine"
-        )
+    detection).
+
+    Physical strategy: the corpus is collected once as an
+    (ids, float64 matrix) pair and broadcast to every task; each
+    input partition then computes its block × corpus Gram matrix as
+    one vectorized matmul (Arrow batch in → numpy BLAS → Arrow out).
+    No O(n²) join, no per-pair interpreted expression, no shuffle at
+    all — the only cost is the scan plus C = B·Mᵀ per block.
+
+    Scale note (100 TB): valid while ONE side fits in executor
+    memory (a 10M×256-dim float64 corpus is ~20 GB — chunk the
+    broadcast or pre-block by srp_bucket_col / IVF cell and apply
+    this same kernel within blocks; see srp_topk for the blocked
+    candidate-generation shape)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    if not rows:
+        return spark.createDataFrame([], "vec_a bigint, vec_b bigint, cosine double")
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0.0] = np.nan  # zero vectors never match (cosine undefined)
+    unit = mat / norms[:, None]
+    bc = spark.sparkContext.broadcast((ids, unit))
+
+    def gram(batches):
+        import pandas as pd
+
+        all_ids, all_unit = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            bmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bnorm = np.sqrt((bmat * bmat).sum(axis=1))
+            bnorm[bnorm == 0.0] = np.nan
+            bunit = bmat / bnorm[:, None]
+            sims = bunit @ all_unit.T
+            ii, jj = np.nonzero((sims >= threshold) & (bids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {"vec_a": bids[ii], "vec_b": all_ids[jj], "cosine": sims[ii, jj]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gram, "vec_a bigint, vec_b bigint, cosine double"
     )
