@@ -431,6 +431,89 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash60_portable(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Engine-portable 60-bit SimHash: token hash = first 15 hex
+    chars of md5 parsed as an integer (computable bit-identically in
+    any ANSI-SQL engine — DuckDB: ('0x'||substr(md5(t),1,15))::bigint
+    — which is what makes this variant oracle-checkable, unlike the
+    xxhash64 simhash64 above).  Bit-majority vote via 60 conditional
+    sums: one groupBy shuffle on the id, partial aggregation
+    map-side, all codegen."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1).cast("long")) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(60)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for i in range(60):
+        sim = sim + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash60_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by portable 60-bit SimHash.  Blocking: 4
+    chunks of 15 bits — by pigeonhole any pair within hamming ≤ 3
+    agrees on ≥ 1 chunk, so the chunk equi-join finds EVERY such
+    pair (exact, not probabilistic) while shuffling on chunk values
+    instead of forming n² pairs.  Exact hamming verified with
+    bit_count(xor)."""
+    if max_hamming > 3:
+        raise ValueError("4x15-bit blocking is only exact for max_hamming <= 3")
+    sh = simhash60_portable(docs, text_col=text_col, id_col=id_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftrightunsigned(F.col("simhash"), i * 15)
+                .bitwiseAND(F.lit(0x7FFF).cast("long"))
+                .alias("cv"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = sh.select(
+        F.col(id_col).alias("did"), F.col("simhash"), F.explode(chunks).alias("ch")
+    ).select("did", "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.did") < F.col("b.did")),
+        )
+        .select(
+            F.col("a.did").alias("doc_a"),
+            F.col("b.did").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_neardup_pairs(
     docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

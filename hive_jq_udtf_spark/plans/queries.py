@@ -893,3 +893,228 @@ ORACLES.update(
         "multimodal_stats": _ORACLE_MM_STATS,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-1 wave 3: portable SimHash, language-ID, ANN (SRP-LSH), and a
+# Structured-Streaming windowed aggregation — each oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 of 60 bits).  The
+    4x15-bit chunk blocking is EXACT for this radius (pigeonhole),
+    so the result deterministically equals the brute-force oracle."""
+    from ..operators.dedup import simhash60_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash60_neardup_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def _gen_simhash_oracle(max_hamming: int = 3) -> str:
+    bits = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    shift = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(60)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+b AS (SELECT doc_id, {bits} FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, {shift} AS simhash FROM b)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+_ORACLE_SIMHASH = _gen_simhash_oracle(3)
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram/stopword language-ID over documents."""
+    from ..operators.text import _LANG_PROFILES, language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    langs = list(_LANG_PROFILES)
+    return (
+        language_id(docs)
+        .select(
+            "doc_id",
+            "pred_lang",
+            *[F.round(f"score_{l}", 4).alias(f"score_{l}") for l in langs],
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _gen_language_oracle() -> str:
+    from ..operators.text import _LANG_PROFILES
+
+    langs = list(_LANG_PROFILES)
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    score_exprs = ",\n       ".join(
+        "("
+        + " + ".join(
+            f"(length(t) - length(replace(t, '{esc(p)}', ''))) / {max(len(p), 1)}"
+            for p in pats
+        )
+        + f") AS score_{lang}"
+        for lang, pats in _LANG_PROFILES.items()
+    )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = (
+        "CASE "
+        + " ".join(f"WHEN score_{l} = best THEN '{l}'" for l in langs)
+        + " ELSE NULL END"
+    )
+    rounded = ", ".join(f"round(score_{l}, 4) AS score_{l}" for l in langs)
+    return f"""
+WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+s AS (SELECT doc_id, {score_exprs} FROM p),
+b AS (SELECT *, {best} AS best FROM s)
+SELECT doc_id, {pred} AS pred_lang, {rounded}
+FROM b ORDER BY doc_id
+"""
+
+
+_ORACLE_LANGUAGE_ID = _gen_language_oracle()
+
+
+def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbours: SRP-LSH bucketing (16 buckets)
+    + exact cosine re-rank within buckets; 50 fixed query vectors
+    against the whole corpus.  The bucket assignment, candidate set,
+    and ranking are fully deterministic (seeded hyperplanes), so the
+    SQL oracle reproduces them exactly."""
+    from ..operators.similarity import srp_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 50)
+    out = srp_topk(q, emb, k=5, n_planes=4, dim=64)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round("cosine", 4).alias("cosine"),
+    ).orderBy("query_id", "rank")
+
+
+def _gen_srp_oracle(n_planes: int = 4, dim: int = 64, k: int = 5, qmax: int = 50) -> str:
+    from ..operators.similarity import _random_hyperplanes
+
+    planes = _random_hyperplanes(dim, n_planes, seed=42)
+
+    def dot_const(vec: str, consts) -> str:
+        return "(" + " + ".join(
+            f"{vec}[{i + 1}]::DOUBLE * ({c!r})" for i, c in enumerate(consts)
+        ) + ")"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_const('embedding', p)} >= 0 THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    norm = "sqrt(" + " + ".join(
+        f"embedding[{i + 1}]::DOUBLE * embedding[{i + 1}]::DOUBLE" for i in range(dim)
+    ) + ")"
+    pair_dot = " + ".join(
+        f"q.embedding[{i + 1}]::DOUBLE * c.embedding[{i + 1}]::DOUBLE"
+        for i in range(dim)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket, {norm} AS nrm FROM embeddings),
+q AS (SELECT * FROM b WHERE vec_id < {qmax}),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ({pair_dot}) / (q.nrm * c.nrm) AS cosine
+      FROM q JOIN b c ON q.bucket = c.bucket),
+r AS (SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+FROM r WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+_ORACLE_ANN_SRP = _gen_srp_oracle()
+
+
+_STREAM_QUERY_SEQ = [0]
+
+
+def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end: parquet file stream source →
+    jq extraction → watermarked tumbling-window aggregate → memory
+    sink (availableNow, deterministic).  The batch oracle computes
+    the same windows with time_bucket."""
+    from ..sources.tables import enable_nanos
+    from ..streaming.jq_stream import windowed_event_counts
+
+    enable_nanos(spark)
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    win = windowed_event_counts(raw, program="{k: .k}", window="1 hour", watermark="2 hours")
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stream_win_counts_{_STREAM_QUERY_SEQ[0]}"
+    q = (
+        win.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select(
+            F.unix_timestamp("win_start").alias("win_epoch"),
+            "event_type",
+            "n",
+            "sum_k",
+        )
+        .orderBy("win_epoch", "event_type")
+    )
+
+
+_ORACLE_STREAM_WINDOWED = """
+SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS win_epoch,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1, 2
+ORDER BY win_epoch, event_type
+"""
+
+
+QUERIES.update(
+    {
+        "simhash_neardup": q_simhash_neardup,
+        "language_id": q_language_id,
+        "ann_srp_topk": q_ann_srp_topk,
+        "stream_windowed": q_stream_windowed,
+    }
+)
+
+ORACLES.update(
+    {
+        "simhash_neardup": _ORACLE_SIMHASH,
+        "language_id": _ORACLE_LANGUAGE_ID,
+        "ann_srp_topk": _ORACLE_ANN_SRP,
+        "stream_windowed": _ORACLE_STREAM_WINDOWED,
+    }
+)

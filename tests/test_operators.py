@@ -207,3 +207,60 @@ def test_minhash_signature_varies_across_perms(spark):
     )
     sig = dedup.add_minhash(docs, num_perms=8).collect()[0].minhash
     assert len(set(sig)) > 1, "permutations must produce distinct min-hashes"
+
+
+def test_simhash60_portable_identical_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta " * 10), (1, "alpha beta gamma delta " * 10),
+         (2, "omega psi chi phi " * 10)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash60_neardup_pairs(docs, max_hamming=3).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in pairs] == [(0, 1, 0)]
+
+
+def test_simhash60_fits_60_bits(spark):
+    docs = spark.createDataFrame([(0, "x y z w v u t s")], "doc_id long, text string")
+    sh = dedup.simhash60_portable(docs).collect()[0].simhash
+    assert 0 <= sh < (1 << 60)
+
+
+def test_simhash60_blocking_threshold_guard(spark):
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.simhash60_neardup_pairs(docs, max_hamming=4)
+
+
+def test_language_id_heuristic(spark):
+    from hive_jq_udtf_spark.operators.text import language_id
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the dog went to the house that was there"),
+            (1, "der Hund und die Katze ist das Haus schön"),
+            (2, "le chat et la maison est les bons ou quoi"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred_lang for r in language_id(docs).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr"}
+
+
+def test_pairwise_cosine_empty_and_zero_vectors(spark):
+    from hive_jq_udtf_spark.operators.similarity import pairwise_cosine
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert pairwise_cosine(empty, threshold=0.5).count() == 0
+    z = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [1.0, 0.0, 0.0, 0.0]), (3, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = [(r.vec_a, r.vec_b) for r in pairwise_cosine(z, threshold=0.9).collect()]
+    assert out == [(2, 3)]  # zero vector excluded (cosine undefined)
+
+
+def test_minhash_empty_shingle_docs_no_ansi_error(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "x")], "doc_id bigint, text string"
+    )
+    assert dedup.minhash_neardup_pairs(docs, n=3, threshold=0.8).collect() == []
