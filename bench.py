@@ -65,6 +65,13 @@ def main() -> None:
         except Exception as ex:  # record failures as negative sentinel
             sys.stderr.write(f"bench {name} failed: {ex}\n")
             timings[name] = -1.0
+        # Release this query's JVM-side state (localCheckpoint RDDs,
+        # broadcasts) before timing the next one — py4j frees them only
+        # on Python GC, and accumulated blocks skew later measurements.
+        df = None
+        import gc
+
+        gc.collect()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

@@ -54,20 +54,69 @@ def brute_force_topk(
     """Exact cosine top-k of corpus rows per query row.
 
     Returns (query_id, neighbor_id, rank, cosine); ties broken by
-    neighbor_id for determinism."""
-    q = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("__vec_d").alias("qv"),
-        F.col("__norm").alias("qn"),
-    )
-    c = with_norm(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("__vec_d").alias("cv"),
-        F.col("__norm").alias("cn"),
-    )
-    scored = c.join(F.broadcast(q)).withColumn(
-        "cosine", dot_col(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    )
+    neighbor_id for determinism.
+
+    Physical strategy: the (small) query side is collected and
+    broadcast as a float64 unit matrix; each corpus partition scores
+    its block with ONE vectorized matmul and emits only its block's
+    top-k per query under the exact global ordering (-cosine,
+    neighbor_id) — partial top-k is safe because any global top-k
+    row is in its block's top-k under the same total order.  The
+    final window then ranks k × blocks candidates per query instead
+    of the whole corpus.  The corpus is never shuffled or collected,
+    so the shape scales to an arbitrarily large corpus; zero vectors
+    (undefined cosine) are dropped in the kernel."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    out_schema = "query_id bigint, neighbor_id bigint, cosine double"
+    if not qrows:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(0)).select(
+            "query_id", "neighbor_id", "rank", "cosine"
+        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qnorm[qnorm == 0.0] = np.nan
+    qunit = qmat / qnorm[:, None]
+    bc = spark.sparkContext.broadcast((qids, qunit))
+
+    def score_block(batches):
+        import pandas as pd
+
+        q_ids, q_unit = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cn = np.sqrt((cmat * cmat).sum(axis=1))
+            cn[cn == 0.0] = np.nan
+            cunit = cmat / cn[:, None]
+            sims = q_unit @ cunit.T  # (n_queries, block)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                ok = ~np.isnan(row)
+                if not ok.any():
+                    continue
+                cand_ids, cand_sims = cids[ok], row[ok]
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                out_q.append(np.full(len(order), q_ids[qi]))
+                out_n.append(cand_ids[order])
+                out_c.append(cand_sims[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score_block, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

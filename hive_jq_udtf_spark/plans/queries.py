@@ -543,8 +543,8 @@ def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_SIMSEARCH = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id >= 5),
 s AS (SELECT query_id, neighbor_id,
              list_cosine_similarity(qe, ce) AS cosine
       FROM q CROSS JOIN c),
@@ -797,9 +797,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_EMB_NEARDUP = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
 ORDER BY vec_a, vec_b
 """
 

@@ -1,0 +1,73 @@
+"""Physical-plan quality gates (SURVEY §4): these assert the *shape*
+of the plan — pushdown, pruning, broadcast choice, map-side partial
+aggregation, top-k group-limit, Python-boundary absence — so a
+regression that silently de-optimizes a query fails loudly.
+
+The reference delegates all of this to its host engine; in our
+Spark-first design the host IS the engine, so the plan shape is part
+of the product contract (JsonQueryUDTF.java has no analog — these
+gates protect what Catalyst gives us for free)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_jq_udtf_spark.plans.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDTF", "FlatMapGroupsInPandas")
+
+
+def formatted_plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = formatted_plan(spark, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    # column pruning: full lineitem is 16 cols; the scan must read only what's used
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read and "l_comment" not in read
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_dim_joins_are_broadcast(spark):
+    for name in ("top_revenue_orders", "region_revenue"):
+        plan = formatted_plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name  # dims must not shuffle the fact side
+
+
+def test_window_topk_uses_group_limit(spark):
+    # rank<=k must plan as WindowGroupLimit (partial top-k before shuffle),
+    # not a full sort of every partition's rows
+    assert "WindowGroupLimit" in formatted_plan(spark, "window_topk")
+
+
+def test_native_tier_has_no_python_node(spark):
+    plan = formatted_plan(spark, "jq_native_agg")
+    assert not any(p in plan for p in PY_NODES)
+    assert "get_json_object" in plan  # compiled to the native extraction
+
+
+def test_python_tier_is_arrow_batched(spark):
+    plan = formatted_plan(spark, "jq_extract_agg")
+    # the general jq program runs in Python, but it must cross the
+    # boundary Arrow-batched (UDTF/eval nodes), never row-pickled
+    assert any(p in plan for p in PY_NODES)
+
+
+def test_multimodal_stats_prunes_payload_columns(spark):
+    read = [l for l in formatted_plan(spark, "multimodal_stats").splitlines() if "ReadSchema" in l]
+    assert read and all("doc_id" not in l for l in read)  # only text needed
+
+
+def test_exact_dedup_single_shuffle(spark):
+    plan = formatted_plan(spark, "dedup_exact")
+    # one hash-partition exchange for the groupBy (plus AQE read) — the
+    # dedup itself must not add extra shuffles
+    assert plan.count("Exchange hashpartitioning") <= 2
