@@ -179,6 +179,113 @@ def srp_topk(
     )
 
 
+def ivf_assign_cells(
+    df: DataFrame,
+    centroids,  # numpy (C, dim) float64
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantization: for each vector, the ``n_probe``
+    nearest centroid cells by squared L2 (ties broken by cell id).
+    Centroid matrix is broadcast; assignment is one vectorized
+    numpy distance computation per Arrow batch.
+
+    Returns (id, cell, probe_rank) with probe_rank 1..n_probe —
+    n_probe=1 for corpus indexing, >1 for query-side multi-probe."""
+    import numpy as np
+
+    spark = df.sparkSession
+    cmat = np.asarray(centroids, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(cmat)
+
+    def assign(batches):
+        import pandas as pd
+
+        cm = bc.value
+        c_sq = (cm * cm).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            # full squared distance, same term order as the SQL oracle:
+            # sum_i (v_i - c_i)^2 accumulated left-to-right (numpy is
+            # sequential below its pairwise-blocksize for dim <= 128)
+            d2 = ((vm[:, None, :] - cm[None, :, :]) ** 2).sum(axis=-1)
+            # rank cells by (d2, cell_id); stable argsort breaks d2 ties
+            # in cell-id order, matching the oracle's ORDER BY d2, cid
+            top = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            n = len(ids)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_probe),
+                    "cell": top.ravel().astype(np.int64),
+                    "probe_rank": np.tile(np.arange(1, n_probe + 1), n),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} bigint, cell bigint, probe_rank int"
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids,  # numpy (C, dim) float64 — trained offline / supplied
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: corpus vectors are bucketed into
+    their nearest centroid cell; each query probes its ``n_probe``
+    nearest cells and exact-cosine re-ranks only those candidates.
+
+    This is the inverted-file scale path: the corpus shuffles ONCE
+    on cell id (cardinality = n_cells, tunable to the cluster), the
+    per-query candidate set is |corpus|·n_probe/n_cells, and the
+    centroid matrix is the only broadcast state.  Centroids are
+    supplied externally (trained offline — at 100 TB you sample and
+    train once, then assignment is embarrassingly parallel), which
+    also keeps the operator deterministic."""
+    c_cells = ivf_assign_cells(corpus, centroids, 1, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell"
+    )
+    q_cells = ivf_assign_cells(queries, centroids, n_probe, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), "cell"
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__vec_d").alias("cv"),
+        F.col("__norm").alias("cn"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__vec_d").alias("qv"),
+        F.col("__norm").alias("qn"),
+    )
+    cand = (
+        c_cells.join(F.broadcast(q_cells), on="cell")
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(c, on="neighbor_id")
+        .join(F.broadcast(q), on="query_id")
+        .withColumn(
+            "cosine", dot_col(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def pairwise_cosine(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", threshold: float = 0.9
 ) -> DataFrame:

@@ -1118,3 +1118,67 @@ ORACLES.update(
         "stream_windowed": _ORACLE_STREAM_WINDOWED,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat ANN (the inverted-file scale path, complementing SRP-LSH)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k: 8 cells (centroids = the first 8
+    corpus vectors — externally-supplied, deterministic), queries
+    probe their 2 nearest cells, exact cosine re-rank inside.  All
+    assignment arithmetic is replicated term-for-term in the SQL
+    oracle, so results hash-match."""
+    import numpy as np
+
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.where(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    q = emb.where(F.col("vec_id") < 50)
+    out = ivf_topk(q, emb, centroids, k=5, n_probe=2)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+    ).orderBy("query_id", "rank")
+
+
+def _gen_ivf_oracle(n_cells: int = 8, n_probe: int = 2, k: int = 5, qmax: int = 50, dim: int = 64) -> str:
+    d2 = " + ".join(
+        f"(e.embedding[{i+1}]::DOUBLE - c.cv[{i+1}]::DOUBLE) * (e.embedding[{i+1}]::DOUBLE - c.cv[{i+1}]::DOUBLE)"
+        for i in range(dim)
+    )
+    norm = "sqrt(" + " + ".join(
+        f"embedding[{i+1}]::DOUBLE * embedding[{i+1}]::DOUBLE" for i in range(dim)
+    ) + ")"
+    pair_dot = " + ".join(
+        f"qn.embedding[{i+1}]::DOUBLE * cn.embedding[{i+1}]::DOUBLE" for i in range(dim)
+    )
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {n_cells}),
+a AS (SELECT e.vec_id, c.cid, ({d2}) AS d2 FROM embeddings e CROSS JOIN cent c),
+r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a),
+ccell AS (SELECT vec_id AS neighbor_id, cid AS cell FROM r WHERE rn = 1),
+qcell AS (SELECT vec_id AS query_id, cid AS cell FROM r WHERE vec_id < {qmax} AND rn <= {n_probe}),
+cand AS (SELECT DISTINCT query_id, neighbor_id FROM qcell q JOIN ccell c USING (cell)),
+n AS (SELECT vec_id, embedding, {norm} AS nrm FROM embeddings),
+s AS (SELECT cand.query_id, cand.neighbor_id, ({pair_dot}) / (qn.nrm * cn.nrm) AS cosine
+      FROM cand JOIN n qn ON qn.vec_id = cand.query_id
+                JOIN n cn ON cn.vec_id = cand.neighbor_id),
+rr AS (SELECT query_id, neighbor_id, cosine,
+              CAST(row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       FROM s)
+SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+FROM rr WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+_ORACLE_ANN_IVF = _gen_ivf_oracle()
+
+QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
+ORACLES["ann_ivf_topk"] = _ORACLE_ANN_IVF

@@ -264,3 +264,21 @@ def test_minhash_empty_shingle_docs_no_ansi_error(spark):
         [(1, "a b"), (2, "a b"), (3, "x")], "doc_id bigint, text string"
     )
     assert dedup.minhash_neardup_pairs(docs, n=3, threshold=0.8).collect() == []
+
+
+def test_ivf_topk_recall_vs_brute(emb_df):
+    import numpy as np
+
+    from hive_jq_udtf_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    q = emb_df.where("vec_id < 3")
+    cent = np.array(
+        [r.embedding for r in emb_df.where("vec_id < 4").orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    # probing ALL cells makes IVF exhaustive → must equal brute force
+    ivf = ivf_topk(q, emb_df, cent, k=3, n_probe=4)
+    brute = brute_force_topk(q, emb_df, k=3)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in ivf.collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id for r in brute.collect()}
+    assert got == want
