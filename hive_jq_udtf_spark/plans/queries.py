@@ -1182,3 +1182,39 @@ _ORACLE_ANN_IVF = _gen_ivf_oracle()
 
 QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
 ORACLES["ann_ivf_topk"] = _ORACLE_ANN_IVF
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (2 h inactivity gap) per user — the native
+    session_window operator; oracle via gaps-and-islands.  Spark
+    merges events with diff < gap (strict), so the oracle starts a
+    new session on diff >= gap."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window(F.col("ts"), "2 hours"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start_epoch"),
+            F.col("n_events"),
+        )
+        .orderBy("user_id", "session_start_epoch")
+    )
+
+
+_ORACLE_SESSION_WINDOWS = """
+WITH m AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 2 HOUR
+             THEN 1 ELSE 0 END AS new_s
+      FROM events),
+s AS (SELECT user_id, ts,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_epoch
+"""
+
+QUERIES["session_windows"] = q_session_windows
+ORACLES["session_windows"] = _ORACLE_SESSION_WINDOWS
