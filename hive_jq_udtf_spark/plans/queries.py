@@ -1218,3 +1218,68 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_epoch
 
 QUERIES["session_windows"] = q_session_windows
 ORACLES["session_windows"] = _ORACLE_SESSION_WINDOWS
+
+
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (lineitem × part on partkey, left side
+    salted 16×, right side replicated) + revenue by p_brand.  The
+    salting must be result-invariant — the oracle is the PLAIN
+    join."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = salted_join(li, part, on="p_partkey", n_salts=16)
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_ORACLE_SALTED_JOIN = """
+SELECT p_brand, count(*) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized dedup: drop the higher doc_id of every verified
+    near-dup pair (MinHash-LSH candidates, exact Jaccard >= 0.8
+    verify), return the surviving doc ids.  Oracle re-derives the
+    exact pair set and anti-joins."""
+    from ..operators.dedup import minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = minhash_dedup(docs, n=3, threshold=0.8, bands=32, rows=4)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+_ORACLE_MINHASH_DEDUP = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+s AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 2)) AS i, ts FROM t),
+g AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh FROM s),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+          FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+losers AS (
+  SELECT DISTINCT j AS doc_id FROM inter
+  JOIN sz na ON na.doc_id = i JOIN sz nb ON nb.doc_id = j
+  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY doc_id
+"""
+
+QUERIES["salted_join_agg"] = q_salted_join_agg
+ORACLES["salted_join_agg"] = _ORACLE_SALTED_JOIN
+QUERIES["minhash_dedup_keep"] = q_minhash_dedup_keep
+ORACLES["minhash_dedup_keep"] = _ORACLE_MINHASH_DEDUP

@@ -282,3 +282,17 @@ def test_ivf_topk_recall_vs_brute(emb_df):
     got = {(r.query_id, r.rank): r.neighbor_id for r in ivf.collect()}
     want = {(r.query_id, r.rank): r.neighbor_id for r in brute.collect()}
     assert got == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    from hive_jq_udtf_spark.operators.skew import salted_agg_count, salted_join
+
+    left = spark.createDataFrame(
+        [(1, "x")] * 50 + [(2, "y")] * 3, "k long, v string"  # key 1 is hot
+    )
+    right = spark.createDataFrame([(1, "A"), (2, "B"), (3, "C")], "k long, w string")
+    got = salted_join(left, right, on="k", n_salts=4).groupBy("k", "w").count()
+    want = left.join(right, on="k").groupBy("k", "w").count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    agg = {(r.k,): r.n for r in salted_agg_count(left, ["k"], n_salts=4).collect()}
+    assert agg == {(1,): 50, (2,): 3}
