@@ -1283,3 +1283,83 @@ QUERIES["salted_join_agg"] = q_salted_join_agg
 ORACLES["salted_join_agg"] = _ORACLE_SALTED_JOIN
 QUERIES["minhash_dedup_keep"] = q_minhash_dedup_keep
 ORACLES["minhash_dedup_keep"] = _ORACLE_MINHASH_DEDUP
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth: cube, distinct aggregation, pivot
+# ---------------------------------------------------------------------------
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (l_returnflag, l_linestatus) — all 4 grouping-set
+    combinations; NULL marks the rolled-up dimension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (count + sum DISTINCT) — the expand-based
+    distinct-agg plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.round(F.sum_distinct(F.col("l_quantity")), 4).alias("sum_dist_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_DISTINCT_AGG = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       round(sum(DISTINCT l_quantity), 4) AS sum_dist_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT events by event_type (fixed column list so the plan is
+    static — at scale never use inferred pivot values)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.withColumn("hour_of_day", F.hour("ts"))
+        .groupBy("hour_of_day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .orderBy("hour_of_day")
+    )
+
+
+_ORACLE_PIVOT = """
+SELECT extract(hour FROM ts) AS hour_of_day,
+       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+       CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+       CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+       CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["cube_counts"] = q_cube_counts
+ORACLES["cube_counts"] = _ORACLE_CUBE
+QUERIES["distinct_agg"] = q_distinct_agg
+ORACLES["distinct_agg"] = _ORACLE_DISTINCT_AGG
+QUERIES["pivot_counts"] = q_pivot_counts
+ORACLES["pivot_counts"] = _ORACLE_PIVOT
