@@ -1363,3 +1363,81 @@ QUERIES["distinct_agg"] = q_distinct_agg
 ORACLES["distinct_agg"] = _ORACLE_DISTINCT_AGG
 QUERIES["pivot_counts"] = q_pivot_counts
 ORACLES["pivot_counts"] = _ORACLE_PIVOT
+
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attribute each purchase to the user's most recent
+    click at-or-before it (union + window formulation — ONE shuffle
+    on user_id, no inequality join).  Oracle: DuckDB native ASOF
+    JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(purchases, clicks, key="user_id", ts="ts", right_cols=["click_id"])
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_epoch"),
+        F.round("value", 4).alias("value"),
+        "click_id_r",
+        F.unix_timestamp("ts_r").alias("click_epoch"),
+    ).orderBy("purchase_id")
+
+
+_ORACLE_ASOF = """
+WITH p AS (SELECT user_id, ts, event_id AS purchase_id, value FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click')
+SELECT p.purchase_id, p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+       round(p.value, 4) AS value,
+       c.click_id AS click_id_r,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id
+"""
+
+QUERIES["asof_attribution"] = q_asof_attribution
+ORACLES["asof_attribution"] = _ORACLE_ASOF
+
+
+def q_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join: purchases falling inside a 24 h
+    post-signup window of the same user.  Bucketing only prunes; the
+    oracle is the plain inequality join."""
+    from ..operators.range_join import interval_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("s_start"),
+        (F.col("ts") + F.expr("INTERVAL 24 HOURS")).alias("s_end"),
+        F.col("event_id").alias("signup_id"),
+    )
+    out = interval_join_bucketed(
+        purchases, signups, key="user_id", ts="ts", start="s_start", end="s_end"
+    )
+    return out.select("purchase_id", "signup_id", "user_id").orderBy(
+        "purchase_id", "signup_id"
+    )
+
+
+_ORACLE_RANGE = """
+WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase'),
+s AS (SELECT user_id, ts AS s_start, ts + INTERVAL 24 HOUR AS s_end, event_id AS signup_id
+      FROM events WHERE event_type = 'signup')
+SELECT p.purchase_id, s.signup_id, p.user_id
+FROM p JOIN s ON p.user_id = s.user_id AND p.ts >= s.s_start AND p.ts < s.s_end
+ORDER BY purchase_id, signup_id
+"""
+
+QUERIES["range_attribution"] = q_range_attribution
+ORACLES["range_attribution"] = _ORACLE_RANGE

@@ -296,3 +296,45 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     agg = {(r.k,): r.n for r in salted_agg_count(left, ["k"], n_salts=4).collect()}
     assert agg == {(1,): 50, (2,): 3}
+
+
+def test_asof_join_semantics(spark):
+    from hive_jq_udtf_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "p1"), (1, 20.0, "p2"), (2, 5.0, "p3")],
+        "k long, ts double, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0, "c1"), (1, 15.0, "c2"), (1, 25.0, "c3"), (3, 1.0, "c4")],
+        "k long, ts double, cid string",
+    )
+    out = {
+        r.pid: (r.cid_r, r.ts_r)
+        for r in asof_join(left, right, key="k", ts="ts", right_cols=["cid"]).collect()
+    }
+    assert out["p1"] == ("c1", 10.0)   # tie → right row matches (>= semantics)
+    assert out["p2"] == ("c2", 15.0)   # latest at-or-before
+    assert out["p3"] == (None, None)   # no right row for key
+
+
+def test_interval_join_bucketed_exact(spark):
+    import datetime as dt
+
+    from hive_jq_udtf_spark.operators.range_join import interval_join_bucketed
+
+    t0 = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(hours=h), f"p{h}") for h in (0, 5, 30)],
+        "k long, ts timestamp, pid string",
+    )
+    iv = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(hours=6), "i1"),
+         (1, t0 + dt.timedelta(hours=24), t0 + dt.timedelta(hours=48), "i2"),
+         (2, t0, t0 + dt.timedelta(hours=100), "i3")],
+        "k long, s timestamp, e timestamp, iid string",
+    )
+    out = interval_join_bucketed(pts, iv, key="k", ts="ts", start="s", end="e",
+                                 bucket_seconds=3600)
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    assert got == [("p0", "i1"), ("p30", "i2"), ("p5", "i1")]
