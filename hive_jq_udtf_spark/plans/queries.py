@@ -1441,3 +1441,72 @@ ORDER BY purchase_id, signup_id
 
 QUERIES["range_attribution"] = q_range_attribution
 ORACLES["range_attribution"] = _ORACLE_RANGE
+
+
+def q_jq_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface end-to-end: registered `jq` UDTF in a LATERAL
+    join (README.md:121 shape verbatim), aggregated.  Same oracle as
+    the DataFrame-API variant."""
+    register(spark, "jq")
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_sqlv")
+    return spark.sql(
+        """
+        SELECT e.event_type,
+               count(*) AS n,
+               sum(p.k) AS sum_k,
+               round(avg(p.k), 4) AS avg_k
+        FROM events_sqlv e,
+        LATERAL jq(e.props, '{k: .k}', 'k:int') p
+        GROUP BY e.event_type ORDER BY e.event_type
+        """
+    )
+
+
+def q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running (count, sum) of the jq-extracted metric, driven
+    availableNow to completion; final state per user equals the
+    batch aggregate (the oracle)."""
+    from ..sources.tables import enable_nanos
+    from ..streaming.stateful import running_user_totals
+
+    enable_nanos(spark)
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "props")
+    )
+    tot = running_user_totals(raw, json_col="props", program=".k")
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stateful_totals_{_STREAM_QUERY_SEQ[0]}"
+    q = (
+        tot.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update mode emits one row per (user, micro-batch); the final
+    # state per user is the row with the largest n_events
+    t = spark.table(name)
+    final = t.groupBy("user_id").agg(F.max(F.struct("n_events", "sum_k")).alias("s"))
+    return final.select(
+        "user_id", F.col("s.n_events").alias("n_events"), F.col("s.sum_k").alias("sum_k")
+    ).orderBy("user_id")
+
+
+_ORACLE_STATEFUL = """
+SELECT user_id, count(k) AS n_events, CAST(sum(k) AS DOUBLE) AS sum_k
+FROM (SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["jq_sql_lateral"] = q_jq_sql_lateral
+ORACLES["jq_sql_lateral"] = _ORACLE_JQ_AGG
+QUERIES["stateful_running_totals"] = q_stateful_running_totals
+ORACLES["stateful_running_totals"] = _ORACLE_STATEFUL
