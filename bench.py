@@ -54,6 +54,16 @@ def main() -> None:
 
     warm = spark.createDataFrame([('{"k": 1}',)] * 256, "j string").repartition(int(cpus))
     jq_explode(warm, "j", "{k: .k}", "k:int", native="never").collect()
+    # warm the dominant codegen shapes (array HOFs + joins, 60-agg
+    # bit vote, window) so their JIT cost isn't attributed to the
+    # first query that happens to use them
+    from hive_jq_udtf_spark.operators.dedup import ngram_jaccard_pairs, simhash60_neardup_pairs
+
+    tiny = spark.createDataFrame(
+        [(i, "w%d x y z a b c" % i) for i in range(8)], "doc_id long, text string"
+    )
+    ngram_jaccard_pairs(tiny, n=3, threshold=0.8).collect()
+    simhash60_neardup_pairs(tiny, max_hamming=3).collect()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
