@@ -119,3 +119,41 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for l in reversed(langs):
         pred = F.when(F.col(f"score_{l}") == best, F.lit(l)).otherwise(pred)
     return scored.withColumn("pred_lang", pred).select("doc_id", "pred_lang", *[f"score_{l}" for l in langs])
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling / train-test split
+# ---------------------------------------------------------------------------
+
+
+def hash_bucket(col: Column, buckets: int = 100, salt: str = "") -> Column:
+    """Stable, engine-portable sampling bucket in [0, buckets): the
+    first 15 hex chars of md5(salt || id) as an integer, mod buckets.
+    Unlike rand()/sampleBy this is reproducible across engines, runs,
+    partitionings, and cluster sizes — the property a training-data
+    split must have (a re-run of the pipeline keeps every example in
+    the same split)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    return (h % buckets).cast("int")
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, pct: int, buckets: int = 100, salt: str = ""
+) -> DataFrame:
+    """Deterministic ~pct% sample: rows whose hash bucket < pct."""
+    return df.where(hash_bucket(F.col(id_col), buckets, salt) < pct)
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_pct: int = 10, salt: str = "split"
+) -> DataFrame:
+    """Adds a 'split' column ('test' for test_pct% of ids, else
+    'train') — single projection, no shuffle, reproducible."""
+    return df.withColumn(
+        "split",
+        F.when(
+            hash_bucket(F.col(id_col), 100, salt) < test_pct, F.lit("test")
+        ).otherwise(F.lit("train")),
+    )

@@ -1510,3 +1510,35 @@ QUERIES["jq_sql_lateral"] = q_jq_sql_lateral
 ORACLES["jq_sql_lateral"] = _ORACLE_JQ_AGG
 QUERIES["stateful_running_totals"] = q_stateful_running_totals
 ORACLES["stateful_running_totals"] = _ORACLE_STATEFUL
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split + per-split stats: reproducible
+    across engines (md5-derived bucket), runs, and partitionings —
+    the property a training split must have.  Oracle recomputes the
+    identical bucketing in SQL."""
+    from ..operators.text import train_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = train_test_split(docs, "doc_id", test_pct=10, salt="split")
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("split")
+    )
+
+
+_ORACLE_SPLIT = """
+WITH b AS (SELECT *, CASE WHEN ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10
+                     THEN 'test' ELSE 'train' END AS split
+           FROM documents)
+SELECT split, count(*) AS n, round(avg(n_chars), 4) AS avg_chars, min(doc_id) AS min_id
+FROM b GROUP BY split ORDER BY split
+"""
+
+QUERIES["train_test_split"] = q_train_test_split
+ORACLES["train_test_split"] = _ORACLE_SPLIT

@@ -338,3 +338,15 @@ def test_interval_join_bucketed_exact(spark):
                                  bucket_seconds=3600)
     got = sorted((r.pid, r.iid) for r in out.collect())
     assert got == [("p0", "i1"), ("p30", "i2"), ("p5", "i1")]
+
+
+def test_hash_sample_deterministic_and_stable(spark):
+    from hive_jq_udtf_spark.operators.text import hash_sample, train_test_split
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    s1 = sorted(r.doc_id for r in hash_sample(df, "doc_id", 20).collect())
+    s2 = sorted(r.doc_id for r in hash_sample(df.repartition(7), "doc_id", 20).collect())
+    assert s1 == s2 and 120 < len(s1) < 280  # partitioning-invariant, ~20%
+    sp = train_test_split(df, "doc_id", test_pct=10)
+    counts = {r.split: r.n for r in sp.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["test"] + counts["train"] == 1000 and 50 < counts["test"] < 180
