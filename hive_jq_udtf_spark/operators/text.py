@@ -157,3 +157,36 @@ def train_test_split(
             hash_bucket(F.col(id_col), 100, salt) < test_pct, F.lit("test")
         ).otherwise(F.lit("train")),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (training-batch assembly)
+# ---------------------------------------------------------------------------
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget_chars: int = 2000,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Contiguous sequence packing: within each shard (documents
+    ordered by id), assign each doc to bin floor(prefix_size /
+    budget) — the deterministic streaming-packing rule (a doc may
+    straddle its bin's budget; bins are contiguous and stable).
+
+    Scale shape: the window partitions by ``shard_col`` so packing
+    parallelizes across shards — never a global single-task sort.
+    One shuffle (the window partition)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return docs.withColumn(
+        "pack_bin", F.floor(cum_before / budget_chars).cast("long")
+    )

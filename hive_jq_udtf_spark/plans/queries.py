@@ -1542,3 +1542,36 @@ FROM b GROUP BY split ORDER BY split
 
 QUERIES["train_test_split"] = q_train_test_split
 ORACLES["train_test_split"] = _ORACLE_SPLIT
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: per-source contiguous
+    bins of ~2000 chars (prefix-sum rule); per-bin stats."""
+    from ..operators.text import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_documents(docs, budget_chars=2000)
+    return (
+        packed.groupBy("source", "pack_bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source", "pack_bin")
+    )
+
+
+_ORACLE_PACK = """
+WITH c AS (SELECT source, doc_id, n_chars,
+        COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM documents)
+SELECT source, CAST(floor(cum_before / 2000) AS BIGINT) AS pack_bin,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS first_doc
+FROM c GROUP BY 1, 2 ORDER BY source, pack_bin
+"""
+
+QUERIES["pack_documents"] = q_pack_documents
+ORACLES["pack_documents"] = _ORACLE_PACK

@@ -71,3 +71,24 @@ def test_exact_dedup_single_shuffle(spark):
     # one hash-partition exchange for the groupBy (plus AQE read) — the
     # dedup itself must not add extra shuffles
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_asof_join_single_shuffle_no_join_node(spark):
+    # the union+window formulation must plan as ONE hash exchange
+    # (the window partition) and ZERO join operators
+    plan = formatted_plan(spark, "asof_attribution")
+    assert "Join" not in plan  # no SortMergeJoin/BroadcastHashJoin/NestedLoop
+    # exactly one hash shuffle (the window partition); the only other
+    # exchange is the final orderBy's range partitioning
+    assert 1 <= plan.count("hashpartitioning") <= 2
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    plan = formatted_plan(spark, "range_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan  # equi-join on (key, bucket)
+
+
+def test_salted_join_spreads_key(spark):
+    plan = formatted_plan(spark, "salted_join_agg")
+    assert "__salt" in plan  # salt participates in the join key
