@@ -316,3 +316,57 @@ SYNTAX_ERRORS = ["", ".|", "if x then", "def f", "{a:}", "[1,", '"unterminated',
 def test_syntax_errors(program):
     with pytest.raises(JQSyntaxError):
         jq_compile(program + " ")  # avoid cache hits on ""
+
+
+# Edge-semantics regression corpus (round-1 hardening probes —
+# jq-1.5 quirks: number formatting, cross-type sort order, string
+# arithmetic, deep merge, lazy limit, multi-path assignment,
+# error-swallowing alternative, stream round-trips)
+EDGE_CASES = [
+    ("1.0 | tostring", None, ["1"]),
+    ("1.5 | tostring", None, ["1.5"]),
+    ("[1.0] | tojson", None, ["[1]"]),
+    ("1e3 | tostring", None, ["1000"]),
+    ("sort", [[], "a", 3, True, None, {"x": 1}, False],
+     [[None, False, True, 3, "a", [], {"x": 1}]]),
+    ('[null, "a", 1] | min', None, [None]),
+    ('"x" * 3', None, ["xxx"]),
+    ('"x" * 0', None, [None]),
+    ('"a,b,c" / ","', None, [["a", "b", "c"]]),
+    ('{"a":{"b":1,"c":2}} * {"a":{"b":9}}', None, [{"a": {"b": 9, "c": 2}}]),
+    ('[limit(1; 1, error("boom"))]', None, [[1]]),
+    ('first(1, error("boom"))', None, [1]),
+    ("(.a, .b) = 1", {}, [{"a": 1, "b": 1}]),
+    (".a[] = 0", {"a": [1, 2]}, [{"a": [0, 0]}]),
+    ("del(.a[])", {"a": [1, 2], "b": 3}, [{"a": [], "b": 3}]),
+    ('.[0:2] = ["x"]', [1, 2, 3], [["x", 3]]),
+    ('(error("x") // 42)', None, [42]),
+    ('[.[] | .a // "d"]', [{"a": 1}, {"a": None}, {}], [[1, "d", "d"]]),
+    ('try error("e") catch .', None, ["e"]),
+    ('try (1/0) catch "div"', None, ["div"]),
+    ("5 % 3", None, [2]),
+    ("null + 1", None, [1]),
+    ("null + null", None, [None]),
+    ("[1,2] - [2]", None, [[1]]),
+    ('"abc" < "abd"', None, [True]),
+    ('has("a")', {"a": None}, [True]),
+    ("fromstream(tostream)", {"a": [1, {"b": 2}]}, [{"a": [1, {"b": 2}]}]),
+    ("null | .a.b", None, [None]),
+    ('{"b":1,"a":2} | keys', None, [["a", "b"]]),
+    ('{"b":1,"a":2} | keys_unsorted', None, [["b", "a"]]),
+    (".[] as [$a, $b] | $a + $b", [[1, 2], [3, 4]], [3, 7]),
+    (". as {a: $x} | $x", {"a": 5}, [5]),
+    ("{} | .a.b.c = 1", None, [{"a": {"b": {"c": 1}}}]),
+    ("[1,[2,[3]]] | flatten", None, [[1, 2, 3]]),
+    ("[1,[2,[3]]] | flatten(1)", None, [[1, 2, [3]]]),
+    ("{a: .[]}", [1, 2], [{"a": 1}, {"a": 2}]),
+    ('.["a"]?', 5, []),
+    ("[paths(. == 1)]", {"a": 1, "b": {"c": 1}}, [[["a"], ["b", "c"]]]),
+    ("to_entries | from_entries", {"a": 1}, [{"a": 1}]),
+    ('@json "x\\(1+1)"', None, ["x2"]),
+]
+
+
+@pytest.mark.parametrize("program,inp,want", EDGE_CASES)
+def test_edge_semantics(program, inp, want):
+    assert list(jq_compile(program)(inp)) == want
