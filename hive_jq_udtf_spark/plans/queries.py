@@ -1575,3 +1575,199 @@ FROM c GROUP BY 1, 2 ORDER BY source, pack_bin
 
 QUERIES["pack_documents"] = q_pack_documents
 ORACLES["pack_documents"] = _ORACLE_PACK
+
+
+# ---------------------------------------------------------------------------
+# Round-1 wave 4: exact percentiles, custom pandas UDAF,
+# stream-stream join, streaming dedup
+# ---------------------------------------------------------------------------
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`, verified bit-identical)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_entropy_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via applyInPandas: Shannon entropy of the
+    jq-extracted k distribution per event_type (terms accumulated in
+    sorted-k order for determinism)."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    k = events.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    ).where(F.col("k").isNotNull())
+
+    def entropy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        counts = pdf.groupby("k").size().sort_index()
+        p = counts.to_numpy(dtype=np.float64) / float(len(pdf))
+        h = float(-(p * np.log2(p)).sum())
+        return pd.DataFrame(
+            {"event_type": [pdf["event_type"].iloc[0]], "n": [len(pdf)], "entropy": [h]}
+        )
+
+    out = k.groupBy("event_type").applyInPandas(
+        entropy, "event_type string, n long, entropy double"
+    )
+    return out.select(
+        "event_type", "n", F.round("entropy", 4).alias("entropy")
+    ).orderBy("event_type")
+
+
+_ORACLE_ENTROPY = """
+WITH c AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+           FROM events),
+f AS (SELECT event_type, k, count(*) AS cnt FROM c WHERE k IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT event_type, sum(cnt) AS n FROM f GROUP BY 1)
+SELECT f.event_type, CAST(t.n AS BIGINT) AS n,
+       round(-sum((f.cnt * 1.0 / t.n) * log2(f.cnt * 1.0 / t.n) ORDER BY f.k), 4) AS entropy
+FROM f JOIN t ON f.event_type = t.event_type
+GROUP BY f.event_type, t.n ORDER BY f.event_type
+"""
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition and
+    watermarks (purchase attributed to clicks within the prior 24 h,
+    same user), driven availableNow; oracle = batch inequality
+    join."""
+    from ..sources.tables import enable_nanos
+
+    enable_nanos(spark)
+
+    def src():
+        return (
+            spark.readStream.schema(
+                "event_id bigint, ts bigint, user_id bigint, "
+                "event_type string, value double, props string"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        )
+
+    purchases = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        src()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "25 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+        "inner",
+    )
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"ss_join_{_STREAM_QUERY_SEQ[0]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+_ORACLE_SS_JOIN = """
+WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click')
+SELECT p.purchase_id, c.click_id, p.user_id
+FROM p JOIN c ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 24 HOUR
+ORDER BY purchase_id, click_id
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type) — emits the
+    first occurrence of each pair; count per type must equal the
+    batch distinct count."""
+    from ..sources.tables import enable_nanos
+
+    enable_nanos(spark)
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "event_type")
+    )
+    first_seen = raw.dropDuplicates(["user_id", "event_type"])
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stream_dedup_{_STREAM_QUERY_SEQ[0]}"
+    q = (
+        first_seen.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_STREAM_DEDUP = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["percentiles"] = q_percentiles
+ORACLES["percentiles"] = _ORACLE_PERCENTILES
+QUERIES["entropy_udaf"] = q_entropy_udaf
+ORACLES["entropy_udaf"] = _ORACLE_ENTROPY
+QUERIES["stream_stream_join"] = q_stream_stream_join
+ORACLES["stream_stream_join"] = _ORACLE_SS_JOIN
+QUERIES["stream_dedup"] = q_stream_dedup
+ORACLES["stream_dedup"] = _ORACLE_STREAM_DEDUP
