@@ -1671,7 +1671,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     purchases = (
         src()
-        .where(F.col("event_type") == "purchase")
+        .where((F.col("event_type") == "purchase") & (F.col("user_id") < 75))
         .select(
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
@@ -1681,7 +1681,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = (
         src()
-        .where(F.col("event_type") == "click")
+        .where((F.col("event_type") == "click") & (F.col("user_id") < 75))
         .select(
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("c_ts"),
@@ -1714,8 +1714,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_SS_JOIN = """
-WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase'),
-c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click')
+WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+           WHERE event_type = 'purchase' AND user_id < 75),
+c AS (SELECT user_id, ts, event_id AS click_id FROM events
+      WHERE event_type = 'click' AND user_id < 75)
 SELECT p.purchase_id, c.click_id, p.user_id
 FROM p JOIN c ON p.user_id = c.user_id
  AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 24 HOUR
