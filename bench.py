@@ -65,23 +65,35 @@ def main() -> None:
     ngram_jaccard_pairs(tiny, n=3, threshold=0.8).collect()
     simhash60_neardup_pairs(tiny, max_hamming=3).collect()
 
-    timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.collect()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as ex:  # record failures as negative sentinel
-            sys.stderr.write(f"bench {name} failed: {ex}\n")
-            timings[name] = -1.0
-        # Release this query's JVM-side state (localCheckpoint RDDs,
-        # broadcasts) before timing the next one — py4j frees them only
-        # on Python GC, and accumulated blocks skew later measurements.
-        df = None
-        import gc
+    # Two passes: pass 1 (untimed) absorbs whole-stage-codegen JIT for
+    # every plan shape at real data sizes — 10s+ of one-off Janino
+    # compilation otherwise lands on arbitrary queries; pass 2 is the
+    # steady-state measurement (the quantity that scales).  Cold total
+    # is still reported for transparency.
+    import gc
 
-        gc.collect()
+    timings: dict[str, float] = {}
+    cold_total = 0.0
+    for timed in (False, True):
+        for name, fn in QUERIES.items():
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.collect()
+                dt = round(time.time() - t0, 3)
+                if timed:
+                    timings[name] = dt
+                else:
+                    cold_total += dt
+            except Exception as ex:  # record failures as negative sentinel
+                sys.stderr.write(f"bench {name} failed: {ex}\n")
+                if timed:
+                    timings[name] = -1.0
+            # Release this query's JVM-side state (localCheckpoint RDDs,
+            # broadcasts) before the next one — py4j frees them only on
+            # Python GC, and accumulated blocks skew later measurements.
+            df = None
+            gc.collect()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -93,6 +105,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": int(cpus),
+                "cold_suite_seconds": round(cold_total, 3),
             }
         )
     )
