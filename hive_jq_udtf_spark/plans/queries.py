@@ -1773,3 +1773,37 @@ QUERIES["stream_stream_join"] = q_stream_stream_join
 ORACLES["stream_stream_join"] = _ORACLE_SS_JOIN
 QUERIES["stream_dedup"] = q_stream_dedup
 ORACLES["stream_dedup"] = _ORACLE_STREAM_DEDUP
+
+
+def q_jq_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar jq-UDF family in SQL expression position
+    (jq_long / jq_matches / jq_string), composed with relational
+    ops — the expression-position complement of the UDTF."""
+    from ..functions.jq_functions import register_functions
+
+    register_functions(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_fn")
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n,
+               sum(jq_long(props, '.k')) AS sum_k,
+               sum(CASE WHEN jq_matches(props, '.k > 50') THEN 1 ELSE 0 END) AS n_big,
+               min(jq_string(props, '.k | tostring')) AS min_k_str
+        FROM events_fn
+        GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+
+_ORACLE_JQ_SCALAR = """
+WITH k AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+SELECT event_type, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       min(k::VARCHAR) AS min_k_str
+FROM k GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["jq_scalar_functions"] = q_jq_scalar_functions
+ORACLES["jq_scalar_functions"] = _ORACLE_JQ_SCALAR
