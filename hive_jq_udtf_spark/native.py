@@ -16,8 +16,11 @@ programs.
 
 Semantics delta vs the Python tier (documented per D1): Spark casts
 produce NULL where Jackson-lenient marshalling produces 0/false for
-*non-coercible* garbage.  On clean data the tiers agree — pinned by
-the property tests in tests/test_native.py.
+*non-coercible* garbage, and compiled arithmetic (`- * / %`) yields
+NULL on a null/missing operand where jq ABORTS the query (`+` keeps
+jq's null-identity; comparisons keep jq's null-below-everything
+order).  On clean data the tiers agree — pinned by the property
+tests in tests/test_native.py.
 """
 
 from __future__ import annotations
@@ -99,11 +102,110 @@ def _flatten(ast: AST, out: list) -> bool:
                 proj[k_ast[1]] = ("lit", v_ast[1])
             elif v_ast[0] == "neg" and v_ast[1][0] == "literal":
                 proj[k_ast[1]] = ("lit", -v_ast[1][1])
+            elif _expr_ok(v_ast):
+                proj[k_ast[1]] = ("expr", v_ast)
             else:
                 return False
         out.append(("project", proj))
         return True
     return False
+
+
+# Scalar-expression sub-language compilable to Catalyst: numeric
+# arithmetic and path-vs-literal comparisons over paths/literals.
+_NUM_OPS = {"+", "-", "*", "/", "%"}
+# jq's total order puts null below everything, so null OP number is:
+_NULL_CMP = {"<": True, "<=": True, ">": False, ">=": False, "==": False, "!=": True}
+
+
+def _expr_ok(ast: AST) -> bool:
+    tag = ast[0]
+    if tag == "literal":
+        return isinstance(ast[1], (int, float)) and not isinstance(ast[1], bool)
+    if tag == "neg":
+        return _expr_ok(ast[1])
+    if _as_path(ast) is not None:
+        return True
+    if tag == "binop":
+        op, l, r = ast[1], ast[2], ast[3]
+        if op in _NUM_OPS:
+            return _expr_ok(l) and _expr_ok(r)
+        if op in _CMP_OPS:
+            # path-vs-NUMERIC-literal only (either side): the path is
+            # read as double, so string/bool literals stay in Python
+            def num_lit(a):
+                return a[0] == "literal" and isinstance(a[1], (int, float)) and not isinstance(a[1], bool)
+
+            return (
+                _as_path(l) is not None
+                and num_lit(r)
+                or _as_path(r) is not None
+                and num_lit(l)
+            )
+    return False
+
+
+def _expr_paths(ast: AST, acc: list) -> None:
+    """Collect paths referenced by a compilable expression."""
+    tag = ast[0]
+    p = _as_path(ast)
+    if p is not None and tag != "identity":
+        acc.append(p)
+        return
+    if tag == "neg":
+        _expr_paths(ast[1], acc)
+    elif tag == "binop":
+        _expr_paths(ast[2], acc)
+        _expr_paths(ast[3], acc)
+
+
+def _compile_expr(ast: AST, num_path_col) -> Column:
+    """Expression AST → Column.  ``num_path_col(path)`` must return
+    the path's value as a double Column (NULL when missing).
+
+    jq semantics preserved: ``+`` treats null as identity (null+x=x,
+    null+null=null); comparisons use jq's total order for null vs
+    literal.  Delta (documented): on `- * / %` with a null operand jq
+    ABORTS while this tier yields NULL; on non-numeric garbage values
+    the cast yields NULL where jq would abort."""
+    tag = ast[0]
+    if tag == "literal":
+        return F.lit(ast[1])
+    if tag == "neg":
+        return -_compile_expr(ast[1], num_path_col)
+    p = _as_path(ast)
+    if p is not None:
+        return num_path_col(p)
+    op, l, r = ast[1], ast[2], ast[3]
+    if op in _CMP_OPS:
+        if _as_path(l) is not None and r[0] == "literal":
+            path, lit, cop = _as_path(l), r[1], op
+        else:
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+            path, lit, cop = _as_path(r), l[1], flip.get(op, op)
+        c = num_path_col(path)
+        ops = {
+            "==": lambda a, b: a == b,
+            "!=": lambda a, b: a != b,
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+        }
+        return F.coalesce(ops[cop](c, F.lit(lit)), F.lit(_NULL_CMP[cop]))
+    lc = _compile_expr(l, num_path_col)
+    rc = _compile_expr(r, num_path_col)
+    if op == "+":
+        return F.when(lc.isNull(), rc).when(rc.isNull(), lc).otherwise(lc + rc)
+    if op == "-":
+        return lc - rc
+    if op == "*":
+        return lc * rc
+    if op == "/":
+        return lc.cast("double") / rc.cast("double")
+    if op == "%":
+        return lc.cast("long") % rc.cast("long")
+    raise AssertionError(op)
 
 
 def _as_path(ast: AST) -> Optional[Path]:
@@ -200,6 +302,8 @@ def analyze_program(program: str) -> Optional[NativeIR]:
             for k, v in st[1].items():
                 if isinstance(v, tuple) and v and v[0] == "lit":
                     proj[k] = v
+                elif isinstance(v, tuple) and v and v[0] == "expr":
+                    proj[k] = ("expr", v[1], base)  # paths inside are base-relative
                 else:
                     proj[k] = base + v
             ir.project = proj
@@ -321,6 +425,15 @@ class NativePlan:
                     out_cols.append(F.lit(None).cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "lit":
                     out_cols.append(F.lit(spec[1]).cast(fdt.dataType).alias(fdt.name))
+                elif isinstance(spec, tuple) and spec and spec[0] == "expr":
+                    _, ast, base = spec
+                    c = _compile_expr(
+                        ast,
+                        lambda p: F.get_json_object(
+                            col, _json_path(tuple(base) + p)
+                        ).cast("double"),
+                    )
+                    out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
                 else:
                     raw = F.get_json_object(col, _json_path(spec))
                     out_cols.append(_cast_extracted(raw, fdt.dataType).alias(fdt.name))
@@ -355,7 +468,15 @@ class NativePlan:
         elif ir.project is not None:
             for fdt in self.schema.fields:
                 spec = ir.project.get(fdt.name)
-                if spec is not None and not (isinstance(spec, tuple) and spec and spec[0] == "lit"):
+                if spec is None or (isinstance(spec, tuple) and spec and spec[0] == "lit"):
+                    continue
+                if isinstance(spec, tuple) and spec and spec[0] == "expr":
+                    _, ast, base = spec
+                    refs: list = []
+                    _expr_paths(ast, refs)
+                    for p in refs:
+                        add(tuple(base) + p, T.DoubleType())
+                else:
                     add(spec, fdt.dataType)
         else:
             for fdt in self.schema.fields:
@@ -406,6 +527,18 @@ class NativePlan:
                     out_cols.append(F.lit(None).cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "lit":
                     out_cols.append(F.lit(spec[1]).cast(fdt.dataType).alias(fdt.name))
+                elif isinstance(spec, tuple) and spec and spec[0] == "expr":
+                    _, ast, base = spec
+
+                    def nav(p, _base=tuple(base)):
+                        c = ec
+                        for s in _base + p:
+                            c = c.getItem(s) if isinstance(s, int) else c.getField(s)
+                        return c.cast("double")
+
+                    out_cols.append(
+                        _compile_expr(ast, nav).cast(fdt.dataType).alias(fdt.name)
+                    )
                 else:
                     c = ec
                     for s in spec:

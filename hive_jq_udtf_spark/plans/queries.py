@@ -1807,3 +1807,29 @@ FROM k GROUP BY event_type ORDER BY event_type
 
 QUERIES["jq_scalar_functions"] = q_jq_scalar_functions
 ORACLES["jq_scalar_functions"] = _ORACLE_JQ_SCALAR
+
+
+def q_jq_native_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multicol destructure + computed fields program compiled
+    ENTIRELY to Catalyst expressions (native="require" — no Python
+    node; arithmetic/comparison projection compilation, §4.2
+    expansion).  Oracle identical to the Python-tier variant."""
+    events = load_table(spark, sf_dir, "events")
+    x = jq_explode(
+        events,
+        "props",
+        "{k: .k, big: (.k > 50), bucket: (.k % 10)}",
+        "k:int",
+        "big:boolean",
+        "bucket:int",
+        native="require",
+    )
+    return (
+        x.groupBy("big", "bucket")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("big", "bucket")
+    )
+
+
+QUERIES["jq_native_multicol"] = q_jq_native_multicol
+ORACLES["jq_native_multicol"] = _ORACLE_JQ_MULTICOL

@@ -91,3 +91,41 @@ def test_native_fallback_runs_python(docs_df):
 def test_require_raises_on_general_program(docs_df):
     with pytest.raises(ValueError):
         jq_explode(docs_df, "j", "reduce .[] as $x (0; .+$x)", "int", native="require")
+
+
+def test_native_expression_projection_equivalence(spark):
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    df = spark.createDataFrame(
+        [('{"k": 7}',), ('{"k": 55}',), ('{"k": 0}',), ('{"k": -13}',), ('{"k": 100}',)],
+        "j string",
+    )
+    prog = "{k: .k, big: (.k > 50), bucket: (.k % 10), inc: (.k + 1), r: (.k / 4)}"
+    decls = ("k:int", "big:boolean", "bucket:int", "inc:int", "r:double")
+    nat = sorted(map(tuple, jq_explode(df, "j", prog, *decls, native="require").drop("j").collect()), key=str)
+    py = sorted(map(tuple, jq_explode(df, "j", prog, *decls, native="never").drop("j").collect()), key=str)
+    assert nat == py
+
+
+def test_native_expression_null_plus_identity(spark):
+    # jq: null + 1 == 1 (null-identity for +) — preserved natively
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    df = spark.createDataFrame([('{"k": null}',), ("{}",)], "j string")
+    out = jq_explode(df, "j", "{inc: (.k + 1)}", "inc:int", native="require").collect()
+    assert [r.inc for r in out] == [1, 1]
+
+
+def test_native_expression_no_python_node(spark):
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    df = spark.createDataFrame([('{"k": 1}',)], "j string")
+    out = jq_explode(df, "j", "{b: (.k % 10)}", "b:int", native="require")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_native_string_concat_stays_python(spark):
+    from hive_jq_udtf_spark.native import compile_native
+
+    assert compile_native('{s: (.name + "x")}', ("s:string",)) is None
