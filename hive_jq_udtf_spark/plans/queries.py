@@ -1833,3 +1833,22 @@ def q_jq_native_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["jq_native_multicol"] = q_jq_native_multicol
 ORACLES["jq_native_multicol"] = _ORACLE_JQ_MULTICOL
+
+
+def q_jq_native_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select(.k > 50) compiled to a native WHERE on the extraction
+    (filter runs pre-explode, JVM-only); same oracle as the
+    Python-tier jq_select_filter."""
+    events = load_table(spark, sf_dir, "events")
+    x = jq_explode(
+        events, "props", "select(.k > 50) | {k: .k}", "k:int", native="require"
+    )
+    return (
+        x.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+QUERIES["jq_native_select"] = q_jq_native_select
+ORACLES["jq_native_select"] = _ORACLE_JQ_SELECT

@@ -147,3 +147,45 @@ def test_path_eval_total(path_prog, v):
     the documented type errors."""
     outs = jq_compile(f"{path_prog}?")(v)
     assert len(outs) <= 1
+
+
+# --- expression-projection sub-language: native must agree with jqlib ---
+
+_ops = st.sampled_from(["+", "-", "*", "%"])
+_cmps = st.sampled_from([">", ">=", "<", "<=", "==", "!="])
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["k", "n"]),
+        st.integers(min_value=1, max_value=10_000),
+        min_size=2,  # both keys present: jq aborts arith on missing keys
+        max_size=2,
+    ),
+    _ops,
+    _cmps,
+    st.integers(min_value=1, max_value=100),
+)
+@settings(max_examples=40, deadline=None)
+def test_expression_projection_tiers_agree(doc, op, cmp_op, lit):
+    """For clean docs, the compiled Catalyst expression and the
+    from-scratch jq evaluator produce identical values."""
+    import json
+
+    from hive_jq_udtf_spark.jqlib import jq_compile
+    from hive_jq_udtf_spark.native import analyze_program
+
+    prog = f"{{v: (.k {op} {lit}), c: (.n {cmp_op} {lit})}}"
+    assert analyze_program(prog) is not None  # stays native-compilable
+    [res] = list(jq_compile(prog)(doc))
+    expect_v = {
+        "+": doc["k"] + lit,
+        "-": doc["k"] - lit,
+        "*": doc["k"] * lit,
+        "%": doc["k"] % lit if (doc["k"] < 0) == (lit < 0) or doc["k"] % lit == 0 else doc["k"] % lit - lit,
+    }[op]
+    assert res["v"] == expect_v
+    assert res["c"] == {
+        ">": doc["n"] > lit, ">=": doc["n"] >= lit, "<": doc["n"] < lit,
+        "<=": doc["n"] <= lit, "==": doc["n"] == lit, "!=": doc["n"] != lit,
+    }[cmp_op]
