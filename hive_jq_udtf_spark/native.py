@@ -48,6 +48,10 @@ class Filter:
     op: str  # == != < <= > >= or "truthy"
     lit: Any
     combine: str = "and"  # reserved
+    # when set, the condition LHS is a compiled scalar expression
+    # (arithmetic over paths) instead of a bare path; ``lhs`` then
+    # holds only the base-path prefix the expression is relative to
+    lhs_expr: Any = None
 
 
 @dataclass
@@ -256,6 +260,15 @@ def _parse_filters(cond: AST) -> Optional[list[Filter]]:
         if p is not None and lhs[0] == "literal":
             flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
             return [Filter(p, flip.get(op, op), lhs[1])]
+
+        def num_lit(a):
+            return a[0] == "literal" and isinstance(a[1], (int, float)) and not isinstance(a[1], bool)
+
+        if _expr_ok(lhs) and num_lit(rhs):
+            return [Filter((), op, rhs[1], lhs_expr=lhs)]
+        if _expr_ok(rhs) and num_lit(lhs):
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+            return [Filter((), flip.get(op, op), lhs[1], lhs_expr=rhs)]
         return None
     p = _as_path(cond)
     if p is not None:
@@ -291,11 +304,16 @@ def analyze_program(program: str) -> Optional[NativeIR]:
             fl = st[1]
             if seen_iterate:
                 base = tuple(post_steps)
-                ir.post_filters.extend(Filter(base + f.lhs, f.op, f.lit) for f in fl)
+                ir.post_filters.extend(
+                    Filter(base + f.lhs, f.op, f.lit, lhs_expr=f.lhs_expr) for f in fl
+                )
             else:
                 if post_steps:
                     return None
-                ir.pre_filters.extend(Filter(ir.pre_path + f.lhs, f.op, f.lit) for f in fl)
+                ir.pre_filters.extend(
+                    Filter(ir.pre_path + f.lhs, f.op, f.lit, lhs_expr=f.lhs_expr)
+                    for f in fl
+                )
         elif kind == "project":
             base = tuple(post_steps) if seen_iterate else ir.pre_path
             proj = {}
@@ -348,6 +366,12 @@ def _cast_extracted(raw: Column, dt: T.DataType) -> Column:
 
 
 def _filter_col(json_col: Column, f: Filter) -> Column:
+    if f.lhs_expr is not None:
+        c = _compile_expr(
+            f.lhs_expr,
+            lambda p: F.get_json_object(json_col, _json_path(f.lhs + p)).cast("double"),
+        )
+        return _cmp_with_null_order(c, f.op, f.lit)
     raw = F.get_json_object(json_col, _json_path(f.lhs))
     if f.op == "truthy":
         return raw.isNotNull() & (raw != F.lit("false")) & (raw != F.lit("null"))
@@ -371,7 +395,27 @@ def _filter_col(json_col: Column, f: Filter) -> Column:
     return ops[f.op](lhs, F.lit(lit))
 
 
+def _cmp_with_null_order(c: Column, op: str, lit: Any) -> Column:
+    ops = {
+        "==": lambda a, b: a == b,
+        "!=": lambda a, b: a != b,
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+    }
+    return F.coalesce(ops[op](c, F.lit(lit)), F.lit(_NULL_CMP[op]))
+
+
 def _struct_filter_col(struct_col: Column, f: Filter) -> Column:
+    if f.lhs_expr is not None:
+        def nav(p, _f=f):
+            c = struct_col
+            for s in _f.lhs + p:
+                c = c.getItem(s) if isinstance(s, int) else c.getField(s)
+            return c.cast("double")
+
+        return _cmp_with_null_order(_compile_expr(f.lhs_expr, nav), f.op, f.lit)
     c = struct_col
     for s in f.lhs:
         c = c.getItem(s) if isinstance(s, int) else c.getField(s)

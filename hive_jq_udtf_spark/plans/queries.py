@@ -1852,3 +1852,27 @@ def q_jq_native_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["jq_native_select"] = q_jq_native_select
 ORACLES["jq_native_select"] = _ORACLE_JQ_SELECT
+
+
+def q_jq_native_expr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic select condition compiled natively:
+    select(.k % 2 == 0) runs as a codegen WHERE — no Python."""
+    events = load_table(spark, sf_dir, "events")
+    x = jq_explode(
+        events, "props", "select(.k % 2 == 0) | {k: .k}", "k:int", native="require"
+    )
+    return (
+        x.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_JQ_EXPR_FILTER = """
+SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+WHERE k % 2 = 0 GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["jq_native_expr_filter"] = q_jq_native_expr_filter
+ORACLES["jq_native_expr_filter"] = _ORACLE_JQ_EXPR_FILTER

@@ -129,3 +129,19 @@ def test_native_string_concat_stays_python(spark):
     from hive_jq_udtf_spark.native import compile_native
 
     assert compile_native('{s: (.name + "x")}', ("s:string",)) is None
+
+
+def test_native_expression_filters_equivalence(spark):
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    df = spark.createDataFrame(
+        [(f'{{"k": {i}, "a": [{{"b": {i % 7}}}]}}',) for i in range(40)], "j string"
+    )
+    for prog, decls in [
+        ("select(.k % 2 == 0) | {k: .k}", ("k:int",)),
+        ("select(.k + 10 > 30) | {k: .k}", ("k:int",)),
+        (".a[] | select(.b * 2 >= 6) | {b: .b}", ("b:int",)),
+    ]:
+        nat = sorted(map(tuple, jq_explode(df, "j", prog, *decls, native="require").drop("j").collect()), key=str)
+        py = sorted(map(tuple, jq_explode(df, "j", prog, *decls, native="never").drop("j").collect()), key=str)
+        assert nat == py, prog
