@@ -1876,3 +1876,31 @@ WHERE k % 2 = 0 GROUP BY event_type ORDER BY event_type
 
 QUERIES["jq_native_expr_filter"] = q_jq_native_expr_filter
 ORACLES["jq_native_expr_filter"] = _ORACLE_JQ_EXPR_FILTER
+
+
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level heavy hitters: top-20 tokens by document
+    frequency (explode → two-level aggregation → ordered limit).
+    Map-side partial aggregation bounds the shuffle to distinct
+    tokens per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(20)
+    )
+
+
+_ORACLE_HEAVY_HITTERS = """
+WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+           FROM documents)
+SELECT tok, count(*) AS df
+FROM t GROUP BY tok ORDER BY df DESC, tok LIMIT 20
+"""
+
+QUERIES["token_heavy_hitters"] = q_token_heavy_hitters
+ORACLES["token_heavy_hitters"] = _ORACLE_HEAVY_HITTERS
