@@ -122,31 +122,43 @@ _NUM_OPS = {"+", "-", "*", "/", "%"}
 _NULL_CMP = {"<": True, "<=": True, ">": False, ">=": False, "==": False, "!=": True}
 
 
-def _expr_ok(ast: AST) -> bool:
+def _expr_kind(ast: AST) -> Optional[str]:
+    """'num' | 'bool' for a compilable expression, None = not
+    compilable.  Arithmetic and neg require NUMERIC operands — a
+    comparison used as an arithmetic operand (legal jq: true+1
+    errors, (.k>1)+1 errors too — but booleans would type-mismatch in
+    Catalyst) must reject so auto mode falls back to Python."""
     tag = ast[0]
     if tag == "literal":
-        return isinstance(ast[1], (int, float)) and not isinstance(ast[1], bool)
+        ok = isinstance(ast[1], (int, float)) and not isinstance(ast[1], bool)
+        return "num" if ok else None
     if tag == "neg":
-        return _expr_ok(ast[1])
+        return "num" if _expr_kind(ast[1]) == "num" else None
     if _as_path(ast) is not None:
-        return True
+        return "num"  # read as double
     if tag == "binop":
         op, l, r = ast[1], ast[2], ast[3]
         if op in _NUM_OPS:
-            return _expr_ok(l) and _expr_ok(r)
+            ok = _expr_kind(l) == "num" and _expr_kind(r) == "num"
+            return "num" if ok else None
         if op in _CMP_OPS:
             # path-vs-NUMERIC-literal only (either side): the path is
             # read as double, so string/bool literals stay in Python
             def num_lit(a):
                 return a[0] == "literal" and isinstance(a[1], (int, float)) and not isinstance(a[1], bool)
 
-            return (
+            ok = (
                 _as_path(l) is not None
                 and num_lit(r)
                 or _as_path(r) is not None
                 and num_lit(l)
             )
-    return False
+            return "bool" if ok else None
+    return None
+
+
+def _expr_ok(ast: AST) -> bool:
+    return _expr_kind(ast) is not None
 
 
 def _expr_paths(ast: AST, acc: list) -> None:
@@ -187,16 +199,7 @@ def _compile_expr(ast: AST, num_path_col) -> Column:
         else:
             flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
             path, lit, cop = _as_path(r), l[1], flip.get(op, op)
-        c = num_path_col(path)
-        ops = {
-            "==": lambda a, b: a == b,
-            "!=": lambda a, b: a != b,
-            "<": lambda a, b: a < b,
-            "<=": lambda a, b: a <= b,
-            ">": lambda a, b: a > b,
-            ">=": lambda a, b: a >= b,
-        }
-        return F.coalesce(ops[cop](c, F.lit(lit)), F.lit(_NULL_CMP[cop]))
+        return _cmp_with_null_order(num_path_col(path), cop, lit)
     lc = _compile_expr(l, num_path_col)
     rc = _compile_expr(r, num_path_col)
     if op == "+":
@@ -395,16 +398,20 @@ def _filter_col(json_col: Column, f: Filter) -> Column:
     return ops[f.op](lhs, F.lit(lit))
 
 
+_CMP_FN = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
 def _cmp_with_null_order(c: Column, op: str, lit: Any) -> Column:
-    ops = {
-        "==": lambda a, b: a == b,
-        "!=": lambda a, b: a != b,
-        "<": lambda a, b: a < b,
-        "<=": lambda a, b: a <= b,
-        ">": lambda a, b: a > b,
-        ">=": lambda a, b: a >= b,
-    }
-    return F.coalesce(ops[op](c, F.lit(lit)), F.lit(_NULL_CMP[op]))
+    """jq's total order places null below every number, so a null
+    path value has a DEFINED comparison result, not SQL NULL."""
+    return F.coalesce(_CMP_FN[op](c, F.lit(lit)), F.lit(_NULL_CMP[op]))
 
 
 def _struct_filter_col(struct_col: Column, f: Filter) -> Column:
@@ -526,7 +533,13 @@ class NativePlan:
             for fdt in self.schema.fields:
                 add(ir.single_path + (fdt.name,), fdt.dataType)
         for f in ir.post_filters:
-            add(f.lhs, _spark_type_for_filter_lit(f.lit))
+            if f.lhs_expr is not None:
+                refs: list = []
+                _expr_paths(f.lhs_expr, refs)
+                for p in refs:
+                    add(tuple(f.lhs) + p, T.DoubleType())
+            else:
+                add(f.lhs, _spark_type_for_filter_lit(f.lit))
 
         def to_struct(d: dict) -> T.DataType:
             fields = []

@@ -12,7 +12,12 @@ window formulation instead:
 which costs exactly ONE shuffle on the key (the window partition),
 scales linearly, and inherits AQE skew splitting.  Ties (left.ts ==
 right.ts) match the right row (right sorts before left at equal ts),
-matching DuckDB's ASOF `>=` semantics.
+matching DuckDB's ASOF `>=` semantics.  SQL equality semantics for
+NULL keys are preserved: NULL-key right rows are dropped (they can
+match nothing) and NULL-key left rows come back with NULL payloads.
+Among right rows tied on (key, ts), the one with the LARGEST payload
+struct wins (a deterministic total order — include a unique id in
+``right_cols`` to make the choice reproducible end-to-end).
 """
 
 from __future__ import annotations
@@ -47,7 +52,9 @@ def asof_join(
     r_payload = F.struct(
         F.col(ts).alias("__rts"), *[F.col(c).alias(c) for c in right_cols]
     )
-    r_tagged = right.select(
+    # NULL-key right rows can never match (SQL equality) — drop them
+    # instead of letting the NULL window partition pair them up
+    r_tagged = right.where(F.col(key).isNotNull()).select(
         F.col(key), F.col(ts), F.lit(0).alias("__tag"), r_payload.alias("__r")
     )
     l_unioned = l_tagged.withColumn(
@@ -57,9 +64,12 @@ def asof_join(
         r_tagged.withColumn("__l", F.lit(None).cast(l_tagged.schema["__l"].dataType))
         .select(key, ts, "__tag", "__l", "__r")
     )
+    # __r as the final sort key makes the order total (struct compare:
+    # __rts, then right_cols) — without it, right rows tied on
+    # (key, ts) would be matched nondeterministically across runs
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("__tag").asc())
+        .orderBy(F.col(ts).asc(), F.col("__tag").asc(), F.col("__r").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))

@@ -259,6 +259,13 @@ def add_minhash(
     text_col: str = "text",
     impl: str = "pandas",
 ) -> DataFrame:
+    """NOTE: the two impls produce different (both valid) signature
+    FAMILIES — "pandas" = affine permutations of xxhash64(shingle),
+    "expr" = seeded xxhash64(shingle, i).  Signatures from different
+    impls (or persisted before the pandas kernel was introduced) are
+    mutually incompatible: LSH-joining across families silently
+    yields ~zero collisions.  Recompute signatures with ONE impl for
+    any persisted corpus."""
     sh = shingles_col(F.col(text_col), n)
     docs = docs.withColumn("__shingles", sh)
     if impl == "expr":
@@ -509,8 +516,8 @@ def simhash60_neardup_pairs(
                 "hamming"
             ),
         )
-        .distinct()
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -24,6 +24,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _id_spark_type(df: DataFrame, id_col: str) -> str:
+    """DDL string of the id column's type, so kernels preserve
+    arbitrary id types (bigint, string, ...) end-to-end."""
+    return df.schema[id_col].dataType.simpleString()
+
+
+def _id_numpy(pdf, id_col: str):
+    import numpy as np
+
+    arr = pdf[id_col].to_numpy()
+    return arr if arr.dtype != object else np.asarray(arr, dtype=object)
+
+
 def _to_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -69,14 +82,15 @@ def brute_force_topk(
     import numpy as np
 
     spark = queries.sparkSession
+    id_t = _id_spark_type(queries, id_col)
     qrows = queries.select(id_col, vec_col).collect()
-    out_schema = "query_id bigint, neighbor_id bigint, cosine double"
+    out_schema = f"query_id {id_t}, neighbor_id {id_t}, cosine double"
     if not qrows:
         empty = spark.createDataFrame([], out_schema)
         return empty.withColumn("rank", F.lit(0)).select(
             "query_id", "neighbor_id", "rank", "cosine"
         )
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qids = np.array([r[0] for r in qrows])
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
     qnorm[qnorm == 0.0] = np.nan
@@ -90,7 +104,7 @@ def brute_force_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cids = _id_numpy(pdf, id_col)
             cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
             cn = np.sqrt((cmat * cmat).sum(axis=1))
             cn[cn == 0.0] = np.nan
@@ -103,7 +117,10 @@ def brute_force_topk(
                 if not ok.any():
                     continue
                 cand_ids, cand_sims = cids[ok], row[ok]
-                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                # stable two-key sort that also supports string ids:
+                # sort by id first (stable), then by -cosine
+                by_id = np.argsort(cand_ids, kind="stable")
+                order = by_id[np.argsort(-cand_sims[by_id], kind="stable")][:k]
                 out_q.append(np.full(len(order), q_ids[qi]))
                 out_n.append(cand_ids[order])
                 out_c.append(cand_sims[order])
@@ -197,6 +214,8 @@ def ivf_assign_cells(
 
     spark = df.sparkSession
     cmat = np.asarray(centroids, dtype=np.float64)
+    n_probe = min(n_probe, len(cmat))  # can't probe more cells than exist
+    id_t = _id_spark_type(df, id_col)
     bc = spark.sparkContext.broadcast(cmat)
 
     def assign(batches):
@@ -207,7 +226,7 @@ def ivf_assign_cells(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = _id_numpy(pdf, id_col)
             vm = np.array(list(pdf[vec_col]), dtype=np.float64)
             # full squared distance, same term order as the SQL oracle:
             # sum_i (v_i - c_i)^2 accumulated left-to-right (numpy is
@@ -226,7 +245,7 @@ def ivf_assign_cells(
             )
 
     return df.select(id_col, vec_col).mapInPandas(
-        assign, f"{id_col} bigint, cell bigint, probe_rank int"
+        assign, f"{id_col} {id_t}, cell bigint, probe_rank int"
     )
 
 
@@ -307,10 +326,11 @@ def pairwise_cosine(
     import numpy as np
 
     spark = df.sparkSession
+    id_t = _id_spark_type(df, id_col)
     rows = df.select(id_col, vec_col).collect()
     if not rows:
-        return spark.createDataFrame([], "vec_a bigint, vec_b bigint, cosine double")
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
+        return spark.createDataFrame([], f"vec_a {id_t}, vec_b {id_t}, cosine double")
+    ids = np.array([r[0] for r in rows])
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
     norms[norms == 0.0] = np.nan  # zero vectors never match (cosine undefined)
@@ -324,7 +344,7 @@ def pairwise_cosine(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            bids = _id_numpy(pdf, id_col)
             bmat = np.array(list(pdf[vec_col]), dtype=np.float64)
             bnorm = np.sqrt((bmat * bmat).sum(axis=1))
             bnorm[bnorm == 0.0] = np.nan
@@ -336,5 +356,5 @@ def pairwise_cosine(
             )
 
     return df.select(id_col, vec_col).mapInPandas(
-        gram, "vec_a bigint, vec_b bigint, cosine double"
+        gram, f"vec_a {id_t}, vec_b {id_t}, cosine double"
     )

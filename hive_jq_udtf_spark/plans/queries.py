@@ -1077,7 +1077,9 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish within 300s")
     return (
         spark.table(name)
         .select(
@@ -1490,7 +1492,9 @@ def q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish within 300s")
     # update mode emits one row per (user, micro-batch); the final
     # state per user is the row with the largest n_events
     t = spark.table(name)
@@ -1705,7 +1709,9 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish within 300s")
     return (
         spark.table(name)
         .select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
@@ -1751,7 +1757,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish within 300s")
     return (
         spark.table(name)
         .groupBy("event_type")

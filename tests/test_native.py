@@ -145,3 +145,39 @@ def test_native_expression_filters_equivalence(spark):
         nat = sorted(map(tuple, jq_explode(df, "j", prog, *decls, native="require").drop("j").collect()), key=str)
         py = sorted(map(tuple, jq_explode(df, "j", prog, *decls, native="never").drop("j").collect()), key=str)
         assert nat == py, prog
+
+
+def test_native_expr_filter_with_projection_of_other_field(spark):
+    # regression: expr post-filter paths must register in the element
+    # schema even when the projection doesn't reference them
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    df = spark.createDataFrame(
+        [('{"items": [{"k": 2, "v": 20}, {"k": 3, "v": 30}]}',)], "j string"
+    )
+    out = jq_explode(
+        df, "j", ".items[] | select(.k % 2 == 0) | {v: .v}", "v:int", native="require"
+    ).collect()
+    assert [r.v for r in out] == [20]
+
+
+def test_native_rejects_boolean_in_arithmetic(spark):
+    # (.k > 1) + 1 is a jq type error; the native analyzer must
+    # reject it (fall back) instead of emitting a Catalyst
+    # BOOLEAN+INT expression that fails analysis
+    from hive_jq_udtf_spark.native import compile_native
+
+    assert compile_native("select((.k > 1) + 1 == 2) | {k: .k}", ("k:int",)) is None
+
+
+def test_topk_kernels_preserve_string_ids(spark):
+    from hive_jq_udtf_spark.operators.similarity import brute_force_topk, pairwise_cosine
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    out = brute_force_topk(df.where("vec_id = 'a'"), df, k=2, id_col="vec_id").collect()
+    assert [(r.neighbor_id, r.rank) for r in out] == [("a", 1), ("b", 2)]
+    pairs = pairwise_cosine(df, threshold=0.9, id_col="vec_id").collect()
+    assert [(r.vec_a, r.vec_b) for r in pairs] == [("a", "b")]
