@@ -190,3 +190,23 @@ def pack_documents(
     return docs.withColumn(
         "pack_bin", F.floor(cum_before / budget_chars).cast("long")
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    pcts: dict,
+    id_col: str = "doc_id",
+    buckets: int = 100,
+    salt: str = "strat",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep ~pcts[stratum]% of
+    each stratum's rows, chosen by stable hash bucket (reproducible
+    across runs/engines/partitionings — the rebalancing primitive for
+    skewed training mixes).  Single projection + filter, no shuffle."""
+    b = hash_bucket(F.col(id_col), buckets, salt)
+    pct = F.lit(default_pct)
+    for stratum, p in sorted(pcts.items()):
+        pct = F.when(F.col(strata_col) == stratum, F.lit(p)).otherwise(pct)
+    return df.where(b < pct)

@@ -1912,3 +1912,32 @@ FROM t GROUP BY tok ORDER BY df DESC, tok LIMIT 20
 
 QUERIES["token_heavy_hitters"] = q_token_heavy_hitters
 ORACLES["token_heavy_hitters"] = _ORACLE_HEAVY_HITTERS
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: rebalance the language mix
+    (keep 100% of de/fr/es/zh, 20% of en) — per-stratum stats."""
+    from ..operators.text import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    pcts = {"en": 20, "de": 100, "fr": 100, "es": 100, "zh": 100}
+    samp = stratified_hash_sample(docs, "lang", pcts, id_col="doc_id")
+    return (
+        samp.groupBy("lang")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_id"))
+        .orderBy("lang")
+    )
+
+
+_ORACLE_STRATIFIED = """
+WITH b AS (SELECT *, ('0x' || substr(md5('strat' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bk
+           FROM documents)
+SELECT lang, count(*) AS n, min(doc_id) AS min_id
+FROM b
+WHERE bk < (CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 100 WHEN 'fr' THEN 100
+            WHEN 'es' THEN 100 WHEN 'zh' THEN 100 ELSE 0 END)
+GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["stratified_sample"] = q_stratified_sample
+ORACLES["stratified_sample"] = _ORACLE_STRATIFIED

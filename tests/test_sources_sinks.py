@@ -71,3 +71,29 @@ def test_write_partitioned_round_trip_and_pruning(spark, tmp_path):
     # partition pruning visible in the plan
     plan = back.where(F.col("part") == "a")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "part#" in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """write_bucketed pre-shuffles on the key: joining two tables
+    bucketed the same way must plan with NO Exchange on either side
+    (the co-located-join strategy for repeatedly-joined fact tables)."""
+    import uuid
+
+    from hive_jq_udtf_spark.sources.jsonl import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    a = spark.range(0, 10000).withColumnRenamed("id", "k").withColumn("va", F.col("k") * 2)
+    b = spark.range(0, 10000).withColumnRenamed("id", "k").withColumn("vb", F.col("k") + 1)
+    ta, tb = f"ta_{uuid.uuid4().hex[:8]}", f"tb_{uuid.uuid4().hex[:8]}"
+    try:
+        write_bucketed(a, ta, ["k"], num_buckets=8, sort_by=["k"])
+        write_bucketed(b, tb, ["k"], num_buckets=8, sort_by=["k"])
+        j = spark.table(ta).join(spark.table(tb), on="k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert j.count() == 10000
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
