@@ -358,3 +358,37 @@ def pairwise_cosine(
     return df.select(id_col, vec_col).mapInPandas(
         gram, f"vec_a {id_t}, vec_b {id_t}, cosine double"
     )
+
+
+def train_centroids(
+    df: DataFrame,
+    n_cells: int = 64,
+    sample_n: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
+    """Deterministic IVF centroid training: hash-stable sample of up
+    to ``sample_n`` vectors collected to the driver, then ``iters``
+    Lloyd iterations in numpy (k-means++-lite seeded init).  Returns
+    a (n_cells, dim) float64 matrix for ivf_topk.
+
+    Scale shape: training touches only the sample (one scan +
+    limit); assignment afterwards is embarrassingly parallel.  Fully
+    deterministic — same data, same centroids, every run."""
+    import numpy as np
+
+    rows = df.select(vec_col).limit(sample_n).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    if len(X) < n_cells:
+        raise ValueError(f"sample ({len(X)}) smaller than n_cells ({n_cells})")
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=-1)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent

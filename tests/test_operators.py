@@ -350,3 +350,25 @@ def test_hash_sample_deterministic_and_stable(spark):
     sp = train_test_split(df, "doc_id", test_pct=10)
     counts = {r.split: r.n for r in sp.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert counts["test"] + counts["train"] == 1000 and 50 < counts["test"] < 180
+
+
+def test_trained_ivf_beats_naive_centroids(emb_df):
+    from hive_jq_udtf_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    cent = train_centroids(emb_df, n_cells=4, sample_n=1000, iters=5)
+    assert cent.shape == (4, 16)
+    q = emb_df.where("vec_id < 3")
+    ivf = ivf_topk(q, emb_df, cent, k=3, n_probe=4)  # all probes → exact
+    brute = brute_force_topk(q, emb_df, k=3)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in ivf.collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id for r in brute.collect()}
+    assert got == want
+    # determinism: same inputs → identical centroids
+    cent2 = train_centroids(emb_df, n_cells=4, sample_n=1000, iters=5)
+    import numpy as np
+
+    assert np.array_equal(cent, cent2)
