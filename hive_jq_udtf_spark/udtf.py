@@ -149,12 +149,24 @@ def _make_udtf_class():
     return JsonQueryUDTF
 
 
+VERSION = 1
+
+
 def register(spark: SparkSession, name: str = "jq") -> None:
     """Register the SQL UDTF (versioned names à la ``jq3`` shade
     relocation, pom.xml:101-115, are just extra ``name`` calls)."""
     from pyspark.sql.functions import udtf
 
     spark.udtf.register(name, udtf(_make_udtf_class()))
+
+
+def register_versioned(spark: SparkSession, base: str = "jq") -> None:
+    """Register both the unversioned name and the version-suffixed
+    one (``jq``, ``jq1``) — the reference's side-by-side-versions
+    convention (README.md:20-23: CREATE FUNCTION jq3 after shading)
+    so queries can pin an engine version during upgrades."""
+    register(spark, base)
+    register(spark, f"{base}{VERSION}")
 
 
 # ---------------------------------------------------------------------------

@@ -135,3 +135,14 @@ def test_udtf_on_events_table(spark_jq, sf_dir):
     ).collect()
     assert len(out) == 5
     assert all(r.sum_k > 0 for r in out)
+
+
+def test_versioned_registration(spark_jq):
+    from hive_jq_udtf_spark.udtf import register_versioned
+
+    register_versioned(spark_jq)
+    out = spark_jq.sql(
+        """SELECT v.k FROM (SELECT '{"k": 9}' AS j) t,
+           LATERAL jq1(t.j, '{k: .k}', 'k:int') v"""
+    ).collect()
+    assert [r.k for r in out] == [9]
