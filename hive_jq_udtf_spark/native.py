@@ -108,6 +108,8 @@ def _flatten(ast: AST, out: list) -> bool:
                 proj[k_ast[1]] = ("lit", -v_ast[1][1])
             elif _expr_ok(v_ast):
                 proj[k_ast[1]] = ("expr", v_ast)
+            elif (fc := _as_fnchain(v_ast)) is not None:
+                proj[k_ast[1]] = ("fnchain", fc[0], fc[1])
             else:
                 return False
         out.append(("project", proj))
@@ -120,6 +122,92 @@ def _flatten(ast: AST, out: list) -> bool:
 _NUM_OPS = {"+", "-", "*", "/", "%"}
 # jq's total order puts null below everything, so null OP number is:
 _NULL_CMP = {"<": True, "<=": True, ">": False, ">=": False, "==": False, "!=": True}
+
+
+# Whitelisted scalar function chains compilable to Catalyst.  Value
+# semantics preserved on well-typed data; deltas are the documented
+# cast-garbage class (jq aborts on type errors, the native tier
+# passes through / NULLs).
+_STR_FNS = {"ascii_downcase": 0, "ascii_upcase": 0, "ltrimstr": 1, "rtrimstr": 1}
+_NUM_FNS = {"tonumber": 0, "floor": 0, "sqrt": 0, "fabs": 0}
+
+
+def _pipe_list(ast: AST, acc: list) -> None:
+    if ast[0] == "pipe":
+        _pipe_list(ast[1], acc)
+        _pipe_list(ast[2], acc)
+    else:
+        acc.append(ast)
+
+
+def _fn_info(node: AST):
+    """(name, [literal args]) for a whitelisted call node, else None."""
+    if node[0] != "call":
+        return None
+    name, args = node[1], node[2]
+    arity = _STR_FNS.get(name, _NUM_FNS.get(name))
+    if arity is None or len(args) != arity:
+        return None
+    lits = []
+    for a in args:
+        if a[0] != "literal" or not isinstance(a[1], str):
+            return None
+        lits.append(a[1])
+    return (name, lits)
+
+
+def _as_fnchain(ast: AST):
+    """path + trailing whitelisted-fn suffix → (path, [(name, args)]),
+    else None.  Handles both pipe nestings."""
+    nodes: list = []
+    _pipe_list(ast, nodes)
+    fns = []
+    while nodes:
+        info = _fn_info(nodes[-1])
+        if info is None:
+            break
+        fns.insert(0, info)
+        nodes.pop()
+    if not fns:
+        return None
+    path: tuple = ()
+    for n in nodes:
+        p = _as_path(n)
+        if p is None:
+            return None
+        path = path + p
+    return (path, fns)
+
+
+def _apply_fnchain(c: Column, fns) -> Column:
+    """Apply a whitelisted fn chain to a STRING-typed Column (the
+    get_json_object / from_json string view of the value)."""
+    import string as _string
+
+    for name, args in fns:
+        if name == "ascii_downcase":
+            # jq's ascii_* fold ONLY A-Z — translate, not lower()
+            # (lower() would also fold unicode, a real semantic delta)
+            c = F.translate(c, _string.ascii_uppercase, _string.ascii_lowercase)
+        elif name == "ascii_upcase":
+            c = F.translate(c, _string.ascii_lowercase, _string.ascii_uppercase)
+        elif name == "ltrimstr":
+            pre = args[0]
+            c = F.when(c.startswith(pre), F.substring(c, len(pre) + 1, 2**31 - 1)).otherwise(c)
+        elif name == "rtrimstr":
+            suf = args[0]
+            c = F.when(
+                c.endswith(suf), c.substr(F.lit(1), F.length(c) - len(suf))
+            ).otherwise(c)
+        elif name == "tonumber":
+            c = c.cast("double")
+        elif name == "floor":
+            c = F.floor(c.cast("double"))
+        elif name == "sqrt":
+            c = F.sqrt(c.cast("double"))
+        elif name == "fabs":
+            c = F.abs(c.cast("double"))
+    return c
 
 
 def _expr_kind(ast: AST) -> Optional[str]:
@@ -325,6 +413,8 @@ def analyze_program(program: str) -> Optional[NativeIR]:
                     proj[k] = v
                 elif isinstance(v, tuple) and v and v[0] == "expr":
                     proj[k] = ("expr", v[1], base)  # paths inside are base-relative
+                elif isinstance(v, tuple) and v and v[0] == "fnchain":
+                    proj[k] = ("fnchain", tuple(base) + v[1], v[2])
                 else:
                     proj[k] = base + v
             ir.project = proj
@@ -485,6 +575,10 @@ class NativePlan:
                         ).cast("double"),
                     )
                     out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
+                elif isinstance(spec, tuple) and spec and spec[0] == "fnchain":
+                    _, path, fns = spec
+                    c = _apply_fnchain(F.get_json_object(col, _json_path(path)), fns)
+                    out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
                 else:
                     raw = F.get_json_object(col, _json_path(spec))
                     out_cols.append(_cast_extracted(raw, fdt.dataType).alias(fdt.name))
@@ -527,6 +621,8 @@ class NativePlan:
                     _expr_paths(ast, refs)
                     for p in refs:
                         add(tuple(base) + p, T.DoubleType())
+                elif isinstance(spec, tuple) and spec and spec[0] == "fnchain":
+                    add(spec[1], T.StringType())  # fn chains read the string view
                 else:
                     add(spec, fdt.dataType)
         else:
@@ -595,6 +691,14 @@ class NativePlan:
 
                     out_cols.append(
                         _compile_expr(ast, nav).cast(fdt.dataType).alias(fdt.name)
+                    )
+                elif isinstance(spec, tuple) and spec and spec[0] == "fnchain":
+                    _, path, fns = spec
+                    c = ec
+                    for st in path:
+                        c = c.getItem(st) if isinstance(st, int) else c.getField(st)
+                    out_cols.append(
+                        _apply_fnchain(c, fns).cast(fdt.dataType).alias(fdt.name)
                     )
                 else:
                     c = ec

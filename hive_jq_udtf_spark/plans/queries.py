@@ -1941,3 +1941,41 @@ GROUP BY lang ORDER BY lang
 
 QUERIES["stratified_sample"] = q_stratified_sample
 ORACLES["stratified_sample"] = _ORACLE_STRATIFIED
+
+
+def q_jq_native_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function chains compiled natively: JSON built from
+    documents, jq normalizes via ascii case folding (A-Z ONLY, jq
+    semantics — unicode untouched) + rtrimstr, all as codegen
+    translate/substr expressions.  Python tier never runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    j = docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(F.col("lang"), F.substring("text", 1, 40).alias("head"))
+        ).alias("doc"),
+    )
+    x = jq_explode(
+        j,
+        "doc",
+        '{lang_u: (.lang | ascii_upcase), head_n: (.head | ascii_downcase | rtrimstr(" "))}',
+        "lang_u:string",
+        "head_n:string",
+        native="require",
+    )
+    return x.select("doc_id", "lang_u", "head_n").orderBy("doc_id").limit(300)
+
+
+_ORACLE_JQ_NATIVE_STRINGS = """
+WITH h AS (SELECT doc_id,
+        translate(lang, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS lang_u,
+        translate(substr(text, 1, 40),
+                  'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS hd
+      FROM documents)
+SELECT doc_id, lang_u,
+       CASE WHEN hd LIKE '% ' THEN substr(hd, 1, length(hd) - 1) ELSE hd END AS head_n
+FROM h ORDER BY doc_id LIMIT 300
+"""
+
+QUERIES["jq_native_strings"] = q_jq_native_strings
+ORACLES["jq_native_strings"] = _ORACLE_JQ_NATIVE_STRINGS

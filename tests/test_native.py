@@ -181,3 +181,37 @@ def test_topk_kernels_preserve_string_ids(spark):
     assert [(r.neighbor_id, r.rank) for r in out] == [("a", 1), ("b", 2)]
     pairs = pairwise_cosine(df, threshold=0.9, id_col="vec_id").collect()
     assert [(r.vec_a, r.vec_b) for r in pairs] == [("a", "b")]
+
+
+def test_native_fnchain_equivalence_and_unicode(spark):
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    df = spark.createDataFrame(
+        [('{"name": "HeLLo", "u": "xAbc", "v": "2.7", "w": "ÜBer 中文 ABC"}',)],
+        "j string",
+    )
+    prog = (
+        '{s: (.name | ascii_downcase), t: (.u | ltrimstr("x") | ascii_upcase),'
+        ' n: (.v | tonumber), f: (.v | tonumber | floor), d: (.w | ascii_downcase)}'
+    )
+    decls = ("s:string", "t:string", "n:double", "f:bigint", "d:string")
+    nat = jq_explode(df, "j", prog, *decls, native="require").drop("j").collect()
+    py = jq_explode(df, "j", prog, *decls, native="never").drop("j").collect()
+    assert nat == py
+    assert nat[0].d == "Über 中文 abc"  # ascii_* folds A-Z only
+
+
+def test_native_fnchain_in_explode(spark):
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    df = spark.createDataFrame([('{"a": [{"n": "AA x"}, {"n": "Bb"}]}',)], "j string")
+    prog = '.a[] | {s: (.n | ascii_downcase | rtrimstr(" x"))}'
+    nat = jq_explode(df, "j", prog, "s:string", native="require").drop("j").collect()
+    py = jq_explode(df, "j", prog, "s:string", native="never").drop("j").collect()
+    assert nat == py == [__import__("pyspark").sql.Row(s="aa"), __import__("pyspark").sql.Row(s="bb")]
+
+
+def test_native_unknown_fn_falls_back(spark):
+    from hive_jq_udtf_spark.native import compile_native
+
+    assert compile_native("{s: (.name | gsub('a'; 'b'))}", ("s:string",)) is None
