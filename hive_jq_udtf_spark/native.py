@@ -110,6 +110,10 @@ def _flatten(ast: AST, out: list) -> bool:
                 proj[k_ast[1]] = ("expr", v_ast)
             elif (fc := _as_fnchain(v_ast)) is not None:
                 proj[k_ast[1]] = ("fnchain", fc[0], fc[1])
+            elif v_ast[0] == "alt" and _as_path(v_ast[1]) is not None and (
+                (d := _scalar_literal(v_ast[2])) is not None
+            ):
+                proj[k_ast[1]] = ("alt", _as_path(v_ast[1]), d[0])
             else:
                 return False
         out.append(("project", proj))
@@ -130,6 +134,21 @@ _NULL_CMP = {"<": True, "<=": True, ">": False, ">=": False, "==": False, "!=": 
 # passes through / NULLs).
 _STR_FNS = {"ascii_downcase": 0, "ascii_upcase": 0, "ltrimstr": 1, "rtrimstr": 1}
 _NUM_FNS = {"tonumber": 0, "floor": 0, "sqrt": 0, "fabs": 0}
+
+
+def _scalar_literal(ast: AST):
+    """(value,) for a (possibly negated) non-bool scalar literal,
+    else None — a 1-tuple so falsy values like 0/"" still signal
+    presence."""
+    if ast[0] == "literal" and not isinstance(ast[1], bool) and isinstance(
+        ast[1], (int, float, str)
+    ):
+        return (ast[1],)
+    if ast[0] == "neg" and ast[1][0] == "literal" and isinstance(
+        ast[1][1], (int, float)
+    ) and not isinstance(ast[1][1], bool):
+        return (-ast[1][1],)
+    return None
 
 
 def _pipe_list(ast: AST, acc: list) -> None:
@@ -415,6 +434,8 @@ def analyze_program(program: str) -> Optional[NativeIR]:
                     proj[k] = ("expr", v[1], base)  # paths inside are base-relative
                 elif isinstance(v, tuple) and v and v[0] == "fnchain":
                     proj[k] = ("fnchain", tuple(base) + v[1], v[2])
+                elif isinstance(v, tuple) and v and v[0] == "alt":
+                    proj[k] = ("alt", tuple(base) + v[1], v[2])
                 else:
                     proj[k] = base + v
             ir.project = proj
@@ -579,6 +600,14 @@ class NativePlan:
                     _, path, fns = spec
                     c = _apply_fnchain(F.get_json_object(col, _json_path(path)), fns)
                     out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
+                elif isinstance(spec, tuple) and spec and spec[0] == "alt":
+                    _, path, dflt = spec
+                    raw = F.get_json_object(col, _json_path(path))
+                    # jq // substitutes when the value is null OR false
+                    c = F.when(
+                        raw.isNull() | (raw == F.lit("false")), F.lit(dflt)
+                    ).otherwise(_cast_extracted(raw, fdt.dataType))
+                    out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
                 else:
                     raw = F.get_json_object(col, _json_path(spec))
                     out_cols.append(_cast_extracted(raw, fdt.dataType).alias(fdt.name))
@@ -623,6 +652,8 @@ class NativePlan:
                         add(tuple(base) + p, T.DoubleType())
                 elif isinstance(spec, tuple) and spec and spec[0] == "fnchain":
                     add(spec[1], T.StringType())  # fn chains read the string view
+                elif isinstance(spec, tuple) and spec and spec[0] == "alt":
+                    add(spec[1], T.StringType())  # string view: null/false check
                 else:
                     add(spec, fdt.dataType)
         else:
@@ -699,6 +730,17 @@ class NativePlan:
                         c = c.getItem(st) if isinstance(st, int) else c.getField(st)
                     out_cols.append(
                         _apply_fnchain(c, fns).cast(fdt.dataType).alias(fdt.name)
+                    )
+                elif isinstance(spec, tuple) and spec and spec[0] == "alt":
+                    _, path, dflt = spec
+                    c = ec
+                    for st in path:
+                        c = c.getItem(st) if isinstance(st, int) else c.getField(st)
+                    out_cols.append(
+                        F.when(c.isNull() | (c == F.lit("false")), F.lit(dflt))
+                        .otherwise(c.cast(fdt.dataType))
+                        .cast(fdt.dataType)
+                        .alias(fdt.name)
                     )
                 else:
                     c = ec

@@ -1979,3 +1979,35 @@ FROM h ORDER BY doc_id LIMIT 300
 
 QUERIES["jq_native_strings"] = q_jq_native_strings
 ORACLES["jq_native_strings"] = _ORACLE_JQ_NATIVE_STRINGS
+
+
+def q_jq_native_alternative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """// alternative compiled natively: every 3rd event's props is
+    emptied; (.k // -1) substitutes, as a codegen when/otherwise."""
+    events = load_table(spark, sf_dir, "events")
+    mixed = events.withColumn(
+        "j",
+        F.when(F.col("event_id") % 3 == 0, F.lit("{}")).otherwise(F.col("props")),
+    )
+    x = jq_explode(mixed, "j", "{k: (.k // -1)}", "k:int", native="require")
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("k") == -1, 1).otherwise(0)).alias("n_default"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_JQ_NATIVE_ALT = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CASE WHEN event_id % 3 = 0 THEN -1
+                ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) END) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_default
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["jq_native_alternative"] = q_jq_native_alternative
+ORACLES["jq_native_alternative"] = _ORACLE_JQ_NATIVE_ALT

@@ -215,3 +215,26 @@ def test_native_unknown_fn_falls_back(spark):
     from hive_jq_udtf_spark.native import compile_native
 
     assert compile_native("{s: (.name | gsub('a'; 'b'))}", ("s:string",)) is None
+
+
+def test_native_alternative_operator(spark):
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    df = spark.createDataFrame(
+        [('{"a": 5, "b": "hi"}',), ('{"a": null}',), ("{}",), ('{"a": false, "b": false}',)],
+        "j string",
+    )
+    prog, decls = '{x: (.a // 0), y: (.b // "na")}', ("x:int", "y:string")
+    nat = jq_explode(df, "j", prog, *decls, native="require").drop("j").collect()
+    py = jq_explode(df, "j", prog, *decls, native="never").drop("j").collect()
+    assert nat == py  # incl. the //-substitutes-on-false edge
+
+
+def test_native_alternative_in_explode(spark):
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    df = spark.createDataFrame([('{"a": [{"v": 1}, {}, {"v": false}]}',)], "j string")
+    prog = ".a[] | {v: (.v // 9)}"
+    nat = jq_explode(df, "j", prog, "v:int", native="require").drop("j").collect()
+    py = jq_explode(df, "j", prog, "v:int", native="never").drop("j").collect()
+    assert nat == py and [r.v for r in nat] == [1, 9, 9]
