@@ -467,6 +467,22 @@ _NAMED_GROUP_RE = re.compile(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>")
 
 
 def _compile_regex(pattern: str, flags: Any) -> tuple[re.Pattern, bool, bool]:
+    """Memoized: jq programs apply the same (pattern, flags) to every
+    row, so translation + flag parsing runs once per worker."""
+    if isinstance(pattern, str) and (flags is None or isinstance(flags, str)):
+        return _compile_regex_cached(pattern, flags)
+    return _compile_regex_raw(pattern, flags)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _compile_regex_cached(pattern: str, flags):
+    return _compile_regex_raw(pattern, flags)
+
+
+def _compile_regex_raw(pattern: str, flags: Any) -> tuple[re.Pattern, bool, bool]:
     if not isinstance(pattern, str):
         raise JQError(f"{typename(pattern)} cannot be matched, as it is not a string")
     f = 0
