@@ -467,14 +467,16 @@ def _json_path(p: Path) -> str:
 
 
 def _cast_extracted(raw: Column, dt: T.DataType) -> Column:
-    """get_json_object string → declared type."""
+    """get_json_object string → declared type.  try_cast, not cast:
+    non-coercible garbage must yield NULL (the documented delta vs
+    the lenient marshaller), never an ANSI runtime error."""
     if isinstance(dt, T.StringType):
         return raw
     if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
         # via double so "1.5" truncates like the lenient marshaller
-        return raw.cast("double").cast(dt)
+        return raw.try_cast("double").try_cast(dt)
     if isinstance(dt, (T.DoubleType, T.FloatType, T.BooleanType)):
-        return raw.cast(dt)
+        return raw.try_cast(dt)
     # nested declared types: parse the extracted JSON text
     return F.from_json(raw, dt)
 
@@ -560,6 +562,10 @@ def _spark_type_for_filter_lit(lit: Any) -> T.DataType:
     return T.StringType()
 
 
+class _SchemaConflict(Exception):
+    """Element-schema conflict: program falls back to the Python tier."""
+
+
 class NativePlan:
     """Executable plan: apply(df, column, alias, outer) → DataFrame
     with the same shape jq_explode produces."""
@@ -568,6 +574,8 @@ class NativePlan:
         self.ir = ir
         self.decls = decls
         self.schema, self.single = parse_output_schema(list(decls))
+        if ir.iterate:
+            self._elem_schema()  # raises _SchemaConflict on mixed shapes
 
     # -- scalar (no explode) path --------------------------------------
     def _apply_scalar(self, df: DataFrame, col: Column) -> DataFrame:
@@ -598,16 +606,39 @@ class NativePlan:
                     out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "fnchain":
                     _, path, fns = spec
-                    c = _apply_fnchain(F.get_json_object(col, _json_path(path)), fns)
+                    raw = F.get_json_object(col, _json_path(path))
+                    c = _apply_fnchain(raw, fns)
+                    if fns[0][0] in ("ltrimstr", "rtrimstr"):
+                        # jq passes NON-string values through these
+                        # unchanged (no abort) — gate on the exact type
+                        vt = F.schema_of_variant(
+                            F.try_variant_get(
+                                F.try_parse_json(col), _json_path(path), "variant"
+                            )
+                        )
+                        rest = _apply_fnchain(raw, fns[1:]) if len(fns) > 1 else raw
+                        c = F.when(vt == F.lit("STRING"), c).otherwise(rest)
                     out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "alt":
                     _, path, dflt = spec
                     raw = F.get_json_object(col, _json_path(path))
-                    # jq // substitutes when the value is null OR false
+                    # jq // substitutes when the value is null/missing OR
+                    # boolean false.  The text view alone cannot tell
+                    # boolean false from the STRING "false", so the
+                    # exact JSON type comes from the variant reader.
+                    vt = F.schema_of_variant(
+                        F.try_variant_get(
+                            F.try_parse_json(col), _json_path(path), "variant"
+                        )
+                    )
+                    is_false = (vt == F.lit("BOOLEAN")) & (raw == F.lit("false"))
+                    # both branches pre-cast to the declared type so
+                    # Spark's when() type unification can't introduce a
+                    # stricter common type (ANSI cast crash on garbage)
                     c = F.when(
-                        raw.isNull() | (raw == F.lit("false")), F.lit(dflt)
+                        raw.isNull() | is_false, F.lit(dflt).try_cast(fdt.dataType)
                     ).otherwise(_cast_extracted(raw, fdt.dataType))
-                    out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
+                    out_cols.append(c.alias(fdt.name))
                 else:
                     raw = F.get_json_object(col, _json_path(spec))
                     out_cols.append(_cast_extracted(raw, fdt.dataType).alias(fdt.name))
@@ -630,9 +661,22 @@ class NativePlan:
             for s in path[:-1]:
                 cur = cur.setdefault(s, {})
                 if not isinstance(cur, dict):
-                    return
+                    # a leaf already claimed this prefix with a scalar
+                    # type — mixed-shape access is not representable in
+                    # one from_json schema
+                    raise _SchemaConflict(path)
             if path:
-                cur[path[-1]] = dt
+                prev = cur.get(path[-1])
+                if isinstance(prev, dict):
+                    raise _SchemaConflict(path)  # leaf vs struct
+                if prev is not None and prev != dt:
+                    # two specs want different scalar types for the same
+                    # path: read the string view and let each consumer
+                    # cast (string → numeric casts are safe for clean
+                    # data; garbage is the documented delta class)
+                    cur[path[-1]] = T.StringType()
+                else:
+                    cur[path[-1]] = dt
 
         if self.single and ir.project is None:
             if not ir.single_path:
@@ -746,13 +790,13 @@ class NativePlan:
                     c = ec
                     for s in spec:
                         c = c.getItem(s) if isinstance(s, int) else c.getField(s)
-                    out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
+                    out_cols.append(c.try_cast(fdt.dataType).alias(fdt.name))
         else:
             for fdt in self.schema.fields:
                 c = ec
                 for s in ir.single_path + (fdt.name,):
                     c = c.getItem(s) if isinstance(s, int) else c.getField(s)
-                out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
+                out_cols.append(c.try_cast(fdt.dataType).alias(fdt.name))
         return out.select(*[c for c in df.columns], *out_cols)
 
     def apply(self, df: DataFrame, column: str | Column, outer: bool = False) -> DataFrame:
@@ -779,6 +823,16 @@ def compile_native(program: str, decls: tuple[str, ...]) -> Optional[NativePlan]
     # object into col1 — not covered by this tier
     if single and ir.project is not None:
         return None
+    # alt and leading ltrimstr/rtrimstr need exact per-value JSON types
+    # (variant), which is only available pre-explode — under iterate
+    # these fall back to the Python tier
+    if ir.iterate and ir.project is not None:
+        for spec in ir.project.values():
+            if isinstance(spec, tuple) and spec:
+                if spec[0] == "alt":
+                    return None
+                if spec[0] == "fnchain" and spec[2][0][0] in ("ltrimstr", "rtrimstr"):
+                    return None
     # guard: scalar-element explode with post filters/steps is fine,
     # but filters on a *scalar* element (no struct) aren't expressible
     if ir.iterate and single and ir.project is None and not ir.single_path and ir.post_filters:
@@ -789,4 +843,9 @@ def compile_native(program: str, decls: tuple[str, ...]) -> Optional[NativePlan]
         for f in schema.fields:
             if isinstance(f.dataType, (T.MapType,)):
                 return None
-    return NativePlan(ir, tuple(decls))
+    try:
+        return NativePlan(ir, tuple(decls))
+    except _SchemaConflict:
+        # mixed leaf/struct access of the same path — not representable
+        # in one from_json schema; the Python tier handles it
+        return None

@@ -368,24 +368,37 @@ def train_centroids(
     seed: int = 42,
     vec_col: str = "embedding",
 ):
-    """Deterministic IVF centroid training: hash-stable sample of up
-    to ``sample_n`` vectors collected to the driver, then ``iters``
-    Lloyd iterations in numpy (k-means++-lite seeded init).  Returns
-    a (n_cells, dim) float64 matrix for ivf_topk.
+    """Deterministic IVF centroid training: HASH-stable sample of up
+    to ``sample_n`` vectors (ordered by md5 of the vector's JSON —
+    invariant to partitioning, cluster size, and row order, unlike a
+    bare limit()), then ``iters`` Lloyd iterations in numpy with a
+    seeded init.  Returns a (n_cells, dim) float64 matrix for
+    ivf_topk.
 
-    Scale shape: training touches only the sample (one scan +
-    limit); assignment afterwards is embarrassingly parallel.  Fully
-    deterministic — same data, same centroids, every run."""
+    Scale shape: training sorts only (hash, vector) pairs and
+    collects the sample; assignment afterwards is embarrassingly
+    parallel.  Fully deterministic — same data, same centroids,
+    every run.  Distances use the ||x||² + ||c||² − 2·X·Cᵀ expansion:
+    memory is O(N·k), not O(N·k·dim) (at the defaults with dim=384 a
+    broadcast difference tensor would be ~20 GB)."""
     import numpy as np
 
-    rows = df.select(vec_col).limit(sample_n).collect()
+    rows = (
+        df.select(vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .orderBy(F.md5(F.to_json(F.col(vec_col))))
+        .limit(sample_n)
+        .collect()
+    )
     X = np.array([r[0] for r in rows], dtype=np.float64)
     if len(X) < n_cells:
         raise ValueError(f"sample ({len(X)}) smaller than n_cells ({n_cells})")
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=n_cells, replace=False)].copy()
+    x_sq = (X * X).sum(axis=1)
     for _ in range(iters):
-        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=-1)
+        c_sq = (cent * cent).sum(axis=1)
+        d2 = x_sq[:, None] + c_sq[None, :] - 2.0 * (X @ cent.T)  # (N, k)
         assign = d2.argmin(axis=1)
         for c in range(n_cells):
             members = X[assign == c]

@@ -230,11 +230,45 @@ def test_native_alternative_operator(spark):
     assert nat == py  # incl. the //-substitutes-on-false edge
 
 
-def test_native_alternative_in_explode(spark):
+def test_native_alternative_under_iterate_falls_back(spark):
+    # // needs exact per-value JSON types (variant), unavailable per
+    # exploded element — must fall back, and auto mode must still be
+    # correct via the Python tier
+    from hive_jq_udtf_spark.native import compile_native
     from hive_jq_udtf_spark.udtf import jq_explode
 
-    df = spark.createDataFrame([('{"a": [{"v": 1}, {}, {"v": false}]}',)], "j string")
     prog = ".a[] | {v: (.v // 9)}"
-    nat = jq_explode(df, "j", prog, "v:int", native="require").drop("j").collect()
-    py = jq_explode(df, "j", prog, "v:int", native="never").drop("j").collect()
-    assert nat == py and [r.v for r in nat] == [1, 9, 9]
+    assert compile_native(prog, ("v:int",)) is None
+    df = spark.createDataFrame([('{"a": [{"v": 1}, {}, {"v": false}]}',)], "j string")
+    out = jq_explode(df, "j", prog, "v:int", native="auto").drop("j").collect()
+    assert [r.v for r in out] == [1, 9, 9]
+
+
+def test_native_alt_string_false_not_substituted(spark):
+    # boolean false triggers //, the STRING "false" must not — the
+    # variant type reader distinguishes them
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    df = spark.createDataFrame(
+        [('{"k": false}',), ('{"k": "false"}',), ('{"k": 7}',), ("{}",)], "j string"
+    )
+    prog, decls = '{k: (.k // -1)}', ("k:string",)
+    nat = [r.k for r in jq_explode(df, "j", prog, *decls, native="require").drop("j").collect()]
+    py = [r.k for r in jq_explode(df, "j", prog, *decls, native="never").drop("j").collect()]
+    assert nat == py == ["-1", "false", "7", "-1"]
+
+
+def test_native_ltrimstr_nonstring_passthrough(spark):
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    df = spark.createDataFrame([('{"v": 123}',), ('{"v": "1ab"}',)], "j string")
+    prog, decls = '{s: (.v | ltrimstr("1"))}', ("s:string",)
+    nat = [r.s for r in jq_explode(df, "j", prog, *decls, native="require").drop("j").collect()]
+    py = [r.s for r in jq_explode(df, "j", prog, *decls, native="never").drop("j").collect()]
+    assert nat == py == ["123", "ab"]
+
+
+def test_native_mixed_shape_access_falls_back(spark):
+    from hive_jq_udtf_spark.native import compile_native
+
+    assert compile_native(".arr[] | {x: .a, y: .a.b}", ("x:double", "y:double")) is None
