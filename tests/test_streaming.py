@@ -89,3 +89,31 @@ def test_native_tier_on_stream(spark, stream_dir):
         out_table="jq_stream_native",
     )
     assert out.count() == 100
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """foreachBatch sink: batch-id-named parquet outputs (re-running a
+    batch overwrites its own directory — the idempotent exactly-once
+    pattern for non-transactional stores)."""
+    import json as _json
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    (src_dir / "a.jsonl").write_text(
+        "\n".join(_json.dumps({"k": i}) for i in range(10))
+    )
+    out_dir = str(tmp_path / "out")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    stream = spark.readStream.schema("k int").json(str(src_dir))
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    back = spark.read.parquet(f"{out_dir}/batch=*")
+    assert sorted(r.k for r in back.collect()) == list(range(10))
