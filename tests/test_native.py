@@ -272,3 +272,49 @@ def test_native_mixed_shape_access_falls_back(spark):
     from hive_jq_udtf_spark.native import compile_native
 
     assert compile_native(".arr[] | {x: .a, y: .a.b}", ("x:double", "y:double")) is None
+
+
+def test_native_dirty_data_fuzz(spark):
+    """Seeded fuzz: random native-compilable programs over docs with
+    nulls / strings / missing keys — the native tier must agree with
+    jqlib wherever jq itself does not abort."""
+    import json as _json
+    import random
+
+    from hive_jq_udtf_spark.native import compile_native
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    rng = random.Random(7)
+    fields = ["a", "b", "c"]
+
+    def rand_doc():
+        return {
+            f: rng.choice([rng.randint(0, 99), rng.uniform(0, 10), "Wo rd X", None])
+            for f in fields
+            if rng.random() > 0.2
+        }
+
+    def rand_prog():
+        k = rng.choice(fields)
+        return rng.choice(
+            [
+                (f"{{v: .{k}}}", "v:string"),
+                (f"{{v: (.{k} // {rng.randint(-5, 5)})}}", "v:string"),
+                (f"{{v: (.{k} | ascii_downcase)}}", "v:string"),
+                (f'{{v: (.{k} | ltrimstr("W"))}}', "v:string"),
+                (f'{{v: (.{k} | ascii_upcase | rtrimstr("X"))}}', "v:string"),
+            ]
+        )
+
+    compared = 0
+    for _ in range(25):
+        prog, decl = rand_prog()
+        if compile_native(prog, (decl,)) is None:
+            continue
+        docs = [(_json.dumps(rand_doc()),) for _ in range(20)]
+        df = spark.createDataFrame(docs, "j string")
+        nat = sorted(map(tuple, jq_explode(df, "j", prog, decl, native="require").drop("j").collect()), key=str)
+        py = sorted(map(tuple, jq_explode(df, "j", prog, decl, native="never").drop("j").collect()), key=str)
+        assert nat == py, prog
+        compared += 1
+    assert compared >= 15
