@@ -1046,6 +1046,28 @@ FROM r WHERE rank <= {k} ORDER BY query_id, rank
 _ORACLE_ANN_SRP = _gen_srp_oracle()
 
 
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = 8):
+    """Scope a streaming-appropriate shuffle-partition count around a
+    stream start: the state-store instance count (= shuffle
+    partitions at first trigger) dominates micro-batch latency when
+    state is small — 64 stores for kilobytes of state cost 5× the
+    trigger time of 8.  At real scale size this to state volume /
+    cluster, not the relational default.  Restored afterwards so the
+    post-sink batch aggregation keeps full parallelism."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 _STREAM_QUERY_SEQ = [0]
 
 
@@ -1070,16 +1092,17 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = windowed_event_counts(raw, program="{k: .k}", window="1 hour", watermark="2 hours")
     _STREAM_QUERY_SEQ[0] += 1
     name = f"stream_win_counts_{_STREAM_QUERY_SEQ[0]}"
-    q = (
-        win.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("streaming query did not finish within 300s")
+    with _stream_shuffle(spark):
+        q = (
+            win.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming query did not finish within 300s")
     return (
         spark.table(name)
         .select(
@@ -1485,16 +1508,17 @@ def q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = running_user_totals(raw, json_col="props", program=".k")
     _STREAM_QUERY_SEQ[0] += 1
     name = f"stateful_totals_{_STREAM_QUERY_SEQ[0]}"
-    q = (
-        tot.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("streaming query did not finish within 300s")
+    with _stream_shuffle(spark):
+        q = (
+            tot.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming query did not finish within 300s")
     # update mode emits one row per (user, micro-batch); the final
     # state per user is the row with the largest n_events
     t = spark.table(name)
@@ -1702,16 +1726,17 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_QUERY_SEQ[0] += 1
     name = f"ss_join_{_STREAM_QUERY_SEQ[0]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("streaming query did not finish within 300s")
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming query did not finish within 300s")
     return (
         spark.table(name)
         .select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
@@ -1750,16 +1775,17 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_seen = raw.dropDuplicates(["user_id", "event_type"])
     _STREAM_QUERY_SEQ[0] += 1
     name = f"stream_dedup_{_STREAM_QUERY_SEQ[0]}"
-    q = (
-        first_seen.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("streaming query did not finish within 300s")
+    with _stream_shuffle(spark):
+        q = (
+            first_seen.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming query did not finish within 300s")
     return (
         spark.table(name)
         .groupBy("event_type")
