@@ -219,13 +219,15 @@ def _apply_fnchain(c: Column, fns) -> Column:
                 c.endswith(suf), c.substr(F.lit(1), F.length(c) - len(suf))
             ).otherwise(c)
         elif name == "tonumber":
-            c = c.cast("double")
+            # try_cast: garbage strings are the documented NULL-delta
+            # class (jq aborts the row); never an ANSI runtime crash
+            c = c.try_cast("double")
         elif name == "floor":
-            c = F.floor(c.cast("double"))
+            c = F.floor(c.try_cast("double"))
         elif name == "sqrt":
-            c = F.sqrt(c.cast("double"))
+            c = F.sqrt(c.try_cast("double"))
         elif name == "fabs":
-            c = F.abs(c.cast("double"))
+            c = F.abs(c.try_cast("double"))
     return c
 
 
@@ -481,21 +483,42 @@ def _cast_extracted(raw: Column, dt: T.DataType) -> Column:
     return F.from_json(raw, dt)
 
 
+def _variant_truthy(v: Column) -> Column:
+    """jq truthiness on an exact-typed variant value: falsy iff the
+    value is missing (SQL NULL variant), JSON null (VOID), or boolean
+    false.  Strings — including "false" — and all numbers (even 0)
+    are truthy, matching jq; the text view alone cannot express this
+    (boolean false and the STRING "false" print identically)."""
+    vt = F.schema_of_variant(v)
+    is_false = (vt == F.lit("BOOLEAN")) & ~F.try_variant_get(v, "$", "boolean")
+    return v.isNotNull() & (vt != F.lit("VOID")) & ~is_false
+
+
 def _filter_col(json_col: Column, f: Filter) -> Column:
     if f.lhs_expr is not None:
         c = _compile_expr(
             f.lhs_expr,
-            lambda p: F.get_json_object(json_col, _json_path(f.lhs + p)).cast("double"),
+            lambda p: F.get_json_object(json_col, _json_path(f.lhs + p)).try_cast(
+                "double"
+            ),
         )
         return _cmp_with_null_order(c, f.op, f.lit)
     raw = F.get_json_object(json_col, _json_path(f.lhs))
     if f.op == "truthy":
-        return raw.isNotNull() & (raw != F.lit("false")) & (raw != F.lit("null"))
+        # exact JSON type via the variant reader (same technique as the
+        # `//` projection below): get_json_object strips quotes, so the
+        # STRING "false" would otherwise be confused with boolean false
+        v = F.try_variant_get(
+            F.try_parse_json(json_col), _json_path(f.lhs), "variant"
+        )
+        return _variant_truthy(v)
     lit = f.lit
     if isinstance(lit, bool):
-        lhs = raw.cast("boolean")
+        # try_cast: a non-boolean string here is dirty data (documented
+        # NULL-delta class), never an ANSI runtime crash
+        lhs = raw.try_cast("boolean")
     elif isinstance(lit, (int, float)):
-        lhs = raw.cast("double")
+        lhs = raw.try_cast("double")
     elif lit is None:
         return raw.isNull() if f.op == "==" else raw.isNotNull()
     else:
@@ -533,16 +556,29 @@ def _struct_filter_col(struct_col: Column, f: Filter) -> Column:
             c = struct_col
             for s in _f.lhs + p:
                 c = c.getItem(s) if isinstance(s, int) else c.getField(s)
-            return c.cast("double")
+            return c.try_cast("double")
 
         return _cmp_with_null_order(_compile_expr(f.lhs_expr, nav), f.op, f.lit)
     c = struct_col
     for s in f.lhs:
         c = c.getItem(s) if isinstance(s, int) else c.getField(s)
     if f.op == "truthy":
-        return c.isNotNull() & (c != F.lit(False))
+        # the element schema types truthy-filter paths as VARIANT
+        # (_elem_schema), so the exact JSON type is available here;
+        # comparing a STRING-typed view to lit(False) would ANSI-crash
+        # on truthy strings like "hello"
+        return _variant_truthy(c)
     if f.lit is None:
         return c.isNull() if f.op == "==" else c.isNotNull()
+    # try_cast to the literal's comparison type: normally a no-op (the
+    # element schema already typed the path to match), but a truthy
+    # filter sharing the path retypes it VARIANT
+    if isinstance(f.lit, bool):
+        c = c.try_cast("boolean")
+    elif isinstance(f.lit, (int, float)):
+        c = c.try_cast("double")
+    else:
+        c = c.try_cast("string")
     ops = {
         "==": lambda a, b: a == b,
         "!=": lambda a, b: a != b,
@@ -670,11 +706,18 @@ class NativePlan:
                 if isinstance(prev, dict):
                     raise _SchemaConflict(path)  # leaf vs struct
                 if prev is not None and prev != dt:
-                    # two specs want different scalar types for the same
-                    # path: read the string view and let each consumer
-                    # cast (string → numeric casts are safe for clean
-                    # data; garbage is the documented delta class)
-                    cur[path[-1]] = T.StringType()
+                    if isinstance(prev, T.VariantType) or isinstance(dt, T.VariantType):
+                        # a truthy filter needs the exact JSON type;
+                        # variant also casts cleanly to every scalar
+                        # consumer type, so variant wins the conflict
+                        cur[path[-1]] = T.VariantType()
+                    else:
+                        # two specs want different scalar types for the
+                        # same path: read the string view and let each
+                        # consumer cast (string → numeric casts are safe
+                        # for clean data; garbage is the documented
+                        # delta class)
+                        cur[path[-1]] = T.StringType()
                 else:
                     cur[path[-1]] = dt
 
@@ -709,6 +752,10 @@ class NativePlan:
                 _expr_paths(f.lhs_expr, refs)
                 for p in refs:
                     add(tuple(f.lhs) + p, T.DoubleType())
+            elif f.op == "truthy":
+                # jq truthiness needs the exact JSON type (boolean false
+                # vs the STRING "false") — read the value as a variant
+                add(f.lhs, T.VariantType())
             else:
                 add(f.lhs, _spark_type_for_filter_lit(f.lit))
 
@@ -747,7 +794,11 @@ class NativePlan:
             c = ec
             for s in ir.single_path:
                 c = c.getItem(s) if isinstance(s, int) else c.getField(s)
-            out_cols.append(c.cast(self.schema.fields[0].dataType).alias(self.schema.fields[0].name))
+            out_cols.append(
+                c.try_cast(self.schema.fields[0].dataType).alias(
+                    self.schema.fields[0].name
+                )
+            )
         elif ir.project is not None:
             for fdt in self.schema.fields:
                 spec = ir.project.get(fdt.name)
@@ -762,7 +813,7 @@ class NativePlan:
                         c = ec
                         for s in _base + p:
                             c = c.getItem(s) if isinstance(s, int) else c.getField(s)
-                        return c.cast("double")
+                        return c.try_cast("double")
 
                     out_cols.append(
                         _compile_expr(ast, nav).cast(fdt.dataType).alias(fdt.name)
@@ -772,8 +823,13 @@ class NativePlan:
                     c = ec
                     for st in path:
                         c = c.getItem(st) if isinstance(st, int) else c.getField(st)
+                    # try_cast("string") first: a truthy filter on the
+                    # same path retypes it VARIANT; for a string column
+                    # this is a no-op
                     out_cols.append(
-                        _apply_fnchain(c, fns).cast(fdt.dataType).alias(fdt.name)
+                        _apply_fnchain(c.try_cast("string"), fns)
+                        .cast(fdt.dataType)
+                        .alias(fdt.name)
                     )
                 elif isinstance(spec, tuple) and spec and spec[0] == "alt":
                     _, path, dflt = spec

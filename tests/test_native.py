@@ -326,3 +326,73 @@ def test_native_dirty_data_fuzz(spark):
         assert nat == py, prog
         compared += 1
     assert compared >= 8
+
+
+# ---------------------------------------------------------------------------
+# truthy select (ADVICE r1): exact jq truthiness via the variant reader
+# ---------------------------------------------------------------------------
+
+_TRUTHY_DOCS = [
+    '{"items":[{"flag":"hello","v":1}],"flag":"hello","v":1}',
+    '{"items":[{"flag":false,"v":2}],"flag":false,"v":2}',
+    '{"items":[{"flag":"false","v":3}],"flag":"false","v":3}',
+    '{"items":[{"flag":null,"v":4}],"flag":null,"v":4}',
+    '{"items":[{"flag":true,"v":5}],"flag":true,"v":5}',
+    '{"items":[{"v":6}],"v":6}',
+    '{"items":[{"flag":0,"v":7}],"flag":0,"v":7}',
+    '{"items":[{"flag":"null","v":8}],"flag":"null","v":8}',
+]
+
+
+def test_native_truthy_select_scalar_tier(spark):
+    """Scalar-tier truthy select must match jq: only null/missing/false
+    are falsy — the STRING values "false" and "null" are truthy
+    (ADVICE r1 medium: get_json_object strips quotes)."""
+    df = spark.createDataFrame([(d,) for d in _TRUTHY_DOCS], "j string")
+    prog, decls = "select(.flag) | {v: .v}", ("v:int",)
+    assert compile_native(prog, decls) is not None
+    nat = sorted(r.v for r in jq_explode(df, "j", prog, *decls, native="require").collect())
+    py = sorted(r.v for r in jq_explode(df, "j", prog, *decls, native="never").collect())
+    assert nat == py == [1, 3, 5, 7, 8]
+
+
+def test_native_truthy_select_explode_tier(spark):
+    """Explode-tier truthy select on a string-valued field must not
+    ANSI-crash (ADVICE r1 high: string→boolean cast) and must match
+    jq truthiness exactly."""
+    df = spark.createDataFrame([(d,) for d in _TRUTHY_DOCS], "j string")
+    prog, decls = ".items[] | select(.flag) | {v: .v}", ("v:int",)
+    assert compile_native(prog, decls) is not None
+    nat_df = jq_explode(df, "j", prog, *decls, native="require")
+    assert _plan_is_pythonfree(nat_df)
+    nat = sorted(r.v for r in nat_df.collect())
+    py = sorted(r.v for r in jq_explode(df, "j", prog, *decls, native="never").collect())
+    assert nat == py == [1, 3, 5, 7, 8]
+
+
+def test_native_truthy_select_shared_path_projection(spark):
+    """Truthy filter and projection share a path: the element schema
+    resolves the conflict to VARIANT and consumers cast from it."""
+    df = spark.createDataFrame([(d,) for d in _TRUTHY_DOCS], "j string")
+    prog, decls = ".items[] | select(.flag) | {f: .flag, v: .v}", ("f:string", "v:int")
+    plan = compile_native(prog, decls)
+    if plan is None:
+        pytest.skip("shared-path truthy falls back to Python tier")
+    nat = sorted(
+        map(tuple, jq_explode(df, "j", prog, *decls, native="require").select("f", "v").collect())
+    )
+    py = sorted(
+        map(tuple, jq_explode(df, "j", prog, *decls, native="never").select("f", "v").collect())
+    )
+    assert nat == py
+
+
+def test_native_truthy_then_numeric_filter_same_elem(spark):
+    """Mixed truthy + comparison post-filters on different fields."""
+    df = spark.createDataFrame([(d,) for d in _TRUTHY_DOCS], "j string")
+    prog, decls = ".items[] | select(.flag) | select(.v > 2) | {v: .v}", ("v:int",)
+    if compile_native(prog, decls) is None:
+        pytest.skip("multi-filter program falls back to Python tier")
+    nat = sorted(r.v for r in jq_explode(df, "j", prog, *decls, native="require").collect())
+    py = sorted(r.v for r in jq_explode(df, "j", prog, *decls, native="never").collect())
+    assert nat == py == [3, 5, 7, 8]
