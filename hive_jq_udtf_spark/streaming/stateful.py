@@ -42,6 +42,14 @@ def running_user_totals(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # timeout invocation: no new data for this key within the
+            # window — evict the state and emit nothing.  Without this,
+            # the accumulation path below would re-emit the stale
+            # totals, re-arm the timeout, and keep the state forever
+            # (unbounded state growth).
+            state.remove()
+            return
         prog = jq_compile(prog_src)
         n, s = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:

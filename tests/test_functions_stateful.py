@@ -92,3 +92,67 @@ def test_stateful_running_totals(spark, tmp_path):
     assert set(rows) == {0, 1, 2}
     assert rows[0][0] == 20
     assert sum(v[1] for v in rows.values()) == sum(range(60))
+
+
+def test_stateful_timeout_evicts_state(spark, tmp_path):
+    """ProcessingTimeTimeout must EVICT state (ADVICE r1 medium): on
+    timeout the key's state is removed and nothing is re-emitted, so a
+    key that reappears later restarts its totals from zero."""
+    import time
+
+    from hive_jq_udtf_spark.streaming.stateful import running_user_totals
+
+    p = tmp_path / "ev2"
+    p.mkdir()
+
+    def write(name, uid, ks):
+        with open(p / name, "w") as f:
+            for k in ks:
+                f.write(
+                    json.dumps(
+                        {
+                            "user_id": uid,
+                            "ts": "2026-01-01T00:00:00Z",
+                            "props": json.dumps({"k": k}),
+                        }
+                    )
+                    + "\n"
+                )
+
+    write("a.jsonl", 0, [1, 2])
+    src = spark.readStream.schema("user_id long, ts timestamp, props string").json(str(p))
+    out = running_user_totals(src, timeout_ms=300)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_timeout_out")
+        .outputMode("update")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+
+        def rows():
+            return spark.sql("SELECT * FROM stateful_timeout_out").collect()
+
+        while time.time() < deadline and not any(r.user_id == 0 for r in rows()):
+            time.sleep(0.2)
+        time.sleep(1.5)  # let the processing-time timeout expire + fire
+        write("b.jsonl", 1, [5])  # unrelated key keeps batches flowing
+        while time.time() < deadline and not any(r.user_id == 1 for r in rows()):
+            time.sleep(0.2)
+        time.sleep(0.5)
+        write("c.jsonl", 0, [7])  # key 0 returns after eviction
+        while time.time() < deadline and not any(
+            r.user_id == 0 and r.n_events == 1 for r in rows()
+        ):
+            time.sleep(0.2)
+        final = rows()
+    finally:
+        q.stop()
+    k0 = [(r.n_events, r.sum_k) for r in final if r.user_id == 0]
+    assert (2, 3.0) in k0  # pre-timeout totals
+    # restart from zero proves the state was removed on timeout
+    assert (1, 7.0) in k0, f"state not evicted on timeout: {k0}"
+    # eviction must not re-emit the stale totals every interval
+    assert k0.count((2, 3.0)) == 1, f"stale duplicate emissions: {k0}"
