@@ -264,11 +264,18 @@ def contains_value(a: Any, b: Any) -> bool:
 
 
 def getpath_value(v: Any, path: list) -> Any:
+    """Navigate a path like jq's jv_getpath: null propagates (missing
+    keys yield null) but traversing THROUGH a scalar errors, e.g.
+    `1 | getpath(["a"])` → 'Cannot index number with "a"' (jq 1.6
+    differential, ADVICE r1)."""
     for p in path:
         if v is None:
             continue
         if isinstance(p, str):
-            v = v.get(p) if isinstance(v, dict) else None
+            if isinstance(v, dict):
+                v = v.get(p)
+            else:
+                raise JQError(f'Cannot index {typename(v)} with "{p}"')
         elif _is_num(p):
             if isinstance(v, list):
                 i = math.floor(p)
@@ -276,11 +283,14 @@ def getpath_value(v: Any, path: list) -> Any:
                     i += len(v)
                 v = v[i] if 0 <= i < len(v) else None
             else:
-                v = None
+                raise JQError(f"Cannot index {typename(v)} with number")
         elif isinstance(p, dict):
-            v = do_slice(v, p.get("start"), p.get("end")) if isinstance(v, (list, str)) else None
+            if isinstance(v, (list, str)):
+                v = do_slice(v, p.get("start"), p.get("end"))
+            else:
+                raise JQError(f"Cannot index {typename(v)} with object")
         else:
-            v = None
+            raise JQError(f"Cannot index {typename(v)} with {typename(p)}")
     return v
 
 
@@ -2027,10 +2037,17 @@ def _n_split2(v, e, a):
             rx, _g, ignore_empty = _compile_regex(pat, flags)
             out = []
             pos = 0
+            end_empty = False
             for m in _iter_matches(rx, v, True, ignore_empty):
                 out.append(v[pos : m.start()])
                 pos = m.end()
-            out.append(v[pos:])
+                end_empty = m.start() == m.end() == len(v)
+            # jq emits no final segment after an EMPTY match at the end
+            # of the string (e.g. "abc"|[splits("")] is ["","a","b","c"],
+            # not [...,""]) — a non-empty match at the end still yields
+            # the trailing "" segment
+            if not end_empty:
+                out.append(v[pos:])
             yield out
 
 
@@ -2798,6 +2815,8 @@ def datesub(u; $n): dateadd(u; -$n);
 def combinations: if length == 0 then [[]] | .[] else .[0][] as $x | [$x] + (.[1:] | combinations) end;
 def combinations(n): . as $dot | [range(n) | $dot] | combinations;
 def walk(f): def w: if type == "object" then map_values(w) elif type == "array" then map(w) else . end | f; w;
+def transpose: if . == [] then [] else . as $in | (map(length) | max) as $max | ($in | length) as $rows | [range(0; $max) as $j | [range(0; $rows) as $i | $in[$i][$j]]] end;
+def recurse_down: recurse;
 def ascii: [.] | implode;
 def tostream_compat: tostream;
 def getpath_or_null($p): getpath($p);

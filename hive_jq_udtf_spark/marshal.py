@@ -225,9 +225,15 @@ def _build_nonnull(dt: T.DataType) -> Converter:
         elem = build_converter(dt.elementType)
 
         def conv_array(j: Any) -> list:
-            # M5: element-wise; non-array → empty array
+            # M5: element-wise.  Reference parity (Jackson): an OBJECT
+            # marshalled as array<T> becomes the list of its field
+            # values (ObjectNode.elements() iterates values); any other
+            # non-array → empty array (elements() is an empty iterator
+            # for scalar nodes).
             if isinstance(j, list):
                 return [elem(x) for x in j]
+            if isinstance(j, dict):
+                return [elem(x) for x in j.values()]
             return []
 
         return conv_array

@@ -294,6 +294,9 @@ ERROR_CASES = [
     ('.a', 5),  # cannot index number
     ('.[]', 5),
     ('.[0]', {"a": 1}),
+    ('getpath(["a"])', 5),  # traversing THROUGH a scalar errors (jq 1.6)
+    ('getpath(["a","b"])', {"a": 1}),
+    ('getpath([0])', "abc"),
     ('1 + "a"', None),
     ('error("boom")', None),
     ('"abc" | implode', None),
@@ -364,6 +367,17 @@ EDGE_CASES = [
     ("[paths(. == 1)]", {"a": 1, "b": {"c": 1}}, [[["a"], ["b", "c"]]]),
     ("to_entries | from_entries", {"a": 1}, [{"a": 1}]),
     ('@json "x\\(1+1)"', None, ["x2"]),
+    # jq-1.6 differential parity (ADVICE r1)
+    ("transpose", [[1, 2], [3, 4]], [[[1, 3], [2, 4]]]),
+    ("transpose", [[1, 2, 3], [4]], [[[1, 4], [2, None], [3, None]]]),
+    ("transpose", [], [[]]),
+    ("[recurse_down]", {"a": 1}, [[{"a": 1}, 1]]),
+    ('[splits("")]', "abc", [["", "a", "b", "c"]]),
+    ('[splits("")]', "", [[""]]),
+    ('[splits("b")]', "ab", [["a", ""]]),  # non-empty end match keeps tail
+    ('[splits(",")]', "a,b,", [["a", "b", ""]]),
+    ('getpath(["a","b"])', None, [None]),  # null propagates, no error
+    ('getpath(["a"])', {}, [None]),
 ]
 
 

@@ -159,3 +159,12 @@ def test_single_vs_multi_dispatch():
     assert run_jq('{"a": 1}', "null", "map<string,int>") == [({"a": 1},)]
     # single NAME:TYPE → destructure mode
     assert run_jq('{"a": 1}', "null", "a:int") == [(1,)]
+
+
+# Jackson elements()-iteration parity (ADVICE r1): an OBJECT marshalled
+# as array<T> becomes the list of its field values (ObjectNode.elements()
+# iterates values); scalar nodes have an empty elements() iterator → []
+def test_object_to_array_marshals_values():
+    assert run_jq(".x", '{"x": {"a": 1, "b": 2}}', "array<int>") == [([1, 2],)]
+    assert run_jq(".x", '{"x": 5}', "array<int>") == [([],)]
+    assert run_jq(".", '{"arr": {"a": 3}}', "arr:array<int>") == [([3],)]
