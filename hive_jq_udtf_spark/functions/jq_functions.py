@@ -13,10 +13,18 @@ common "extract one value" cases with less ceremony:
 
 All are Arrow-batched pandas UDFs; programs are compile-once via the
 engine's memo cache, so a constant program column costs one compile
-per worker."""
+per worker.  Parsed documents are memoized in a bounded per-worker
+LRU so N scalar calls over the SAME json column in one projection
+(e.g. jq_long(props,..) + jq_matches(props,..) + jq_string(props,..))
+parse each document once, not N times — the UDFs run sequentially
+over the same Arrow batch in one Python worker, so the second and
+third calls hit the cache.  Cached values must be treated as
+immutable; the evaluator is purely functional (assignment builds new
+values), so sharing is safe."""
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional
 
 import pandas as pd
@@ -29,9 +37,13 @@ from ..jqlib.values import is_truthy, tojson
 from ..marshal import _as_double, _as_long, _as_string
 from ..udtf import parse_document
 
+# sized to cover one default Arrow batch (10k rows) with headroom;
+# bounded so huge corpora can't pin worker memory
+_parse_cached = lru_cache(maxsize=16384)(parse_document)
+
 
 def _first(json_str: Optional[str], prog_src: str):
-    doc, err = parse_document(json_str)
+    doc, err = _parse_cached(json_str)
     prog = jq_compile(prog_src)
     for out in prog.iter(doc, vars={"error": err}):
         return out
@@ -53,7 +65,7 @@ def _jq_first(j, p):
 
 
 def _jq_all(j, p):
-    doc, err = parse_document(j)
+    doc, err = _parse_cached(j)
     try:
         return [tojson(x) for x in jq_compile(p).iter(doc, vars={"error": err})]
     except JQError:

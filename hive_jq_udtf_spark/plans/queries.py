@@ -128,7 +128,12 @@ def q_jq_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N fan-out via the comma stream (J20): each row emits two."""
     events = load_table(spark, sf_dir, "events")
     x = jq_explode(
-        events, "props", "{k: .k}, {k: (.k + 1000)}", "k:int", native="never"
+        events,
+        "props",
+        "{k: .k}, {k: (.k + 1000)}",
+        "k:int",
+        native="never",
+        min_parallelism=spark.sparkContext.defaultParallelism,
     )
     return x.agg(
         F.count("*").alias("n"),
