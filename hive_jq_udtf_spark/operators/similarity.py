@@ -306,23 +306,124 @@ def ivf_topk(
 
 
 def pairwise_cosine(
-    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", threshold: float = 0.9
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_blocks: int = 8,
+    small_corpus: bool = False,
 ) -> DataFrame:
     """All pairs above a cosine threshold (embedding near-dup
-    detection).
+    detection).  Exact — every qualifying pair is emitted once, as
+    (vec_a, vec_b, cosine) with vec_a < vec_b.
 
-    Physical strategy: the corpus is collected once as an
-    (ids, float64 matrix) pair and broadcast to every task; each
-    input partition then computes its block × corpus Gram matrix as
-    one vectorized matmul (Arrow batch in → numpy BLAS → Arrow out).
-    No O(n²) join, no per-pair interpreted expression, no shuffle at
-    all — the only cost is the scan plus C = B·Mᵀ per block.
+    Default physical strategy (scales past driver/executor memory):
+    TILED self-join.  Rows are hashed into ``n_blocks`` blocks; the
+    unordered block pairs (i ≤ j) are tiles; each row is replicated
+    to the ``n_blocks`` tiles containing its block; one
+    groupBy(tile).applyInPandas computes each tile's Gram matrix as
+    a single float64 matmul.  Nothing is ever collected to the
+    driver and no broadcast grows with the corpus: shuffle volume is
+    N·n_blocks vectors and per-task memory is ~2·N/n_blocks rows, so
+    n_blocks tunes the memory/replication trade-off (at 100 TB pick
+    n_blocks so a block fits an executor; the O(N²) matmul work is
+    intrinsic to the exact operator — use minhash/simhash/SRP for
+    the sub-quadratic approximate path).
 
-    Scale note (100 TB): valid while ONE side fits in executor
-    memory (a 10M×256-dim float64 corpus is ~20 GB — chunk the
-    broadcast or pre-block by srp_bucket_col / IVF cell and apply
-    this same kernel within blocks; see srp_topk for the blocked
-    candidate-generation shape)."""
+    ``small_corpus=True`` selects the broadcast kernel instead: the
+    corpus is collected once, broadcast, and each partition matmuls
+    its slice against it — fastest shape while one side fits in
+    memory, wrong shape beyond that."""
+    if small_corpus:
+        return _pairwise_cosine_broadcast(df, vec_col, id_col, threshold)
+    return _pairwise_cosine_tiled(df, vec_col, id_col, threshold, n_blocks)
+
+
+def _pairwise_cosine_tiled(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float, n_blocks: int
+) -> DataFrame:
+    import numpy as np
+
+    id_t = _id_spark_type(df, id_col)
+    out_schema = f"vec_a {id_t}, vec_b {id_t}, cosine double"
+    src = df.select(id_col, vec_col).withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    )
+    # replicate each row into every tile (min(blk,t), max(blk,t)); the
+    # n_blocks tiles of one row are distinct, and an unordered pair of
+    # rows shares exactly ONE tile — each pair is scored exactly once
+    tiles = F.array(
+        *[
+            F.struct(
+                F.least(F.col("__blk"), F.lit(t)).alias("ta"),
+                F.greatest(F.col("__blk"), F.lit(t)).alias("tb"),
+            )
+            for t in range(n_blocks)
+        ]
+    )
+    rep = src.withColumn("__t", F.explode(tiles)).select(
+        F.col("__t.ta").alias("__ta"),
+        F.col("__t.tb").alias("__tb"),
+        "__blk",
+        id_col,
+        vec_col,
+    )
+
+    def tile_gram(key, pdf):
+        import pandas as pd
+
+        ta, tb = int(key[0]), int(key[1])
+        ids = _id_numpy(pdf, id_col)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = np.nan  # zero vectors never match
+        unit = mat / norms[:, None]
+        empty = pd.DataFrame({"vec_a": ids[:0], "vec_b": ids[:0], "cosine": []})
+        if ta == tb:
+            sims = unit @ unit.T
+            with np.errstate(invalid="ignore"):
+                ii, jj = np.nonzero(
+                    (sims >= threshold) & (ids[:, None] < ids[None, :])
+                )
+            if not len(ii):
+                return empty
+            return pd.DataFrame(
+                {"vec_a": ids[ii], "vec_b": ids[jj], "cosine": sims[ii, jj]}
+            )
+        ma = pdf["__blk"].to_numpy() == ta
+        a_ids, a_unit = ids[ma], unit[ma]
+        b_ids, b_unit = ids[~ma], unit[~ma]
+        if not len(a_ids) or not len(b_ids):
+            return empty
+        sims = a_unit @ b_unit.T
+        with np.errstate(invalid="ignore"):
+            ii, jj = np.nonzero(sims >= threshold)
+        if not len(ii):
+            return empty
+        xa, xb, cs = a_ids[ii], b_ids[jj], sims[ii, jj]
+        swap = xa > xb  # emit with vec_a < vec_b regardless of block order
+        return pd.DataFrame(
+            {
+                "vec_a": np.where(swap, xb, xa),
+                "vec_b": np.where(swap, xa, xb),
+                "cosine": cs,
+            }
+        )
+
+    return rep.groupBy("__ta", "__tb").applyInPandas(tile_gram, out_schema)
+
+
+def _pairwise_cosine_broadcast(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", threshold: float = 0.9
+) -> DataFrame:
+    """Broadcast kernel (small-corpus fast path): the corpus is
+    collected once as an (ids, float64 matrix) pair and broadcast to
+    every task; each input partition then computes its block × corpus
+    Gram matrix as one vectorized matmul (Arrow batch in → numpy BLAS
+    → Arrow out).  No join, no shuffle — but the driver holds the
+    whole corpus, so this is ONLY valid while one side fits in
+    driver/executor memory (a 10M×256-dim float64 corpus is ~20 GB);
+    pairwise_cosine's default tiled kernel is the scale path."""
     import numpy as np
 
     spark = df.sparkSession

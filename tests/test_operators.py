@@ -372,3 +372,45 @@ def test_trained_ivf_beats_naive_centroids(emb_df):
     import numpy as np
 
     assert np.array_equal(cent, cent2)
+
+
+def test_pairwise_cosine_tiled_equals_broadcast(spark):
+    """The default tiled kernel (no driver collect) must emit exactly
+    the pairs of the broadcast kernel, for numeric and string ids and
+    for n_blocks larger than the row count."""
+    import random
+
+    from hive_jq_udtf_spark.operators.similarity import pairwise_cosine
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(120)
+    ]
+    # plant near-dups
+    for a, b in [(0, 60), (7, 99), (20, 21)]:
+        rows[b] = (b, [x * 1.001 for x in rows[a][1]])
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    for nb in (1, 3, 8, 200):
+        tiled = {
+            (r.vec_a, r.vec_b, round(r.cosine, 9))
+            for r in pairwise_cosine(df, threshold=0.8, n_blocks=nb).collect()
+        }
+        bcast = {
+            (r.vec_a, r.vec_b, round(r.cosine, 9))
+            for r in pairwise_cosine(df, threshold=0.8, small_corpus=True).collect()
+        }
+        assert tiled == bcast, f"n_blocks={nb}"
+        assert {(a, b) for a, b, _ in tiled} >= {(0, 60), (7, 99), (20, 21)}
+    sdf = spark.createDataFrame(
+        [(f"id{i:03d}", v) for i, v in rows], "vec_id string, embedding array<float>"
+    )
+    tiled_s = {
+        (r.vec_a, r.vec_b)
+        for r in pairwise_cosine(sdf, threshold=0.8, n_blocks=5).collect()
+    }
+    bcast_s = {
+        (r.vec_a, r.vec_b)
+        for r in pairwise_cosine(sdf, threshold=0.8, small_corpus=True).collect()
+    }
+    assert tiled_s == bcast_s
+    assert all(a < b for a, b in tiled_s)
