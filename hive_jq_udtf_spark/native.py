@@ -41,6 +41,11 @@ from .schema import parse_output_schema
 
 Path = tuple  # of str (field) / int (array index)
 
+# projection-spec marker tags; a PATH whose first field collides with
+# one of these would be misread as a spec, so analysis falls back to
+# the Python tier for such (rare) field names
+_SPEC_KINDS = {"lit", "expr", "fnchain", "alt", "length"}
+
 
 @dataclass
 class Filter:
@@ -58,6 +63,11 @@ class Filter:
 class NativeIR:
     pre_path: Path = ()
     iterate: bool = False
+    # steps between consecutive iterates for multi-level explode
+    # (.a[].b[] → pre_path=(a,), mid_paths=[(b,)]); empty for the
+    # single-iterate case.  Filters/projections are always relative
+    # to the LAST iterated element.
+    mid_paths: list = field(default_factory=list)
     pre_filters: list[Filter] = field(default_factory=list)
     post_filters: list[Filter] = field(default_factory=list)
     # projection: None = identity; {name: Path|("lit", v)} = object construct
@@ -101,6 +111,8 @@ def _flatten(ast: AST, out: list) -> bool:
                 return False
             p = _as_path(v_ast)
             if p is not None:
+                if p and isinstance(p[0], str) and p[0] in _SPEC_KINDS:
+                    return False  # field name collides with a spec tag
                 proj[k_ast[1]] = p
             elif v_ast[0] == "literal":
                 proj[k_ast[1]] = ("lit", v_ast[1])
@@ -110,6 +122,8 @@ def _flatten(ast: AST, out: list) -> bool:
                 proj[k_ast[1]] = ("expr", v_ast)
             elif (fc := _as_fnchain(v_ast)) is not None:
                 proj[k_ast[1]] = ("fnchain", fc[0], fc[1])
+            elif (lp := _as_length_chain(v_ast)) is not None:
+                proj[k_ast[1]] = ("length", lp)
             elif v_ast[0] == "alt" and _as_path(v_ast[1]) is not None and (
                 (d := _scalar_literal(v_ast[2])) is not None
             ):
@@ -132,8 +146,51 @@ _NULL_CMP = {"<": True, "<=": True, ">": False, ">=": False, "==": False, "!=": 
 # semantics preserved on well-typed data; deltas are the documented
 # cast-garbage class (jq aborts on type errors, the native tier
 # passes through / NULLs).
-_STR_FNS = {"ascii_downcase": 0, "ascii_upcase": 0, "ltrimstr": 1, "rtrimstr": 1}
+_STR_FNS = {
+    "ascii_downcase": 0,
+    "ascii_upcase": 0,
+    "ltrimstr": 1,
+    "rtrimstr": 1,
+    "tostring": 0,
+}
 _NUM_FNS = {"tonumber": 0, "floor": 0, "sqrt": 0, "fabs": 0}
+
+# string predicates compilable inside select(): jq fn name → handled
+# in _string_pred_col (startswith/endswith literal; test → rlike)
+_STR_PREDS = {"startswith", "endswith", "test"}
+
+
+def _regex_portable(pat: str) -> bool:
+    """True when the pattern means the same under Python re (the jq
+    tier's engine) and Java regex (Catalyst rlike).  Conservative:
+    rejects inline groups/flags `(?...)`, unicode properties, and any
+    escape outside the shared core — those fall back to the Python
+    tier rather than silently diverging (SURVEY J22 dialect note)."""
+    if "(?" in pat:
+        return False
+    import re as _re
+
+    for m in _re.finditer(r"\\(.)", pat):
+        ch = m.group(1)
+        if ch.isalnum() and ch not in "dDwWsSbBnrtf":
+            return False
+    return True
+
+
+def _as_length_chain(ast: AST) -> Optional[Path]:
+    """``.path | length`` (or bare ``length``) → the path, else None."""
+    nodes: list = []
+    _pipe_list(ast, nodes)
+    last = nodes[-1]
+    if last[0] != "call" or last[1] != "length" or last[2]:
+        return None
+    path: tuple = ()
+    for n in nodes[:-1]:
+        p = _as_path(n)
+        if p is None:
+            return None
+        path = path + p
+    return path
 
 
 def _scalar_literal(ast: AST):
@@ -218,6 +275,12 @@ def _apply_fnchain(c: Column, fns) -> Column:
             c = F.when(
                 c.endswith(suf), c.substr(F.lit(1), F.length(c) - len(suf))
             ).otherwise(c)
+        elif name == "tostring":
+            # the string view of a JSON value IS jq's tostring (both
+            # get_json_object and from_json string fields re-serialize
+            # compact JSON; plain strings appear as their content);
+            # only null needs mapping: jq tostring(null) = "null"
+            c = F.coalesce(c, F.lit("null"))
         elif name == "tonumber":
             # try_cast: garbage strings are the documented NULL-delta
             # class (jq aborts the row); never an ANSI runtime crash
@@ -385,6 +448,29 @@ def _parse_filters(cond: AST) -> Optional[list[Filter]]:
     p = _as_path(cond)
     if p is not None:
         return [Filter(p, "truthy", None)]
+    # string predicate: `.path | startswith("x")` / endswith / test
+    # (bare call form applies to `.`); test patterns must be portable
+    # between Python re and Java regex or the program falls back
+    nodes: list = []
+    _pipe_list(cond, nodes)
+    call = nodes[-1]
+    if (
+        call[0] == "call"
+        and call[1] in _STR_PREDS
+        and len(call[2]) == 1
+        and call[2][0][0] == "literal"
+        and isinstance(call[2][0][1], str)
+    ):
+        pat = call[2][0][1]
+        if call[1] == "test" and not _regex_portable(pat):
+            return None
+        path: tuple = ()
+        for n in nodes[:-1]:
+            pp = _as_path(n)
+            if pp is None:
+                return None
+            path = path + pp
+        return [Filter(path, call[1], pat)]
     return None
 
 
@@ -410,8 +496,14 @@ def analyze_program(program: str) -> Optional[NativeIR]:
                 ir.pre_path = ir.pre_path + (st[1],)
         elif kind == "iterate":
             if seen_iterate:
-                return None  # one explode max in this tier
-            seen_iterate = True
+                if ir.post_filters:
+                    # select BETWEEN iterates — not expressible as a
+                    # last-element filter; Python tier handles it
+                    return None
+                ir.mid_paths.append(tuple(post_steps))
+                post_steps = []
+            else:
+                seen_iterate = True
         elif kind == "select":
             fl = st[1]
             if seen_iterate:
@@ -438,8 +530,13 @@ def analyze_program(program: str) -> Optional[NativeIR]:
                     proj[k] = ("fnchain", tuple(base) + v[1], v[2])
                 elif isinstance(v, tuple) and v and v[0] == "alt":
                     proj[k] = ("alt", tuple(base) + v[1], v[2])
+                elif isinstance(v, tuple) and v and v[0] == "length":
+                    proj[k] = ("length", tuple(base) + v[1])
                 else:
-                    proj[k] = base + v
+                    full = base + v
+                    if full and isinstance(full[0], str) and full[0] in _SPEC_KINDS:
+                        return None  # field name collides with a spec tag
+                    proj[k] = full
             ir.project = proj
             ir.iterate = seen_iterate
             # projection must be final
@@ -494,6 +591,79 @@ def _variant_truthy(v: Column) -> Column:
     return v.isNotNull() & (vt != F.lit("VOID")) & ~is_false
 
 
+def _variant_length(v: Column) -> Column:
+    """jq ``length`` on an exact-typed variant: element count for
+    arrays, key count for objects, codepoint count for strings, |n|
+    for numbers, 0 for null/missing; booleans (a jq error) are the
+    NULL-delta class.  Double-typed so one expression serves every
+    declared numeric column type."""
+    vt = F.schema_of_variant(v)
+    return (
+        F.when(v.isNull() | (vt == F.lit("VOID")), F.lit(0).cast("double"))
+        .when(vt.startswith("ARRAY"), F.size(v.try_cast("array<variant>")).cast("double"))
+        .when(vt.startswith("OBJECT"), F.size(v.try_cast("map<string,variant>")).cast("double"))
+        .when(vt == F.lit("STRING"), F.length(v.try_cast("string")).cast("double"))
+        .when(vt == F.lit("BOOLEAN"), F.lit(None).cast("double"))
+        .otherwise(F.abs(v.try_cast("double")))
+    )
+
+
+def _elem_decl_type(dt: T.DataType) -> T.DataType:
+    """Element-schema type for a declared output type: map-typed
+    outputs read a VARIANT so the marshaller's M4 rule (object → map,
+    null → NULL, any other value → EMPTY map) is expressible; other
+    types parse directly."""
+    return T.VariantType() if isinstance(dt, T.MapType) else dt
+
+
+def _elem_out_col(c: Column, dt: T.DataType) -> Column:
+    """Declared-type output column from an exploded element field."""
+    if isinstance(dt, T.MapType):  # c is a variant (_elem_decl_type)
+        vt = F.schema_of_variant(c)
+        return (
+            F.when(c.isNull() | (vt == F.lit("VOID")), F.lit(None).cast(dt))
+            .when(vt.startswith("OBJECT"), c.try_cast(dt))
+            .otherwise(F.create_map().cast(dt))  # M4: non-object → {}
+        )
+    return c.try_cast(dt)
+
+
+def _scalar_map_col(json_col: Column, path: Path, dt: T.MapType) -> Column:
+    """Scalar-tier map-declared output: variant-gated M4 rule
+    (object → map, null/missing → NULL, any other value → empty map)."""
+    vv = F.try_variant_get(F.try_parse_json(json_col), _json_path(path), "variant")
+    vt = F.schema_of_variant(vv)
+    return (
+        F.when(vv.isNull() | (vt == F.lit("VOID")), F.lit(None).cast(dt))
+        .when(vt.startswith("OBJECT"), vv.try_cast(dt))
+        .otherwise(F.create_map().cast(dt))
+    )
+
+
+def _string_pred_col(c: Column, op: str, pat: str) -> Column:
+    """startswith/endswith/test on the string view.  NULL (missing /
+    null / garbage) → false, dropping the row — jq instead errors on
+    non-string input, the documented NULL-delta class."""
+    c = c.try_cast("string")
+    if op == "startswith":
+        r = c.startswith(pat)
+    elif op == "endswith":
+        r = c.endswith(pat)
+    else:  # test — pattern portability pre-checked in _parse_filters
+        r = c.rlike(pat)
+    return F.coalesce(r, F.lit(False))
+
+
+def _nav_step(c: Column, s) -> Column:
+    """One navigation step on a typed column: field access for string
+    steps, NULL-tolerant element access for int steps (ANSI getItem
+    throws on out-of-bounds; jq yields null — try_element_at is
+    1-based and supports jq's negative-from-end indices)."""
+    if isinstance(s, int):
+        return F.try_element_at(c, F.lit(s + 1 if s >= 0 else s))
+    return c.getField(s)
+
+
 def _filter_col(json_col: Column, f: Filter) -> Column:
     if f.lhs_expr is not None:
         c = _compile_expr(
@@ -512,6 +682,8 @@ def _filter_col(json_col: Column, f: Filter) -> Column:
             F.try_parse_json(json_col), _json_path(f.lhs), "variant"
         )
         return _variant_truthy(v)
+    if f.op in _STR_PREDS:
+        return _string_pred_col(raw, f.op, f.lit)
     lit = f.lit
     if isinstance(lit, bool):
         # try_cast: a non-boolean string here is dirty data (documented
@@ -555,19 +727,21 @@ def _struct_filter_col(struct_col: Column, f: Filter) -> Column:
         def nav(p, _f=f):
             c = struct_col
             for s in _f.lhs + p:
-                c = c.getItem(s) if isinstance(s, int) else c.getField(s)
+                c = _nav_step(c, s)
             return c.try_cast("double")
 
         return _cmp_with_null_order(_compile_expr(f.lhs_expr, nav), f.op, f.lit)
     c = struct_col
     for s in f.lhs:
-        c = c.getItem(s) if isinstance(s, int) else c.getField(s)
+        c = _nav_step(c, s)
     if f.op == "truthy":
         # the element schema types truthy-filter paths as VARIANT
         # (_elem_schema), so the exact JSON type is available here;
         # comparing a STRING-typed view to lit(False) would ANSI-crash
         # on truthy strings like "hello"
         return _variant_truthy(c)
+    if f.op in _STR_PREDS:
+        return _string_pred_col(c, f.op, f.lit)
     if f.lit is None:
         return c.isNull() if f.op == "==" else c.isNotNull()
     # try_cast to the literal's comparison type: normally a no-op (the
@@ -622,8 +796,13 @@ class NativePlan:
         if self.single:
             fdt = self.schema.fields[0]
             src = ir.single_path if ir.project is None else None
-            raw = F.get_json_object(col, _json_path(src or ()))
-            out_cols.append(_cast_extracted(raw, fdt.dataType).alias(fdt.name))
+            if isinstance(fdt.dataType, T.MapType):
+                out_cols.append(
+                    _scalar_map_col(col, src or (), fdt.dataType).alias(fdt.name)
+                )
+            else:
+                raw = F.get_json_object(col, _json_path(src or ()))
+                out_cols.append(_cast_extracted(raw, fdt.dataType).alias(fdt.name))
         elif ir.project is not None:
             for fdt in self.schema.fields:
                 spec = ir.project.get(fdt.name)
@@ -637,7 +816,7 @@ class NativePlan:
                         ast,
                         lambda p: F.get_json_object(
                             col, _json_path(tuple(base) + p)
-                        ).cast("double"),
+                        ).try_cast("double"),
                     )
                     out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "fnchain":
@@ -675,6 +854,17 @@ class NativePlan:
                         raw.isNull() | is_false, F.lit(dflt).try_cast(fdt.dataType)
                     ).otherwise(_cast_extracted(raw, fdt.dataType))
                     out_cols.append(c.alias(fdt.name))
+                elif isinstance(spec, tuple) and spec and spec[0] == "length":
+                    vv = F.try_variant_get(
+                        F.try_parse_json(col), _json_path(spec[1]), "variant"
+                    )
+                    out_cols.append(
+                        _variant_length(vv).try_cast(fdt.dataType).alias(fdt.name)
+                    )
+                elif isinstance(fdt.dataType, T.MapType):
+                    out_cols.append(
+                        _scalar_map_col(col, spec, fdt.dataType).alias(fdt.name)
+                    )
                 else:
                     raw = F.get_json_object(col, _json_path(spec))
                     out_cols.append(_cast_extracted(raw, fdt.dataType).alias(fdt.name))
@@ -682,6 +872,13 @@ class NativePlan:
             # bare path + NAME:TYPE decls → destructure result object
             base = ir.single_path or ()
             for fdt in self.schema.fields:
+                if isinstance(fdt.dataType, T.MapType):
+                    out_cols.append(
+                        _scalar_map_col(col, base + (fdt.name,), fdt.dataType).alias(
+                            fdt.name
+                        )
+                    )
+                    continue
                 raw = F.get_json_object(col, _json_path(base + (fdt.name,)))
                 out_cols.append(_cast_extracted(raw, fdt.dataType).alias(fdt.name))
         return df.select("*", *out_cols)
@@ -723,9 +920,13 @@ class NativePlan:
 
         if self.single and ir.project is None:
             if not ir.single_path:
+                if isinstance(self.schema.fields[0].dataType, T.MapType):
+                    # whole-element map needs a variant element — not
+                    # representable as the bare element type
+                    raise _SchemaConflict(())
                 # scalar elements (filters unsupported; guarded in compile)
                 return self.schema.fields[0].dataType
-            add(ir.single_path, self.schema.fields[0].dataType)
+            add(ir.single_path, _elem_decl_type(self.schema.fields[0].dataType))
         elif ir.project is not None:
             for fdt in self.schema.fields:
                 spec = ir.project.get(fdt.name)
@@ -738,14 +939,29 @@ class NativePlan:
                     for p in refs:
                         add(tuple(base) + p, T.DoubleType())
                 elif isinstance(spec, tuple) and spec and spec[0] == "fnchain":
-                    add(spec[1], T.StringType())  # fn chains read the string view
+                    if spec[2][0][0] in ("ltrimstr", "rtrimstr"):
+                        # leading trims gate on the exact JSON type
+                        # (jq passes NON-strings through unchanged)
+                        if not spec[1]:
+                            raise _SchemaConflict(spec)
+                        add(spec[1], T.VariantType())
+                    else:
+                        add(spec[1], T.StringType())  # string view
                 elif isinstance(spec, tuple) and spec and spec[0] == "alt":
-                    add(spec[1], T.StringType())  # string view: null/false check
+                    # `//` substitutes on null/missing OR boolean false —
+                    # needs the exact JSON type, so read a variant
+                    if not spec[1]:
+                        raise _SchemaConflict(spec)
+                    add(spec[1], T.VariantType())
+                elif isinstance(spec, tuple) and spec and spec[0] == "length":
+                    if not spec[1]:
+                        raise _SchemaConflict(spec)  # length of the element itself
+                    add(spec[1], T.VariantType())
                 else:
-                    add(spec, fdt.dataType)
+                    add(spec, _elem_decl_type(fdt.dataType))
         else:
             for fdt in self.schema.fields:
-                add(ir.single_path + (fdt.name,), fdt.dataType)
+                add(ir.single_path + (fdt.name,), _elem_decl_type(fdt.dataType))
         for f in ir.post_filters:
             if f.lhs_expr is not None:
                 refs: list = []
@@ -760,6 +976,27 @@ class NativePlan:
                 add(f.lhs, _spark_type_for_filter_lit(f.lit))
 
         def to_struct(d: dict) -> T.DataType:
+            if d and all(isinstance(k, int) for k in d):
+                # integer steps ([0], [2]) → the level is an ARRAY; the
+                # element type is the merge of every index's needs
+                ets = [to_struct(v) if isinstance(v, dict) else v for v in d.values()]
+                et = ets[0]
+                for other in ets[1:]:
+                    if other != et:
+                        if isinstance(et, T.VariantType) or isinstance(
+                            other, T.VariantType
+                        ):
+                            et = T.VariantType()
+                        elif isinstance(et, T.StructType) or isinstance(
+                            other, T.StructType
+                        ):
+                            raise _SchemaConflict(tuple(d))
+                        else:
+                            et = T.StringType()  # consumers re-cast
+                return T.ArrayType(et)
+            if any(isinstance(k, int) for k in d):
+                # mixed array-index and field access of one level
+                raise _SchemaConflict(tuple(d))
             fields = []
             for k, v in d.items():
                 fields.append(T.StructField(str(k), to_struct(v) if isinstance(v, dict) else v))
@@ -769,33 +1006,48 @@ class NativePlan:
 
     def _apply_explode(self, df: DataFrame, col: Column, outer: bool) -> DataFrame:
         ir = self.ir
+
+        def wrap_steps(steps: Path, inner: T.DataType) -> T.DataType:
+            for s in reversed(steps):
+                if isinstance(s, int):
+                    inner = T.ArrayType(inner)
+                else:
+                    inner = T.StructType([T.StructField(s, inner)])
+            return inner
+
         for f in ir.pre_filters:
             df = df.where(_filter_col(col, f))
         elem = self._elem_schema()
-        # wrap element schema in the pre-path nesting
+        # wrap the LAST element's schema in each iterate level's array
+        # + the steps leading to it, innermost-out, then the pre-path
         arr_t: T.DataType = T.ArrayType(elem)
-        for s in reversed(ir.pre_path):
-            if isinstance(s, int):
-                arr_t = T.ArrayType(arr_t)
-            else:
-                arr_t = T.StructType([T.StructField(s, arr_t)])
+        for mid in reversed(ir.mid_paths):
+            arr_t = T.ArrayType(wrap_steps(mid, arr_t))
+        arr_t = wrap_steps(ir.pre_path, arr_t)
         parsed = F.from_json(col, arr_t)
         nav = parsed
         for s in ir.pre_path:
-            nav = nav.getItem(s) if isinstance(s, int) else nav.getField(s)
-        gen = F.explode_outer(nav) if outer else F.explode(nav)
-        tmp = "__jq_elem"
-        out = df.withColumn(tmp, gen)
-        ec = F.col(tmp)
+            nav = _nav_step(nav, s)
+        gen = F.explode_outer if outer else F.explode
+        out = df.withColumn("__jq_elem0", gen(nav))
+        ec = F.col("__jq_elem0")
+        # chained explode for multi-iterate programs (.a[].b[]):
+        # navigate the mid path on the current element, explode again
+        for lvl, mid in enumerate(ir.mid_paths, start=1):
+            c2 = ec
+            for s in mid:
+                c2 = _nav_step(c2, s)
+            out = out.withColumn(f"__jq_elem{lvl}", gen(c2))
+            ec = F.col(f"__jq_elem{lvl}")
         for f in ir.post_filters:
             out = out.where(_struct_filter_col(ec, f))
         out_cols = []
         if self.single and ir.project is None:
             c = ec
             for s in ir.single_path:
-                c = c.getItem(s) if isinstance(s, int) else c.getField(s)
+                c = _nav_step(c, s)
             out_cols.append(
-                c.try_cast(self.schema.fields[0].dataType).alias(
+                _elem_out_col(c, self.schema.fields[0].dataType).alias(
                     self.schema.fields[0].name
                 )
             )
@@ -812,7 +1064,7 @@ class NativePlan:
                     def nav(p, _base=tuple(base)):
                         c = ec
                         for s in _base + p:
-                            c = c.getItem(s) if isinstance(s, int) else c.getField(s)
+                            c = _nav_step(c, s)
                         return c.try_cast("double")
 
                     out_cols.append(
@@ -822,37 +1074,59 @@ class NativePlan:
                     _, path, fns = spec
                     c = ec
                     for st in path:
-                        c = c.getItem(st) if isinstance(st, int) else c.getField(st)
-                    # try_cast("string") first: a truthy filter on the
-                    # same path retypes it VARIANT; for a string column
-                    # this is a no-op
-                    out_cols.append(
-                        _apply_fnchain(c.try_cast("string"), fns)
-                        .cast(fdt.dataType)
-                        .alias(fdt.name)
-                    )
+                        c = _nav_step(c, st)
+                    if fns[0][0] in ("ltrimstr", "rtrimstr"):
+                        # the element schema typed this path VARIANT:
+                        # jq passes NON-strings through trims unchanged
+                        vt = F.schema_of_variant(c)
+                        s = c.try_cast("string")
+                        full_c = _apply_fnchain(s, fns)
+                        rest = _apply_fnchain(s, fns[1:]) if len(fns) > 1 else s
+                        cc = F.when(vt == F.lit("STRING"), full_c).otherwise(rest)
+                    else:
+                        # try_cast("string") first: a truthy filter on
+                        # the same path retypes it VARIANT; for a
+                        # string column this is a no-op
+                        cc = _apply_fnchain(c.try_cast("string"), fns)
+                    out_cols.append(cc.cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "alt":
+                    # path typed VARIANT by the element schema — exact
+                    # type gates the boolean-false substitution
                     _, path, dflt = spec
                     c = ec
                     for st in path:
-                        c = c.getItem(st) if isinstance(st, int) else c.getField(st)
+                        c = _nav_step(c, st)
+                    vt = F.schema_of_variant(c)
+                    is_false = (vt == F.lit("BOOLEAN")) & ~F.try_variant_get(
+                        c, "$", "boolean"
+                    )
                     out_cols.append(
-                        F.when(c.isNull() | (c == F.lit("false")), F.lit(dflt))
-                        .otherwise(c.cast(fdt.dataType))
-                        .cast(fdt.dataType)
+                        F.when(
+                            c.isNull() | (vt == F.lit("VOID")) | is_false,
+                            F.lit(dflt).try_cast(fdt.dataType),
+                        )
+                        .otherwise(c.try_cast(fdt.dataType))
                         .alias(fdt.name)
+                    )
+                elif isinstance(spec, tuple) and spec and spec[0] == "length":
+                    _, path = spec
+                    c = ec
+                    for st in path:
+                        c = _nav_step(c, st)
+                    out_cols.append(
+                        _variant_length(c).try_cast(fdt.dataType).alias(fdt.name)
                     )
                 else:
                     c = ec
                     for s in spec:
-                        c = c.getItem(s) if isinstance(s, int) else c.getField(s)
-                    out_cols.append(c.try_cast(fdt.dataType).alias(fdt.name))
+                        c = _nav_step(c, s)
+                    out_cols.append(_elem_out_col(c, fdt.dataType).alias(fdt.name))
         else:
             for fdt in self.schema.fields:
                 c = ec
                 for s in ir.single_path + (fdt.name,):
-                    c = c.getItem(s) if isinstance(s, int) else c.getField(s)
-                out_cols.append(c.try_cast(fdt.dataType).alias(fdt.name))
+                    c = _nav_step(c, s)
+                out_cols.append(_elem_out_col(c, fdt.dataType).alias(fdt.name))
         return out.select(*[c for c in df.columns], *out_cols)
 
     def apply(self, df: DataFrame, column: str | Column, outer: bool = False) -> DataFrame:
@@ -879,26 +1153,10 @@ def compile_native(program: str, decls: tuple[str, ...]) -> Optional[NativePlan]
     # object into col1 — not covered by this tier
     if single and ir.project is not None:
         return None
-    # alt and leading ltrimstr/rtrimstr need exact per-value JSON types
-    # (variant), which is only available pre-explode — under iterate
-    # these fall back to the Python tier
-    if ir.iterate and ir.project is not None:
-        for spec in ir.project.values():
-            if isinstance(spec, tuple) and spec:
-                if spec[0] == "alt":
-                    return None
-                if spec[0] == "fnchain" and spec[2][0][0] in ("ltrimstr", "rtrimstr"):
-                    return None
     # guard: scalar-element explode with post filters/steps is fine,
     # but filters on a *scalar* element (no struct) aren't expressible
     if ir.iterate and single and ir.project is None and not ir.single_path and ir.post_filters:
         return None
-    # map/struct/array declared types inside explode tier use casts that
-    # only work field-by-field; allow only atomic decls there
-    if ir.iterate:
-        for f in schema.fields:
-            if isinstance(f.dataType, (T.MapType,)):
-                return None
     try:
         return NativePlan(ir, tuple(decls))
     except _SchemaConflict:

@@ -2042,3 +2042,135 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 QUERIES["jq_native_alternative"] = q_jq_native_alternative
 ORACLES["jq_native_alternative"] = _ORACLE_JQ_NATIVE_ALT
+
+
+# ---------------------------------------------------------------------------
+# Round-2: native tier growth — multi-iterate, length/tostring, string
+# predicates in select, map-typed projections (VERDICT r1 next-#1).
+# ---------------------------------------------------------------------------
+
+
+def q_jq_native_multi_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained explode compiled natively: per-user nested docs
+    {evs: [{tags: [k, k+1000]} ...]} and the two-level iterate
+    ``.evs[].tags[]`` — two generate nodes over one from_json parse,
+    no Python stage anywhere."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    nested = (
+        events.select(F.col("user_id"), F.array(k, k + 1000).alias("tags"))
+        .groupBy("user_id")
+        .agg(F.collect_list(F.struct("tags")).alias("evs"))
+        .select(F.to_json(F.struct("evs")).alias("doc"))
+    )
+    x = jq_explode(nested, "doc", ".evs[].tags[]", "bigint", native="require")
+    return x.agg(
+        F.count("*").alias("n"),
+        F.sum("col1").alias("sum_k"),
+        F.min("col1").alias("min_k"),
+        F.max("col1").alias("max_k"),
+    )
+
+
+_ORACLE_JQ_NATIVE_MULTI_ITER = """
+WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+u AS (SELECT k FROM k UNION ALL SELECT k + 1000 FROM k)
+SELECT count(*) AS n, sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k FROM u
+"""
+
+QUERIES["jq_native_multi_iterate"] = q_jq_native_multi_iterate
+ORACLES["jq_native_multi_iterate"] = _ORACLE_JQ_NATIVE_MULTI_ITER
+
+
+def q_jq_native_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jq ``length`` over every JSON type (string/array/object/
+    missing) plus ``tostring``, compiled natively via the variant
+    reader — string length is codepoints, object length is key
+    count, missing is 0, exactly jq's polymorphic rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    j = docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.substring("text", 1, 30).alias("head"),
+                F.array("lang", "source").alias("tags"),
+                F.struct(
+                    F.col("n_chars").alias("a"), F.col("doc_id").alias("b")
+                ).alias("obj"),
+                F.col("doc_id").alias("nid"),
+            )
+        ).alias("doc"),
+    )
+    x = jq_explode(
+        j,
+        "doc",
+        "{hl: (.head | length), nt: (.tags | length), no: (.obj | length),"
+        " na: (.missing | length), ts: (.nid | tostring)}",
+        "hl:int",
+        "nt:int",
+        "no:int",
+        "na:int",
+        "ts:string",
+        native="require",
+    )
+    return x.select("doc_id", "hl", "nt", "no", "na", "ts").orderBy("doc_id").limit(300)
+
+
+_ORACLE_JQ_NATIVE_LENGTH = """
+SELECT doc_id, length(substr(text, 1, 30)) AS hl, 2 AS nt, 2 AS no, 0 AS na,
+       CAST(doc_id AS VARCHAR) AS ts
+FROM documents ORDER BY doc_id LIMIT 300
+"""
+
+QUERIES["jq_native_length"] = q_jq_native_length
+ORACLES["jq_native_length"] = _ORACLE_JQ_NATIVE_LENGTH
+
+
+def q_jq_native_map_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String predicates in select (startswith + test → codegen
+    StartsWith/RLike) and a map-typed projection, all native under an
+    explode: items tagged by lang and source, keep tags matching
+    ^src1x, emit the kv object as a real map column."""
+    docs = load_table(spark, sf_dir, "documents")
+    kv = F.struct(F.col("n_chars").alias("a"))
+    j = docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.array(
+                    F.struct(F.col("lang").alias("tag"), kv.alias("kv")),
+                    F.struct(F.col("source").alias("tag"), kv.alias("kv")),
+                ).alias("items")
+            )
+        ).alias("doc"),
+    )
+    x = jq_explode(
+        j,
+        "doc",
+        '.items[] | select(.tag | startswith("s")) | select(.tag | test("src1[0-9]"))'
+        " | {tag: .tag, m: .kv}",
+        "tag:string",
+        "m:map<string,bigint>",
+        native="require",
+    )
+    return (
+        x.select(
+            "doc_id",
+            "tag",
+            F.array_join(F.map_keys("m"), ",").alias("mk"),
+            F.element_at("m", "a").alias("mv"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+_ORACLE_JQ_NATIVE_MAP_PREDS = """
+SELECT doc_id, source AS tag, 'a' AS mk, n_chars AS mv
+FROM documents
+WHERE source LIKE 's%' AND regexp_matches(source, 'src1[0-9]')
+ORDER BY doc_id LIMIT 300
+"""
+
+QUERIES["jq_native_map_preds"] = q_jq_native_map_preds
+ORACLES["jq_native_map_preds"] = _ORACLE_JQ_NATIVE_MAP_PREDS

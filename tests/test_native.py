@@ -230,18 +230,20 @@ def test_native_alternative_operator(spark):
     assert nat == py  # incl. the //-substitutes-on-false edge
 
 
-def test_native_alternative_under_iterate_falls_back(spark):
-    # // needs exact per-value JSON types (variant), unavailable per
-    # exploded element — must fall back, and auto mode must still be
-    # correct via the Python tier
+def test_native_alternative_under_iterate(spark):
+    # // under iterate compiles natively since the element schema can
+    # type the path VARIANT (exact per-value JSON types) — boolean
+    # false and null/missing substitute, everything else passes
     from hive_jq_udtf_spark.native import compile_native
     from hive_jq_udtf_spark.udtf import jq_explode
 
     prog = ".a[] | {v: (.v // 9)}"
-    assert compile_native(prog, ("v:int",)) is None
+    assert compile_native(prog, ("v:int",)) is not None
     df = spark.createDataFrame([('{"a": [{"v": 1}, {}, {"v": false}]}',)], "j string")
-    out = jq_explode(df, "j", prog, "v:int", native="auto").drop("j").collect()
-    assert [r.v for r in out] == [1, 9, 9]
+    for mode in ("require", "never"):
+        out = jq_explode(df, "j", prog, "v:int", native=mode).drop("j").collect()
+        assert [r.v for r in out] == [1, 9, 9], mode
+    assert _plan_is_pythonfree(jq_explode(df, "j", prog, "v:int", native="require"))
 
 
 def test_native_alt_string_false_not_substituted(spark):
@@ -396,3 +398,96 @@ def test_native_truthy_then_numeric_filter_same_elem(spark):
     nat = sorted(r.v for r in jq_explode(df, "j", prog, *decls, native="require").collect())
     py = sorted(r.v for r in jq_explode(df, "j", prog, *decls, native="never").collect())
     assert nat == py == [3, 5, 7, 8]
+
+
+# ---------------------------------------------------------------------------
+# native tier growth (r2): multi-iterate, string predicates, length,
+# tostring, map projections
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nested_df(spark):
+    import json as _json
+    import random as _random
+
+    rng = _random.Random(13)
+    rows = []
+    for i in range(80):
+        doc = {
+            "name": rng.choice(["Tokyo", "Toronto", "paris", "NY"]),
+            "s": rng.choice(["abc", "", "xyzw", None, 5, ["a", 1], {"k": 1, "j": 2}]),
+            "orders": [
+                {
+                    "oid": i * 10 + j,
+                    "tag": rng.choice(["red", "blue", "green"]),
+                    "lines": [
+                        {"sku": rng.choice(["a", "b", "c"]), "qty": rng.randint(1, 9)}
+                        for _ in range(rng.randint(0, 3))
+                    ],
+                }
+                for j in range(rng.randint(0, 3))
+            ],
+        }
+        rows.append((i, _json.dumps(doc)))
+    return spark.createDataFrame(rows, "id int, j string")
+
+
+GROWTH_CASES = [
+    # multi-iterate (chained explode)
+    (".orders[].lines[]", ("sku:string", "qty:int")),
+    (".orders[] | .lines[] | {sku: .sku, qty: .qty}", ("sku:string", "qty:int")),
+    (".orders[].lines[].qty", ("int",)),
+    (".orders[].lines[] | select(.qty > 5) | {sku}", ("sku:string",)),
+    # string predicates in select — scalar and explode tier
+    ('select(.name | startswith("T")) | {name}', ("name:string",)),
+    ('select(.name | endswith("o")) | {name}', ("name:string",)),
+    ('select(.name | test("^T.*o$")) | {name}', ("name:string",)),
+    ('.orders[] | select(.tag | startswith("r")) | {oid: .oid}', ("oid:int",)),
+    ('.orders[] | select(.tag | test("l")) | {oid: .oid}', ("oid:int",)),
+    # length in projections (array/object/string/number/null via variant)
+    ("{n: (.orders | length)}", ("n:int",)),
+    ("{n: (.s | length)}", ("n:double",)),
+    (".orders[] | {n: (.lines | length), oid: .oid}", ("n:int", "oid:int")),
+    # tostring (string view == jq compact tojson; null → "null")
+    ("{t: (.s | tostring)}", ("t:string",)),
+    (".orders[] | {t: (.oid | tostring)}", ("t:string",)),
+    # map-typed projections, both tiers (M4: object → map, else {})
+    ("{m: .s}", ("m:map<string,int>",)),
+    (".orders[] | {m: .lines[0]}", ("m:map<string,string>",)),
+]
+
+
+@pytest.mark.parametrize("program,decls", GROWTH_CASES, ids=[c[0] for c in GROWTH_CASES])
+def test_native_growth_matches_python_tier(nested_df, program, decls):
+    plan = compile_native(program, decls)
+    assert plan is not None, f"expected native compilation for {program!r}"
+    nat = jq_explode(nested_df, "j", program, *decls, native="require")
+    py = jq_explode(nested_df, "j", program, *decls, native="never")
+    assert _plan_is_pythonfree(nat)
+    cols = [c for c in nat.columns if c != "j"]
+    a = sorted(map(tuple, nat.select(cols).collect()), key=str)
+    b = sorted(map(tuple, py.select(cols).collect()), key=str)
+    assert a == b
+
+
+def test_native_nonportable_regex_falls_back():
+    # inline flags / lookarounds / unicode properties mean different
+    # things (or nothing) in Java regex — must fall back, not diverge
+    assert compile_native('select(.s | test("(?i)abc")) | {s}', ("s:string",)) is None
+    assert compile_native(r'select(.s | test("\\p{L}+")) | {s}', ("s:string",)) is None
+    assert compile_native(r'select(.s | test("a\\d+")) | {s}', ("s:string",)) is not None
+
+
+def test_native_spec_tag_field_names_fall_back():
+    # a projection path whose first field collides with an internal
+    # spec marker must not be misread — falls back to the Python tier
+    assert compile_native("{x: .lit.a}", ("x:string",)) is None
+    assert compile_native("{x: .length.a}", ("x:string",)) is None
+    assert compile_native("{x: .fnchain}", ("x:string",)) is None
+
+
+def test_native_select_between_iterates_falls_back():
+    assert (
+        compile_native(".a[] | select(.x) | .b[]", ("v:int",)) is None
+    )
