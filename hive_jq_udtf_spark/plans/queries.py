@@ -1704,7 +1704,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     purchases = (
         src()
-        .where((F.col("event_type") == "purchase") & (F.col("user_id") < 75))
+        .where(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
@@ -1714,7 +1714,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = (
         src()
-        .where((F.col("event_type") == "click") & (F.col("user_id") < 75))
+        .where(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("c_ts"),
@@ -1751,13 +1751,140 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_SS_JOIN = """
 WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
-           WHERE event_type = 'purchase' AND user_id < 75),
+           WHERE event_type = 'purchase'),
 c AS (SELECT user_id, ts, event_id AS click_id FROM events
-      WHERE event_type = 'click' AND user_id < 75)
+      WHERE event_type = 'click')
 SELECT p.purchase_id, c.click_id, p.user_id
 FROM p JOIN c ON p.user_id = c.user_id
  AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 24 HOUR
 ORDER BY purchase_id, click_id
+"""
+
+
+def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark state expiry:
+    every purchase is attributed to prior-24h same-user clicks, and a
+    purchase with NO qualifying click is emitted once with NULL
+    click_id after the watermark passes its state-retention bound.
+
+    Outer rows only emit when the join's watermark overtakes them, so
+    the source is staged into a temp dir with two far-future SENTINEL
+    rows (one per side, mutually non-joinable, filtered from the
+    output) that push the final watermark past every real row —
+    making end-of-stream outer emission deterministic and the plain
+    batch LEFT JOIN the exact oracle.  At scale this is the standard
+    shape: state is keyed by user, sized by the 24h window, and
+    evicted by the watermark — unbounded streams hold bounded state."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import enable_nanos
+
+    enable_nanos(spark)
+    d = tempfile.mkdtemp(prefix="ss_outer_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    # 2100-01-01 (purchase) and 2100-06-01 (click): the click is LATER
+    # than the purchase so the range condition can never match them
+    y2100 = 4102444800 * 1_000_000_000
+    sentinel = pa.table(
+        {
+            "event_id": pa.array([-1, -2], pa.int64()),
+            "ts": pa.array([y2100, y2100 + 13_000_000 * 1_000_000_000], pa.int64()),
+            "user_id": pa.array([-1, -1], pa.int64()),
+            "event_type": pa.array(["purchase", "click"], pa.string()),
+            "value": pa.array([0.0, 0.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(sentinel, os.path.join(d, "sentinel.parquet"))
+
+    def src():
+        return (
+            spark.readStream.schema(
+                "event_id bigint, ts bigint, user_id bigint, "
+                "event_type string, value double, props string"
+            )
+            .parquet(d)
+            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        )
+
+    purchases = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        src()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "25 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+        "left_outer",
+    )
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"ss_outer_{_STREAM_QUERY_SEQ[0]}"
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("streaming query did not finish within 300s")
+        matched = (
+            spark.table(name)
+            .where(F.col("p_user") >= 0)  # drop the sentinels
+            .select(
+                "purchase_id",
+                "click_id",
+                F.col("p_user").alias("user_id"),
+                F.when(F.col("click_id").isNull(), 0).otherwise(1).alias("matched"),
+            )
+        )
+        # materialize before the temp dir disappears
+        out = spark.createDataFrame(
+            matched.collect(),
+            "purchase_id bigint, click_id bigint, user_id bigint, matched int",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out.orderBy("purchase_id", F.asc_nulls_last("click_id"))
+
+
+_ORACLE_SS_OUTER = """
+WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id AS click_id FROM events
+      WHERE event_type = 'click')
+SELECT p.purchase_id, c.click_id, p.user_id,
+       CASE WHEN c.click_id IS NULL THEN 0 ELSE 1 END AS matched
+FROM p LEFT JOIN c ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 24 HOUR
+ORDER BY purchase_id, click_id NULLS LAST
 """
 
 
@@ -1810,6 +1937,8 @@ QUERIES["entropy_udaf"] = q_entropy_udaf
 ORACLES["entropy_udaf"] = _ORACLE_ENTROPY
 QUERIES["stream_stream_join"] = q_stream_stream_join
 ORACLES["stream_stream_join"] = _ORACLE_SS_JOIN
+QUERIES["stream_stream_left_outer"] = q_stream_stream_left_outer
+ORACLES["stream_stream_left_outer"] = _ORACLE_SS_OUTER
 QUERIES["stream_dedup"] = q_stream_dedup
 ORACLES["stream_dedup"] = _ORACLE_STREAM_DEDUP
 
