@@ -1640,6 +1640,67 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles with a VERIFIED rank-error bound — the
+    100 TB shape for quantiles.  ``approx_percentile`` is a mergeable
+    sketch (Greenwald-Khanna): map-side partials, one pass, bounded
+    memory per group, vs the exact `percentile`'s full per-group sort
+    that cannot scale to billions of rows per group.
+
+    The sketch guarantees the returned value's true rank is within
+    1/accuracy of the requested quantile.  Because sketch VALUES are
+    engine-specific, the query emits the verified BOUND instead: a
+    second pass computes each approx value's exact rank and checks
+    |rank - q| <= 1/accuracy (+2/n tie slack), so the oracle is the
+    deterministic all-true table and the CORRECTNESS row hash-matches
+    while still failing if the sketch ever violates its bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = 10_000
+    ap = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.9), {acc})"
+        ).alias("ap"),
+        F.count("*").alias("n"),
+    )
+    j = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(ap), "l_returnflag"
+    )
+    ranks = j.groupBy("l_returnflag").agg(
+        (
+            F.sum((F.col("l_extendedprice") <= F.element_at("ap", 1)).cast("long"))
+            / F.first("n")
+        ).alias("r25"),
+        (
+            F.sum((F.col("l_extendedprice") <= F.element_at("ap", 2)).cast("long"))
+            / F.first("n")
+        ).alias("r50"),
+        (
+            F.sum((F.col("l_extendedprice") <= F.element_at("ap", 3)).cast("long"))
+            / F.first("n")
+        ).alias("r90"),
+        F.first("n").alias("n"),
+    )
+
+    def ok(r: str, q: float):
+        tol = F.lit(1.0 / acc) + F.lit(2.0) / F.col("n")
+        return F.abs(F.col(r) - F.lit(q)) <= tol
+
+    return ranks.select(
+        "l_returnflag",
+        "n",
+        ok("r25", 0.25).alias("p25_ok"),
+        ok("r50", 0.5).alias("p50_ok"),
+        ok("r90", 0.9).alias("p90_ok"),
+    ).orderBy("l_returnflag")
+
+
+_ORACLE_APPROX_PERCENTILES = """
+SELECT l_returnflag, count(*) AS n,
+       true AS p25_ok, true AS p50_ok, true AS p90_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_entropy_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregate via applyInPandas: Shannon entropy of the
     jq-extracted k distribution per event_type (terms accumulated in
@@ -1933,6 +1994,8 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 QUERIES["percentiles"] = q_percentiles
 ORACLES["percentiles"] = _ORACLE_PERCENTILES
+QUERIES["approx_percentiles"] = q_approx_percentiles
+ORACLES["approx_percentiles"] = _ORACLE_APPROX_PERCENTILES
 QUERIES["entropy_udaf"] = q_entropy_udaf
 ORACLES["entropy_udaf"] = _ORACLE_ENTROPY
 QUERIES["stream_stream_join"] = q_stream_stream_join
@@ -2303,3 +2366,48 @@ ORDER BY doc_id LIMIT 300
 
 QUERIES["jq_native_map_preds"] = q_jq_native_map_preds
 ORACLES["jq_native_map_preds"] = _ORACLE_JQ_NATIVE_MAP_PREDS
+
+
+def q_jq_extended_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended declared types (SURVEY §7 D2, beyond the reference's
+    whitelist): decimal/date/timestamp outputs marshalled by the
+    Python tier with ``extended=True``.  JSON built from orders
+    carries an ISO date, an ISO-8601 UTC timestamp, and a fixed-2dp
+    price string; jq destructures them into d:date, t:timestamp,
+    p:decimal(12,2)."""
+    orders = load_table(spark, sf_dir, "orders")
+    j = orders.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+                F.concat(
+                    F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("T08:30:00Z")
+                ).alias("t"),
+                F.format_string("%.2f", F.col("o_totalprice")).alias("p"),
+            )
+        ).alias("doc"),
+    )
+    x = jq_explode(
+        j,
+        "doc",
+        "{d: .d, t: .t, p: .p}",
+        "d:date",
+        "t:timestamp",
+        "p:decimal(12,2)",
+        extended=True,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return x.select("o_orderkey", "d", "t", "p").orderBy("o_orderkey").limit(200)
+
+
+_ORACLE_JQ_EXTENDED = """
+SELECT o_orderkey,
+       o_orderdate::DATE AS d,
+       (strftime(o_orderdate, '%Y-%m-%d') || ' 08:30:00')::TIMESTAMP AS t,
+       printf('%.2f', o_totalprice)::DECIMAL(12,2) AS p
+FROM orders ORDER BY o_orderkey LIMIT 200
+"""
+
+QUERIES["jq_extended_types"] = q_jq_extended_types
+ORACLES["jq_extended_types"] = _ORACLE_JQ_EXTENDED

@@ -46,18 +46,19 @@ class JsonQueryError(RuntimeError):
 _QUERY_CACHE: dict = {}
 
 
-def compile_query(program: str, decls: tuple[str, ...]):
+def compile_query(program: str, decls: tuple[str, ...], extended: bool = False):
     """Compile (program, declarations) → (JQProgram, RowMarshaller).
 
-    Cached per (program, decls) — compile-once semantics (O2,
-    JsonQueryUDTF.java:53); cache also serves each Python worker
-    process once shipped.
+    Cached per (program, decls, extended) — compile-once semantics
+    (O2, JsonQueryUDTF.java:53); cache also serves each Python worker
+    process once shipped.  extended=True admits the beyond-reference
+    decimal/date/timestamp/binary declared types (SURVEY §7 D2).
     """
-    key = (program, decls)
+    key = (program, decls, extended)
     hit = _QUERY_CACHE.get(key)
     if hit is None:
         prog = jq_compile(program)
-        schema, single = parse_output_schema(list(decls))
+        schema, single = parse_output_schema(list(decls), extended=extended)
         hit = (prog, RowMarshaller(schema, single))
         if len(_QUERY_CACHE) < 256:
             _QUERY_CACHE[key] = hit
@@ -174,20 +175,21 @@ def register_versioned(spark: SparkSession, base: str = "jq") -> None:
 # ---------------------------------------------------------------------------
 
 
-def jq_array_udf(program: str, *decls: str) -> Column:
+def jq_array_udf(program: str, *decls: str, extended: bool = False) -> Column:
     """Build an Arrow-batched pandas UDF ``string -> array<struct>``
     for the given program (the array-returning-UDF formulation of
     §3.2; pair with ``explode``/``explode_outer``)."""
     from pyspark.sql.functions import pandas_udf
 
-    schema, single = parse_output_schema(list(decls))
+    schema, single = parse_output_schema(list(decls), extended=extended)
     ret_type = T.ArrayType(schema)
     names = tuple(f.name for f in schema.fields)
     prog_src = program
     decls_t = tuple(decls)
+    ext = extended
 
     def _jq(s: pd.Series) -> pd.Series:
-        prog, marshaller = compile_query(prog_src, decls_t)
+        prog, marshaller = compile_query(prog_src, decls_t, extended=ext)
 
         def one(js):
             return [
@@ -208,6 +210,7 @@ def jq_explode(
     outer: bool = False,
     native: str = "auto",
     min_parallelism: int | None = None,
+    extended: bool = False,
 ) -> DataFrame:
     """LATERAL VIEW jq(...) equivalent: every input column is kept,
     generated columns appear flattened under their declared names
@@ -230,7 +233,10 @@ def jq_explode(
     """
     if native not in ("auto", "never", "require"):
         raise ValueError("native must be auto|never|require")
-    if native != "never":
+    if native != "never" and not extended:
+        # extended declared types are a Python-tier feature: the native
+        # compiler's schema parse rejects them, so auto would fall back
+        # anyway — skip the attempt
         from .native import compile_native
 
         plan = compile_native(program, tuple(decls))
@@ -243,10 +249,10 @@ def jq_explode(
     if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
         df = df.repartition(min_parallelism)
     col = F.col(column) if isinstance(column, str) else column
-    arr = jq_array_udf(program, *decls)(col)
+    arr = jq_array_udf(program, *decls, extended=extended)(col)
     gen = F.explode_outer(arr) if outer else F.explode(arr)
     out = df.withColumn(alias, gen)
-    schema, _single = parse_output_schema(list(decls))
+    schema, _single = parse_output_schema(list(decls), extended=extended)
     flat = [F.col(f"{alias}.{f.name}").alias(f.name) for f in schema.fields]
     return out.select(*df.columns, *flat)
 
@@ -256,9 +262,11 @@ def jq_explode(
 # ---------------------------------------------------------------------------
 
 
-def run_jq(program: str, json_str: Optional[str], *decls: str) -> list[tuple]:
+def run_jq(
+    program: str, json_str: Optional[str], *decls: str, extended: bool = False
+) -> list[tuple]:
     """Run one cell through the full pipeline without Spark — the
     reference's direct-invocation test path (JsonQueryUDTFTest.java:
     22-33)."""
-    prog, marshaller = compile_query(program, tuple(decls))
+    prog, marshaller = compile_query(program, tuple(decls), extended=extended)
     return list(process_json(prog, marshaller, json_str))

@@ -168,3 +168,31 @@ def test_object_to_array_marshals_values():
     assert run_jq(".x", '{"x": {"a": 1, "b": 2}}', "array<int>") == [([1, 2],)]
     assert run_jq(".x", '{"x": 5}', "array<int>") == [([],)]
     assert run_jq(".", '{"arr": {"a": 3}}', "arr:array<int>") == [([3],)]
+
+
+# SURVEY §7 D2 extension (beyond-reference): decimal/date/timestamp/
+# binary declared types behind extended=True; off by default so the
+# reference's whitelist still governs
+def test_extended_types_gate_and_marshalling():
+    import datetime as dt
+    from decimal import Decimal
+
+    import pytest as _pytest
+
+    from hive_jq_udtf_spark.schema import SchemaDeclarationError
+
+    with _pytest.raises(Exception):
+        run_jq(".", '{"d": "2026-01-02"}', "d:date")  # gated off by default
+    doc = (
+        '{"d": "2026-01-02", "t": "2026-01-02T08:30:00Z",'
+        ' "p": "12.345", "neg": "-0.005", "junk": "x"}'
+    )
+    rows = run_jq(
+        ".", doc, "d:date", "t:timestamp", "p:decimal(12,2)", "junk:decimal(4,1)",
+        extended=True,
+    )
+    d, t, p, junk = rows[0]
+    assert d == dt.date(2026, 1, 2)
+    assert t.replace(tzinfo=None) == dt.datetime(2026, 1, 2, 8, 30)
+    assert p == Decimal("12.34")  # banker's rounding at scale 2
+    assert junk is None  # non-numeric → NULL, never an error
