@@ -475,6 +475,142 @@ def apply_format(name: str, v: Any) -> str:
 
 _NAMED_GROUP_RE = re.compile(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>")
 
+# POSIX bracket classes → Python class fragments (ASCII approximation;
+# Oniguruma's are Unicode-aware — documented delta, docs/regex_dialect.md)
+_POSIX_CLASSES = {
+    "alpha": "a-zA-Z",
+    "digit": "0-9",
+    "alnum": "a-zA-Z0-9",
+    "upper": "A-Z",
+    "lower": "a-z",
+    "space": r" \t\r\n\v\f",
+    "blank": r" \t",
+    "punct": r"!-/:-@\[-`{-~",
+    "xdigit": "0-9a-fA-F",
+    "cntrl": r"\x00-\x1f\x7f",
+    "graph": r"\x21-\x7e",
+    "print": r"\x20-\x7e",
+    "word": r"\w",
+}
+
+# Oniguruma constructs with NO Python equivalent: rejected explicitly
+# (clear error naming the construct) instead of silently diverging or
+# surfacing a cryptic re.error — docs/regex_dialect.md J22 table
+_ONIG_REJECT = {
+    "p": r"\p{...} unicode property classes",
+    "P": r"\P{...} negated unicode property classes",
+    "K": r"\K keep-out",
+    "R": r"\R generic linebreak",
+    "X": r"\X extended grapheme cluster",
+}
+
+
+def _translate_onig(pattern: str) -> str:
+    """Translate the Oniguruma (jq) regex dialect to Python `re`.
+
+    Translated: \\k<name> backrefs, \\h/\\H horizontal whitespace,
+    \\z / \\Z end anchors (Onig \\Z = before trailing newline),
+    \\x{HHHH} codepoints, POSIX [:classes:] (ASCII approximation).
+    Possessive quantifiers and atomic groups are native in Python
+    3.11+.  Constructs with no equivalent raise JQError naming the
+    construct (see _ONIG_REJECT).  Named groups are normalized by
+    _NAMED_GROUP_RE afterwards."""
+    out: list[str] = []
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            nc = pattern[i + 1]
+            if nc in _ONIG_REJECT:
+                raise JQError(
+                    f"regex uses \\{nc} ({_ONIG_REJECT[nc]}) — not supported "
+                    "by this engine's Python-re dialect (docs/regex_dialect.md)"
+                )
+            if nc == "g" and not in_class:
+                raise JQError(
+                    "regex uses \\g<...> subroutine calls — not supported by "
+                    "this engine's Python-re dialect (docs/regex_dialect.md)"
+                )
+            if nc == "k" and not in_class and pattern.startswith("<", i + 2):
+                j = pattern.find(">", i + 3)
+                if j > 0:
+                    out.append(f"(?P={pattern[i + 3:j]})")
+                    i = j + 1
+                    continue
+            if nc == "h":
+                out.append(r" \t" if in_class else r"[ \t]")
+                i += 2
+                continue
+            if nc == "H":
+                if in_class:
+                    raise JQError(
+                        "regex uses \\H inside a character class — not "
+                        "supported (docs/regex_dialect.md)"
+                    )
+                out.append(r"[^ \t]")
+                i += 2
+                continue
+            if nc == "x" and pattern.startswith("{", i + 2):
+                j = pattern.find("}", i + 3)
+                if j > 0:
+                    try:
+                        cp = int(pattern[i + 3 : j], 16)
+                    except ValueError:
+                        raise JQError(f"invalid \\x{{...}} in regex: {pattern}")
+                    out.append(re.escape(chr(cp)))
+                    i = j + 1
+                    continue
+            if nc == "z" and not in_class:
+                out.append(r"\Z")  # Onig \z = absolute end = Python \Z
+                i += 2
+                continue
+            if nc == "Z" and not in_class:
+                out.append(r"(?=\n?\Z)")  # Onig \Z = before final newline
+                i += 2
+                continue
+            out.append(c)
+            out.append(nc)
+            i += 2
+            continue
+        if c == "[":
+            if in_class and pattern.startswith("[:", i):
+                j = pattern.find(":]", i)
+                name = pattern[i + 2 : j] if j > 0 else ""
+                frag = _POSIX_CLASSES.get(name.lstrip("^"))
+                if j < 0 or frag is None:
+                    raise JQError(
+                        f"unsupported POSIX class [:{name}:] in regex "
+                        "(docs/regex_dialect.md)"
+                    )
+                if name.startswith("^"):
+                    raise JQError(
+                        f"negated POSIX class [:{name}:] is not supported "
+                        "(docs/regex_dialect.md)"
+                    )
+                out.append(frag)
+                i = j + 2
+                continue
+            if not in_class:
+                # open a class; consume leading ^ and a LITERAL ] so it
+                # doesn't read as the class close (Onig and Python both
+                # treat []] / [^]] as matching "]")
+                in_class = True
+                out.append(c)
+                i += 1
+                if i < n and pattern[i] == "^":
+                    out.append("^")
+                    i += 1
+                if i < n and pattern[i] == "]":
+                    out.append("]")
+                    i += 1
+                continue
+        elif c == "]" and in_class:
+            in_class = False
+        out.append(c)
+        i += 1
+    return "".join(out)
+
 
 def _compile_regex(pattern: str, flags: Any) -> tuple[re.Pattern, bool, bool]:
     """Memoized: jq programs apply the same (pattern, flags) to every
@@ -518,10 +654,13 @@ def _compile_regex_raw(pattern: str, flags: Any) -> tuple[re.Pattern, bool, bool
                 pass
             else:
                 raise JQError(f"{flags} is not a valid modifier string")
-    py_pattern = _NAMED_GROUP_RE.sub(r"(?P<\1>", pattern)
+    py_pattern = _NAMED_GROUP_RE.sub(r"(?P<\1>", _translate_onig(pattern))
     try:
         return re.compile(py_pattern, f), glob, ignore_empty
     except re.error as e:
+        # remaining deltas (e.g. variable-length lookbehind, which
+        # Oniguruma allows and Python rejects) surface here with the
+        # original pattern — see docs/regex_dialect.md
         raise JQError(f"{pattern} (error: {e})") from None
 
 

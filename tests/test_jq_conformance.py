@@ -384,3 +384,56 @@ EDGE_CASES = [
 @pytest.mark.parametrize("program,inp,want", EDGE_CASES)
 def test_edge_semantics(program, inp, want):
     assert list(jq_compile(program)(inp)) == want
+
+
+# ---------------------------------------------------------------------------
+# Regex dialect (J22): Oniguruma constructs translated or explicitly
+# rejected — docs/regex_dialect.md is the authoritative table
+# ---------------------------------------------------------------------------
+
+REGEX_DIALECT_OK = [
+    # named group + \k<name> backref
+    ('[match("(?<a>ab)\\\\k<a>") | .captures[0].string]', "abab", [["ab"]]),
+    # \h / \H horizontal whitespace
+    ('test("a\\\\hb")', "a b", [True]),
+    ('test("a\\\\hb")', "a\nb", [False]),
+    ('test("\\\\H")', " \t", [False]),
+    # \z / \Z end anchors (Onig \Z = before trailing newline)
+    ('test("ab\\\\z")', "ab", [True]),
+    ('test("ab\\\\Z")', "ab", [True]),
+    ('test("ab\\\\z")', "ab\n", [False]),
+    # \x{...} codepoint
+    ('test("\\\\x{61}bc")', "abc", [True]),
+    # POSIX classes (ASCII approximation)
+    ('test("[[:digit:]]+")', "x42", [True]),
+    ('test("^[[:alpha:][:digit:]]+$")', "ab12", [True]),
+    ('test("[[:punct:]]")', "a,b", [True]),
+    # possessive quantifier + atomic group (native on Python 3.11+)
+    ('test("a*+b")', "aaab", [True]),
+    ('test("(?>a+)b")', "aab", [True]),
+    # literal ] as first class member must not close the class
+    ('test("[]a]+")', "]a", [True]),
+]
+
+
+@pytest.mark.parametrize("program,inp,want", REGEX_DIALECT_OK)
+def test_regex_dialect_translations(program, inp, want):
+    assert list(jq_compile(program)(inp)) == want
+
+
+REGEX_DIALECT_REJECTED = [
+    'test("\\\\p{L}+")',
+    'test("\\\\P{N}")',
+    'test("\\\\g<x>")',
+    'test("\\\\K")',
+    'test("\\\\R")',
+    'test("\\\\X")',
+    'test("[[:^alpha:]]")',
+    'test("(?<=a+)b")',  # variable-length lookbehind: re compile error
+]
+
+
+@pytest.mark.parametrize("program", REGEX_DIALECT_REJECTED)
+def test_regex_dialect_rejections(program):
+    with pytest.raises(JQError):
+        list(jq_compile(program).iter("abc"))
