@@ -409,6 +409,93 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 
+def connected_components_lsss(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Large-star / small-star connected components (the alternating-
+    star algorithm from the MapReduce-CC literature, e.g. Kiveris et
+    al.): each round contracts edges toward the component minimum by
+    two grouped aggregations, converging in O(log²|V|) rounds on ANY
+    graph — long chains included — where one-hop min-label
+    propagation (``connected_components``) needs O(diameter) rounds.
+
+    large-star: per node u, m = min(u ∪ Γ(u)); re-link every LARGER
+    neighbor v > u to m.  small-star: orient edges large→small; per
+    node u, m = min of its (smaller) neighbors; link u and every
+    smaller neighbor to m.  The edge set is localCheckpoint-ed per
+    round (bounded lineage); per-round cost is a constant number of
+    shuffles keyed by node id.  Returns (doc_id, component = min id
+    reachable).  Raises RuntimeError if not converged in max_iter —
+    the bound is logarithmic, so hitting it means the input is
+    pathological, not slow."""
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # normalized undirected edge set: (hi, lo)
+    cur = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iter):
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: m = min(u, min Γ(u)); (v, m) for neighbors v > u
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        lsn = (
+            ls.where(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+        )
+        # small-star on the large→small orientation: m = min smaller
+        # neighbor; link u and every smaller neighbor to m
+        smins = lsn.groupBy("u").agg(F.min("v").alias("m"))
+        j = lsn.join(smins, "u")
+        ss = (
+            j.select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(j.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # one-job fixed-point check: the normalized DISTINCT edge sets
+        # are equal iff (count, order-independent hash-xor) agree —
+        # far cheaper than two exceptAll scans per round (bit_xor:
+        # no ANSI overflow, order-invariant, sound on distinct sets)
+        def _stats(df: DataFrame):
+            r = df.agg(
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            ).first()
+            return (r["n"], r["h"])
+
+        if _stats(ss) == _stats(cur):
+            cur = ss
+            converged = True
+            break
+        cur = ss
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_lsss did not converge in {max_iter} rounds"
+        )
+    # at convergence every edge is a star spoke (node, root)
+    comp = cur.groupBy("u").agg(F.min("v").alias("comp"))
+    return nodes.join(comp, nodes.id == comp.u, "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce(F.col("comp"), F.col("id")).alias("component"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -811,12 +811,26 @@ ORDER BY vec_a, vec_b
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph (iterative
-    label propagation; oracle via recursive CTE)."""
+    label propagation — cheapest on the shallow cluster shapes dedup
+    graphs have; ``dedup_components_lsss`` is the long-chain-safe
+    variant); oracle via recursive CTE."""
     from ..operators.dedup import connected_components, ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
     return connected_components(pairs).orderBy("doc_id")
+
+
+def q_dedup_components_lsss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via large-star/small-star alternation:
+    O(log²|V|) rounds on ANY graph shape — the 100 TB-safe variant
+    when component diameters are unbounded (label propagation needs
+    O(diameter) rounds).  Same pair graph, same oracle."""
+    from ..operators.dedup import connected_components_lsss, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return connected_components_lsss(pairs).orderBy("doc_id")
 
 
 _ORACLE_COMPONENTS = """
@@ -881,6 +895,7 @@ QUERIES.update(
         "minhash_neardup": q_minhash_neardup,
         "embedding_neardup": q_embedding_neardup,
         "dedup_components": q_dedup_components,
+        "dedup_components_lsss": q_dedup_components_lsss,
         "token_counts": q_token_counts,
         "multimodal_stats": q_multimodal_stats,
     }
@@ -894,6 +909,7 @@ ORACLES.update(
         "minhash_neardup": _ORACLE_NEARDUP,
         "embedding_neardup": _ORACLE_EMB_NEARDUP,
         "dedup_components": _ORACLE_COMPONENTS,
+        "dedup_components_lsss": _ORACLE_COMPONENTS,
         "token_counts": _ORACLE_TOKEN_COUNTS,
         "multimodal_stats": _ORACLE_MM_STATS,
     }

@@ -414,3 +414,50 @@ def test_pairwise_cosine_tiled_equals_broadcast(spark):
     }
     assert tiled_s == bcast_s
     assert all(a < b for a, b in tiled_s)
+
+
+def test_lsss_components_chain_and_equivalence(spark):
+    """Large-star/small-star converges on a long chain in O(log n)
+    rounds (label prop needs O(n)) and agrees with label propagation
+    on clustered graphs."""
+    import random
+
+    from hive_jq_udtf_spark.operators.dedup import (
+        connected_components,
+        connected_components_lsss,
+    )
+
+    # chain 0-1-...-120: diameter 120, but LS/SS must finish in <=15
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a bigint, doc_b bigint"
+    )
+    comps = {
+        r.doc_id: r.component
+        for r in connected_components_lsss(chain, max_iter=15).collect()
+    }
+    assert len(comps) == 121 and set(comps.values()) == {0}
+
+    rng = random.Random(9)
+    edges = []
+    for c in range(12):
+        members = list(range(c * 20, c * 20 + rng.randint(2, 12)))
+        for i, m in enumerate(members[1:], 1):
+            edges.append((rng.choice(members[:i]), m))
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    a = {(r.doc_id, r.component) for r in connected_components(df).collect()}
+    b = {(r.doc_id, r.component) for r in connected_components_lsss(df).collect()}
+    assert a == b
+
+
+def test_lsss_components_string_ids_and_selfloop(spark):
+    from hive_jq_udtf_spark.operators.dedup import connected_components_lsss
+
+    df = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "x"), ("z", "y")],
+        "doc_a string, doc_b string",
+    )
+    comps = {
+        r.doc_id: r.component for r in connected_components_lsss(df).collect()
+    }
+    # self-loop-only node x contributes no edge and no node
+    assert comps == {"a": "a", "b": "a", "c": "a", "y": "y", "z": "y"}
