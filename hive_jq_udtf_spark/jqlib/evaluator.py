@@ -835,28 +835,37 @@ def _c_neg(node):
     return f
 
 
+_CMP_RESULT = {
+    "==": lambda c: c == 0,
+    "!=": lambda c: c != 0,
+    "<": lambda c: c < 0,
+    "<=": lambda c: c <= 0,
+    ">": lambda c: c > 0,
+    ">=": lambda c: c >= 0,
+}
+
+
 def _c_binop(node):
     op = node[1]
     a = compile_node(node[2])
     b = compile_node(node[3])
-    if op in ("==", "!=", "<", "<=", ">", ">="):
+    # operator dispatch hoisted to compile time — these nodes run
+    # per-value in the hottest loops
+    cmp_fn = _CMP_RESULT.get(op)
+    if cmp_fn is not None:
 
         def f(v, e):
             for bv in b(v, e):
                 for av in a(v, e):
-                    c = cmp_values(av, bv)
-                    if op == "==":
-                        yield c == 0
-                    elif op == "!=":
-                        yield c != 0
-                    elif op == "<":
-                        yield c < 0
-                    elif op == "<=":
-                        yield c <= 0
-                    elif op == ">":
-                        yield c > 0
-                    else:
-                        yield c >= 0
+                    yield cmp_fn(cmp_values(av, bv))
+
+        return f
+    if op == "+":
+
+        def f(v, e):
+            for bv in b(v, e):
+                for av in a(v, e):
+                    yield op_add(av, bv)
 
         return f
 
@@ -1039,6 +1048,16 @@ def _c_as(node):
     src = compile_node(node[1])
     patterns = node[2]
     body = compile_node(node[3])
+    if len(patterns) == 1 and patterns[0][0] == "pvar":
+        # fast path for the dominant `EXPR as $x | ...` shape: direct
+        # bind, no destructuring machinery / dict merging per value
+        name = patterns[0][1]
+
+        def f_simple(v, e):
+            for sv in src(v, e):
+                yield from body(v, e.bind_var(name, sv))
+
+        return f_simple
     pat_fns = [_compile_pattern(p) for p in patterns]
     all_names = sorted({n for p in patterns for n in _pattern_names(p)})
 
@@ -1142,10 +1161,26 @@ def _destructure_alts(pat_fns, sv, v, e, all_names):
 
 def _c_reduce(node):
     src = compile_node(node[1])
-    pat_fn = _compile_pattern(node[2])
-    names = sorted(_pattern_names(node[2]))
     init = compile_node(node[3])
     update = compile_node(node[4])
+    if node[2][0] == "pvar":
+        # fast path: `reduce EXPR as $x (...)` — direct bind
+        name = node[2][1]
+
+        def f_simple(v, e):
+            for acc0 in init(v, e):
+                acc = acc0
+                for sv in src(v, e):
+                    e2 = e.bind_var(name, sv)
+                    last = _SENTINEL
+                    for uv in update(acc, e2):
+                        last = uv
+                    acc = None if last is _SENTINEL else last
+                yield acc
+
+        return f_simple
+    pat_fn = _compile_pattern(node[2])
+    names = sorted(_pattern_names(node[2]))
 
     def f(v, e):
         for acc0 in init(v, e):
@@ -1167,11 +1202,28 @@ _SENTINEL = object()
 
 def _c_foreach(node):
     src = compile_node(node[1])
-    pat_fn = _compile_pattern(node[2])
-    names = sorted(_pattern_names(node[2]))
     init = compile_node(node[3])
     update = compile_node(node[4])
     extract = compile_node(node[5]) if node[5] is not None else None
+    if node[2][0] == "pvar":
+        # fast path: `foreach EXPR as $x (...)` — direct bind
+        name = node[2][1]
+
+        def f_simple(v, e):
+            for acc0 in init(v, e):
+                acc = acc0
+                for sv in src(v, e):
+                    e2 = e.bind_var(name, sv)
+                    for uv in update(acc, e2):
+                        acc = uv
+                        if extract is None:
+                            yield uv
+                        else:
+                            yield from extract(uv, e2)
+
+        return f_simple
+    pat_fn = _compile_pattern(node[2])
+    names = sorted(_pattern_names(node[2]))
 
     def f(v, e):
         for acc0 in init(v, e):
@@ -2971,20 +3023,31 @@ _PRELUDE_NAMES: list[str] = []
 
 
 def _build_root_env() -> Env:
-    """Compile the prelude once; its funcdefs become the root scope."""
+    """Compile the prelude once; its funcdefs become the root scope.
+
+    The scope is FLATTENED into a single Env holding every prelude
+    def: a per-def chain would be ~60 envs deep, and every call-site
+    function lookup (including the None-miss before NATIVE dispatch,
+    i.e. every `select`) walks the whole chain per evaluation — the
+    single hottest cost in row-at-a-time profiles.  Pointing every
+    def's closure cell at the merged env preserves recursion and
+    (textual-order) mutual visibility."""
     ast = parse(PRELUDE + " .")
-    env = Env()
-    # walk nested funcdefs, binding each into a growing env chain
+    funcs: dict = {}
+    cells: list = []
     node = ast
     while node[0] == "funcdef":
         _, name, params, body_ast, rest = node
         body = compile_node(body_ast)
         cell = [None]
         fd = FuncDef(params, body, cell, body_ast)
-        env = Env(funcs={(name, len(params)): fd}, parent=env)
-        cell[0] = env
+        funcs[(name, len(params))] = fd
+        cells.append(cell)
         _PRELUDE_NAMES.append(f"{name}/{len(params)}")
         node = rest
+    env = Env(funcs=funcs)
+    for cell in cells:
+        cell[0] = env
     return env
 
 
