@@ -60,6 +60,15 @@ class Filter:
 
 
 @dataclass
+class OrGroup:
+    """Disjunction of simple filters inside one select() — members
+    OR together, the group ANDs with its siblings.  (OR of ANDs
+    falls back to the Python tier.)"""
+
+    filters: list  # of Filter
+
+
+@dataclass
 class NativeIR:
     pre_path: Path = ()
     iterate: bool = False
@@ -418,14 +427,24 @@ def _flatten_path_only(ast: AST, acc: list) -> bool:
 _CMP_OPS = {"==", "!=", "<", "<=", ">", ">="}
 
 
-def _parse_filters(cond: AST) -> Optional[list[Filter]]:
-    """select condition → AND-list of path-vs-literal comparisons."""
+def _parse_filters(cond: AST) -> Optional[list]:
+    """select condition → AND-list of path-vs-literal comparisons
+    (each element a Filter or an OrGroup of Filters)."""
     if cond[0] == "and":
         l = _parse_filters(cond[1])
         r = _parse_filters(cond[2])
         if l is None or r is None:
             return None
         return l + r
+    if cond[0] == "or":
+        l = _parse_filters(cond[1])
+        r = _parse_filters(cond[2])
+        if l is None or r is None or len(l) != 1 or len(r) != 1:
+            return None  # OR of ANDs — Python tier
+        members: list[Filter] = []
+        for side in (l[0], r[0]):
+            members.extend(side.filters if isinstance(side, OrGroup) else [side])
+        return [OrGroup(members)]
     if cond[0] == "binop" and cond[1] in _CMP_OPS:
         op, lhs, rhs = cond[1], cond[2], cond[3]
         p = _as_path(lhs)
@@ -506,18 +525,19 @@ def analyze_program(program: str) -> Optional[NativeIR]:
                 seen_iterate = True
         elif kind == "select":
             fl = st[1]
+
+            def rebase(item, base):
+                if isinstance(item, OrGroup):
+                    return OrGroup([rebase(f, base) for f in item.filters])
+                return Filter(base + item.lhs, item.op, item.lit, lhs_expr=item.lhs_expr)
+
             if seen_iterate:
                 base = tuple(post_steps)
-                ir.post_filters.extend(
-                    Filter(base + f.lhs, f.op, f.lit, lhs_expr=f.lhs_expr) for f in fl
-                )
+                ir.post_filters.extend(rebase(f, base) for f in fl)
             else:
                 if post_steps:
                     return None
-                ir.pre_filters.extend(
-                    Filter(ir.pre_path + f.lhs, f.op, f.lit, lhs_expr=f.lhs_expr)
-                    for f in fl
-                )
+                ir.pre_filters.extend(rebase(f, ir.pre_path) for f in fl)
         elif kind == "project":
             base = tuple(post_steps) if seen_iterate else ir.pre_path
             proj = {}
@@ -580,6 +600,25 @@ def _cast_extracted(raw: Column, dt: T.DataType) -> Column:
     return F.from_json(raw, dt)
 
 
+def _each_filter(items):
+    """Flatten Filter/OrGroup list to its leaf Filters (schema pass)."""
+    for it in items:
+        if isinstance(it, OrGroup):
+            yield from it.filters
+        else:
+            yield it
+
+
+def _cond_col(item, leaf_fn) -> Column:
+    """Filter or OrGroup → boolean Column (OR of leaf columns)."""
+    if isinstance(item, OrGroup):
+        col = leaf_fn(item.filters[0])
+        for f in item.filters[1:]:
+            col = col | leaf_fn(f)
+        return col
+    return leaf_fn(item)
+
+
 def _variant_truthy(v: Column) -> Column:
     """jq truthiness on an exact-typed variant value: falsy iff the
     value is missing (SQL NULL variant), JSON null (VOID), or boolean
@@ -640,6 +679,40 @@ def _scalar_map_col(json_col: Column, path: Path, dt: T.MapType) -> Column:
     )
 
 
+def _variant_cmp(v: Column, op: str, lit: Any) -> Column:
+    """Exact jq total-order comparison of a variant value against a
+    scalar literal: null < false < true < numbers < strings < arrays
+    < objects.  Missing keys and JSON null therefore compare DEFINED
+    (e.g. `.missing < 10` is true), never SQL-NULL-dropped — the same
+    contract _cmp_with_null_order gives expression filters."""
+    vt = F.schema_of_variant(v)
+    val_rank = (
+        F.when(v.isNull() | (vt == F.lit("VOID")), 0)
+        .when(
+            vt == F.lit("BOOLEAN"),
+            F.when(F.try_variant_get(v, "$", "boolean"), 2).otherwise(1),
+        )
+        .when(vt == F.lit("STRING"), 4)
+        .when(vt.startswith("ARRAY"), 5)
+        .when(vt.startswith("OBJECT"), 6)
+        .otherwise(3)  # every numeric variant type
+    )
+    if isinstance(lit, bool):
+        lit_rank = 2 if lit else 1
+        # same rank ⇒ same boolean value — the comparison degenerates
+        same_val = F.lit(op in ("==", "<=", ">="))
+        return F.when(
+            val_rank == F.lit(lit_rank), same_val
+        ).otherwise(_CMP_FN[op](val_rank, F.lit(lit_rank)))
+    if isinstance(lit, (int, float)):
+        lit_rank, val_col, lit_col = 3, v.try_cast("double"), F.lit(float(lit))
+    else:
+        lit_rank, val_col, lit_col = 4, v.try_cast("string"), F.lit(lit)
+    return F.when(
+        val_rank == F.lit(lit_rank), _CMP_FN[op](val_col, lit_col)
+    ).otherwise(_CMP_FN[op](val_rank, F.lit(lit_rank)))
+
+
 def _string_pred_col(c: Column, op: str, pat: str) -> Column:
     """startswith/endswith/test on the string view.  NULL (missing /
     null / garbage) → false, dropping the row — jq instead errors on
@@ -684,26 +757,14 @@ def _filter_col(json_col: Column, f: Filter) -> Column:
         return _variant_truthy(v)
     if f.op in _STR_PREDS:
         return _string_pred_col(raw, f.op, f.lit)
-    lit = f.lit
-    if isinstance(lit, bool):
-        # try_cast: a non-boolean string here is dirty data (documented
-        # NULL-delta class), never an ANSI runtime crash
-        lhs = raw.try_cast("boolean")
-    elif isinstance(lit, (int, float)):
-        lhs = raw.try_cast("double")
-    elif lit is None:
+    if f.lit is None:
+        # `== null` is true for both JSON null and missing (jq)
         return raw.isNull() if f.op == "==" else raw.isNotNull()
-    else:
-        lhs = raw
-    ops = {
-        "==": lambda a, b: a == b,
-        "!=": lambda a, b: a != b,
-        "<": lambda a, b: a < b,
-        "<=": lambda a, b: a <= b,
-        ">": lambda a, b: a > b,
-        ">=": lambda a, b: a >= b,
-    }
-    return ops[f.op](lhs, F.lit(lit))
+    # exact jq total-order comparison (null/missing and cross-type
+    # values compare DEFINED, per the type ranking) via the variant
+    # reader — the text view cannot type its value
+    v = F.try_variant_get(F.try_parse_json(json_col), _json_path(f.lhs), "variant")
+    return _variant_cmp(v, f.op, f.lit)
 
 
 _CMP_FN = {
@@ -742,34 +803,14 @@ def _struct_filter_col(struct_col: Column, f: Filter) -> Column:
         return _variant_truthy(c)
     if f.op in _STR_PREDS:
         return _string_pred_col(c, f.op, f.lit)
+    # the element schema types every plain comparison-filter path
+    # VARIANT (exact jq total order incl. null/missing and cross-type
+    # values — see _variant_cmp)
     if f.lit is None:
-        return c.isNull() if f.op == "==" else c.isNotNull()
-    # try_cast to the literal's comparison type: normally a no-op (the
-    # element schema already typed the path to match), but a truthy
-    # filter sharing the path retypes it VARIANT
-    if isinstance(f.lit, bool):
-        c = c.try_cast("boolean")
-    elif isinstance(f.lit, (int, float)):
-        c = c.try_cast("double")
-    else:
-        c = c.try_cast("string")
-    ops = {
-        "==": lambda a, b: a == b,
-        "!=": lambda a, b: a != b,
-        "<": lambda a, b: a < b,
-        "<=": lambda a, b: a <= b,
-        ">": lambda a, b: a > b,
-        ">=": lambda a, b: a >= b,
-    }
-    return ops[f.op](c, F.lit(f.lit))
-
-
-def _spark_type_for_filter_lit(lit: Any) -> T.DataType:
-    if isinstance(lit, bool):
-        return T.BooleanType()
-    if isinstance(lit, (int, float)):
-        return T.DoubleType()
-    return T.StringType()
+        vt = F.schema_of_variant(c)
+        is_null = c.isNull() | (vt == F.lit("VOID"))
+        return is_null if f.op == "==" else ~is_null
+    return _variant_cmp(c, f.op, f.lit)
 
 
 class _SchemaConflict(Exception):
@@ -791,7 +832,7 @@ class NativePlan:
     def _apply_scalar(self, df: DataFrame, col: Column) -> DataFrame:
         ir = self.ir
         for f in ir.pre_filters:
-            df = df.where(_filter_col(col, f))
+            df = df.where(_cond_col(f, lambda ff: _filter_col(col, ff)))
         out_cols = []
         if self.single:
             fdt = self.schema.fields[0]
@@ -962,18 +1003,18 @@ class NativePlan:
         else:
             for fdt in self.schema.fields:
                 add(ir.single_path + (fdt.name,), _elem_decl_type(fdt.dataType))
-        for f in ir.post_filters:
+        for f in _each_filter(ir.post_filters):
             if f.lhs_expr is not None:
                 refs: list = []
                 _expr_paths(f.lhs_expr, refs)
                 for p in refs:
                     add(tuple(f.lhs) + p, T.DoubleType())
-            elif f.op == "truthy":
-                # jq truthiness needs the exact JSON type (boolean false
-                # vs the STRING "false") — read the value as a variant
-                add(f.lhs, T.VariantType())
+            elif f.op in _STR_PREDS:
+                add(f.lhs, T.StringType())
             else:
-                add(f.lhs, _spark_type_for_filter_lit(f.lit))
+                # truthy and plain comparisons both need the exact JSON
+                # type (jq truthiness / total-order ranking) — variant
+                add(f.lhs, T.VariantType())
 
         def to_struct(d: dict) -> T.DataType:
             if d and all(isinstance(k, int) for k in d):
@@ -1016,7 +1057,7 @@ class NativePlan:
             return inner
 
         for f in ir.pre_filters:
-            df = df.where(_filter_col(col, f))
+            df = df.where(_cond_col(f, lambda ff: _filter_col(col, ff)))
         elem = self._elem_schema()
         # wrap the LAST element's schema in each iterate level's array
         # + the steps leading to it, innermost-out, then the pre-path
@@ -1040,7 +1081,7 @@ class NativePlan:
             out = out.withColumn(f"__jq_elem{lvl}", gen(c2))
             ec = F.col(f"__jq_elem{lvl}")
         for f in ir.post_filters:
-            out = out.where(_struct_filter_col(ec, f))
+            out = out.where(_cond_col(f, lambda ff: _struct_filter_col(ec, ff)))
         out_cols = []
         if self.single and ir.project is None:
             c = ec

@@ -409,7 +409,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 
-def connected_components_lsss(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+def connected_components_lsss(
+    pairs: DataFrame, max_iter: int = 30, shuffle_partitions: int | None = None
+) -> DataFrame:
     """Large-star / small-star connected components (the alternating-
     star algorithm from the MapReduce-CC literature, e.g. Kiveris et
     al.): each round contracts edges toward the component minimum by
@@ -425,7 +427,35 @@ def connected_components_lsss(pairs: DataFrame, max_iter: int = 30) -> DataFrame
     shuffles keyed by node id.  Returns (doc_id, component = min id
     reachable).  Raises RuntimeError if not converged in max_iter —
     the bound is logarithmic, so hitting it means the input is
-    pathological, not slow."""
+    pathological, not slow.
+
+    shuffle_partitions: scope a smaller shuffle width around the
+    iteration — an edge graph orders of magnitude smaller than the
+    corpus (the dedup norm) pays per-round scheduling for every
+    partition; size it to the EDGE volume, not the corpus default.
+    The conf is restored before returning (the final labels join runs
+    at the caller's width)."""
+    import contextlib
+
+    spark = pairs.sparkSession
+
+    @contextlib.contextmanager
+    def _scoped_shuffle():
+        if shuffle_partitions is None:
+            yield
+            return
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    with _scoped_shuffle():
+        return _lsss_run(pairs, max_iter)
+
+
+def _lsss_run(pairs: DataFrame, max_iter: int) -> DataFrame:
     e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).where(
         F.col("u") != F.col("v")
     )

@@ -830,7 +830,10 @@ def q_dedup_components_lsss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
-    return connected_components_lsss(pairs).orderBy("doc_id")
+    # shuffle width scoped to the EDGE graph (tiny vs the corpus):
+    # per-round scheduling cost is per-partition; 8 is plenty for the
+    # dedup-pair volume at any tested sf — size to edges at scale
+    return connected_components_lsss(pairs, shuffle_partitions=8).orderBy("doc_id")
 
 
 _ORACLE_COMPONENTS = """

@@ -491,3 +491,32 @@ def test_native_select_between_iterates_falls_back():
     assert (
         compile_native(".a[] | select(.x) | .b[]", ("v:int",)) is None
     )
+
+
+OR_CASES = [
+    ("select(.k > 50 or .k < 10) | {k: .k}", ("k:int",)),
+    ('select((.name | startswith("T")) or .k < 20) | {k: .k}', ("k:int",)),
+    ('select(.k > 30 and (.name == "Tokyo" or .name == "NY")) | {k: .k}', ("k:int",)),
+    ('.orders[] | select(.tag == "red" or .tag == "blue") | {oid: .oid}', ("oid:int",)),
+    ('.orders[] | select((.tag | test("^r")) or (.tag | endswith("n"))) | {oid: .oid}', ("oid:int",)),
+]
+
+
+@pytest.mark.parametrize("program,decls", OR_CASES, ids=[c[0] for c in OR_CASES])
+def test_native_or_conditions(nested_df, program, decls):
+    plan = compile_native(program, decls)
+    assert plan is not None, program
+    nat = jq_explode(nested_df, "j", program, *decls, native="require")
+    assert _plan_is_pythonfree(nat)
+    py = jq_explode(nested_df, "j", program, *decls, native="never")
+    cols = [c for c in nat.columns if c != "j"]
+    a = sorted(map(tuple, nat.select(cols).collect()), key=str)
+    b = sorted(map(tuple, py.select(cols).collect()), key=str)
+    assert a == b
+
+
+def test_native_or_of_ands_falls_back():
+    assert (
+        compile_native("select((.k > 1 and .k < 5) or .k > 90) | {k: .k}", ("k:int",))
+        is None
+    )
