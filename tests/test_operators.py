@@ -461,3 +461,33 @@ def test_lsss_components_string_ids_and_selfloop(spark):
     }
     # self-loop-only node x contributes no edge and no node
     assert comps == {"a": "a", "b": "a", "c": "a", "y": "y", "z": "y"}
+
+
+def test_multimodal_bench_decoder_batch_shape(spark):
+    """The throughput harness's vectorized decoder must agree with the
+    operator-module fake decoder and respect the mapInPandas batch
+    contract (iterator in, iterator out)."""
+    from hive_jq_udtf_spark.operators.multimodal import (
+        _fake_decode_features,
+        docs_as_media,
+    )
+    from tools.multimodal_bench import _decode_batch
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "s", 11), (2, "abc", "de", "s", 3)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    media = docs_as_media(docs).select("media_id", "content")
+    out = {
+        r.media_id: r.feature
+        for r in media.mapInPandas(
+            _decode_batch, "media_id long, feature array<double>"
+        ).collect()
+    }
+    exp = {
+        r["media_id"]: _fake_decode_features(bytes(r["content"]), "text", 8)
+        for r in media.collect()
+    }
+    assert set(out) == {1, 2}
+    for k in out:
+        assert [round(x, 9) for x in out[k]] == [round(x, 9) for x in exp[k]]
