@@ -99,20 +99,39 @@ _LANG_PROFILES: dict[str, list[str]] = {
 }
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic language-ID: per-language profile hit counts via
-    regexp_count, argmax via greatest + chained when.  All codegen;
-    extendable profile table."""
+def _language_scores(text_col: str) -> dict[str, Column]:
+    """Per-language profile-hit score Columns (pure codegen)."""
     padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-    scores = {
+    return {
         lang: sum(
             (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit(""))))
             / max(len(pat), 1)
             for pat in pats
-        ).alias(f"score_{lang}")
+        )
         for lang, pats in _LANG_PROFILES.items()
     }
-    scored = docs.select("doc_id", *scores.values())
+
+
+def language_id_col(text_col: str = "text") -> Column:
+    """Predicted language as a single Column expression (argmax of the
+    profile scores; ties resolve to the first profile).  A plain
+    projection — composes into pipelines with NO join or shuffle."""
+    scores = _language_scores(text_col)
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    for lang in reversed(list(scores)):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: per-language profile hit counts via
+    string-replace counting, argmax via greatest + chained when.  All
+    codegen; extendable profile table."""
+    scores = _language_scores(text_col)
+    scored = docs.select(
+        "doc_id", *[c.alias(f"score_{lang}") for lang, c in scores.items()]
+    )
     langs = list(_LANG_PROFILES)
     best = F.greatest(*[F.col(f"score_{l}") for l in langs])
     pred = F.lit(None).cast("string")

@@ -976,7 +976,10 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gen_language_oracle() -> str:
+def _langid_sql_fragments() -> tuple[str, str, str]:
+    """(score_exprs, best, pred) SQL fragments generated from the SAME
+    profile table the Spark operator uses — one formula source for
+    every oracle that embeds language-ID."""
     from ..operators.text import _LANG_PROFILES
 
     langs = list(_LANG_PROFILES)
@@ -999,6 +1002,14 @@ def _gen_language_oracle() -> str:
         + " ".join(f"WHEN score_{l} = best THEN '{l}'" for l in langs)
         + " ELSE NULL END"
     )
+    return score_exprs, best, pred
+
+
+def _gen_language_oracle() -> str:
+    from ..operators.text import _LANG_PROFILES
+
+    langs = list(_LANG_PROFILES)
+    score_exprs, best, pred = _langid_sql_fragments()
     rounded = ", ".join(f"round(score_{l}, 4) AS score_{l}" for l in langs)
     return f"""
 WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
@@ -2430,3 +2441,77 @@ FROM orders ORDER BY o_orderkey LIMIT 200
 
 QUERIES["jq_extended_types"] = q_jq_extended_types
 ORACLES["jq_extended_types"] = _ORACLE_JQ_EXTENDED
+
+
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline — the composition the engine
+    exists for, as ONE lazy plan Catalyst optimizes globally:
+
+      language-ID consistency gate (predicted == labeled)
+      → quality filter (token count + length window)
+      → exact dedup (md5 content hash, min-id keeper)
+      → deterministic train/test split (md5 bucket)
+      → sequence packing of the train split (per-source prefix-sum
+        bins at a 2000-char budget)
+      → per-source packing summary.
+
+    Scale audit: one shuffle for the dedup groupBy, one for the
+    packing window (partitioned by source — parallel across shards),
+    one for the final aggregate; language-ID/quality/split are pure
+    codegen projections pushed into the scan side.  The oracle
+    recomputes every stage in SQL from the same formula sources
+    (language profiles shared via _langid_sql_fragments)."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import language_id_col, pack_documents, train_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the prediction is a plain projection (language_id_col) — no
+    # self-join; the gate fuses into the scan-side filter
+    agree = docs.where(language_id_col("text") == F.col("lang"))
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    qual = agree.where((n_tokens >= 20) & F.col("n_chars").between(50, 5000))
+    deduped = exact_dedup(qual)
+    train = train_test_split(deduped, "doc_id", test_pct=10, salt="split").where(
+        F.col("split") == "train"
+    )
+    packed = pack_documents(train, budget_chars=2000)
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("pack_bin").alias("n_bins"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("pack_bin").alias("max_bin"),
+        )
+        .orderBy("source")
+    )
+
+
+def _gen_training_pipeline_oracle() -> str:
+    score_exprs, best, pred = _langid_sql_fragments()
+    return f"""
+WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+s AS (SELECT doc_id, {score_exprs} FROM p),
+b AS (SELECT *, {best} AS best FROM s),
+lang_pred AS (SELECT doc_id, {pred} AS pred_lang FROM b),
+agree AS (SELECT d.* FROM documents d JOIN lang_pred lp
+          ON d.doc_id = lp.doc_id AND lp.pred_lang = d.lang),
+qual AS (SELECT * FROM agree
+         WHERE len(string_split(text, ' ')) >= 20
+           AND n_chars BETWEEN 50 AND 5000),
+dedup AS (SELECT * FROM qual
+          QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+train AS (SELECT * FROM dedup
+          WHERE ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 >= 10),
+packed AS (SELECT source, doc_id, n_chars,
+        CAST(floor(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000) AS BIGINT) AS pack_bin
+    FROM train)
+SELECT source, count(*) AS n_docs, count(DISTINCT pack_bin) AS n_bins,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars, max(pack_bin) AS max_bin
+FROM packed GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["training_pipeline"] = q_training_pipeline
+ORACLES["training_pipeline"] = _gen_training_pipeline_oracle()
