@@ -675,3 +675,121 @@ def simhash_neardup_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style global span (chunk) dedup
+# ---------------------------------------------------------------------------
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    width: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global span-level exact dedup (the C4 / "three-sentence" rule
+    re-expressed over fixed-width word windows, since the corpus has
+    no newline structure): every document is cut into non-overlapping
+    ``width``-word chunks; a chunk occurrence is REMOVED when the
+    same chunk text appeared earlier in the corpus (earlier =
+    smaller (doc_id, chunk_idx)); each document is reassembled from
+    its surviving chunks in order.
+
+    Returns one row per document: n_chunks, n_removed, and
+    kept_hash = md5 of the reassembled text ("" when everything was
+    removed) so the rebuilt corpus is value-checked, not just counted.
+
+    100 TB shape: two shuffles, both on bounded keys — one window
+    shuffle on the chunk text (same key volume as the exact-dedup
+    groupBy; hash the chunk to fixed width upstream if span strings
+    get long), one groupBy back on doc_id.  No self-join, no
+    pair-cardinality blowup: global keeper election is a
+    row_number() per chunk key, the distributed analog of "keep
+    first occurrence"."""
+    from pyspark.sql.window import Window
+
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(width)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.array_join(F.slice(words, i * width + F.lit(1), width), " "),
+    )
+    ch = docs.select(F.col(id_col), F.posexplode(chunk_arr).alias("chunk_idx", "chunk"))
+    w = Window.partitionBy("chunk").orderBy(id_col, "chunk_idx")
+    ranked = ch.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("chunk_idx"), F.col("chunk"))
+    )  # null (dropped by collect_list) for removed occurrences
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_removed"),
+            F.md5(
+                F.coalesce(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(kept_struct)),
+                            lambda s: s["chunk"],
+                        ),
+                        " ",
+                    ),
+                    F.lit(""),
+                )
+            ).alias("kept_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def ngram_col(words: Column, n: int) -> Column:
+    """Sliding word n-grams of a split-text array as an array<string>
+    (empty when the document is shorter than n).  Pure codegen."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-set decontamination (the public GPT-3/PaLM appendix
+    recipe): a training document is CONTAMINATED when it shares any
+    word n-gram with any evaluation document.  Returns the training
+    rows with a boolean ``contaminated`` column.
+
+    100 TB shape: the eval side is tiny relative to the corpus, so
+    its distinct n-gram set is broadcast and the check is a broadcast
+    LEFT SEMI join on the n-gram string — the corpus is never
+    shuffled.  (Drop the broadcast() hint if the eval set ever
+    outgrows an executor; Catalyst then falls back to a shuffled
+    semi-join on the same key.)"""
+    ev_grams = (
+        eval_docs.select(F.explode(ngram_col(F.split(F.col(text_col), " "), n)).alias("g"))
+        .distinct()
+    )
+    tr_grams = docs.select(
+        F.col(id_col), F.explode(ngram_col(F.split(F.col(text_col), " "), n)).alias("g")
+    )
+    contaminated = (
+        tr_grams.join(F.broadcast(ev_grams), "g", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return docs.join(contaminated, id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+    )

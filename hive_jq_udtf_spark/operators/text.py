@@ -229,3 +229,112 @@ def stratified_hash_sample(
     for stratum, p in sorted(pcts.items()):
         pct = F.when(F.col(strata_col) == stratum, F.lit(p)).otherwise(pct)
     return df.where(b < pct)
+
+
+# ---------------------------------------------------------------------------
+# repetition-based quality filtering (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals from the public Gopher /
+    MassiveText filtering recipe, over word unigrams and bigrams:
+
+    - ``top_bigram_frac``: occurrences of the most frequent bigram /
+      total bigrams (0.0 when the doc has < 2 words),
+    - ``dup_word_frac``: 1 − distinct/total words — the bulk
+      repetition signal.
+
+    Shape: one explode per signal feeding a two-level aggregation —
+    map-side partial agg bounds the shuffle to distinct (doc, term)
+    pairs; no self-joins, no windows over the corpus."""
+    words = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        docs.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac"),
+        )
+    )
+    wd = docs.select(
+        F.col(id_col),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(words)) / F.size(words),
+            4,
+        ).alias("dup_word_frac"),
+    )
+    return wd.join(bg, id_col, "left").withColumn(
+        "top_bigram_frac", F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+    )
+
+
+def repetition_filter(
+    docs: DataFrame,
+    max_top_bigram_frac: float = 0.10,
+    max_dup_word_frac: float = 0.90,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gate documents on the repetition signals; adds ``rep_pass``."""
+    stats = repetition_stats(docs, text_col, id_col)
+    return stats.withColumn(
+        "rep_pass",
+        (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        & (F.col("dup_word_frac") <= max_dup_word_frac),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regex scrubbing, pure codegen)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the regex core shared by Java (Catalyst
+# rlike/regexp_replace), Python re, and RE2 (the DuckDB oracle) —
+# char classes, bounded repetition, \b — so the operator is
+# engine-portable (same J22 dialect discipline as the native tier).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+    token: str = "[PII]",
+) -> DataFrame:
+    """Scrub PII-shaped spans from ``text_col``: per-pattern match
+    counts (``n_<name>`` columns, counted on the text as each pattern
+    sees it, i.e. after the previous patterns' redactions) plus the
+    fully redacted text in ``redacted``.  Patterns apply in dict
+    order — order matters when patterns overlap (emails are consumed
+    before their digit runs could look like phones).
+
+    A single projection — no shuffle, no Python; regexp_replace and
+    regexp_extract_all are whole-stage-codegen expressions, so this
+    runs at scan speed at any scale."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    c = F.col(text_col)
+    out = df
+    for name, pat in pats.items():
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        )
+        c = F.regexp_replace(c, pat, token)
+    return out.withColumn("redacted", c)

@@ -2515,3 +2515,203 @@ FROM packed GROUP BY source ORDER BY source
 
 QUERIES["training_pipeline"] = q_training_pipeline
 ORACLES["training_pipeline"] = _gen_training_pipeline_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round-2 wave 2: training-data curation operators
+# ---------------------------------------------------------------------------
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup: fixed-width word chunks, global
+    keep-first-occurrence, per-doc reassembly value-checked by hash
+    (operators/dedup.py::chunk_dedup)."""
+    from ..operators.dedup import chunk_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_dedup(docs, width=10)
+
+
+_ORACLE_CHUNK_DEDUP = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (SELECT doc_id, i AS chunk_idx,
+             array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS chunk
+      FROM w, UNNEST(range(CAST(ceil(len(ws)/10.0) AS BIGINT))) AS t(i)),
+r AS (SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      FROM c)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE rn = 1), ''))
+         AS kept_hash
+FROM r GROUP BY doc_id
+"""
+
+QUERIES["chunk_dedup"] = q_chunk_dedup
+ORACLES["chunk_dedup"] = _ORACLE_CHUNK_DEDUP
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate (top-bigram fraction + duplicate
+    word fraction) aggregated per language."""
+    from ..operators.text import repetition_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    rf = repetition_filter(docs, max_top_bigram_frac=0.10, max_dup_word_frac=0.90)
+    joined = docs.select("doc_id", "lang").join(rf, "doc_id")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("rep_pass"), 1).otherwise(0)).alias("n_pass"),
+            F.sum(F.when(F.col("rep_pass"), 0).otherwise(1)).alias("n_fail"),
+            F.round(F.avg("top_bigram_frac"), 4).alias("avg_top_bigram"),
+            F.round(F.avg("dup_word_frac"), 4).alias("avg_dup_word"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_REPETITION = """
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+       FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+bf AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_bigram_frac
+       FROM bc GROUP BY doc_id),
+wf AS (SELECT doc_id, lang,
+              round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 4) AS dup_word_frac
+       FROM w),
+j AS (SELECT wf.lang, coalesce(bf.top_bigram_frac, 0.0) AS top_bigram_frac,
+             wf.dup_word_frac,
+             (coalesce(bf.top_bigram_frac, 0.0) <= 0.10 AND wf.dup_word_frac <= 0.90)
+               AS rep_pass
+      FROM wf LEFT JOIN bf ON wf.doc_id = bf.doc_id)
+SELECT lang,
+       CAST(sum(CASE WHEN rep_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN rep_pass THEN 0 ELSE 1 END) AS BIGINT) AS n_fail,
+       round(avg(top_bigram_frac), 4) AS avg_top_bigram,
+       round(avg(dup_word_frac), 4) AS avg_dup_word
+FROM j GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["repetition_filter"] = q_repetition_filter
+ORACLES["repetition_filter"] = _ORACLE_REPETITION
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a deterministic contact blob built from
+    customer columns (the slimmed TPC-H customer has no phone field,
+    so both engines synthesize identical PII-shaped text, then
+    redact): per-segment match counts + redacted-value hash."""
+    from ..operators.text import pii_redact
+
+    cust = load_table(spark, sf_dir, "customer")
+    blob = F.concat(
+        F.col("c_name"),
+        F.lit(" reach me at "),
+        F.lower(F.regexp_replace(F.col("c_name"), "#", ".")),
+        F.lit("@corp"),
+        (F.col("c_custkey") % 7).cast("string"),
+        F.lit(".com or 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("c_nationkey") * 37) % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (F.col("c_nationkey") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("c_custkey") % 256).cast("string"),
+    )
+    df = cust.select("c_custkey", "c_mktsegment", blob.alias("contact"))
+    red = pii_redact(df, "contact")
+    return (
+        red.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_email").alias("emails"),
+            F.sum("n_phone").alias("phones"),
+            F.sum("n_ipv4").alias("ips"),
+            F.md5(F.min("redacted")).alias("sample_hash"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_ORACLE_PII = r"""
+WITH b AS (
+  SELECT c_custkey, c_mktsegment,
+         c_name || ' reach me at ' || lower(replace(c_name, '#', '.')) || '@corp' ||
+         (c_custkey % 7)::VARCHAR || '.com or 555-' ||
+         lpad((c_custkey % 10000)::VARCHAR, 4, '0') || '-' ||
+         lpad(((c_nationkey * 37) % 10000)::VARCHAR, 4, '0') ||
+         ' ip 10.' || (c_nationkey % 256)::VARCHAR || '.0.' ||
+         (c_custkey % 256)::VARCHAR AS contact
+  FROM customer),
+r AS (
+  SELECT c_mktsegment,
+         len(regexp_extract_all(contact,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(contact,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g') AS s1
+  FROM b),
+r2 AS (
+  SELECT c_mktsegment, n_email,
+         len(regexp_extract_all(s1, '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b')) AS n_phone,
+         regexp_replace(s1, '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b', '[PII]', 'g') AS s2
+  FROM r),
+r3 AS (
+  SELECT c_mktsegment, n_email, n_phone,
+         len(regexp_extract_all(s2,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+         regexp_replace(s2,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[PII]', 'g')
+           AS redacted
+  FROM r2)
+SELECT c_mktsegment, count(*) AS n_rows,
+       CAST(sum(n_email) AS BIGINT) AS emails,
+       CAST(sum(n_phone) AS BIGINT) AS phones,
+       CAST(sum(n_ipv4) AS BIGINT) AS ips,
+       md5(min(redacted)) AS sample_hash
+FROM r3 GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+QUERIES["pii_redaction"] = q_pii_redaction
+ORACLES["pii_redaction"] = _ORACLE_PII
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any 8-gram with the
+    held-out set (doc_id % 50 == 0) are flagged; per-language
+    contaminated/clean counts over the training split."""
+    from ..operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    tr = docs.where(F.col("doc_id") % 50 != 0)
+    res = decontaminate(tr, ev, n=8)
+    return (
+        res.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("contaminated"), 1).otherwise(0)).alias("n_contaminated"),
+            F.sum(F.when(F.col("contaminated"), 0).otherwise(1)).alias("n_clean"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_DECONTAMINATE = """
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+ng AS (SELECT doc_id, array_to_string(ws[i:(i+7)], ' ') AS g
+       FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)
+       WHERE len(ws) >= 8),
+ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 50 = 0),
+contam AS (SELECT DISTINCT ng.doc_id FROM ng JOIN ev USING (g) WHERE ng.doc_id % 50 <> 0)
+SELECT d.lang,
+       CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
+WHERE d.doc_id % 50 <> 0
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+QUERIES["decontaminate"] = q_decontaminate
+ORACLES["decontaminate"] = _ORACLE_DECONTAMINATE

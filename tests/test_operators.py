@@ -491,3 +491,96 @@ def test_multimodal_bench_decoder_batch_shape(spark):
     assert set(out) == {1, 2}
     for k in out:
         assert [round(x, 9) for x in out[k]] == [round(x, 9) for x in exp[k]]
+
+
+# ---------------------------------------------------------------------------
+# round-2 wave 2: curation operators (chunk dedup / decontaminate /
+# repetition / PII)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    # doc 0 and doc 1 share their first 5-word chunk exactly; doc 2 is
+    # unrelated; doc 3 repeats one bigram heavily
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "a b c d e x y z w v"),
+        (2, "p q r s t u m n o k"),
+        (3, "hot dog hot dog hot dog hot dog hot dog"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_dedup_removes_repeated_span(span_docs):
+    out = {r.doc_id: r for r in dedup.chunk_dedup(span_docs, width=5).collect()}
+    assert out[0].n_chunks == 2 and out[0].n_removed == 0
+    # doc 1's first chunk duplicates doc 0's → removed, second kept
+    assert out[1].n_chunks == 2 and out[1].n_removed == 1
+    assert out[2].n_removed == 0
+    # doc 3: chunks "hot dog hot dog hot" / "dog hot dog hot dog" distinct → kept
+    assert out[3].n_removed == 0
+    # reassembly hash of doc 1 = md5 of its surviving second chunk
+    import hashlib
+
+    assert out[1].kept_hash == hashlib.md5(b"x y z w v").hexdigest()
+
+
+def test_chunk_dedup_all_removed_hashes_empty(spark):
+    rows = [(0, "a b c"), (1, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.chunk_dedup(df, width=5).collect()}
+    import hashlib
+
+    assert out[1].n_removed == 1
+    assert out[1].kept_hash == hashlib.md5(b"").hexdigest()
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    ev = spark.createDataFrame(
+        [(100, "one two three four five six seven eight tail")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "zzz one two three four five six seven eight yyy"),  # overlaps
+            (2, "one two three four five six seven distinct words here"),  # 7 < 8
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.contaminated for r in dedup.decontaminate(tr, ev, n=8).collect()}
+    assert out == {1: True, 2: False, 3: False}
+
+
+def test_repetition_stats_and_gate(span_docs):
+    stats = {r.doc_id: r for r in text.repetition_stats(span_docs).collect()}
+    # doc 3: bigrams: "hot dog"×5, "dog hot"×4 → top frac 5/9
+    assert stats[3].top_bigram_frac == round(5 / 9, 4)
+    # 2 distinct words of 10 → dup_word_frac 0.8
+    assert stats[3].dup_word_frac == 0.8
+    assert stats[0].top_bigram_frac == round(1 / 9, 4)
+    assert stats[0].dup_word_frac == 0.0
+    gated = {r.doc_id: r.rep_pass for r in text.repetition_filter(span_docs, 0.2, 0.5).collect()}
+    assert gated[0] and gated[2] and not gated[3]
+
+
+def test_repetition_single_word_doc(spark):
+    df = spark.createDataFrame([(0, "solo")], "doc_id long, text string")
+    r = text.repetition_stats(df).collect()[0]
+    assert r.top_bigram_frac == 0.0 and r.dup_word_frac == 0.0
+
+
+def test_pii_redact_counts_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b@x.io and c@d.org call 555-123-4567 host 10.0.0.1"),
+            (1, "no pii here at all"),
+        ],
+        "id long, t string",
+    )
+    out = {r.id: r for r in text.pii_redact(df, "t").collect()}
+    assert (out[0].n_email, out[0].n_phone, out[0].n_ipv4) == (2, 1, 1)
+    assert out[0].redacted == "mail [PII] and [PII] call [PII] host [PII]"
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (0, 0, 0)
+    assert out[1].redacted == "no pii here at all"
