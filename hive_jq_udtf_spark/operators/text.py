@@ -338,3 +338,126 @@ def pii_redact(
         )
         c = F.regexp_replace(c, pat, token)
     return out.withColumn("redacted", c)
+
+
+# ---------------------------------------------------------------------------
+# domain-mixture sampling (downsample-to-target-weights)
+# ---------------------------------------------------------------------------
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample a corpus so domain proportions match ``weights``
+    (the training-mix rebalancing step: e.g. web 50% / books 30% /
+    code 20%).  No domain is UPsampled: the binding domain (largest
+    count/weight deficit) is kept whole and every other domain is
+    thinned to match, yielding the largest achievable corpus with the
+    exact target mix.  Selection is by stable md5 bucket (same
+    engine-portable determinism as hash_sample) so re-runs keep the
+    identical subset at any partitioning or cluster size.
+
+    100 TB shape: one tiny groupBy(domain) aggregate (rows =
+    |domains|), a 1x1 global min, and a broadcast join of the
+    per-domain threshold back onto the corpus — the corpus itself is
+    never shuffled, just scanned and filtered."""
+    w = F.lit(None).cast("double")
+    for dom, p in sorted(weights.items()):
+        w = F.when(F.col(domain_col) == dom, F.lit(float(p))).otherwise(w)
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn("_w", w)
+        .where(F.col("_w").isNotNull())
+    )
+    scale = counts.select(F.min(F.col("_cnt") / F.col("_w")).alias("_scale"))
+    thresh = counts.crossJoin(scale).select(
+        F.col(domain_col),
+        F.floor(F.lit(float(buckets)) * F.col("_w") * F.col("_scale") / F.col("_cnt"))
+        .alias("_th"),
+    )
+    b = hash_bucket(F.col(id_col), buckets, salt)
+    return (
+        df.join(F.broadcast(thresh), domain_col)
+        .where(b < F.col("_th"))
+        .drop("_th")
+    )
+
+
+# ---------------------------------------------------------------------------
+# linear quality classifier (fixed public-recipe weights, pure codegen)
+# ---------------------------------------------------------------------------
+
+# A tiny function-word list: the classifier signal is "does the text
+# look like running prose", per the public fastText/CCNet-style
+# quality-filter recipes.  Deliberately short and frozen so the
+# feature is cheap and the oracle can restate it verbatim.
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+
+
+def quality_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document prose-likeness features, all whole-stage codegen:
+
+    - ``log_n_words``: ln(word count),
+    - ``stop_frac``: fraction of words in the frozen STOPWORDS list,
+    - ``avg_word_len``: mean word length,
+    - ``digit_frac``: digit characters / total characters.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda x: x.isin(*STOPWORDS)))
+    n_chars = F.length(F.col(text_col))
+    n_digit = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
+    return docs.select(
+        F.col(id_col),
+        F.round(F.log(n_words.cast("double")), 6).alias("log_n_words"),
+        F.round(n_stop / n_words, 6).alias("stop_frac"),
+        F.round(
+            (n_chars - (n_words - F.lit(1))) / n_words.cast("double"), 6
+        ).alias("avg_word_len"),
+        F.round(n_digit / n_chars.cast("double"), 6).alias("digit_frac"),
+    )
+
+
+# Frozen linear model: bias + w . features, squashed by a logistic.
+# Weights are illustrative constants (prose-positive: stopwords up,
+# digit soup down), NOT trained on anything — the operator under
+# test is the scoring plan, not the model.
+QUALITY_WEIGHTS = {
+    "bias": -1.0,
+    "log_n_words": 0.25,
+    "stop_frac": 6.0,
+    "avg_word_len": -0.10,
+    "digit_frac": -8.0,
+}
+
+
+def quality_classify(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document with the frozen logistic model and gate
+    at ``threshold``; adds ``q_score`` (rounded to 6) and ``q_pass``.
+    Scoring is a single projection over the feature expressions —
+    no shuffle, no Python, runs at scan speed."""
+    f = quality_features(docs, text_col, id_col)
+    z = (
+        F.lit(QUALITY_WEIGHTS["bias"])
+        + F.lit(QUALITY_WEIGHTS["log_n_words"]) * F.col("log_n_words")
+        + F.lit(QUALITY_WEIGHTS["stop_frac"]) * F.col("stop_frac")
+        + F.lit(QUALITY_WEIGHTS["avg_word_len"]) * F.col("avg_word_len")
+        + F.lit(QUALITY_WEIGHTS["digit_frac"]) * F.col("digit_frac")
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return f.withColumn("q_score", score).withColumn(
+        "q_pass", F.col("q_score") >= F.lit(threshold)
+    )

@@ -2715,3 +2715,224 @@ GROUP BY d.lang ORDER BY d.lang
 
 QUERIES["decontaminate"] = q_decontaminate
 ORACLES["decontaminate"] = _ORACLE_DECONTAMINATE
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: thin the corpus so the language mix
+    hits en .5 / de .2 / es .2 / fr .1 exactly (no upsampling; the
+    binding language is kept whole) — per-language sample stats
+    (operators/text.py::mixture_sample)."""
+    from ..operators.text import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"en": 0.5, "de": 0.2, "es": 0.2, "fr": 0.1}
+    samp = mixture_sample(docs, "lang", weights, id_col="doc_id")
+    return (
+        samp.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_MIXTURE = """
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+w AS (SELECT lang, cnt,
+             CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2 WHEN 'es' THEN 0.2
+                       WHEN 'fr' THEN 0.1 END::DOUBLE AS w
+      FROM c),
+s AS (SELECT min(cnt / w) AS scale FROM w WHERE w IS NOT NULL),
+t AS (SELECT lang, floor(10000.0 * w * scale / cnt) AS th FROM w, s WHERE w IS NOT NULL)
+SELECT d.lang, count(*) AS n, min(d.doc_id) AS min_id, max(d.doc_id) AS max_id
+FROM documents d JOIN t ON d.lang = t.lang
+WHERE ('0x' || substr(md5('mix' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < th
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+QUERIES["mixture_sample"] = q_mixture_sample
+ORACLES["mixture_sample"] = _ORACLE_MIXTURE
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen logistic prose-quality model (log-length, stopword
+    fraction, word length, digit fraction) scored in one codegen
+    projection; pass/fail + mean score per language."""
+    from ..operators.text import quality_classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang").join(quality_classify(docs), "doc_id")
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("q_pass"), 1).otherwise(0)).alias("n_pass"),
+            F.sum(F.when(F.col("q_pass"), 0).otherwise(1)).alias("n_fail"),
+            F.round(F.avg("q_score"), 4).alias("avg_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_QUALITY_CLF = """
+WITH f AS (
+  SELECT doc_id, lang,
+         round(ln(len(string_split(text, ' '))::DOUBLE), 6) AS log_n_words,
+         round(len(list_filter(string_split(text, ' '),
+               w -> w IN ('the','a','of','to','and','in','is','it','that','for')))::DOUBLE
+               / len(string_split(text, ' ')), 6) AS stop_frac,
+         round((len(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+               / len(string_split(text, ' ')), 6) AS avg_word_len,
+         round(len(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / len(text), 6)
+           AS digit_frac
+  FROM documents),
+sc AS (
+  SELECT lang,
+         round(1.0 / (1.0 + exp(-(-1.0 + 0.25 * log_n_words + 6.0 * stop_frac
+                                  + -0.10 * avg_word_len + -8.0 * digit_frac))), 6)
+           AS q_score
+  FROM f)
+SELECT lang,
+       CAST(sum(CASE WHEN q_score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN q_score >= 0.5 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail,
+       round(avg(q_score), 4) AS avg_score
+FROM sc GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["quality_classifier"] = q_quality_classifier
+ORACLES["quality_classifier"] = _ORACLE_QUALITY_CLF
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS beyond rollup/cube: the four explicit sets over
+    (status, priority) with grouping() indicator columns — one shuffle,
+    Spark expands the sets map-side (Expand node), no per-set rescan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+_ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+QUERIES["grouping_sets"] = q_grouping_sets
+ORACLES["grouping_sets"] = _ORACLE_GROUPING_SETS
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based frame, not row-based): per
+    user, the rolling event-value sum over the trailing 1000 event-id
+    units; reduced to per-user peak/mean so output stays bounded.
+    One shuffle on user_id; the frame is computed by Spark's sliding
+    WindowExec within each partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    rolled = ev.select(
+        "user_id", F.sum("value").over(w).alias("rolling")
+    )
+    return (
+        rolled.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max("rolling"), 2).alias("peak_rolling"),
+            F.round(F.avg("rolling"), 2).alias("avg_rolling"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_RANGE_FRAME = """
+WITH r AS (
+  SELECT user_id,
+         sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS rolling
+  FROM events)
+SELECT user_id, count(*) AS n,
+       round(max(rolling), 2) AS peak_rolling,
+       round(avg(rolling), 2) AS avg_rolling
+FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["window_range_frame"] = q_window_range_frame
+ORACLES["window_range_frame"] = _ORACLE_RANGE_FRAME
+
+
+def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format breadth: supplier is written to CSV, JSON
+    lines, and ORC, read back through the matching Spark readers
+    (explicit DDL schema — no inference pass), and each read-back is
+    aggregated identically.  The oracle computes the same aggregate
+    once per format tag straight from parquet, so any format that
+    loses type fidelity (doubles through CSV text, strings through
+    JSON escaping) hash-mismatches.  Writes land under the repo
+    spark-warehouse, keyed by sf so concurrent scales don't clash."""
+    import os
+
+    sup = load_table(spark, sf_dir, "supplier")
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "..",
+        "spark-warehouse",
+        "fmt_roundtrip",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    ddl = ",".join(f"{f.name} {f.dataType.simpleString()}" for f in sup.schema.fields)
+    sup.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
+    sup.write.mode("overwrite").json(f"{base}/json")
+    sup.write.mode("overwrite").orc(f"{base}/orc")
+    reads = {
+        "csv": spark.read.schema(ddl).option("header", True).csv(f"{base}/csv"),
+        "json": spark.read.schema(ddl).json(f"{base}/json"),
+        "orc": spark.read.orc(f"{base}/orc"),
+    }
+    parts = []
+    for fmt, df in reads.items():
+        parts.append(
+            df.groupBy(F.lit(fmt).alias("format")).agg(
+                F.count("*").alias("n"),
+                F.sum("s_suppkey").alias("sum_key"),
+                F.round(F.sum("s_acctbal"), 2).alias("sum_bal"),
+                F.sum("s_nationkey").alias("sum_nation"),
+                F.min("s_name").alias("min_name"),
+                F.md5(F.max("s_name")).alias("max_name_hash"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("format")
+
+
+_ORACLE_FORMAT_ROUNDTRIP = """
+SELECT f.format, count(*) AS n, sum(s_suppkey) AS sum_key,
+       round(sum(s_acctbal), 2) AS sum_bal, sum(s_nationkey) AS sum_nation,
+       min(s_name) AS min_name, md5(max(s_name)) AS max_name_hash
+FROM supplier, (VALUES ('csv'), ('json'), ('orc')) AS f(format)
+GROUP BY f.format ORDER BY f.format
+"""
+
+QUERIES["format_roundtrip"] = q_format_roundtrip
+ORACLES["format_roundtrip"] = _ORACLE_FORMAT_ROUNDTRIP

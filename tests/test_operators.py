@@ -584,3 +584,62 @@ def test_pii_redact_counts_and_order(spark):
     assert out[0].redacted == "mail [PII] and [PII] call [PII] host [PII]"
     assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (0, 0, 0)
     assert out[1].redacted == "no pii here at all"
+
+
+# ---------------------------------------------------------------------------
+# round-2 wave 3: mixture sampling + quality classifier
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    # 400 a-rows, 100 b-rows; target 50/50 -> b binds (kept whole),
+    # a thinned to ~100
+    rows = [(i, "a" if i < 400 else "b") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    out = text.mixture_sample(df, "dom", {"a": 0.5, "b": 0.5}, id_col="doc_id")
+    by = {r.dom: r.n for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert by["b"] == 100              # binding domain kept whole
+    assert 80 <= by["a"] <= 120        # hash-thinned to ~100 (threshold 2500/10000)
+
+
+def test_mixture_sample_unlisted_domain_dropped(spark):
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "junk")], "doc_id long, dom string"
+    )
+    out = text.mixture_sample(df, "dom", {"a": 1.0}, id_col="doc_id")
+    assert [r.dom for r in out.collect()] == ["a"]
+
+
+def test_mixture_sample_deterministic(spark):
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    w = {"a": 0.6, "b": 0.4}
+    ids1 = sorted(r.doc_id for r in text.mixture_sample(df, "dom", w).collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in text.mixture_sample(df.repartition(7), "dom", w).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_quality_classifier_prefers_prose(spark):
+    prose = "the cat sat on the mat and it was a fine day in the sun for it"
+    soup = "x9 7713 00 zz 4418 9 1 0 33 77 128 991 2 3"
+    df = spark.createDataFrame(
+        [(0, prose), (1, soup)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.quality_classify(df).collect()}
+    assert out[0].q_score > out[1].q_score
+    assert out[0].q_pass and not out[1].q_pass
+
+
+def test_quality_features_values(spark):
+    df = spark.createDataFrame([(0, "the cat 42")], "doc_id long, text string")
+    r = text.quality_features(df).collect()[0]
+    import math
+
+    assert r.log_n_words == round(math.log(3), 6)
+    assert r.stop_frac == round(1 / 3, 6)
+    # 10 chars - 2 separators = 8 letters over 3 words
+    assert r.avg_word_len == round(8 / 3, 6)
+    assert r.digit_frac == round(2 / 10, 6)
