@@ -50,7 +50,7 @@ _SPEC_KINDS = {"lit", "expr", "fnchain", "alt", "length"}
 @dataclass
 class Filter:
     lhs: Path
-    op: str  # == != < <= > >= or "truthy"
+    op: str  # == != < <= > >= or "truthy"/"not_truthy"/"has"
     lit: Any
     combine: str = "and"  # reserved
     # when set, the condition LHS is a compiled scalar expression
@@ -467,15 +467,28 @@ def _parse_filters(cond: AST) -> Optional[list]:
     p = _as_path(cond)
     if p is not None:
         return [Filter(p, "truthy", None)]
-    # string predicate: `.path | startswith("x")` / endswith / test
-    # (bare call form applies to `.`); test patterns must be portable
-    # between Python re and Java regex or the program falls back
+    # trailing-call predicates applied to a path prefix (bare call
+    # form applies to `.`): startswith/endswith/test (string preds;
+    # test patterns must be portable between Python re and Java regex
+    # or the program falls back), `not` (negated jq truthiness), and
+    # `has(key)` (object-key / array-index membership)
     nodes: list = []
     _pipe_list(cond, nodes)
     call = nodes[-1]
+    if call[0] != "call":
+        return None
+
+    def prefix_path():
+        path: tuple = ()
+        for n in nodes[:-1]:
+            pp = _as_path(n)
+            if pp is None:
+                return None
+            path = path + pp
+        return path
+
     if (
-        call[0] == "call"
-        and call[1] in _STR_PREDS
+        call[1] in _STR_PREDS
         and len(call[2]) == 1
         and call[2][0][0] == "literal"
         and isinstance(call[2][0][1], str)
@@ -483,13 +496,20 @@ def _parse_filters(cond: AST) -> Optional[list]:
         pat = call[2][0][1]
         if call[1] == "test" and not _regex_portable(pat):
             return None
-        path: tuple = ()
-        for n in nodes[:-1]:
-            pp = _as_path(n)
-            if pp is None:
-                return None
-            path = path + pp
-        return [Filter(path, call[1], pat)]
+        path = prefix_path()
+        return None if path is None else [Filter(path, call[1], pat)]
+    if call[1] == "not" and not call[2]:
+        path = prefix_path()
+        return None if path is None else [Filter(path, "not_truthy", None)]
+    if (
+        call[1] == "has"
+        and len(call[2]) == 1
+        and call[2][0][0] == "literal"
+        and isinstance(call[2][0][1], (int, str))
+        and not isinstance(call[2][0][1], bool)
+    ):
+        path = prefix_path()
+        return None if path is None else [Filter(path, "has", call[2][0][1])]
     return None
 
 
@@ -630,6 +650,29 @@ def _variant_truthy(v: Column) -> Column:
     return v.isNotNull() & (vt != F.lit("VOID")) & ~is_false
 
 
+def _variant_has(v: Column, key) -> Column:
+    """jq ``has`` on an exact-typed variant: string key → object-key
+    membership, int key → 0 <= key < array length.  jq errors on a
+    container/key-type mismatch (has("x") on an array, has(0) on an
+    object) and on scalars; here those rows drop (false) — the
+    documented NULL-delta class."""
+    vt = F.schema_of_variant(v)
+    if isinstance(key, str):
+        return F.coalesce(
+            vt.startswith("OBJECT")
+            & F.array_contains(
+                F.map_keys(v.try_cast("map<string,variant>")), F.lit(key)
+            ),
+            F.lit(False),
+        )
+    return F.coalesce(
+        vt.startswith("ARRAY")
+        & F.lit(key >= 0)
+        & (F.size(v.try_cast("array<variant>")) > F.lit(key)),
+        F.lit(False),
+    )
+
+
 def _variant_length(v: Column) -> Column:
     """jq ``length`` on an exact-typed variant: element count for
     arrays, key count for objects, codepoint count for strings, |n|
@@ -755,6 +798,13 @@ def _filter_col(json_col: Column, f: Filter) -> Column:
             F.try_parse_json(json_col), _json_path(f.lhs), "variant"
         )
         return _variant_truthy(v)
+    if f.op in ("not_truthy", "has"):
+        v = F.try_variant_get(
+            F.try_parse_json(json_col), _json_path(f.lhs), "variant"
+        )
+        if f.op == "not_truthy":
+            return ~_variant_truthy(v)
+        return _variant_has(v, f.lit)
     if f.op in _STR_PREDS:
         return _string_pred_col(raw, f.op, f.lit)
     if f.lit is None:
@@ -801,6 +851,10 @@ def _struct_filter_col(struct_col: Column, f: Filter) -> Column:
         # comparing a STRING-typed view to lit(False) would ANSI-crash
         # on truthy strings like "hello"
         return _variant_truthy(c)
+    if f.op in ("not_truthy", "has"):
+        # element schema types these paths VARIANT (same else branch
+        # as truthy/comparisons in _elem_schema)
+        return ~_variant_truthy(c) if f.op == "not_truthy" else _variant_has(c, f.lit)
     if f.op in _STR_PREDS:
         return _string_pred_col(c, f.op, f.lit)
     # the element schema types every plain comparison-filter path
@@ -1009,6 +1063,11 @@ class NativePlan:
                 _expr_paths(f.lhs_expr, refs)
                 for p in refs:
                     add(tuple(f.lhs) + p, T.DoubleType())
+            elif not f.lhs:
+                # predicate over the element itself: the element would
+                # need to be VARIANT *and* carry the projection struct —
+                # not representable in one from_json schema
+                raise _SchemaConflict(())
             elif f.op in _STR_PREDS:
                 add(f.lhs, T.StringType())
             else:

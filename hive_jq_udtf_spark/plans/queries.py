@@ -2936,3 +2936,52 @@ GROUP BY f.format ORDER BY f.format
 
 QUERIES["format_roundtrip"] = q_format_roundtrip
 ORACLES["format_roundtrip"] = _ORACLE_FORMAT_ROUNDTRIP
+
+
+def q_jq_native_has_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`has()` and `| not` select predicates compiled natively: the
+    program filters on object-key membership plus negated jq
+    truthiness, entirely as codegen variant expressions (native.py
+    _variant_has / _variant_truthy) — no Python worker.  The JSON is
+    synthesized from events.k so the key-presence and flag-type mix
+    is controlled: flag cycles true/false/null/"x", m gains key v
+    when k % 3 == 0."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    flag = (
+        F.when(k % 4 == 0, F.lit("true"))
+        .when(k % 4 == 1, F.lit("false"))
+        .when(k % 4 == 2, F.lit("null"))
+        .otherwise(F.lit('"x"'))
+    )
+    m = F.when(k % 3 == 0, F.lit('{"v":1}')).otherwise(F.lit("{}"))
+    j = F.concat(
+        F.lit('{"k":'), k.cast("string"), F.lit(',"flag":'), flag,
+        F.lit(',"m":'), m, F.lit("}"),
+    )
+    df = ev.select("event_type", j.alias("j"))
+    x = jq_explode(
+        df,
+        "j",
+        'select((.flag | not) and (.m | has("v"))) | {k: .k}',
+        "k:int",
+        native="require",
+    )
+    return (
+        x.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_JQ_HAS_NOT = """
+WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+           FROM events)
+SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+FROM e
+WHERE (k % 4) IN (1, 2) AND k % 3 = 0
+GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["jq_native_has_not"] = q_jq_native_has_not
+ORACLES["jq_native_has_not"] = _ORACLE_JQ_HAS_NOT

@@ -455,6 +455,12 @@ GROWTH_CASES = [
     # map-typed projections, both tiers (M4: object → map, else {})
     ("{m: .s}", ("m:map<string,int>",)),
     (".orders[] | {m: .lines[0]}", ("m:map<string,string>",)),
+    # `not` (negated jq truthiness) and `has` in select — both tiers
+    ('select(.name | not) | {name}', ("name:string",)),
+    ('select(.orders | has(1)) | {name}', ("name:string",)),
+    (".orders[] | select(.lines | has(0)) | {oid: .oid}", ("oid:int",)),
+    (".orders[] | select(.lines | has(2)) | {oid: .oid}", ("oid:int",)),
+    (".orders[] | select(.lines[0] | not) | {oid: .oid}", ("oid:int",)),
 ]
 
 
@@ -469,6 +475,31 @@ def test_native_growth_matches_python_tier(nested_df, program, decls):
     a = sorted(map(tuple, nat.select(cols).collect()), key=str)
     b = sorted(map(tuple, py.select(cols).collect()), key=str)
     assert a == b
+
+
+def test_native_elementwide_predicate_falls_back(nested_df):
+    # has/not/truthy over the exploded element itself would need a
+    # VARIANT element alongside the projection struct — Python tier
+    for prog in (
+        '.orders[] | select(has("oid")) | {oid: .oid}',
+        ".orders[] | select(not) | {oid: .oid}",
+    ):
+        assert compile_native(prog, ("oid:int",)) is None
+        jq_explode(nested_df, "j", prog, "oid:int", native="auto").collect()
+
+
+def test_native_has_key_object_membership(spark):
+    rows = [
+        ('{"m":{"v":1},"k":1}',),
+        ('{"m":{},"k":2}',),
+        ('{"m":{"v":null},"k":3}',),  # null value still HAS the key
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    prog = 'select(.m | has("v")) | {k: .k}'
+    nat = jq_explode(df, "j", prog, "k:int", native="require")
+    py = jq_explode(df, "j", prog, "k:int", native="never")
+    assert _plan_is_pythonfree(nat)
+    assert sorted(r.k for r in nat.collect()) == sorted(r.k for r in py.collect()) == [1, 3]
 
 
 def test_native_nonportable_regex_falls_back():
