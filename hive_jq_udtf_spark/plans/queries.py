@@ -2985,3 +2985,124 @@ GROUP BY event_type ORDER BY event_type
 
 QUERIES["jq_native_has_not"] = q_jq_native_has_not
 ORACLES["jq_native_has_not"] = _ORACLE_JQ_HAS_NOT
+
+
+# ---------------------------------------------------------------------------
+# full-text retrieval: inverted index + BM25 (operators/index.py)
+# ---------------------------------------------------------------------------
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: postings (token, doc, tf) via explode +
+    map-side-combined groupBy, then per-token index entries (df,
+    collection frequency, max tf, bounded posting-list prefix) for
+    the hottest tokens.  The posting list is materialized only inside
+    a token group and sliced to a bounded prefix — the index entry a
+    100 TB build would store for a stopword-grade token."""
+    from ..operators.index import index_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return index_summary(docs, top=15, sample_cap=5)
+
+
+_ORACLE_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+tf AS (SELECT token, doc_id, count(*) AS tf
+       FROM toks WHERE token <> '' GROUP BY 1, 2)
+SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf, max(tf) AS max_tf,
+       (list_sort(list(doc_id)))[1:5] AS posting_prefix
+FROM tf GROUP BY token ORDER BY df DESC, token LIMIT 15
+"""
+
+QUERIES["inverted_index"] = q_inverted_index
+ORACLES["inverted_index"] = _ORACLE_INVERTED_INDEX
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed 3-term query.  The exploded
+    token stream is pruned to the query's terms BEFORE any shuffle;
+    df and corpus stats are broadcast (|terms| rows and 1 row)."""
+    from ..operators.index import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["vector", "stream", "window"], k=10)
+
+
+_ORACLE_BM25 = """
+WITH dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dl
+  FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf
+       FROM toks WHERE token IN ('vector', 'stream', 'window') GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id,
+       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))), 4)
+         AS bm25
+FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+QUERIES["bm25_topk"] = q_bm25_topk
+ORACLES["bm25_topk"] = _ORACLE_BM25
+
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-unigram importance weighting (target = the
+    non-English slice), summarized per language: n docs, average
+    per-doc log importance weight, and how many docs score positive
+    (i.e. would be up-sampled toward the target mix).  The bucket
+    distributions are 64-row broadcasts; the rescore is one explode +
+    broadcast join + doc_id aggregation."""
+    from ..operators.index import importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = importance_weights(docs, F.col("lang") != "en", buckets=64)
+    return (
+        w.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("log_weight"), 3).alias("avg_log_weight"),
+            F.sum(F.when(F.col("log_weight") > 0, 1).otherwise(0)).alias("n_positive"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_IMPORTANCE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+  FROM documents),
+b AS (SELECT doc_id, lang,
+             ('0x' || substr(md5(token), 1, 15))::BIGINT % 64 AS bucket
+      FROM toks),
+raw AS (SELECT bucket, count(*) AS raw_n FROM b GROUP BY 1),
+tgt AS (SELECT bucket, count(*) AS tgt_n FROM b WHERE lang <> 'en' GROUP BY 1),
+dist AS (SELECT r.range AS bucket, coalesce(raw_n, 0) AS raw_n,
+                coalesce(tgt_n, 0) AS tgt_n
+         FROM range(64) r
+         LEFT JOIN raw ON r.range = raw.bucket
+         LEFT JOIN tgt ON r.range = tgt.bucket),
+tot AS (SELECT sum(raw_n) AS raw_total, sum(tgt_n) AS tgt_total FROM dist),
+lr AS (SELECT bucket,
+              ln((tgt_n + 1.0) / (tgt_total + 64.0))
+              - ln((raw_n + 1.0) / (raw_total + 64.0)) AS log_ratio
+       FROM dist CROSS JOIN tot),
+w AS (SELECT doc_id, round(sum(log_ratio), 4) AS log_weight
+      FROM b JOIN lr USING (bucket) GROUP BY doc_id)
+SELECT d.lang, count(*) AS n_docs,
+       round(avg(w.log_weight), 3) AS avg_log_weight,
+       CAST(sum(CASE WHEN w.log_weight > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+FROM w JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+QUERIES["importance_weights"] = q_importance_weights
+ORACLES["importance_weights"] = _ORACLE_IMPORTANCE

@@ -643,3 +643,60 @@ def test_quality_features_values(spark):
     # 10 chars - 2 separators = 8 letters over 3 words
     assert r.avg_word_len == round(8 / 3, 6)
     assert r.digit_frac == round(2 / 10, 6)
+
+
+# ---------------------------------------------------------------------------
+# full-text retrieval: inverted index / BM25 / DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(spark):
+    rows = [
+        ("d1", "vector stream engine", "en"),
+        ("d2", "vector vector window join", "en"),
+        ("d3", "totally unrelated words here", "en"),
+        ("d4", "flux vector rapide", "fr"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string, lang string")
+
+
+def test_build_postings_tf(tiny_corpus):
+    from hive_jq_udtf_spark.operators import index
+
+    p = {(r.token, r.doc_id): r.tf for r in index.build_postings(tiny_corpus).collect()}
+    assert p[("vector", "d2")] == 2
+    assert p[("vector", "d1")] == 1
+    assert ("", "d1") not in p  # empty split artifacts dropped
+
+
+def test_bm25_ranking_and_values(tiny_corpus):
+    import math
+
+    from hive_jq_udtf_spark.operators import index
+
+    rows = index.bm25_topk(tiny_corpus, ["vector", "window"], k=10).collect()
+    got = {r.doc_id: r.bm25 for r in rows}
+    # d2 has tf(vector)=2 AND the rare term "window" -> must rank first
+    assert rows[0].doc_id == "d2"
+    assert set(got) == {"d1", "d2", "d4"}
+    # hand-computed check for d1: one "vector" hit, dl=3, avgdl=14/4
+    n, df_v, tf, dl, avgdl, k1, b = 4, 3, 1, 3, 14 / 4, 1.2, 0.75
+    idf = math.log(1 + (n - df_v + 0.5) / (df_v + 0.5))
+    expect = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert got["d1"] == round(expect, 4)
+
+
+def test_importance_weights_direction(tiny_corpus):
+    from hive_jq_udtf_spark.operators import index
+
+    w = {
+        r.doc_id: r.log_weight
+        for r in index.importance_weights(
+            tiny_corpus, F.col("lang") != "en", buckets=32
+        ).collect()
+    }
+    # the French doc IS the target slice: its tokens must score highest
+    assert w["d4"] == max(w.values())
+    # target-absent vocabulary scores negative (down-weighted)
+    assert w["d3"] < 0
