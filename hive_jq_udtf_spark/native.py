@@ -867,6 +867,91 @@ def _struct_filter_col(struct_col: Column, f: Filter) -> Column:
     return _variant_cmp(c, f.op, f.lit)
 
 
+def _leaf_needs_variant(f: Filter) -> bool:
+    """Whether _filter_col would route this leaf through the variant
+    reader (exact JSON type needed): jq truthiness, has(), and plain
+    comparisons with a non-null literal (jq total order)."""
+    if f.lhs_expr is not None:
+        return False
+    if f.op in ("truthy", "not_truthy", "has"):
+        return True
+    if f.op in _STR_PREDS:
+        return False
+    return f.lit is not None
+
+
+def _group_all_variant(item) -> bool:
+    fs = item.filters if isinstance(item, OrGroup) else [item]
+    return all(_leaf_needs_variant(f) for f in fs)
+
+
+def _variant_paths_schema(groups) -> Optional[T.StructType]:
+    """from_json schema typing every leaf path of the given filter
+    groups as VARIANT.  Returns None when the paths can't be laid out
+    in one struct (int steps, whole-document filters, or a leaf/struct
+    prefix conflict) — callers fall back to per-leaf evaluation."""
+    needed: dict = {}
+
+    def add(path) -> bool:
+        if not path or not all(isinstance(s, str) for s in path):
+            return False
+        cur = needed
+        for s in path[:-1]:
+            nxt = cur.setdefault(s, {})
+            if not isinstance(nxt, dict):
+                return False
+            cur = nxt
+        if isinstance(cur.get(path[-1]), dict):
+            return False
+        cur[path[-1]] = T.VariantType()
+        return True
+
+    for g in groups:
+        for f in g.filters if isinstance(g, OrGroup) else [g]:
+            if not add(tuple(f.lhs)):
+                return None
+
+    def to_struct(d) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(k, to_struct(v) if isinstance(v, dict) else v)
+                for k, v in d.items()
+            ]
+        )
+
+    return to_struct(needed)
+
+
+def _apply_pre_filters(df: DataFrame, col: Column, pre_filters) -> DataFrame:
+    """Apply select() filters that precede any iterate.
+
+    Variant-needing groups are evaluated against ONE from_json parse
+    routed through a one-element explode: FilterExec has no
+    subexpression elimination and Catalyst's predicate pushdown
+    re-inlines projected aliases into the condition, so a naive
+    `withColumn(parse) → where` re-parses the JSON once per leaf
+    (measured 7× parseJson per row on a two-leaf and/or condition).
+    A Generate blocks pushdown of conditions on its output, pinning
+    the single parse below the filter."""
+    var_groups = [f for f in pre_filters if _group_all_variant(f)]
+    text_groups = [f for f in pre_filters if not _group_all_variant(f)]
+    for f in text_groups:
+        df = df.where(_cond_col(f, lambda ff: _filter_col(col, ff)))
+    if not var_groups:
+        return df
+    schema = _variant_paths_schema(var_groups)
+    if schema is None:
+        for f in var_groups:
+            df = df.where(_cond_col(f, lambda ff: _filter_col(col, ff)))
+        return df
+    orig = df.columns
+    pc = F.col("__jq_prefilter")
+    df = df.withColumn("__jq_prefilter", F.explode(F.array(F.from_json(col, schema))))
+    for f in var_groups:
+        df = df.where(_cond_col(f, lambda ff: _struct_filter_col(pc, ff)))
+    return df.select(*orig)
+
+
 class _SchemaConflict(Exception):
     """Element-schema conflict: program falls back to the Python tier."""
 
@@ -885,8 +970,7 @@ class NativePlan:
     # -- scalar (no explode) path --------------------------------------
     def _apply_scalar(self, df: DataFrame, col: Column) -> DataFrame:
         ir = self.ir
-        for f in ir.pre_filters:
-            df = df.where(_cond_col(f, lambda ff: _filter_col(col, ff)))
+        df = _apply_pre_filters(df, col, ir.pre_filters)
         out_cols = []
         if self.single:
             fdt = self.schema.fields[0]
@@ -1115,8 +1199,7 @@ class NativePlan:
                     inner = T.StructType([T.StructField(s, inner)])
             return inner
 
-        for f in ir.pre_filters:
-            df = df.where(_cond_col(f, lambda ff: _filter_col(col, ff)))
+        df = _apply_pre_filters(df, col, ir.pre_filters)
         elem = self._elem_schema()
         # wrap the LAST element's schema in each iterate level's array
         # + the steps leading to it, innermost-out, then the pre-path
