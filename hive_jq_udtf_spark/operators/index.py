@@ -189,18 +189,19 @@ def importance_weights(
         F.explode(arr).alias("token"),
     ).withColumn("bucket", _md5_bucket(F.col("token"), buckets))
 
-    raw_counts = toks.groupBy("bucket").agg(F.count("*").alias("raw_n"))
-    tgt_counts = (
-        toks.where("is_target").groupBy("bucket").agg(F.count("*").alias("tgt_n"))
+    # raw + target bucket counts in ONE pass over the exploded stream
+    # (a separate .where(is_target) aggregation would re-explode the
+    # corpus a second time)
+    counts = toks.groupBy("bucket").agg(
+        F.count("*").alias("raw_n"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tgt_n"),
     )
     # dense bucket table so unseen buckets still get smoothed mass
     all_buckets = docs.sparkSession.range(buckets).select(
         F.col("id").cast("long").alias("bucket")
     )
-    dist = (
-        all_buckets.join(F.broadcast(raw_counts), "bucket", "left")
-        .join(F.broadcast(tgt_counts), "bucket", "left")
-        .na.fill({"raw_n": 0, "tgt_n": 0})
+    dist = all_buckets.join(F.broadcast(counts), "bucket", "left").na.fill(
+        {"raw_n": 0, "tgt_n": 0}
     )
     totals = dist.agg(
         F.sum("raw_n").alias("raw_total"), F.sum("tgt_n").alias("tgt_total")

@@ -3106,3 +3106,186 @@ GROUP BY d.lang ORDER BY d.lang
 
 QUERIES["importance_weights"] = q_importance_weights
 ORACLES["importance_weights"] = _ORACLE_IMPORTANCE
+
+
+# ---------------------------------------------------------------------------
+# CDC / slowly-changing-dimension operators
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state-per-key (CDC compaction) as an AGGREGATION, not a
+    window: ``max_by(attr, struct(ts, event_id))`` gets map-side
+    partial aggregation — each of 1000 executors reduces its shard to
+    one candidate row per key before the shuffle, so the exchange
+    carries |keys| rows, not |events|.  The row_number()-over-window
+    formulation (the common anti-pattern) shuffles and SORTS the full
+    event log per key.  Tie-break on event_id makes it deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.where(F.col("user_id") < 40)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_type", ordk).alias("last_type"),
+            F.round(F.max_by("value", ordk), 4).alias("last_value"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n_versions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_CDC_LATEST = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_versions,
+         max(ts) OVER (PARTITION BY user_id) AS last_ts
+  FROM events WHERE user_id < 40)
+SELECT user_id, event_type AS last_type, round(value, 4) AS last_value,
+       last_ts, n_versions
+FROM ranked WHERE rn = 1 ORDER BY user_id
+"""
+
+QUERIES["cdc_latest"] = q_cdc_latest
+ORACLES["cdc_latest"] = _ORACLE_CDC_LATEST
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals from a change stream: each per-key
+    version gets [valid_from, valid_to) with valid_to = next change's
+    ts (NULL while current).  One window over (user_id // ts) — the
+    shuffle is keyed on user_id only, so the 100 TB layout is one
+    exchange + per-key sort, and AQE splits skewed keys.  Population
+    scoped to user_id < 12 to keep the gate result bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.where(F.col("user_id") < 12)
+        .select(
+            "user_id",
+            F.row_number().over(w).alias("version"),
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+_ORACLE_SCD2 = """
+SELECT user_id,
+       row_number() OVER w AS version,
+       event_type, round(value, 4) AS value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events WHERE user_id < 12
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+QUERIES["scd2_history"] = q_scd2_history
+ORACLES["scd2_history"] = _ORACLE_SCD2
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (multi-dimensional clustering for scan pruning)
+# ---------------------------------------------------------------------------
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering quality report: interleave the bits
+    of two dimensions (user_id, floor(value)), sort, cut into 16
+    equal "files", and report each file's per-dimension min/max — the
+    footer stats a reader would prune on.  Z-ordered layout keeps BOTH
+    ranges tight (a lexicographic sort would leave the second
+    dimension's range full-width in every file).  The bit interleave
+    is pure codegen arithmetic (shift/and/or), no UDF; at 100 TB this
+    is the `CLUSTER BY` key computation before a partitioned write,
+    and the report is one groupBy over the sorted bucket id."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.col("user_id") % 256).cast("long")
+    y = (F.floor("value").cast("long") % 256).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(8):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    zdf = ev.select("event_id", x.alias("x"), y.alias("y"), z.alias("z"))
+    wf = Window.orderBy("z", "event_id")
+    return (
+        zdf.select("x", "y", F.ntile(16).over(wf).alias("file_id"))
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        .orderBy("file_id")
+    )
+
+
+_ZEXPR = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+
+_ORACLE_ZORDER = f"""
+WITH zed AS (
+  SELECT event_id, user_id % 256 AS x,
+         CAST(floor(value) AS BIGINT) % 256 AS y
+  FROM events),
+zv AS (SELECT x, y, {_ZEXPR} AS z, event_id FROM zed),
+filed AS (SELECT x, y, ntile(16) OVER (ORDER BY z, event_id) AS file_id FROM zv)
+SELECT file_id, count(*) AS n, min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM filed GROUP BY file_id ORDER BY file_id
+"""
+
+QUERIES["zorder_layout"] = q_zorder_layout
+ORACLES["zorder_layout"] = _ORACLE_ZORDER
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct counting with a VERIFIED error bound
+# ---------------------------------------------------------------------------
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type with a VERIFIED
+    relative-error bound — the 100 TB shape for COUNT(DISTINCT):
+    ``approx_count_distinct`` is a fixed-size mergeable sketch
+    (map-side partials, one shuffle of sketch bytes), vs exact
+    distinct's full shuffle of every (group, user) pair.  Sketch
+    estimates are engine-specific, so the query emits the exact count
+    plus a bound check (|approx − exact| ≤ 5·rsd·exact, >3σ slack on
+    the sketch's standard error): the oracle is the deterministic
+    exact+all-true table, and the row still fails if the sketch ever
+    blows its bound (same pattern as approx_percentiles)."""
+    ev = load_table(spark, sf_dir, "events")
+    rsd = 0.02
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    ok = (
+        F.abs(F.col("approx") - F.col("n_users"))
+        <= F.lit(5 * rsd) * F.col("n_users")
+    )
+    return agg.select(
+        "event_type", "n_users", ok.alias("bound_ok")
+    ).orderBy("event_type")
+
+
+_ORACLE_HLL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS bound_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["hll_distinct"] = q_hll_distinct
+ORACLES["hll_distinct"] = _ORACLE_HLL
