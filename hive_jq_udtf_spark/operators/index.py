@@ -221,3 +221,38 @@ def importance_weights(
         .groupBy("doc_id")
         .agg(F.round(F.sum("log_ratio"), 4).alias("log_weight"))
     )
+
+
+def importance_resample(
+    weights: DataFrame,
+    k: int,
+    seed: str = "dsir-seed",
+    id_col: str = "doc_id",
+    weight_col: str = "log_weight",
+) -> DataFrame:
+    """DSIR step 2: sample ``k`` documents WITHOUT replacement with
+    probability ∝ exp(log_weight), via the Gumbel-top-k trick
+    (Vieira 2014; Kool et al. 2019 — public):
+
+        key(d) = log_weight(d) + Gumbel(d),   take the k largest.
+
+    The Gumbel noise is DETERMINISTIC: u(d) is derived from
+    md5(seed ‖ doc_id) mapped into (0, 1), so the sample is
+    reproducible across runs, engines, and partitionings — the
+    property a 100 TB curation pipeline needs for auditability.
+    Scale: per-row arithmetic + one global top-k (TakeOrderedAndProject,
+    no full sort).  Keys are rounded to 4 dp before ranking so the
+    float ordering is engine-portable (ties broken by doc_id)."""
+    hexmax = float(16**15)  # md5 15-hex-digit prefix upper bound
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 15), 16, 10).cast("double")
+        + 1.0
+    ) / (hexmax + 1.0)
+    gumbel = -F.log(-F.log(u))
+    return (
+        weights.withColumn(
+            "sample_key", F.round(F.col(weight_col) + gumbel, 4)
+        )
+        .orderBy(F.desc("sample_key"), id_col)
+        .limit(k)
+    )

@@ -3289,3 +3289,124 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 QUERIES["hll_distinct"] = q_hll_distinct
 ORACLES["hll_distinct"] = _ORACLE_HLL
+
+
+# ---------------------------------------------------------------------------
+# batch sessionization + DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+def q_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in BATCH: a session breaks after 30
+    idle minutes.  Classic two-window formulation — lag() marks
+    session starts, a running sum numbers them — so the whole operator
+    is ONE shuffle on user_id plus a per-key sort; no applyInPandas,
+    no state store.  At 100 TB this is the shape that wins: the
+    exchange is keyed by user only, AQE handles skewed users, and the
+    session aggregation reuses the same partitioning (no second
+    shuffle)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id", "ts", "value",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_seq"),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("started"),
+            F.max("ts").alias("ended"),
+            F.round(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1e6, 3
+            ).alias("duration_sec"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+_ORACLE_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE user_id < 30
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS started, max(ts) AS ended,
+       round(epoch(max(ts) - min(ts)), 3) AS duration_sec,
+       round(sum(value), 4) AS total_value
+FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""
+
+QUERIES["batch_sessionize"] = q_batch_sessionize
+ORACLES["batch_sessionize"] = _ORACLE_SESSIONIZE
+
+
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR end-to-end: hashed-unigram importance weights toward the
+    non-English target slice, then a DETERMINISTIC Gumbel-top-k
+    resample of 25 docs (seeded md5 noise, reproducible across
+    engines/partitionings).  Emits the sampled docs with their weight
+    and sample key."""
+    from ..operators.index import importance_resample, importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = importance_weights(docs, F.col("lang") != "en", buckets=64)
+    s = importance_resample(w, k=25, seed="r2")
+    return (
+        s.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "log_weight", "sample_key")
+        .orderBy(F.desc("sample_key"), "doc_id")
+    )
+
+
+_ORACLE_RESAMPLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+  FROM documents),
+b AS (SELECT doc_id, lang,
+             ('0x' || substr(md5(token), 1, 15))::BIGINT % 64 AS bucket
+      FROM toks),
+raw AS (SELECT bucket, count(*) AS raw_n FROM b GROUP BY 1),
+tgt AS (SELECT bucket, count(*) AS tgt_n FROM b WHERE lang <> 'en' GROUP BY 1),
+dist AS (SELECT r.range AS bucket, coalesce(raw_n, 0) AS raw_n,
+                coalesce(tgt_n, 0) AS tgt_n
+         FROM range(64) r
+         LEFT JOIN raw ON r.range = raw.bucket
+         LEFT JOIN tgt ON r.range = tgt.bucket),
+tot AS (SELECT sum(raw_n) AS raw_total, sum(tgt_n) AS tgt_total FROM dist),
+lr AS (SELECT bucket,
+              ln((tgt_n + 1.0) / (tgt_total + 64.0))
+              - ln((raw_n + 1.0) / (raw_total + 64.0)) AS log_ratio
+       FROM dist CROSS JOIN tot),
+w AS (SELECT doc_id, round(sum(log_ratio), 4) AS log_weight
+      FROM b JOIN lr USING (bucket) GROUP BY doc_id),
+keyed AS (
+  SELECT doc_id, log_weight,
+         round(log_weight
+               - ln(-ln((('0x' || substr(md5('r2' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1.0)
+                        / (1152921504606846976.0 + 1.0))), 4) AS sample_key
+  FROM w)
+SELECT k.doc_id, d.lang, k.log_weight, k.sample_key
+FROM (SELECT * FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 25) k
+JOIN documents d USING (doc_id)
+ORDER BY sample_key DESC, k.doc_id
+"""
+
+QUERIES["importance_resample"] = q_importance_resample
+ORACLES["importance_resample"] = _ORACLE_RESAMPLE
