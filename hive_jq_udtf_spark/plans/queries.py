@@ -1111,19 +1111,10 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     jq extraction → watermarked tumbling-window aggregate → memory
     sink (availableNow, deterministic).  The batch oracle computes
     the same windows with time_bucket."""
-    from ..sources.tables import enable_nanos
+    from ..sources.tables import stream_events
     from ..streaming.jq_stream import windowed_event_counts
 
-    enable_nanos(spark)
-    raw = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    )
+    raw = stream_events(spark, sf_dir)
     win = windowed_event_counts(raw, program="{k: .k}", window="1 hour", watermark="2 hours")
     _STREAM_QUERY_SEQ[0] += 1
     name = f"stream_win_counts_{_STREAM_QUERY_SEQ[0]}"
@@ -1527,19 +1518,10 @@ def q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user running (count, sum) of the jq-extracted metric, driven
     availableNow to completion; final state per user equals the
     batch aggregate (the oracle)."""
-    from ..sources.tables import enable_nanos
+    from ..sources.tables import stream_events
     from ..streaming.stateful import running_user_totals
 
-    enable_nanos(spark)
-    raw = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("user_id", "props")
-    )
+    raw = stream_events(spark, sf_dir).select("user_id", "props")
     tot = running_user_totals(raw, json_col="props", program=".k")
     _STREAM_QUERY_SEQ[0] += 1
     name = f"stateful_totals_{_STREAM_QUERY_SEQ[0]}"
@@ -1778,20 +1760,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarks (purchase attributed to clicks within the prior 24 h,
     same user), driven availableNow; oracle = batch inequality
     join."""
-    from ..sources.tables import enable_nanos
-
-    enable_nanos(spark)
+    from ..sources.tables import stream_events
 
     def src():
-        return (
-            spark.readStream.schema(
-                "event_id bigint, ts bigint, user_id bigint, "
-                "event_type string, value double, props string"
-            )
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-        )
+        return stream_events(spark, sf_dir)
 
     purchases = (
         src()
@@ -1873,20 +1845,27 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from ..sources.tables import enable_nanos
+    from ..sources.tables import _events_ts_arrow_type, stream_events
 
-    enable_nanos(spark)
     d = tempfile.mkdtemp(prefix="ss_outer_")
     shutil.copy(
         os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
     )
-    # 2100-01-01 (purchase) and 2100-06-01 (click): the click is LATER
-    # than the purchase so the range condition can never match them
-    y2100 = 4102444800 * 1_000_000_000
+    # 2100-01-01 (purchase) and ~2100-06-01 (click): the click is LATER
+    # than the purchase so the range condition can never match them.
+    # The sentinel's ts encoding mirrors the real events file so the
+    # two parquets read under one declared schema.
+    real_t = _events_ts_arrow_type(os.path.join(d, "events.parquet"))
+    y2100_s = 4102444800
+    ts_vals = [y2100_s, y2100_s + 13_000_000]
+    if str(real_t) == "int64" or getattr(real_t, "unit", None) == "ns":
+        ts_arr = pa.array([v * 1_000_000_000 for v in ts_vals], pa.int64())
+    else:
+        ts_arr = pa.array([v * 1_000_000 for v in ts_vals], real_t)
     sentinel = pa.table(
         {
             "event_id": pa.array([-1, -2], pa.int64()),
-            "ts": pa.array([y2100, y2100 + 13_000_000 * 1_000_000_000], pa.int64()),
+            "ts": ts_arr,
             "user_id": pa.array([-1, -1], pa.int64()),
             "event_type": pa.array(["purchase", "click"], pa.string()),
             "value": pa.array([0.0, 0.0], pa.float64()),
@@ -1896,14 +1875,8 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq.write_table(sentinel, os.path.join(d, "sentinel.parquet"))
 
     def src():
-        return (
-            spark.readStream.schema(
-                "event_id bigint, ts bigint, user_id bigint, "
-                "event_type string, value double, props string"
-            )
-            .parquet(d)
-            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-        )
+        # glob=None: read BOTH events.parquet and sentinel.parquet
+        return stream_events(spark, d, glob=None)
 
     purchases = (
         src()
@@ -1983,18 +1956,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates on (user_id, event_type) — emits the
     first occurrence of each pair; count per type must equal the
     batch distinct count."""
-    from ..sources.tables import enable_nanos
+    from ..sources.tables import stream_events
 
-    enable_nanos(spark)
-    raw = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("user_id", "event_type")
-    )
+    raw = stream_events(spark, sf_dir).select("user_id", "event_type")
     first_seen = raw.dropDuplicates(["user_id", "event_type"])
     _STREAM_QUERY_SEQ[0] += 1
     name = f"stream_dedup_{_STREAM_QUERY_SEQ[0]}"

@@ -1,10 +1,21 @@
 """Canonical loaders for the driver's TPC-H-ish testdata tables.
 
-The parquet files carry INT64 TIMESTAMP(NANOS) columns, which Spark
-rejects by default (PARQUET_TYPE_ILLEGAL).  We read them with
-``spark.sql.legacy.parquet.nanosAsLong`` and convert nanos → proper
-TimestampType (microsecond precision, matching DuckDB's reading of
-the same files so oracle comparisons line up).
+The driver has shipped the time columns in two physical encodings
+across rounds:
+
+* INT64 TIMESTAMP(NANOS) — Spark rejects it by default
+  (PARQUET_TYPE_ILLEGAL); we read it with
+  ``spark.sql.legacy.parquet.nanosAsLong`` and convert nanos → proper
+  TimestampType.
+* ``timestamp[us]`` without a timezone — Spark reads it as
+  TIMESTAMP_NTZ; we cast it to TimestampType with the session
+  timezone pinned to UTC, which reproduces exactly how DuckDB reads
+  the same file (naive wall-clock == UTC instant), so oracle
+  comparisons line up and ``unix_micros``/``unix_timestamp`` work.
+
+Both paths are sniffed from the actual column dtype (batch) or the
+parquet footer (streaming), so the code is robust to the driver
+regenerating the testdata either way.
 
 At 100 TB these loaders stay scan-friendly: conversion is a cheap
 projected expression (no shuffle, no UDF), pushdown/pruning still
@@ -29,28 +40,102 @@ TABLES = (
     "embeddings",
 )
 
-# timestamp(nanos) columns per table — converted to TimestampType
+# time columns per table — normalized to TimestampType (UTC)
 _TS_COLUMNS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
     "events": ("ts",),
 }
 
+_EVENTS_SCHEMA_TMPL = (
+    "event_id bigint, ts {}, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
 
 def enable_nanos(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def pin_utc(spark: SparkSession) -> None:
+    """Pin the session timezone so TIMESTAMP_NTZ → TIMESTAMP casts and
+    unix_* epoch math are machine-independent and DuckDB-equal."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     enable_nanos(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
     for c in _TS_COLUMNS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            # integral `div`, NOT `/1000` + cast: float division loses
-            # precision at ~1.7e18 ns (doubles carry 53 bits) and lands
-            # 1µs off DuckDB's exact nanos→micros truncation
+        if c not in df.columns:
+            continue
+        if dtypes[c] == "bigint":
+            # TIMESTAMP(NANOS) read raw.  Integral `div`, NOT `/1000` +
+            # cast: float division loses precision at ~1.7e18 ns
+            # (doubles carry 53 bits) and lands 1µs off DuckDB's exact
+            # nanos→micros truncation.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes[c] == "timestamp_ntz":
+            # timestamp[us] with no tz annotation.  DuckDB treats the
+            # naive wall-clock as the instant; with the session tz
+            # pinned UTC the cast below is the identical mapping.
+            pin_utc(spark)
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
+
+
+def _events_ts_arrow_type(path: str) -> "object":
+    """Footer-only sniff of the `ts` column's physical arrow type."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).schema_arrow.field("ts").type
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = "events.parquet",
+) -> DataFrame:
+    """Streaming source over the events table with `ts` normalized to
+    TimestampType (UTC instant), whatever the file's physical encoding.
+
+    readStream needs an explicit schema, so unlike the batch loader we
+    sniff the parquet footer driver-side (pyarrow, metadata only — no
+    data read) to pick the right declared type + conversion.
+    """
+    import os
+
+    sample = os.path.join(path, glob) if glob else None
+    if sample is None or not os.path.exists(sample):
+        import glob as _glob
+
+        cands = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not cands:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        sample = cands[0]
+    t = _events_ts_arrow_type(sample)
+
+    reader = spark.readStream
+    if str(t) == "int64" or getattr(t, "unit", None) == "ns":
+        # TIMESTAMP(NANOS) stored as int64
+        enable_nanos(spark)
+        src = reader.schema(_EVENTS_SCHEMA_TMPL.format("bigint"))
+        if glob:
+            src = src.option("pathGlobFilter", glob)
+        return src.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
+        )
+    pin_utc(spark)
+    if getattr(t, "tz", None) is None:
+        src = reader.schema(_EVENTS_SCHEMA_TMPL.format("timestamp_ntz"))
+        if glob:
+            src = src.option("pathGlobFilter", glob)
+        return src.parquet(path).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = reader.schema(_EVENTS_SCHEMA_TMPL.format("timestamp"))
+    if glob:
+        src = src.option("pathGlobFilter", glob)
+    return src.parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
