@@ -43,6 +43,9 @@ def main() -> None:
         # query definitions
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
+        # keep stdout clean: the driver captures only the tail of the
+        # combined output and parses the final JSON line from it
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -96,19 +99,49 @@ def main() -> None:
             gc.collect()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
+    full = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+        "cold_suite_seconds": round(cold_total, 3),
+    }
+    # Full per-query detail on disk (BASELINE.md points here); the
+    # stdout line must stay under the harness's ~2k-char tail capture
+    # or it records parsed:null (happened in round 2 when the suite
+    # passed 75 queries).  Slowest queries are reported individually,
+    # the fast remainder is aggregated.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_full.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+
+    budget = 1600
+    # failures (negative sentinel) always make the line, then slowest-first
+    ordered = sorted(timings.items(), key=lambda kv: (kv[1] >= 0, -abs(kv[1])))
+    shown: dict[str, float] = {}
+    base_len = len(
         json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": int(cpus),
-                "cold_suite_seconds": round(cold_total, 3),
-            }
+            {**full, "queries": {}, "n_queries": len(timings), "other_sum": 0.0},
+            separators=(",", ":"),
         )
     )
+    used = base_len
+    for name, t in ordered:
+        entry = len(name) + len(f'"":{t:.2f},')
+        if used + entry > budget:
+            break
+        shown[name] = round(t, 2)
+        used += entry
+    rest = [t for n, t in timings.items() if n not in shown and t >= 0]
+    line = {
+        **full,
+        "queries": shown,
+        "n_queries": len(timings),
+        "other_sum": round(sum(rest), 2),
+    }
+    print(json.dumps(line, separators=(",", ":")))
     spark.stop()
 
 
