@@ -3374,3 +3374,9 @@ ORDER BY sample_key DESC, k.doc_id
 
 QUERIES["importance_resample"] = q_importance_resample
 ORACLES["importance_resample"] = _ORACLE_RESAMPLE
+
+
+# Round-3 queries register themselves into QUERIES/ORACLES on import.
+# Kept in a separate module so this file stops growing; the import
+# must stay at the very bottom (it imports QUERIES from here).
+from . import queries_r3  # noqa: E402,F401  isort:skip

@@ -92,3 +92,36 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
 def test_salted_join_spreads_key(spark):
     plan = formatted_plan(spark, "salted_join_agg")
     assert "__salt" in plan  # salt participates in the join key
+
+
+def test_exists_rewrites_to_semi_join(spark):
+    plan = formatted_plan(spark, "order_priority_exists")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_not_in_rewrites_to_null_aware_anti(spark):
+    plan = formatted_plan(spark, "supplier_parts_in")
+    assert "LeftSemi" in plan  # the IN subquery
+    assert "LeftAnti" in plan  # the NOT IN subquery
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_correlated_subquery_is_aggregated_join(spark):
+    plan = formatted_plan(spark, "small_qty_revenue")
+    # Catalyst de-correlates into an aggregate joined on partkey —
+    # no per-row re-execution of the subquery
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("partial_avg") >= 1
+
+
+def test_bloom_prefilter_prunes_but_preserves_semantics(spark):
+    from hive_jq_udtf_spark.plans.queries_r3 import q_bloom_semi_join
+    from hive_jq_udtf_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    plan = formatted_plan(spark, "bloom_semi_join")
+    # final exactness comes from a real semi join, bloom only pre-filters
+    assert "LeftSemi" in plan
+    # the bloom build side is one tiny array broadcast, not a shuffle of the fact
+    assert "BroadcastExchange" in plan
