@@ -1,0 +1,60 @@
+"""PageRank over an edge DataFrame — fixed-iteration, deterministic.
+
+Spark-first iterative dataflow: each iteration is ONE join (ranks to
+edges on src) + ONE aggregation (sum contributions by dst), both
+shuffling on the node id, so a 1000-executor run re-uses the same
+hash partitioning every iteration.  Ranks are localCheckpoint()-ed
+every few iterations to truncate the growing lineage (the classic
+iterative-Spark pitfall: an un-truncated 10-join plan recompiles and
+reoptimizes the whole history each step).
+
+Fixed iteration count (no convergence collect) keeps the whole run
+lazy-plannable and makes the result exactly reproducible by an
+unrolled SQL oracle.
+
+Assumes every node has at least one outgoing edge (callers that build
+undirected graphs by emitting both directions satisfy this for free —
+no dangling-mass redistribution needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """edges: one row per directed edge. Returns (node, rank)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # one scalar to the driver; O(1) result
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # pre-join degree once; contribution edges carry 1/outdeg
+    contrib_edges = e.join(deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    )
+    contrib_edges = contrib_edges.localCheckpoint(eager=False)
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for i in range(iterations):
+        sums = (
+            contrib_edges.join(ranks, contrib_edges["src"] == ranks["node"])
+            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = sums.select(
+            F.col("dst").alias("node"),
+            (F.lit(base) + F.lit(damping) * F.col("s")).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

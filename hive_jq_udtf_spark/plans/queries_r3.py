@@ -252,6 +252,278 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity scoring (training-data quality gate)
+# ---------------------------------------------------------------------------
+
+
+def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram cross-entropy (bits/token) under the LM
+    trained on the corpus itself — the classic cheap fluency gate in
+    LLM-data pipelines (documents far above the corpus-typical
+    bits/token are boilerplate or noise).  Two aggregations: vocab
+    counts (shuffle on token, map-side combined) then per-doc scoring
+    with the vocab BROADCAST back (a real vocab is ~1M rows ≪ corpus;
+    at the point a vocab outgrows broadcast this becomes a shuffle
+    join on token, same plan shape).  No OOV smoothing needed: the
+    model is trained on the scored corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n"))
+    p = vocab.crossJoin(F.broadcast(tot)).select(
+        "token", (F.col("cnt") / F.col("n")).alias("p")
+    )
+    return (
+        toks.join(F.broadcast(p), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log2("p")), 4).alias("avg_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_UNIGRAM_PPL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+  FROM documents),
+v AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT sum(cnt) AS n FROM v),
+p AS (SELECT token, cnt * 1.0 / n AS p FROM v CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_tokens, round(avg(-log2(p)), 4) AS avg_bits
+FROM toks JOIN p USING (token)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense cosine fused by reciprocal rank
+# ---------------------------------------------------------------------------
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: lexical BM25 ranking and dense-vector cosine
+    ranking fused with Reciprocal Rank Fusion
+    (rrf = Σ 1/(60 + rank), Cormack & Clarke's constant).  The two
+    rankings run independently (each already scale-shaped: BM25
+    prunes to query terms pre-shuffle, the dense side broadcasts one
+    query vector over the corpus scan), and the fusion is a tiny
+    full-outer join of two k-row rankings.  Cosines are rounded to
+    6 dp BEFORE ranking so rank order is identical across engines."""
+    from ..operators.index import bm25_topk
+    from ..operators.similarity import dot_col, norm_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    k = 50
+
+    lex = bm25_topk(docs, ["vector", "stream", "window"], k=k)
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+
+    # deterministic query vector: element-wise mean of embeddings 0-4
+    qmeans = (
+        emb.where(F.col("vec_id") < 5)
+        .select(F.posexplode("embedding"))
+        .groupBy("pos")
+        .agg(F.avg("col").alias("v"))
+    )
+    qrow = qmeans.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+        ).alias("qv")
+    )
+    dense = emb.crossJoin(F.broadcast(qrow)).select(
+        "vec_id",
+        F.round(
+            dot_col(F.col("embedding"), F.col("qv"))
+            / (norm_col(F.col("embedding")) * norm_col(F.col("qv"))),
+            6,
+        ).alias("cos"),
+    )
+    denser = (
+        dense.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+            .alias("dense_rank"),
+        )
+    )
+
+    fused = (
+        lexr.join(denser, lexr["doc_id"] == denser["vec_id"], "full_outer")
+        .select(
+            F.coalesce("doc_id", "vec_id").alias("doc_id"),
+            (
+                F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("dense_rank")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+        .select("doc_id", F.round("rrf", 6).alias("rrf"))
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+
+
+_ORACLE_HYBRID_RRF = """
+WITH dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dl
+  FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf
+       FROM toks WHERE token IN ('vector', 'stream', 'window') GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+bm25 AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))), 4)
+           AS bm25
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+lexr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+         FROM bm25),
+qm AS (
+  SELECT i, avg(e) AS v
+  FROM (SELECT unnest(embedding::DOUBLE[]) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id < 5)
+  GROUP BY i),
+qv AS (SELECT list(v ORDER BY i) AS qv FROM qm),
+dense AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos
+  FROM embeddings CROSS JOIN qv),
+densetop AS (SELECT vec_id, cos FROM dense ORDER BY cos DESC, vec_id LIMIT 50),
+denser AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS dense_rank
+           FROM densetop),
+fused AS (
+  SELECT coalesce(l.doc_id, d.vec_id) AS doc_id,
+         round(coalesce(1.0 / (60 + lex_rank), 0)
+               + coalesce(1.0 / (60 + dense_rank), 0), 6) AS rrf
+  FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.vec_id)
+SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy record linkage (blocked Jaro-Winkler)
+# ---------------------------------------------------------------------------
+
+
+def q_jw_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: a probe batch of deterministically corrupted
+    customer names (one digit deleted, position keyed by custkey) is
+    matched back to the master table with Jaro-Winkler ≥ 0.985,
+    blocking on nation so candidates are bounded by block size — the
+    never-all-pairs contract.  The Python JW kernel is verified
+    bit-equal to DuckDB's jaro_winkler_similarity (the oracle)."""
+    from ..operators.linkage import blocked_jw_match
+
+    cust = load_table(spark, sf_dir, "customer")
+    master = cust.select(
+        F.col("c_nationkey").alias("block"),
+        F.col("c_custkey").alias("m_key"),
+        F.col("c_name").alias("m_name"),
+    )
+    probes = cust.where(F.col("c_custkey") < 200).select(
+        F.col("c_nationkey").alias("block"),
+        F.col("c_custkey").alias("p_key"),
+        F.concat(
+            F.expr("substring(c_name, 1, (10 + c_custkey % 8) - 1)"),
+            F.expr("substring(c_name, (10 + c_custkey % 8) + 1, 100)"),
+        ).alias("p_name"),
+    )
+    out = blocked_jw_match(
+        probes, master, "block", "p_name", "m_name", threshold=0.985
+    )
+    return out.select("p_key", "m_key", "jw").orderBy("p_key", "m_key")
+
+
+_ORACLE_JW_LINKAGE = """
+WITH probes AS (
+  SELECT c_nationkey AS block, c_custkey AS p_key,
+         concat(substr(c_name, 1, (10 + c_custkey % 8) - 1),
+                substr(c_name, (10 + c_custkey % 8) + 1, 100)) AS p_name
+  FROM customer WHERE c_custkey < 200)
+SELECT p_key, m.c_custkey AS m_key,
+       round(jaro_winkler_similarity(p_name, m.c_name), 4) AS jw
+FROM probes JOIN customer m ON probes.block = m.c_nationkey
+WHERE round(jaro_winkler_similarity(p_name, m.c_name), 4) >= 0.985
+ORDER BY p_key, m_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-iteration, exact SQL-unrolled oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected supplier↔part graph from lineitem
+    (edges both directions, so no dangling nodes), 10 iterations,
+    d=0.85.  Each iteration is one join + one aggregation, both
+    hash-partitioned on the node id; lineage truncated by
+    localCheckpoint every 3 iterations (operators/pagerank.py).  The
+    oracle unrolls the identical 10 steps as chained CTEs."""
+    from ..operators.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    ).distinct()
+    edges = sp.union(sp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(edges, iterations=10, damping=0.85)
+    return (
+        pr.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(50)
+    )
+
+
+def _pagerank_oracle(iterations: int = 10) -> str:
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"r{i} AS (SELECT e.dst AS node,"
+            f" 0.15 / (SELECT n FROM nn) + 0.85 * sum(r{i-1}.rank * e.w) AS rank"
+            f" FROM ce e JOIN r{i-1} ON e.src = r{i-1}.node GROUP BY e.dst)"
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH sp AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+            FROM lineitem),
+edges AS (SELECT src, dst FROM sp UNION ALL SELECT dst, src FROM sp),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+ce AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS w
+       FROM edges e JOIN deg d ON e.src = d.src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{unrolled}
+SELECT node, round(rank, 6) AS rank FROM r{iterations}
+ORDER BY rank DESC, node LIMIT 50
+"""
+
+
 QUERIES.update(
     {
         "order_priority_exists": q_order_priority_exists,
@@ -259,11 +531,19 @@ QUERIES.update(
         "supplier_parts_in": q_supplier_parts_in,
         "bloom_semi_join": q_bloom_semi_join,
         "stream_static_enrich": q_stream_static_enrich,
+        "unigram_ppl": q_unigram_ppl,
+        "hybrid_rrf": q_hybrid_rrf,
+        "jw_linkage": q_jw_linkage,
+        "pagerank_bipartite": q_pagerank_bipartite,
     }
 )
 
 ORACLES.update(
     {
+        "unigram_ppl": _ORACLE_UNIGRAM_PPL,
+        "hybrid_rrf": _ORACLE_HYBRID_RRF,
+        "jw_linkage": _ORACLE_JW_LINKAGE,
+        "pagerank_bipartite": _pagerank_oracle(10),
         "order_priority_exists": _ORACLE_ORDER_PRIORITY_EXISTS,
         "small_qty_revenue": _ORACLE_SMALL_QTY,
         "supplier_parts_in": _ORACLE_SUPPLIER_PARTS_IN,

@@ -1,0 +1,65 @@
+"""Unit gates for the round-3 operators: the Jaro-Winkler kernel must
+be bit-equal to DuckDB's jaro_winkler_similarity (it IS the oracle
+contract), and PageRank must conserve probability mass."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hive_jq_udtf_spark.operators.linkage import jaro, jaro_winkler
+
+
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [
+        ("martha", "marhta", 0.9611111111111111),
+        ("DIXON", "DICKSONX", 0.8133333333333332),
+        ("abc", "xyz", 0.0),
+        ("", "x", 0.0),
+        ("a", "a", 1.0),
+        ("CRATE", "TRACE", 0.7333333333333334),
+    ],
+)
+def test_jw_known_values(a, b, expected):
+    assert jaro_winkler(a, b) == pytest.approx(expected, abs=1e-12)
+
+
+def test_jaro_symmetry_and_bounds():
+    cases = [("abcdef", "fedcba"), ("aa", "aaa"), ("ab", "ba"), ("x", "y")]
+    for a, b in cases:
+        assert abs(jaro(a, b) - jaro(b, a)) < 1e-12
+        assert 0.0 <= jaro_winkler(a, b) <= 1.0
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="abcdeXYZ0189#", max_size=24),
+    st.text(alphabet="abcdeXYZ0189#", max_size=24),
+)
+def test_jw_matches_duckdb(a, b):
+    got = jaro_winkler(a, b)
+    want = duckdb.sql(
+        "SELECT jaro_winkler_similarity(?, ?)", params=[a, b]
+    ).fetchone()[0]
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_pagerank_mass_conservation(spark):
+    from pyspark.sql import functions as F
+
+    from hive_jq_udtf_spark.operators.pagerank import pagerank
+
+    # undirected triangle + pendant: every node has out-edges
+    raw = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    edges = spark.createDataFrame(
+        raw + [(b, a) for a, b in raw], "src long, dst long"
+    )
+    pr = pagerank(edges, iterations=20)
+    rows = {r["node"]: r["rank"] for r in pr.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert sum(rows.values()) == pytest.approx(1.0, abs=1e-9)
+    # the degree-3 hub outranks the pendant
+    assert rows[3] > rows[4]
