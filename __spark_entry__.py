@@ -73,19 +73,20 @@ _DRIVER_HEAD = [
     # regressed in r02 (fixed) / only checked in r01
     "stream_windowed",
     "entropy_udaf",
-    # stable representatives, one per family
+    # new in round 3
+    "order_priority_exists",
+    "small_qty_revenue",
+    "supplier_parts_in",
+    "bloom_semi_join",
+    "stream_static_enrich",
+    "unigram_ppl",
+    "hybrid_rrf",
+    "jw_linkage",
+    "pagerank_bipartite",
+    # stable representatives (r1/r2 artifacts cover the other families)
     "jq_extract_agg",
-    "jq_native_agg",
-    "jq_error_channel",
-    "jq_sql_lateral",
-    "pricing_summary",
     "minhash_neardup",
-    "simhash_neardup",
-    "embedding_neardup",
-    "ann_ivf_topk",
     "session_windows",
-    "stateful_running_totals",
-    "asof_attribution",
 ]
 
 
