@@ -472,6 +472,189 @@ ORDER BY p_key, m_key
 
 
 # ---------------------------------------------------------------------------
+# Product-analytics family: grouped OLS, funnel, retention, TWA
+#
+# Classic warehouse analytics a reference user runs downstream of the
+# jq extraction; all pure JVM aggregates/windows (no Python), all
+# one-or-two-shuffle shapes that survive 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS of value against the jq-extracted metric k —
+    regr_slope/regr_intercept/regr_r2 are single-pass commutative
+    aggregates (sum/sum², map-side combined), the right shape for a
+    trillion-row fit."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    ).where(F.col("x").isNotNull())
+    return (
+        pts.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+            F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_GROUPED_REGRESSION = """
+SELECT event_type, count(*) AS n,
+       round(regr_slope(y, x), 6) AS slope,
+       round(regr_intercept(y, x), 6) AS intercept,
+       round(regr_r2(y, x), 6) AS r2
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS DOUBLE) AS x,
+             value AS y
+      FROM events)
+WHERE x IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: per user, first view → first click after that
+    view → first purchase after that click; conversion counts per
+    step.  One aggregation per step over the SAME user partitioning
+    (min-timestamps with conditional filters), no self-joins — the
+    funnel shape that scales to billions of users."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    with_click = (
+        ev.join(firsts, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click"),
+        )
+    )
+    with_purchase = (
+        ev.join(with_click, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase"),
+        )
+    )
+    return with_purchase.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("step_view"),
+        F.count("t_click").alias("step_click"),
+        F.count("t_purchase").alias("step_purchase"),
+    )
+
+
+_ORACLE_FUNNEL = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id),
+wc AS (
+  SELECT e.user_id, any_value(f.t_view) AS t_view,
+         min(CASE WHEN e.event_type = 'click' AND e.ts > f.t_view
+                  THEN e.ts END) AS t_click
+  FROM events e JOIN firsts f USING (user_id) GROUP BY e.user_id),
+wp AS (
+  SELECT e.user_id, any_value(w.t_view) AS t_view,
+         any_value(w.t_click) AS t_click,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts > w.t_click
+                  THEN e.ts END) AS t_purchase
+  FROM events e JOIN wc w USING (user_id) GROUP BY e.user_id)
+SELECT count(*) AS n_users,
+       count(t_view) AS step_view,
+       count(t_click) AS step_click,
+       count(t_purchase) AS step_purchase
+FROM wp
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week
+    (cohort), counted distinct in each subsequent week offset.  Two
+    aggregations on user_id then one on (cohort, offset) — the
+    standard mass-scale cohort shape (no per-user state, no window
+    over the full stream)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    week = (F.floor(F.unix_timestamp("ts") / F.lit(7 * 24 * 3600))).cast("long")
+    seen = ev.select("user_id", week.alias("week")).distinct()
+    cohorts = seen.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        seen.join(cohorts, "user_id")
+        .where(F.col("week") - F.col("cohort") <= 4)
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort", "offset")
+    )
+
+
+_ORACLE_RETENTION = """
+WITH seen AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events),
+cohorts AS (SELECT user_id, min(week) AS cohort FROM seen GROUP BY user_id)
+SELECT cohort, week - cohort AS offset, count(DISTINCT s.user_id) AS n_users
+FROM seen s JOIN cohorts c USING (user_id)
+WHERE week - cohort <= 4
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of `value` (each reading holds
+    until the next event; last reading carries no weight): lead()
+    over the per-user time order, then one aggregation — the
+    hypertable/LOCF aggregate, one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 25)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+    seg = ev.select("user_id", "value", dt.alias("dt"))
+    return (
+        seg.where(F.col("dt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4
+            ).alias("twa"),
+            F.count("*").alias("n_segments"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_TWA = """
+WITH seg AS (
+  SELECT user_id, value,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt
+  FROM events WHERE user_id < 25)
+SELECT user_id, round(sum(value * dt) / sum(dt), 4) AS twa,
+       count(*) AS n_segments
+FROM seg WHERE dt IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # PageRank (fixed-iteration, exact SQL-unrolled oracle)
 # ---------------------------------------------------------------------------
 
@@ -535,6 +718,10 @@ QUERIES.update(
         "hybrid_rrf": q_hybrid_rrf,
         "jw_linkage": q_jw_linkage,
         "pagerank_bipartite": q_pagerank_bipartite,
+        "grouped_regression": q_grouped_regression,
+        "funnel_conversion": q_funnel_conversion,
+        "retention_cohorts": q_retention_cohorts,
+        "time_weighted_avg": q_time_weighted_avg,
     }
 )
 
@@ -544,6 +731,10 @@ ORACLES.update(
         "hybrid_rrf": _ORACLE_HYBRID_RRF,
         "jw_linkage": _ORACLE_JW_LINKAGE,
         "pagerank_bipartite": _pagerank_oracle(10),
+        "grouped_regression": _ORACLE_GROUPED_REGRESSION,
+        "funnel_conversion": _ORACLE_FUNNEL,
+        "retention_cohorts": _ORACLE_RETENTION,
+        "time_weighted_avg": _ORACLE_TWA,
         "order_priority_exists": _ORACLE_ORDER_PRIORITY_EXISTS,
         "small_qty_revenue": _ORACLE_SMALL_QTY,
         "supplier_parts_in": _ORACLE_SUPPLIER_PARTS_IN,
