@@ -70,9 +70,8 @@ _DRIVER_HEAD = [
     "hll_distinct",
     "batch_sessionize",
     "importance_resample",
-    # regressed in r02 (fixed) / only checked in r01
+    # regressed in r02 (fixed by the timestamp-encoding adaptation)
     "stream_windowed",
-    "entropy_udaf",
     # new in round 3
     "order_priority_exists",
     "small_qty_revenue",
@@ -83,10 +82,10 @@ _DRIVER_HEAD = [
     "hybrid_rrf",
     "jw_linkage",
     "pagerank_bipartite",
-    # stable representatives (r1/r2 artifacts cover the other families)
-    "jq_extract_agg",
-    "minhash_neardup",
-    "session_windows",
+    "grouped_regression",
+    "funnel_conversion",
+    "retention_cohorts",
+    "time_weighted_avg",
 ]
 
 
