@@ -163,25 +163,24 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    def positions(col):
-        return F.array(
-            *[F.pmod(F.xxhash64(col, F.lit(s)), F.lit(m)).cast("long") for s in seeds]
-        )
+    def position(col, seed):
+        return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m)).cast("long")
 
     bset = promo_keys.select(
-        F.explode(positions(F.col("p_partkey"))).alias("pos")
+        F.explode(F.array(*[position(F.col("p_partkey"), s) for s in seeds])).alias(
+            "pos"
+        )
     ).agg(F.array_sort(F.collect_set("pos")).alias("bset"))
 
-    candidates = (
-        lineitem.join(F.broadcast(bset))
-        .where(
-            F.forall(
-                positions(F.col("l_partkey")),
-                lambda p: F.array_contains(F.col("bset"), p),
-            )
-        )
-        .drop("bset")
-    )
+    # membership as an AND of plain array_contains conjuncts — NOT a
+    # forall() higher-order function: HOF lambdas drop out of
+    # whole-stage codegen and ran interpreted at ~50µs/row (33s at
+    # sf0.1); the conjunct form stays inside codegen (~1s)
+    member = None
+    for s in seeds:
+        c = F.array_contains(F.col("bset"), position(F.col("l_partkey"), s))
+        member = c if member is None else (member & c)
+    candidates = lineitem.join(F.broadcast(bset)).where(member).drop("bset")
     return (
         candidates.join(
             F.broadcast(promo_keys),
