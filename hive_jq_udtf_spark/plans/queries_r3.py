@@ -706,6 +706,331 @@ ORDER BY rank DESC, node LIMIT 50
 """
 
 
+# ---------------------------------------------------------------------------
+# Sessionized funnel (composition: gap-sessionization × ordered funnel)
+# ---------------------------------------------------------------------------
+
+
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within each 30-min-gap session, did a click follow the first
+    view?  Sessionization is the lag()+running-sum two-window shape
+    (one shuffle on user_id), the funnel is conditional min-timestamps
+    per (user, session) on the SAME partitioning — the whole operator
+    is one exchange end-to-end."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    funnel = (
+        sess.join(per_session, ["user_id", "session_seq"])
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click"),
+        )
+    )
+    return funnel.agg(
+        F.count("*").alias("n_sessions"),
+        F.count("t_view").alias("n_with_view"),
+        F.count("t_click").alias("n_view_then_click"),
+    )
+
+
+_ORACLE_SESSION_FUNNEL = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE user_id < 50
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, event_type, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked),
+pv AS (
+  SELECT user_id, session_seq,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM sess GROUP BY 1, 2),
+funnel AS (
+  SELECT s.user_id, s.session_seq, any_value(p.t_view) AS t_view,
+         min(CASE WHEN s.event_type = 'click' AND s.ts > p.t_view
+                  THEN s.ts END) AS t_click
+  FROM sess s JOIN pv p USING (user_id, session_seq)
+  GROUP BY 1, 2)
+SELECT count(*) AS n_sessions,
+       count(t_view) AS n_with_view,
+       count(t_click) AS n_view_then_click
+FROM funnel
+"""
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint checking (Deequ-style, one pass)
+# ---------------------------------------------------------------------------
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rules evaluated in ONE aggregation
+    pass over the fact table (completeness, uniqueness, range, set
+    membership) plus one anti-join for referential integrity — the
+    constraint-suite shape (Schelter et al.'s Deequ) a production
+    pipeline bolts onto every ingest.  Output: one row per rule with
+    its metric and pass flag."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    n = F.count("*")
+    one_pass = orders.agg(
+        n.alias("n_rows"),
+        (F.count("o_custkey") / n).alias("completeness_custkey"),
+        (F.count_distinct("o_orderkey") / n).alias("uniqueness_orderkey"),
+        (F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0)) / n).alias(
+            "range_totalprice_pos"
+        ),
+        (
+            F.sum(
+                F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+            )
+            / n
+        ).alias("set_orderstatus"),
+    )
+    orphans = (
+        orders.join(
+            F.broadcast(cust),
+            orders["o_custkey"] == cust["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_orphans"))
+    )
+    m = one_pass.crossJoin(orphans)
+    rules = [
+        ("completeness_custkey", F.col("completeness_custkey"), F.col("completeness_custkey") == 1.0),
+        ("uniqueness_orderkey", F.col("uniqueness_orderkey"), F.col("uniqueness_orderkey") == 1.0),
+        ("range_totalprice_pos", F.col("range_totalprice_pos"), F.col("range_totalprice_pos") == 1.0),
+        ("set_orderstatus", F.col("set_orderstatus"), F.col("set_orderstatus") == 1.0),
+        ("ref_integrity_custkey", F.lit(1.0) - F.col("n_orphans") / F.col("n_rows"), F.col("n_orphans") == 0),
+    ]
+    out = m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.round(metric.cast("double"), 6).alias("metric"),
+                        passed.alias("passed"),
+                    )
+                    for name, metric, passed in rules
+                ]
+            )
+        ).alias("r")
+    ).select("r.rule", "r.metric", "r.passed")
+    return out.orderBy("rule")
+
+
+_ORACLE_DQ = """
+WITH one_pass AS (
+  SELECT count(*) AS n_rows,
+         count(o_custkey) * 1.0 / count(*) AS completeness_custkey,
+         count(DISTINCT o_orderkey) * 1.0 / count(*) AS uniqueness_orderkey,
+         sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) * 1.0 / count(*) AS range_totalprice_pos,
+         sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) * 1.0 / count(*) AS set_orderstatus
+  FROM orders),
+orphans AS (
+  SELECT count(*) AS n_orphans FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+m AS (SELECT * FROM one_pass CROSS JOIN orphans)
+SELECT rule, round(metric, 6) AS metric, passed FROM (
+  SELECT 'completeness_custkey' AS rule, completeness_custkey AS metric,
+         completeness_custkey = 1.0 AS passed FROM m
+  UNION ALL
+  SELECT 'uniqueness_orderkey', uniqueness_orderkey, uniqueness_orderkey = 1.0 FROM m
+  UNION ALL
+  SELECT 'range_totalprice_pos', range_totalprice_pos, range_totalprice_pos = 1.0 FROM m
+  UNION ALL
+  SELECT 'set_orderstatus', set_orderstatus, set_orderstatus = 1.0 FROM m
+  UNION ALL
+  SELECT 'ref_integrity_custkey', 1.0 - n_orphans * 1.0 / n_rows, n_orphans = 0 FROM m)
+ORDER BY rule
+"""
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostics report
+# ---------------------------------------------------------------------------
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile for events.user_id: per-key counts in
+    one map-side-combined aggregation, then the tiny per-key
+    distribution is summarized (share of the hottest keys, tail
+    ratios).  This is the diagnostic you run BEFORE choosing
+    salting/AQE-skew-join mitigations; at 100 TB the per-key count
+    table is the only shuffled data (|keys| rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    stats = per_key.agg(
+        F.sum("cnt").alias("total"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.expr("percentile(cnt, 0.5)").alias("p50"),
+        F.expr("percentile(cnt, 0.99)").alias("p99"),
+    )
+    top = (
+        per_key.orderBy(F.desc("cnt"), "user_id")
+        .limit(5)
+        .agg(F.sum("cnt").alias("top5_cnt"))
+    )
+    return (
+        stats.crossJoin(top)
+        .select(
+            "n_keys",
+            "total",
+            "max_cnt",
+            F.round(F.col("max_cnt") / F.col("total"), 6).alias("max_share"),
+            F.round(F.col("top5_cnt") / F.col("total"), 6).alias("top5_share"),
+            F.round(F.col("p99") / F.col("p50"), 4).alias("p99_over_p50"),
+        )
+    )
+
+
+_ORACLE_SKEW = """
+WITH per_key AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+stats AS (
+  SELECT sum(cnt) AS total, count(*) AS n_keys, max(cnt) AS max_cnt,
+         quantile_cont(cnt, 0.5) AS p50, quantile_cont(cnt, 0.99) AS p99
+  FROM per_key),
+top AS (SELECT sum(cnt) AS top5_cnt
+        FROM (SELECT cnt FROM per_key ORDER BY cnt DESC, user_id LIMIT 5))
+SELECT n_keys, total, max_cnt,
+       round(max_cnt * 1.0 / total, 6) AS max_share,
+       round(top5_cnt * 1.0 / total, 6) AS top5_share,
+       round(p99 * 1.0 / p50, 4) AS p99_over_p50
+FROM stats CROSS JOIN top
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming FILE sink (append mode, watermark-closed windows)
+# ---------------------------------------------------------------------------
+
+
+def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed aggregate streamed to a PARQUET sink in APPEND mode —
+    unlike the memory-sink queries this exercises the real production
+    path: append mode only emits a window once the watermark closes
+    it, so a far-future sentinel row (filtered from the result)
+    advances the final watermark past every real window, and the
+    batch re-read of the sink directory equals the batch aggregate.
+    At scale this is exactly-once into object storage: one file set
+    per closed window, checkpointed offsets."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import _events_ts_arrow_type
+
+    d = tempfile.mkdtemp(prefix="sink_src_")
+    out_dir = tempfile.mkdtemp(prefix="sink_out_")
+    ckpt = tempfile.mkdtemp(prefix="sink_ckpt_")
+    try:
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+        )
+        real_t = _events_ts_arrow_type(os.path.join(d, "events.parquet"))
+        y2100_s = 4102444800
+        if str(real_t) == "int64" or getattr(real_t, "unit", None) == "ns":
+            ts_arr = pa.array([y2100_s * 1_000_000_000], pa.int64())
+        else:
+            ts_arr = pa.array([y2100_s * 1_000_000], real_t)
+        sentinel = pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": ts_arr,
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["sentinel"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        )
+        pq.write_table(sentinel, os.path.join(d, "sentinel.parquet"))
+
+        # one file per micro-batch: the watermark only advances BETWEEN
+        # micro-batches, so the sentinel (written after events.parquet,
+        # hence newer mtime → second batch) closes the real windows in
+        # the final no-data batch
+        raw = stream_events(
+            spark, d, glob=None, reader_options={"maxFilesPerTrigger": "1"}
+        )
+        agg = (
+            raw.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("win.start").alias("win_start"),
+                "event_type",
+                "n",
+            )
+        )
+        _STREAM_QUERY_SEQ[0] += 1
+        with _stream_shuffle(spark):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("streaming query did not finish within 300s")
+        sunk = (
+            spark.read.schema("win_start timestamp, event_type string, n bigint")
+            .parquet(out_dir)
+            .where(F.col("event_type") != "sentinel")
+            .select(
+                F.unix_timestamp("win_start").alias("win_epoch"), "event_type", "n"
+            )
+        )
+        out = spark.createDataFrame(
+            sunk.collect(), "win_epoch bigint, event_type string, n bigint"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out.orderBy("win_epoch", "event_type")
+
+
+_ORACLE_STREAM_FILE_SINK = """
+SELECT CAST(epoch(time_bucket(INTERVAL 1 DAY, ts)) AS BIGINT) AS win_epoch,
+       event_type, count(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES.update(
     {
         "order_priority_exists": q_order_priority_exists,
@@ -721,6 +1046,10 @@ QUERIES.update(
         "funnel_conversion": q_funnel_conversion,
         "retention_cohorts": q_retention_cohorts,
         "time_weighted_avg": q_time_weighted_avg,
+        "session_funnel": q_session_funnel,
+        "dq_checks": q_dq_checks,
+        "skew_report": q_skew_report,
+        "stream_file_sink": q_stream_file_sink,
     }
 )
 
@@ -734,6 +1063,10 @@ ORACLES.update(
         "funnel_conversion": _ORACLE_FUNNEL,
         "retention_cohorts": _ORACLE_RETENTION,
         "time_weighted_avg": _ORACLE_TWA,
+        "session_funnel": _ORACLE_SESSION_FUNNEL,
+        "dq_checks": _ORACLE_DQ,
+        "skew_report": _ORACLE_SKEW,
+        "stream_file_sink": _ORACLE_STREAM_FILE_SINK,
         "order_priority_exists": _ORACLE_ORDER_PRIORITY_EXISTS,
         "small_qty_revenue": _ORACLE_SMALL_QTY,
         "supplier_parts_in": _ORACLE_SUPPLIER_PARTS_IN,

@@ -96,6 +96,7 @@ def stream_events(
     spark: SparkSession,
     path: str,
     glob: str | None = "events.parquet",
+    reader_options: dict | None = None,
 ) -> DataFrame:
     """Streaming source over the events table with `ts` normalized to
     TimestampType (UTC instant), whatever the file's physical encoding.
@@ -117,6 +118,8 @@ def stream_events(
     t = _events_ts_arrow_type(sample)
 
     reader = spark.readStream
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
     if str(t) == "int64" or getattr(t, "unit", None) == "ns":
         # TIMESTAMP(NANOS) stored as int64
         enable_nanos(spark)
