@@ -927,6 +927,145 @@ FROM stats CROSS JOIN top
 
 
 # ---------------------------------------------------------------------------
+# Streaming dedup WITHIN WATERMARK (duplicate-bearing staged source)
+# ---------------------------------------------------------------------------
+
+
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over a source that actually
+    carries duplicates: the events file staged TWICE, one file per
+    micro-batch, so every event arrives again in the second batch and
+    must be suppressed by keyed state.  Unlike plain dropDuplicates,
+    state is evicted once the watermark passes event-time + delay —
+    the bounded-state contract for unbounded streams; the delay (365
+    days ≫ the 30-day corpus span ≫ the one-trigger duplicate lag)
+    guarantees no key expires between the two arrivals, so the output
+    equals the batch distinct (the oracle)."""
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="dupsrc_")
+    try:
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"), os.path.join(d, "a.parquet")
+        )
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"), os.path.join(d, "b.parquet")
+        )
+        raw = stream_events(
+            spark, d, glob=None, reader_options={"maxFilesPerTrigger": "1"}
+        )
+        dd = raw.withWatermark("ts", "365 days").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        _STREAM_QUERY_SEQ[0] += 1
+        name = f"dedup_wm_{_STREAM_QUERY_SEQ[0]}"
+        with _stream_shuffle(spark):
+            q = (
+                dd.select("event_id", "event_type")
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("streaming query did not finish within 300s")
+        out = spark.createDataFrame(
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct("event_id").alias("n_distinct"),
+            )
+            .collect(),
+            "event_type string, n bigint, n_distinct bigint",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out.orderBy("event_type")
+
+
+_ORACLE_STREAM_DEDUP_WM = """
+SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_distinct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (ADC probe)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ approximate top-k: 8 subspaces × 16 sub-centroids (the
+    sub-vectors of embeddings 0-15, externally supplied and
+    deterministic like the IVF cells), corpus encoded once in an
+    Arrow pass (256 B vector → 8 codes), queries probed via the ADC
+    lookup table in pure codegen.  Every float op is replicated
+    term-for-term in the generated SQL oracle, so ranks hash-match."""
+    import numpy as np
+
+    from ..operators.similarity import pq_encode, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.where(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    codes = pq_encode(emb, centroids, m=8)
+    queries = emb.where(F.col("vec_id") < 20)
+    return pq_topk(queries, codes, centroids, m=8, k=5).orderBy("query_id", "rank")
+
+
+def _gen_pq_oracle(
+    n_cent: int = 16, m: int = 8, k: int = 5, qmax: int = 20, dim: int = 64
+) -> str:
+    sub = dim // m
+
+    def d2(j: int, a: str, b: str) -> str:
+        return " + ".join(
+            f"({a}.embedding[{j*sub+i+1}]::DOUBLE - {b}.cv[{j*sub+i+1}]::DOUBLE)"
+            f" * ({a}.embedding[{j*sub+i+1}]::DOUBLE - {b}.cv[{j*sub+i+1}]::DOUBLE)"
+            for i in range(sub)
+        )
+
+    d2_cols = ", ".join(f"({d2(j, 'e', 'c')}) AS d2_{j}" for j in range(m))
+    code_ctes = ",\n".join(
+        f"r{j} AS (SELECT vec_id, cid AS c{j} FROM"
+        f" (SELECT vec_id, cid, row_number() OVER"
+        f" (PARTITION BY vec_id ORDER BY d2_{j}, cid) AS rn FROM a) WHERE rn = 1)"
+        for j in range(m)
+    )
+    code_joins = " ".join(f"JOIN r{j} USING (vec_id)" for j in range(m))
+    code_cols = ", ".join(f"c{j}" for j in range(m))
+    term_joins = " ".join(
+        f"JOIN cent t{j} ON t{j}.cid = x.c{j}" for j in range(m)
+    )
+    adc = " + ".join(f"({d2(j, 'q', f't{j}')})" for j in range(m))
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+              WHERE vec_id < {n_cent}),
+a AS (SELECT e.vec_id, c.cid, {d2_cols} FROM embeddings e CROSS JOIN cent c),
+{code_ctes},
+x AS (SELECT vec_id, {code_cols} FROM embeddings {code_joins}),
+s AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, ({adc}) AS adc
+      FROM embeddings q CROSS JOIN x {term_joins}
+      WHERE q.vec_id < {qmax}),
+rr AS (SELECT query_id, neighbor_id, adc,
+              CAST(row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc, neighbor_id) AS INTEGER) AS rank
+       FROM s)
+SELECT query_id, neighbor_id, rank, round(adc, 4) AS adc
+FROM rr WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # Streaming FILE sink (append mode, watermark-closed windows)
 # ---------------------------------------------------------------------------
 
@@ -1050,6 +1189,8 @@ QUERIES.update(
         "dq_checks": q_dq_checks,
         "skew_report": q_skew_report,
         "stream_file_sink": q_stream_file_sink,
+        "ann_pq_topk": q_ann_pq_topk,
+        "stream_dedup_watermark": q_stream_dedup_watermark,
     }
 )
 
@@ -1067,6 +1208,8 @@ ORACLES.update(
         "dq_checks": _ORACLE_DQ,
         "skew_report": _ORACLE_SKEW,
         "stream_file_sink": _ORACLE_STREAM_FILE_SINK,
+        "ann_pq_topk": _gen_pq_oracle(),
+        "stream_dedup_watermark": _ORACLE_STREAM_DEDUP_WM,
         "order_priority_exists": _ORACLE_ORDER_PRIORITY_EXISTS,
         "small_qty_revenue": _ORACLE_SMALL_QTY,
         "supplier_parts_in": _ORACLE_SUPPLIER_PARTS_IN,

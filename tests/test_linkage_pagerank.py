@@ -63,3 +63,35 @@ def test_pagerank_mass_conservation(spark):
     assert sum(rows.values()) == pytest.approx(1.0, abs=1e-9)
     # the degree-3 hub outranks the pendant
     assert rows[3] > rows[4]
+
+
+def test_pq_recall_vs_exact(spark):
+    """PQ is approximate; the gate is recall@5 against exact L2 on
+    real embeddings — compression must not destroy neighborhoods."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hive_jq_udtf_spark.operators.similarity import pq_encode, pq_topk
+    from hive_jq_udtf_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = emb.orderBy("vec_id").collect()
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    centroids = V[:16]
+    codes = pq_encode(emb, centroids, m=8)
+    out = pq_topk(emb.where(F.col("vec_id") < 10), codes, centroids, m=8, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for q in range(10):
+        d2 = ((V - V[ids == q][0]) ** 2).sum(axis=1)
+        exact = set(ids[np.argsort(d2, kind="stable")[:5]])
+        hits += len(exact & got[q])
+        total += 5
+    # Untrained first-16 codebooks on random near-orthogonal 64-dim
+    # vectors are maximally hard for PQ; observed recall@5 ≈ 0.36.
+    # The gate is that quantization carries real signal: ≥ 0.2 versus
+    # the 0.01 random-guess baseline (5 of 500).
+    assert hits / total >= 0.2, f"recall@5 {hits/total:.2f}"
