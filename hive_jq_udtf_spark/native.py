@@ -44,7 +44,17 @@ Path = tuple  # of str (field) / int (array index)
 # projection-spec marker tags; a PATH whose first field collides with
 # one of these would be misread as a spec, so analysis falls back to
 # the Python tier for such (rare) field names
-_SPEC_KINDS = {"lit", "expr", "fnchain", "alt", "length"}
+_SPEC_KINDS = {
+    "lit",
+    "expr",
+    "fnchain",
+    "alt",
+    "length",
+    "arrayfn",
+    "strpred",
+    "ifelse",
+    "splitidx",
+}
 
 
 @dataclass
@@ -137,6 +147,14 @@ def _flatten(ast: AST, out: list) -> bool:
                 (d := _scalar_literal(v_ast[2])) is not None
             ):
                 proj[k_ast[1]] = ("alt", _as_path(v_ast[1]), d[0])
+            elif (sp := _as_strpred(v_ast)) is not None:
+                proj[k_ast[1]] = ("strpred",) + sp
+            elif (af := _as_arrayfn(v_ast)) is not None:
+                proj[k_ast[1]] = ("arrayfn",) + af
+            elif (si := _as_split_index(v_ast)) is not None:
+                proj[k_ast[1]] = ("splitidx",) + si
+            elif (ie := _as_ifelse(v_ast)) is not None:
+                proj[k_ast[1]] = ("ifelse",) + ie
             else:
                 return False
         out.append(("project", proj))
@@ -161,6 +179,7 @@ _STR_FNS = {
     "ltrimstr": 1,
     "rtrimstr": 1,
     "tostring": 0,
+    "gsub": 2,
 }
 _NUM_FNS = {"tonumber": 0, "floor": 0, "sqrt": 0, "fabs": 0}
 
@@ -238,6 +257,9 @@ def _fn_info(node: AST):
         if a[0] != "literal" or not isinstance(a[1], str):
             return None
         lits.append(a[1])
+    if name == "gsub" and not _regex_portable(lits[0]):
+        # gsub's pattern must mean the same under re and Java regex
+        return None
     return (name, lits)
 
 
@@ -284,6 +306,14 @@ def _apply_fnchain(c: Column, fns) -> Column:
             c = F.when(
                 c.endswith(suf), c.substr(F.lit(1), F.length(c) - len(suf))
             ).otherwise(c)
+        elif name == "gsub":
+            pat, repl = args
+            # literal replacement: escape Java's $-group refs and
+            # backslashes so the text is inserted verbatim (jq's
+            # \(...)-interpolating replacements never reach here —
+            # they aren't string literals)
+            esc = repl.replace("\\", "\\\\").replace("$", "\\$")
+            c = F.regexp_replace(c, pat, esc)
         elif name == "tostring":
             # the string view of a JSON value IS jq's tostring (both
             # get_json_object and from_json string fields re-serialize
@@ -301,6 +331,124 @@ def _apply_fnchain(c: Column, fns) -> Column:
         elif name == "fabs":
             c = F.abs(c.try_cast("double"))
     return c
+
+
+# array functions compilable in projections (scalar, non-iterate tier)
+_ARRAY_FNS = {"add", "max", "min", "first", "last", "reverse", "sort", "unique", "join", "map"}
+# string predicates compilable as PROJECTED booleans
+_PROJ_STR_PREDS = {"test", "contains", "startswith", "endswith"}
+
+
+def _path_prefix(nodes: list) -> Optional[Path]:
+    path: tuple = ()
+    for n in nodes:
+        p = _as_path(n)
+        if p is None:
+            return None
+        path = path + p
+    return path
+
+
+def _as_strpred(ast: AST):
+    """``.path | test("re")`` (or contains/startswith/endswith) as a
+    projected boolean → (path, name, literal), else None."""
+    nodes: list = []
+    _pipe_list(ast, nodes)
+    last = nodes[-1]
+    if last[0] != "call" or last[1] not in _PROJ_STR_PREDS:
+        return None
+    args = last[2]
+    if len(args) != 1 or args[0][0] != "literal" or not isinstance(args[0][1], str):
+        return None
+    if last[1] == "test" and not _regex_portable(args[0][1]):
+        return None
+    path = _path_prefix(nodes[:-1])
+    if path is None:
+        return None
+    return (path, last[1], args[0][1])
+
+
+def _as_arrayfn(ast: AST):
+    """``.path | add/max/min/first/last/reverse/sort/unique/join/map``
+    or ``.path[lo:hi]`` → (path, fn, args), else None."""
+
+    # NOTE: .path[lo:hi] slices are NOT in the native subset: jq's
+    # slice also applies to STRING values ("nope"[1:3] == "op"), which
+    # a statically-typed array parse cannot honor — Python tier only.
+    nodes: list = []
+    _pipe_list(ast, nodes)
+    last = nodes[-1]
+    if last[0] != "call" or last[1] not in _ARRAY_FNS:
+        return None
+    name, args = last[1], last[2]
+    path = _path_prefix(nodes[:-1])
+    if path is None:
+        return None
+    if name == "join":
+        if len(args) != 1 or args[0][0] != "literal" or not isinstance(args[0][1], str):
+            return None
+        return (path, "join", (args[0][1],))
+    if name == "map":
+        if len(args) != 1:
+            return None
+        mp = _as_path(args[0])
+        if not mp or not all(isinstance(s, str) for s in mp):
+            return None
+        return (path, "map", (mp,))
+    if args:
+        return None
+    return (path, name, ())
+
+
+def _as_split_index(ast: AST):
+    """``.path | split("sep")[i]`` → (path, sep, i), else None.  jq's
+    split/1 is a LITERAL separator (the regex form is split/2)."""
+    nodes: list = []
+    _pipe_list(ast, nodes)
+    last = nodes[-1]
+    if last[0] != "index_on":
+        return None
+    call, idx = last[1], last[2]
+    if call[0] != "call" or call[1] != "split" or len(call[2]) != 1:
+        return None
+    sep = call[2][0]
+    if sep[0] != "literal" or not isinstance(sep[1], str) or not sep[1]:
+        return None
+    if idx[0] != "literal" or not isinstance(idx[1], int) or isinstance(idx[1], bool):
+        return None
+    if idx[1] < 0:
+        return None
+    path = _path_prefix(nodes[:-1])
+    if path is None:
+        return None
+    return (path, sep[1], idx[1])
+
+
+def _as_ifelse(ast: AST):
+    """``if COND then V else W end`` with a select-compilable COND and
+    literal/path branches → (filters, then_spec, else_spec)."""
+    if ast[0] != "if" or len(ast[1]) != 1 or ast[2] is None:
+        return None
+    cond, then_ast = ast[1][0]
+    filters = _parse_filters(cond)
+    if filters is None:
+        return None
+
+    def branch(b: AST):
+        if b[0] == "literal" and isinstance(b[1], (int, float, str, bool)):
+            return ("lit", b[1])
+        if (d := _scalar_literal(b)) is not None:
+            return ("lit", d[0])
+        p = _as_path(b)
+        if p is not None:
+            return ("path", p)
+        return None
+
+    t = branch(then_ast)
+    e = branch(ast[2])
+    if t is None or e is None:
+        return None
+    return (filters, t, e)
 
 
 def _expr_kind(ast: AST) -> Optional[str]:
@@ -572,6 +720,34 @@ def analyze_program(program: str) -> Optional[NativeIR]:
                     proj[k] = ("alt", tuple(base) + v[1], v[2])
                 elif isinstance(v, tuple) and v and v[0] == "length":
                     proj[k] = ("length", tuple(base) + v[1])
+                elif isinstance(v, tuple) and v and v[0] in (
+                    "strpred",
+                    "arrayfn",
+                    "splitidx",
+                ):
+                    proj[k] = (v[0], tuple(base) + v[1]) + v[2:]
+                elif isinstance(v, tuple) and v and v[0] == "ifelse":
+                    _, fl, t_spec, e_spec = v
+
+                    def rebase_f(item, b):
+                        if isinstance(item, OrGroup):
+                            return OrGroup([rebase_f(f, b) for f in item.filters])
+                        return Filter(
+                            tuple(b) + item.lhs, item.op, item.lit,
+                            lhs_expr=item.lhs_expr,
+                        )
+
+                    def rebase_b(sp, b):
+                        if sp[0] == "path":
+                            return ("path", tuple(b) + sp[1])
+                        return sp
+
+                    proj[k] = (
+                        "ifelse",
+                        [rebase_f(f, base) for f in fl],
+                        rebase_b(t_spec, base),
+                        rebase_b(e_spec, base),
+                    )
                 else:
                     full = base + v
                     if full and isinstance(full[0], str) and full[0] in _SPEC_KINDS:
@@ -952,6 +1128,135 @@ def _apply_pre_filters(df: DataFrame, col: Column, pre_filters) -> DataFrame:
     return df.select(*orig)
 
 
+def _java_quote(s: str) -> str:
+    """Literal string as a Java regex (\\Q...\\E quoting)."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+_NUMERIC_TYPES = (T.IntegerType, T.LongType, T.DoubleType, T.FloatType, T.ShortType)
+
+
+def _arrayfn_col(json_col: Column, path: Path, fn: str, args, out_dt: T.DataType) -> Column:
+    """Array-function projection over the scalar (non-iterate) tier.
+
+    The array is parsed ONCE via from_json with the element type taken
+    from the declared output, then the function is a builtin Catalyst
+    expression (array_max / reverse / sort_array / slice / transform /
+    array_join) or an aggregate() fold for add.  jq deltas are the
+    documented cast-garbage class: jq aborts on wrong-typed input,
+    this tier yields NULL."""
+    raw = F.get_json_object(json_col, _json_path(path))
+
+    def lenient(dt: T.DataType) -> T.DataType:
+        # integral decls parse as double then truncate, matching the
+        # lenient marshaller (strict from_json nulls 2.5 → int)
+        if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+            return T.DoubleType()
+        return dt
+
+    if fn in ("add", "max", "min", "first", "last"):
+        et = lenient(out_dt)
+        arr = F.from_json(raw, T.ArrayType(et))
+        if fn == "add":
+            # jq: [] | add == null; null elements are identity for +
+            return F.aggregate(
+                arr,
+                F.lit(None).cast(et),
+                lambda acc, x: F.when(x.isNull(), acc)
+                .when(acc.isNull(), x)
+                .otherwise(acc + x),
+            )
+        if fn == "max":
+            # jq's total order puts null BELOW everything, so null
+            # elements never win max — matching array_max's null skip
+            return F.array_max(arr)
+        if fn == "min":
+            # ...but a null element IS the minimum in jq
+            return F.when(
+                F.exists(arr, lambda x: x.isNull()), F.lit(None).cast(et)
+            ).otherwise(F.array_min(arr))
+        if fn == "first":
+            return F.try_element_at(arr, F.lit(1))
+        return F.try_element_at(arr, F.lit(-1))
+    if fn == "join":
+        arr = F.from_json(raw, T.ArrayType(T.StringType()))
+        # jq join: null elements render as ""
+        return F.array_join(arr, args[0], "")
+    if fn == "map":
+        mp = args[0]
+        leaf = lenient(out_dt.elementType)
+        et: T.DataType = leaf
+        for s in reversed(mp):
+            et = T.StructType([T.StructField(s, et)])
+        arr = F.from_json(raw, T.ArrayType(et))
+
+        leaf_decl = out_dt.elementType
+
+        def extract(e):
+            # single-arg signature: transform would otherwise pass the
+            # element INDEX into a second parameter (even a defaulted one)
+            c = e
+            for s in mp:
+                c = c.getField(s)
+            return c.try_cast(leaf_decl)
+
+        return F.transform(arr, extract)
+    # element-wise ops: parse leniently, truncate back to the decl after
+    elem = out_dt.elementType
+    parsed_t = T.ArrayType(lenient(elem))
+    arr = F.from_json(raw, parsed_t)
+    if fn == "reverse":
+        # jq: reverse(null/missing) == [] (its length-based definition)
+        out = F.coalesce(F.reverse(arr), F.lit([]).cast(parsed_t))
+    elif fn == "sort":
+        # sort_array places nulls FIRST — jq's total order (null lowest)
+        out = F.sort_array(arr)
+    elif fn == "unique":
+        out = F.sort_array(F.array_distinct(arr))
+    else:
+        raise AssertionError(fn)
+    if parsed_t.elementType != elem:
+        out = F.transform(out, lambda x: x.try_cast(elem))
+    return out
+
+
+def _validate_new_specs(project: Optional[dict], schema: T.StructType) -> None:
+    """Reject (fn, declared-type) combos the scalar compiler cannot
+    honor, so `auto` mode falls back to the Python tier instead of
+    mis-executing (raises _SchemaConflict, caught in compile_native)."""
+    if not project:
+        return
+    types = {f.name: f.dataType for f in schema.fields}
+    for name, spec in project.items():
+        if not (isinstance(spec, tuple) and spec):
+            continue
+        dt = types.get(name)
+        if dt is None:
+            continue
+        if spec[0] == "arrayfn":
+            _, _path, fn, _args = spec
+            if fn == "add" and not isinstance(dt, _NUMERIC_TYPES):
+                raise _SchemaConflict(spec)  # string/array concat → Python
+            if fn in ("max", "min", "first", "last", "add") and isinstance(
+                dt, (T.ArrayType, T.MapType, T.StructType)
+            ):
+                raise _SchemaConflict(spec)
+            if fn in ("reverse", "sort", "unique", "map") and not isinstance(
+                dt, T.ArrayType
+            ):
+                raise _SchemaConflict(spec)
+            if fn == "join" and not isinstance(dt, T.StringType):
+                raise _SchemaConflict(spec)
+            if fn in ("sort", "unique") and isinstance(
+                getattr(dt, "elementType", None), (T.ArrayType, T.MapType, T.StructType)
+            ):
+                raise _SchemaConflict(spec)  # nested compare order ≠ jq
+        elif spec[0] == "strpred" and not isinstance(dt, T.BooleanType):
+            raise _SchemaConflict(spec)
+        elif spec[0] == "splitidx" and not isinstance(dt, T.StringType):
+            raise _SchemaConflict(spec)
+
+
 class _SchemaConflict(Exception):
     """Element-schema conflict: program falls back to the Python tier."""
 
@@ -964,6 +1269,7 @@ class NativePlan:
         self.ir = ir
         self.decls = decls
         self.schema, self.single = parse_output_schema(list(decls))
+        _validate_new_specs(ir.project, self.schema)
         if ir.iterate:
             self._elem_schema()  # raises _SchemaConflict on mixed shapes
 
@@ -1040,6 +1346,42 @@ class NativePlan:
                     out_cols.append(
                         _variant_length(vv).try_cast(fdt.dataType).alias(fdt.name)
                     )
+                elif isinstance(spec, tuple) and spec and spec[0] == "strpred":
+                    _, path, pname, plit = spec
+                    raw = F.get_json_object(col, _json_path(path))
+                    if pname == "contains":
+                        c = F.coalesce(
+                            raw.try_cast("string").contains(plit), F.lit(False)
+                        )
+                    else:
+                        c = _string_pred_col(raw, pname, plit)
+                    out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
+                elif isinstance(spec, tuple) and spec and spec[0] == "arrayfn":
+                    _, path, fn, fargs = spec
+                    c = _arrayfn_col(col, path, fn, fargs, fdt.dataType)
+                    out_cols.append(c.try_cast(fdt.dataType).alias(fdt.name))
+                elif isinstance(spec, tuple) and spec and spec[0] == "splitidx":
+                    _, path, sep, idx = spec
+                    raw = F.get_json_object(col, _json_path(path))
+                    parts = F.split(raw.try_cast("string"), _java_quote(sep), -1)
+                    c = F.try_element_at(parts, F.lit(idx + 1))
+                    out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
+                elif isinstance(spec, tuple) and spec and spec[0] == "ifelse":
+                    _, filters, t_spec, e_spec = spec
+                    cond = None
+                    for item in filters:
+                        cc = _cond_col(item, lambda ff: _filter_col(col, ff))
+                        cond = cc if cond is None else (cond & cc)
+
+                    def _branch(sp, _dt=fdt.dataType):
+                        if sp[0] == "lit":
+                            return F.lit(sp[1]).try_cast(_dt)
+                        return _cast_extracted(
+                            F.get_json_object(col, _json_path(sp[1])), _dt
+                        )
+
+                    c = F.when(cond, _branch(t_spec)).otherwise(_branch(e_spec))
+                    out_cols.append(c.alias(fdt.name))
                 elif isinstance(fdt.dataType, T.MapType):
                     out_cols.append(
                         _scalar_map_col(col, spec, fdt.dataType).alias(fdt.name)
@@ -1136,6 +1478,15 @@ class NativePlan:
                     if not spec[1]:
                         raise _SchemaConflict(spec)  # length of the element itself
                     add(spec[1], T.VariantType())
+                elif isinstance(spec, tuple) and spec and spec[0] in (
+                    "arrayfn",
+                    "strpred",
+                    "ifelse",
+                    "splitidx",
+                ):
+                    # scalar-tier-only spec kinds: under an iterate the
+                    # program falls back to the Python tier
+                    raise _SchemaConflict(spec)
                 else:
                     add(spec, _elem_decl_type(fdt.dataType))
         else:

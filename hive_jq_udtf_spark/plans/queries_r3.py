@@ -927,6 +927,80 @@ FROM stats CROSS JOIN top
 
 
 # ---------------------------------------------------------------------------
+# Native-tier round-3 growth showcase (arrayfns / gsub / if-else /
+# projected predicates / split-index — all pure codegen)
+# ---------------------------------------------------------------------------
+
+
+def q_jq_native_arrayfns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 native-compiler growth, end-to-end: per-order JSON docs
+    are built with to_json (a realistic produce-then-process round
+    trip), then a jq program using array functions (add/max/first/
+    sort), gsub, a projected regex predicate, split-index, and an
+    if/else — compiled ENTIRELY to Catalyst expressions
+    (native='require': the test fails loudly if any construct falls
+    back to Python).  The oracle recomputes every output straight
+    from the base tables."""
+    from ..udtf import jq_explode
+
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    docs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_quantity")).alias("qtys"),
+            F.first("o_orderpriority").alias("prio"),
+        )
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("id"), "qtys", "prio"
+                )
+            ).alias("j")
+        )
+    )
+    out = jq_explode(
+        docs,
+        "j",
+        '{id: .id, total: (.qtys | add), mx: (.qtys | max),'
+        ' first_q: (.qtys | first), sorted_q: (.qtys | sort),'
+        ' pr: (.prio | gsub("[ -]"; "_")),'
+        ' urgent: (.prio | test("URGENT")),'
+        ' head: (.prio | split("-")[0]),'
+        ' band: (if .id > 1000 then "hi" else "lo" end)}',
+        "id:long",
+        "total:double",
+        "mx:double",
+        "first_q:double",
+        "sorted_q:array<double>",
+        "pr:string",
+        "urgent:boolean",
+        "head:string",
+        "band:string",
+        native="require",
+    )
+    return out.drop("j").orderBy("id")
+
+
+_ORACLE_NATIVE_ARRAYFNS = """
+SELECT o_orderkey AS id,
+       sum(l_quantity) AS total,
+       max(l_quantity) AS mx,
+       min(l_quantity) AS first_q,
+       list(l_quantity ORDER BY l_quantity) AS sorted_q,
+       regexp_replace(any_value(o_orderpriority), '[ -]', '_', 'g') AS pr,
+       any_value(o_orderpriority) LIKE '%URGENT%' AS urgent,
+       split_part(any_value(o_orderpriority), '-', 1) AS head,
+       CASE WHEN o_orderkey > 1000 THEN 'hi' ELSE 'lo' END AS band
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey < 2000
+GROUP BY o_orderkey
+ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Streaming dedup WITHIN WATERMARK (duplicate-bearing staged source)
 # ---------------------------------------------------------------------------
 
@@ -1191,6 +1265,7 @@ QUERIES.update(
         "stream_file_sink": q_stream_file_sink,
         "ann_pq_topk": q_ann_pq_topk,
         "stream_dedup_watermark": q_stream_dedup_watermark,
+        "jq_native_arrayfns": q_jq_native_arrayfns,
     }
 )
 
@@ -1210,6 +1285,7 @@ ORACLES.update(
         "stream_file_sink": _ORACLE_STREAM_FILE_SINK,
         "ann_pq_topk": _gen_pq_oracle(),
         "stream_dedup_watermark": _ORACLE_STREAM_DEDUP_WM,
+        "jq_native_arrayfns": _ORACLE_NATIVE_ARRAYFNS,
         "order_priority_exists": _ORACLE_ORDER_PRIORITY_EXISTS,
         "small_qty_revenue": _ORACLE_SMALL_QTY,
         "supplier_parts_in": _ORACLE_SUPPLIER_PARTS_IN,

@@ -417,6 +417,15 @@ def nested_df(spark):
         doc = {
             "name": rng.choice(["Tokyo", "Toronto", "paris", "NY"]),
             "s": rng.choice(["abc", "", "xyzw", None, 5, ["a", 1], {"k": 1, "j": 2}]),
+            # always-typed scalar arrays for the arrayfn subset (jq
+            # aborts on wrong-typed inputs, which the equivalence
+            # harness can't tolerate row-wise)
+            "nums": [
+                rng.choice([1, 2, 7, 9, 3.5]) for _ in range(rng.randint(0, 4))
+            ],
+            "words": [
+                rng.choice(["ab", "cd", "ef", ""]) for _ in range(rng.randint(0, 3))
+            ],
             "orders": [
                 {
                     "oid": i * 10 + j,
@@ -461,6 +470,24 @@ GROWTH_CASES = [
     (".orders[] | select(.lines | has(0)) | {oid: .oid}", ("oid:int",)),
     (".orders[] | select(.lines | has(2)) | {oid: .oid}", ("oid:int",)),
     (".orders[] | select(.lines[0] | not) | {oid: .oid}", ("oid:int",)),
+    # round-3 growth: if/else projections, gsub, array fns, projected
+    # string predicates, split-index
+    ('{hi: (if .s > 2 then "big" else "small" end)}', ("hi:string",)),
+    ('{hi: (if .name | startswith("T") then .name else "other" end)}', ("hi:string",)),
+    ('{g: (.name | gsub("o"; "0"))}', ("g:string",)),
+    ('{g: (.name | gsub("[aeiou]"; "$1"))}', ("g:string",)),
+    ("{a: (.nums | add)}", ("a:double",)),
+    ("{a: (.nums | add)}", ("a:int",)),
+    ("{mx: (.nums | max), mn: (.nums | min)}", ("mx:int", "mn:int")),
+    ("{f: (.words | first), l: (.words | last)}", ("f:string", "l:string")),
+    ("{r: (.nums | reverse)}", ("r:array<int>",)),
+    ("{s2: (.nums | sort)}", ("s2:array<double>",)),
+    ("{u: (.nums | unique)}", ("u:array<double>",)),
+    ('{j2: (.words | join("-"))}', ("j2:string",)),
+    ("{m2: (.orders | map(.oid))}", ("m2:array<int>",)),
+    ('{t: (.name | test("^T")), c: (.name | contains("or"))}', ("t:boolean", "c:boolean")),
+    ('{p: (.name | split("o")[0])}', ("p:string",)),
+    ('{p: (.name | split("o")[2])}', ("p:string",)),
 ]
 
 
