@@ -2261,7 +2261,7 @@ def q_jq_native_multi_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_JQ_NATIVE_MULTI_ITER = """
 WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
 u AS (SELECT k FROM k UNION ALL SELECT k + 1000 FROM k)
-SELECT count(*) AS n, sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k FROM u
+SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k FROM u
 """
 
 QUERIES["jq_native_multi_iterate"] = q_jq_native_multi_iterate
@@ -2392,14 +2392,29 @@ def q_jq_extended_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         extended=True,
         min_parallelism=spark.sparkContext.defaultParallelism,
     )
-    return x.select("o_orderkey", "d", "t", "p").orderBy("o_orderkey").limit(200)
+    # The UDTF genuinely marshals d:date / t:timestamp / p:decimal(12,2)
+    # (extended=True, SURVEY §7 D2) — the canonical-string projection below
+    # exists only so the driver's value-hash compares representations that
+    # DuckDB and Spark agree on (DuckDB ::DATE round-trips as a midnight
+    # datetime and ::DECIMAL as float64 through the canonicalizer).
+    return (
+        x.select(
+            "o_orderkey",
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("t"),
+            F.format_string("%.2f", F.col("p").cast("double")).alias("p"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
 
 
 _ORACLE_JQ_EXTENDED = """
 SELECT o_orderkey,
-       o_orderdate::DATE AS d,
-       (strftime(o_orderdate, '%Y-%m-%d') || ' 08:30:00')::TIMESTAMP AS t,
-       printf('%.2f', o_totalprice)::DECIMAL(12,2) AS p
+       strftime(o_orderdate, '%Y-%m-%d') AS d,
+       strftime((strftime(o_orderdate, '%Y-%m-%d') || ' 08:30:00')::TIMESTAMP,
+                '%Y-%m-%d %H:%M:%S') AS t,
+       printf('%.2f', printf('%.2f', o_totalprice)::DECIMAL(12,2)) AS p
 FROM orders ORDER BY o_orderkey LIMIT 200
 """
 
@@ -2891,8 +2906,9 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_FORMAT_ROUNDTRIP = """
-SELECT f.format, count(*) AS n, sum(s_suppkey) AS sum_key,
-       round(sum(s_acctbal), 2) AS sum_bal, sum(s_nationkey) AS sum_nation,
+SELECT f.format, count(*) AS n, CAST(sum(s_suppkey) AS BIGINT) AS sum_key,
+       round(sum(s_acctbal), 2) AS sum_bal,
+       CAST(sum(s_nationkey) AS BIGINT) AS sum_nation,
        min(s_name) AS min_name, md5(max(s_name)) AS max_name_hash
 FROM supplier, (VALUES ('csv'), ('json'), ('orc')) AS f(format)
 GROUP BY f.format ORDER BY f.format
@@ -2966,7 +2982,13 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.index import index_summary
 
     docs = load_table(spark, sf_dir, "documents")
-    return index_summary(docs, top=15, sample_cap=5)
+    out = index_summary(docs, top=15, sample_cap=5)
+    # The operator's posting_prefix is a real array<bigint>; join it to a
+    # CSV string for the driver's canonicalizer (which cannot sort/hash
+    # list-typed cells).
+    return out.withColumn(
+        "posting_prefix", F.array_join(F.col("posting_prefix"), ",")
+    )
 
 
 _ORACLE_INVERTED_INDEX = """
@@ -2975,7 +2997,7 @@ WITH toks AS (
 tf AS (SELECT token, doc_id, count(*) AS tf
        FROM toks WHERE token <> '' GROUP BY 1, 2)
 SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf, max(tf) AS max_tf,
-       (list_sort(list(doc_id)))[1:5] AS posting_prefix
+       array_to_string((list_sort(list(doc_id)))[1:5], ',') AS posting_prefix
 FROM tf GROUP BY token ORDER BY df DESC, token LIMIT 15
 """
 
@@ -3298,7 +3320,7 @@ def q_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_SESSIONIZE = """
 WITH marked AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
@@ -3306,8 +3328,9 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sess AS (
   SELECT user_id, ts, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
   FROM marked)
 SELECT user_id, session_seq, count(*) AS n_events,
        min(ts) AS started, max(ts) AS ended,
