@@ -247,9 +247,14 @@ def repetition_stats(
     - ``dup_word_frac``: 1 − distinct/total words — the bulk
       repetition signal.
 
-    Shape: one explode per signal feeding a two-level aggregation —
-    map-side partial agg bounds the shuffle to distinct (doc, term)
-    pairs; no self-joins, no windows over the corpus."""
+    Shape: ZERO shuffles — both signals are per-row array expressions.
+    The most-frequent-bigram count equals the longest equal-run in the
+    SORTED bigram array, computed by one ``aggregate`` HOF pass
+    (prev/run/best accumulator) inside codegen.  The earlier
+    formulation exploded one row per bigram into a two-level groupBy,
+    i.e. a shuffle carrying O(total tokens) rows; this one carries
+    nothing — at 100 TB the operator is a pure map stage that fuses
+    with whatever reads or writes around it."""
     words = F.split(F.col(text_col), " ")
     bigrams = F.when(
         F.size(words) >= 2,
@@ -260,25 +265,34 @@ def repetition_stats(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bg = (
-        docs.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
-        .groupBy(id_col, "bigram")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac"),
-        )
+    run = lambda acc, x: F.when(  # noqa: E731
+        x.eqNullSafe(acc["prev"]), acc["run"] + 1
+    ).otherwise(F.lit(1))
+    top_count = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    wd = docs.select(
+    return docs.select(
         F.col(id_col),
         F.round(
-            F.lit(1.0)
-            - F.size(F.array_distinct(words)) / F.size(words),
-            4,
+            F.lit(1.0) - F.size(F.array_distinct(words)) / F.size(words), 4
         ).alias("dup_word_frac"),
-    )
-    return wd.join(bg, id_col, "left").withColumn(
-        "top_bigram_frac", F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+        F.coalesce(
+            F.when(
+                F.size(bigrams) > 0, F.round(top_count / F.size(bigrams), 4)
+            ),
+            F.lit(0.0),
+        ).alias("top_bigram_frac"),
     )
 
 
