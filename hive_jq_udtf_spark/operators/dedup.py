@@ -58,6 +58,36 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return docs.join(keep, on=id_col, how="left_semi")
 
 
+def exact_dedup_single_pass(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    project: list[str] | None = None,
+) -> DataFrame:
+    """Exact dedup as ONE pass over the input: hash computed BEFORE
+    the exchange, min-id keeper via row_number inside each hash group.
+
+    Versus :func:`exact_dedup`'s groupBy+semi-join, this evaluates the
+    upstream plan once (the semi-join's build and probe branches each
+    recompute it — expensive when the input is a filtered projection
+    with heavy expressions), shuffles once, and the exchange carries
+    ``project`` + a 32-byte hash instead of the document text.  Use it
+    when downstream stages don't need ``text_col``; at 100 TB that
+    turns a full-corpus-sized shuffle into a metadata-sized one."""
+    from pyspark.sql import Window
+
+    cols = project if project is not None else [
+        c for c in docs.columns if c != text_col
+    ]
+    w = Window.partitionBy("__h").orderBy(id_col)
+    return (
+        docs.select(*cols, F.md5(F.col(text_col)).alias("__h"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
 def fingerprint_dedup_stats(
     docs: DataFrame, prefix_len: int = 50, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

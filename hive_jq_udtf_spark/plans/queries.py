@@ -2434,13 +2434,16 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         bins at a 2000-char budget)
       → per-source packing summary.
 
-    Scale audit: one shuffle for the dedup groupBy, one for the
-    packing window (partitioned by source — parallel across shards),
-    one for the final aggregate; language-ID/quality/split are pure
-    codegen projections pushed into the scan side.  The oracle
-    recomputes every stage in SQL from the same formula sources
-    (language profiles shared via _langid_sql_fragments)."""
-    from ..operators.dedup import exact_dedup
+    Scale audit: one shuffle for the dedup (single-pass window form —
+    hash computed scan-side, exchange carries doc_id/source/n_chars
+    only, and the heavy langid gate is evaluated ONCE, not re-derived
+    by a semi-join's build and probe branches), one for the packing
+    window (partitioned by source — parallel across shards), one for
+    the final aggregate; language-ID/quality/split are pure codegen
+    projections pushed into the scan side.  The oracle recomputes
+    every stage in SQL from the same formula sources (language
+    profiles shared via _langid_sql_fragments)."""
+    from ..operators.dedup import exact_dedup_single_pass
     from ..operators.text import language_id_col, pack_documents, train_test_split
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2449,7 +2452,9 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree = docs.where(language_id_col("text") == F.col("lang"))
     n_tokens = F.size(F.split(F.col("text"), " "))
     qual = agree.where((n_tokens >= 20) & F.col("n_chars").between(50, 5000))
-    deduped = exact_dedup(qual)
+    deduped = exact_dedup_single_pass(
+        qual, project=["doc_id", "source", "n_chars"]
+    )
     train = train_test_split(deduped, "doc_id", test_pct=10, salt="split").where(
         F.col("split") == "train"
     )
