@@ -3408,3 +3408,4 @@ ORACLES["importance_resample"] = _ORACLE_RESAMPLE
 # Kept in a separate module so this file stops growing; the import
 # must stay at the very bottom (it imports QUERIES from here).
 from . import queries_r3  # noqa: E402,F401  isort:skip
+from . import queries_r4  # noqa: E402,F401  isort:skip
