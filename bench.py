@@ -46,6 +46,7 @@ def main() -> None:
         # keep stdout clean: the driver captures only the tail of the
         # combined output and parses the final JSON line from it
         .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

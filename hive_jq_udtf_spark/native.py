@@ -932,10 +932,21 @@ def _variant_cmp(v: Column, op: str, lit: Any) -> Column:
     ).otherwise(_CMP_FN[op](val_rank, F.lit(lit_rank)))
 
 
+def _variant_string_only(v: Column) -> Column:
+    """The variant's string value when it IS a JSON string, else NULL
+    — so string predicates see NULL (→ false) for arrays / objects /
+    numbers / booleans instead of their JSON serialization."""
+    return F.when(
+        F.schema_of_variant(v) == F.lit("STRING"),
+        F.try_variant_get(v, "$", "string"),
+    )
+
+
 def _string_pred_col(c: Column, op: str, pat: str) -> Column:
     """startswith/endswith/test on the string view.  NULL (missing /
-    null / garbage) → false, dropping the row — jq instead errors on
-    non-string input, the documented NULL-delta class."""
+    null / non-string — callers pre-gate via _variant_string_only) →
+    false, dropping the row — jq instead errors on non-string input,
+    the documented NULL-delta class."""
     c = c.try_cast("string")
     if op == "startswith":
         r = c.startswith(pat)
@@ -982,7 +993,14 @@ def _filter_col(json_col: Column, f: Filter) -> Column:
             return ~_variant_truthy(v)
         return _variant_has(v, f.lit)
     if f.op in _STR_PREDS:
-        return _string_pred_col(raw, f.op, f.lit)
+        # gate on the exact JSON type: get_json_object's text view
+        # would serialize arrays/objects/numbers and substring-match
+        # the serialization (".tags | test(..)" on an array must be
+        # the null→false delta, not a match against '["..."]')
+        v = F.try_variant_get(
+            F.try_parse_json(json_col), _json_path(f.lhs), "variant"
+        )
+        return _string_pred_col(_variant_string_only(v), f.op, f.lit)
     if f.lit is None:
         # `== null` is true for both JSON null and missing (jq)
         return raw.isNull() if f.op == "==" else raw.isNotNull()
@@ -1032,7 +1050,10 @@ def _struct_filter_col(struct_col: Column, f: Filter) -> Column:
         # as truthy/comparisons in _elem_schema)
         return ~_variant_truthy(c) if f.op == "not_truthy" else _variant_has(c, f.lit)
     if f.op in _STR_PREDS:
-        return _string_pred_col(c, f.op, f.lit)
+        # element schema types strpred paths VARIANT so the non-string
+        # gate is decidable here (a StringType element field would
+        # capture the raw JSON serialization of arrays/objects)
+        return _string_pred_col(_variant_string_only(c), f.op, f.lit)
     # the element schema types every plain comparison-filter path
     # VARIANT (exact jq total order incl. null/missing and cross-type
     # values — see _variant_cmp)
@@ -1348,13 +1369,18 @@ class NativePlan:
                     )
                 elif isinstance(spec, tuple) and spec and spec[0] == "strpred":
                     _, path, pname, plit = spec
-                    raw = F.get_json_object(col, _json_path(path))
-                    if pname == "contains":
-                        c = F.coalesce(
-                            raw.try_cast("string").contains(plit), F.lit(False)
+                    # exact-type gate: non-string values project the
+                    # null→false delta instead of substring-matching
+                    # their JSON serialization
+                    s = _variant_string_only(
+                        F.try_variant_get(
+                            F.try_parse_json(col), _json_path(path), "variant"
                         )
+                    )
+                    if pname == "contains":
+                        c = F.coalesce(s.contains(plit), F.lit(False))
                     else:
-                        c = _string_pred_col(raw, pname, plit)
+                        c = _string_pred_col(s, pname, plit)
                     out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "arrayfn":
                     _, path, fn, fargs = spec
@@ -1504,7 +1530,11 @@ class NativePlan:
                 # not representable in one from_json schema
                 raise _SchemaConflict(())
             elif f.op in _STR_PREDS:
-                add(f.lhs, T.StringType())
+                # variant, not string: a StringType field would capture
+                # the raw serialization of non-string values and the
+                # predicate could falsely match it (see
+                # _variant_string_only)
+                add(f.lhs, T.VariantType())
             else:
                 # truthy and plain comparisons both need the exact JSON
                 # type (jq truthiness / total-order ranking) — variant

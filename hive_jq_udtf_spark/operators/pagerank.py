@@ -12,9 +12,13 @@ Fixed iteration count (no convergence collect) keeps the whole run
 lazy-plannable and makes the result exactly reproducible by an
 unrolled SQL oracle.
 
-Assumes every node has at least one outgoing edge (callers that build
-undirected graphs by emitting both directions satisfy this for free —
-no dangling-mass redistribution needed).
+The node universe is src ∪ dst, and every iteration re-anchors ranks
+on that universe (left join), so sink-only nodes and nodes without
+inbound edges keep their base rank and keep CONTRIBUTING in later
+iterations.  Mass from dangling (sink-only) nodes is dropped, not
+redistributed — the documented delta vs. textbook PageRank; callers
+that emit both edge directions (undirected graphs) have no dangling
+nodes and are unaffected.  An empty edge set returns an empty result.
 """
 
 from __future__ import annotations
@@ -33,8 +37,15 @@ def pagerank(
 ) -> DataFrame:
     """edges: one row per directed edge. Returns (node, rank)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n = nodes.count()  # one scalar to the driver; O(1) result
+    if n == 0:
+        return nodes.select("node", F.lit(1.0).alias("rank"))  # empty
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # pre-join degree once; contribution edges carry 1/outdeg
     contrib_edges = e.join(deg, "src").select(
@@ -51,9 +62,17 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = sums.select(
-            F.col("dst").alias("node"),
-            (F.lit(base) + F.lit(damping) * F.col("s")).alias("rank"),
+        # re-anchor on the full universe: a node with no inbound edges
+        # must keep rank = base (and keep contributing next iteration),
+        # not silently drop out of the frame
+        ranks = nodes.join(
+            sums, nodes["node"] == sums["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)

@@ -583,7 +583,12 @@ def pq_topk(
         # lut[j, c] = ||q_block_j − cent_c_block_j||², flattened j-major
         lut = ((Q[None, :, :] - cent) ** 2).sum(axis=2).T.reshape(-1)
         lut_rows.append((r[id_col], [float(x) for x in lut]))
-    lut_df = spark.createDataFrame(lut_rows, f"query_id long, lut array<double>")
+    # preserve the query table's id type (string/int/long ids all
+    # valid), like every other kernel in this module
+    id_type = _id_spark_type(queries, id_col)
+    lut_df = spark.createDataFrame(
+        lut_rows, f"query_id {id_type}, lut array<double>"
+    )
 
     adc = None
     for j in range(m):

@@ -918,7 +918,7 @@ stats AS (
   FROM per_key),
 top AS (SELECT sum(cnt) AS top5_cnt
         FROM (SELECT cnt FROM per_key ORDER BY cnt DESC, user_id LIMIT 5))
-SELECT n_keys, total, max_cnt,
+SELECT n_keys, CAST(total AS BIGINT) AS total, max_cnt,
        round(max_cnt * 1.0 / total, 6) AS max_share,
        round(top5_cnt * 1.0 / total, 6) AS top5_share,
        round(p99 * 1.0 / p50, 4) AS p99_over_p50

@@ -59,12 +59,19 @@ def enable_nanos(spark: SparkSession) -> None:
 
 def pin_utc(spark: SparkSession) -> None:
     """Pin the session timezone so TIMESTAMP_NTZ → TIMESTAMP casts and
-    unix_* epoch math are machine-independent and DuckDB-equal."""
+    unix_* epoch math are machine-independent and DuckDB-equal.
+
+    This library ASSUMES UTC sessions (README "Running"); every entry
+    point (load_table / stream_events, plus the bench/selfcheck
+    session builders) pins it unconditionally, so the setting is
+    deterministic — not dependent on which table a query happens to
+    load first."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     enable_nanos(spark)
+    pin_utc(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for c in _TS_COLUMNS.get(name, ()):
@@ -80,7 +87,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # timestamp[us] with no tz annotation.  DuckDB treats the
             # naive wall-clock as the instant; with the session tz
             # pinned UTC the cast below is the identical mapping.
-            pin_utc(spark)
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 

@@ -18,6 +18,7 @@ def spark():
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
     yield s

@@ -65,6 +65,30 @@ def test_pagerank_mass_conservation(spark):
     assert rows[3] > rows[4]
 
 
+def test_pagerank_sink_and_source_nodes(spark):
+    """ADVICE r3: sink-only nodes belong to the node universe (rank >
+    base, fed by inbound mass), source-only nodes keep contributing
+    every iteration instead of dropping out of the frame after the
+    first, and an empty edge set returns an empty frame (no
+    ZeroDivisionError)."""
+    from hive_jq_udtf_spark.operators.pagerank import pagerank
+
+    # 1 -> 2 -> 3: node 3 is sink-only, node 1 source-only
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rows = {r["node"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
+    assert set(rows) == {1, 2, 3}
+    base = (1 - 0.85) / 3
+    assert rows[1] == pytest.approx(base, abs=1e-12)
+    # node 2 receives node 1's STEADY contribution: base + d*base, not
+    # just the first-iteration echo
+    assert rows[2] == pytest.approx(base + 0.85 * base, abs=1e-12)
+    assert rows[3] > rows[2] > rows[1]
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(empty, iterations=3)
+    assert out.columns == ["node", "rank"] and out.count() == 0
+
+
 def test_pq_recall_vs_exact(spark):
     """PQ is approximate; the gate is recall@5 against exact L2 on
     real embeddings — compression must not destroy neighborhoods."""

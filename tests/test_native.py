@@ -346,6 +346,46 @@ _TRUTHY_DOCS = [
 ]
 
 
+_STRPRED_TYPE_DOCS = [
+    # ADVICE r3 low: a non-string value must take the null→false delta,
+    # not substring-match its JSON serialization
+    '{"tag": "src1x", "items":[{"tag":"src1x","v":1}], "v": 1}',
+    '{"tag": ["src1x"], "items":[{"tag":["src1x"],"v":2}], "v": 2}',
+    '{"tag": {"src1x": 1}, "items":[{"tag":{"src1x":1},"v":3}], "v": 3}',
+    '{"tag": 11, "items":[{"tag":11,"v":4}], "v": 4}',
+    '{"items":[{"v":5}], "v": 5}',
+]
+
+
+def test_native_strpred_nonstring_is_false_scalar_tier(spark):
+    """Projected/select string predicates over non-string values yield
+    the null→false delta — never a match against the value's JSON text
+    (e.g. '["src1x"]' would otherwise satisfy contains/test/startswith)."""
+    df = spark.createDataFrame([(d,) for d in _STRPRED_TYPE_DOCS], "j string")
+    prog = '{c: (.tag | contains("src")), s: (.tag | startswith("s")), t: (.tag | test("src1"))}'
+    decls = ("c:boolean", "s:boolean", "t:boolean")
+    assert compile_native(prog, decls) is not None
+    out = jq_explode(df, "j", prog, *decls, native="require")
+    rows = sorted(tuple(r) for r in out.drop("j").collect())
+    assert rows == sorted(
+        [(True, True, True)] + [(False, False, False)] * 4
+    )
+    sel = 'select(.tag | startswith("s")) | {v: .v}'
+    nat = jq_explode(df, "j", sel, "v:int", native="require")
+    assert [r.v for r in nat.collect()] == [1]
+
+
+def test_native_strpred_nonstring_is_false_explode_tier(spark):
+    """Same gate under an iterate: the element schema must type strpred
+    paths VARIANT so the exact-type check survives from_json."""
+    df = spark.createDataFrame([(d,) for d in _STRPRED_TYPE_DOCS], "j string")
+    prog = '.items[] | select(.tag | startswith("s")) | {v: .v}'
+    assert compile_native(prog, ("v:int",)) is not None
+    nat_df = jq_explode(df, "j", prog, "v:int", native="require")
+    assert _plan_is_pythonfree(nat_df)
+    assert [r.v for r in nat_df.collect()] == [1]
+
+
 def test_native_truthy_select_scalar_tier(spark):
     """Scalar-tier truthy select must match jq: only null/missing/false
     are falsy — the STRING values "false" and "null" are truthy
