@@ -52,6 +52,8 @@ _DRIVER_HEAD = [
     "inverted_index",
     # new or behavior-touched this round
     "jq_python_stress",
+    "cms_heavy_hitters",
+    "stream_incremental_mv",
     "jw_linkage",
     "repetition_filter",
     "training_pipeline",
@@ -89,8 +91,6 @@ _DRIVER_HEAD = [
     "dedup_components",
     "dedup_components_lsss",
     "token_counts",
-    "multimodal_stats",
-    "simhash_neardup",
 ]
 
 

@@ -95,3 +95,159 @@ FROM r GROUP BY c, t ORDER BY c, t
 
 QUERIES["jq_python_stress"] = q_jq_python_stress
 ORACLES["jq_python_stress"] = _ORACLE_JQ_PY_STRESS
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the documents corpus with
+    per-token error-bound verification (operators/sketch.py).  The
+    sketch build shuffles at most depth × width counter cells per map
+    partition — bounded memory regardless of corpus size — and the
+    probe reads it via a broadcast join.  Hashes are the repo's
+    deterministic md5-bucket idiom, so the oracle rebuilds the SAME
+    sketch in SQL and every estimate (and bound flag) matches
+    exactly."""
+    from ..operators.sketch import cms_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cms_heavy_hitters(docs, k=20, depth=4, width=1024)
+
+
+_ORACLE_CMS = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents),
+total AS (SELECT count(*) AS n_tokens FROM toks),
+lv AS (SELECT tok, j FROM toks CROSS JOIN UNNEST(range(4)) AS t(j)),
+sk AS (
+  SELECT j,
+         ('0x' || substr(md5(j::VARCHAR || '|' || tok), 1, 15))::BIGINT % 1024
+           AS bucket,
+         count(*) AS cnt
+  FROM lv GROUP BY 1, 2),
+exact AS (SELECT tok, count(*) AS true_cnt FROM toks GROUP BY 1),
+probe AS (
+  SELECT e.tok, e.true_cnt, min(s.cnt) AS est_cnt
+  FROM exact e CROSS JOIN UNNEST(range(4)) AS t(j)
+  JOIN sk s
+    ON s.j = t.j
+   AND s.bucket = ('0x' || substr(md5(t.j::VARCHAR || '|' || e.tok), 1, 15))::BIGINT % 1024
+  GROUP BY 1, 2)
+SELECT tok AS token, true_cnt, est_cnt,
+       est_cnt - true_cnt AS overest,
+       (est_cnt - true_cnt) <= 2.718281828459045 / 1024 * n_tokens AS within_bound
+FROM probe CROSS JOIN total
+ORDER BY est_cnt DESC, token LIMIT 20
+"""
+
+QUERIES["cms_heavy_hitters"] = q_cms_heavy_hitters
+ORACLES["cms_heavy_hitters"] = _ORACLE_CMS
+
+
+def _staged_half_events(sf_dir: str) -> str:
+    """events.parquet split into two half files (row-sliced with
+    pyarrow, original encoding preserved) — a deterministic
+    two-micro-batch source for incremental-maintenance streams.
+    Reused per process via queries_r3._staged_dir."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .queries_r3 import _staged_dir
+
+    def _build(d: str) -> None:
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        half = t.num_rows // 2
+        pq.write_table(t.slice(0, half), os.path.join(d, "a.parquet"))
+        pq.write_table(t.slice(half), os.path.join(d, "b.parquet"))
+
+    return _staged_dir("half_events", sf_dir, _build)
+
+
+def q_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view via foreachBatch MERGE — the
+    production pattern for maintaining an aggregate table from a
+    stream without reprocessing history.  The events corpus is staged
+    as two half files (one micro-batch each, maxFilesPerTrigger=1);
+    every micro-batch aggregates ONLY its own rows and merges the
+    partial (additive union + re-aggregate, written to a versioned dir
+    and atomically swapped) into the per-event-type MV.  The final MV
+    must equal the batch aggregate over all events — the oracle.
+
+    At 100 TB the merge step is a keyed upsert into a transactional
+    table format (Delta/Iceberg MERGE); the union + groupBy here is
+    the same additive-merge semantics expressed against plain parquet,
+    and each increment's cost scales with the BATCH, not the history.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.tables import stream_events
+    from .queries import _STREAM_QUERY_SEQ, _stream_shuffle
+
+    d = _staged_half_events(sf_dir)
+    mv_root = tempfile.mkdtemp(prefix="mv_store_")
+    ckpt = tempfile.mkdtemp(prefix="mv_ckpt_")
+    mv_cur = os.path.join(mv_root, "current")
+    mv_schema = "event_type string, n bigint, total_value double"
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        part = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum("value").alias("total_value")
+        )
+        if os.path.exists(mv_cur):
+            old = spark.read.schema(mv_schema).parquet(mv_cur)
+            part = (
+                old.unionByName(part)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("total_value").alias("total_value"),
+                )
+            )
+        nxt = os.path.join(mv_root, f"v{batch_id}")
+        part.write.mode("overwrite").parquet(nxt)
+        prev = mv_cur + ".old"
+        if os.path.exists(mv_cur):
+            os.rename(mv_cur, prev)
+        os.rename(nxt, mv_cur)
+        shutil.rmtree(prev, ignore_errors=True)
+
+    raw = stream_events(
+        spark, d, glob=None, reader_options={"maxFilesPerTrigger": "1"}
+    )
+    _STREAM_QUERY_SEQ[0] += 1
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                raw.select("event_type", "value")
+                .writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("streaming query did not finish within 300s")
+        out = spark.createDataFrame(
+            spark.read.schema(mv_schema)
+            .parquet(mv_cur)
+            .select(
+                "event_type", "n", F.round("total_value", 4).alias("total_value")
+            )
+            .collect(),
+            "event_type string, n bigint, total_value double",
+        )
+    finally:
+        shutil.rmtree(mv_root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out.orderBy("event_type")
+
+
+_ORACLE_STREAM_MV = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["stream_incremental_mv"] = q_stream_incremental_mv
+ORACLES["stream_incremental_mv"] = _ORACLE_STREAM_MV

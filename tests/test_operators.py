@@ -700,3 +700,37 @@ def test_importance_weights_direction(tiny_corpus):
     assert w["d4"] == max(w.values())
     # target-absent vocabulary scores negative (down-weighted)
     assert w["d3"] < 0
+
+
+def test_cms_overestimates_and_exact_when_collision_free(tiny_corpus):
+    """CMS invariants: est >= true for EVERY token (one-sided error),
+    and with width far above the distinct-token count the sketch is
+    collision-free so every estimate is exact."""
+    from hive_jq_udtf_spark.operators.sketch import cms_heavy_hitters
+
+    rows = cms_heavy_hitters(tiny_corpus, k=100, depth=4, width=4096).collect()
+    assert len(rows) == 11  # distinct tokens in the corpus
+    for r in rows:
+        assert r.est_cnt >= r.true_cnt
+        assert r.overest == r.est_cnt - r.true_cnt
+        assert r.within_bound  # eps*N >> 0 collisions here
+        assert r.est_cnt == r.true_cnt  # collision-free at width 4096
+    got = {r.token: r.true_cnt for r in rows}
+    assert got["vector"] == 4 and got["window"] == 1
+
+
+def test_cms_tight_width_still_one_sided(spark):
+    """Crush the sketch (width 8) so collisions are guaranteed: the
+    estimate must NEVER undercount, and the heavy hitter must still
+    surface at the top of the estimate ordering."""
+    from pyspark.sql import functions as F
+
+    from hive_jq_udtf_spark.operators.sketch import cms_heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(i, "hot " * 50 + f"w{i} x{i} y{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    rows = cms_heavy_hitters(docs, k=5, depth=4, width=8).collect()
+    assert all(r.est_cnt >= r.true_cnt for r in rows)
+    assert rows[0].true_cnt == 2000  # "hot" 50x in 40 docs
