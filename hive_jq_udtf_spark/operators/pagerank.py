@@ -55,24 +55,23 @@ def pagerank(
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
+    # zero-contribution anchor rows: unioned into every iteration's
+    # aggregation so nodes with no inbound edges stay in the frame
+    # (rank = base) and keep contributing — WITHOUT adding a join or a
+    # second shuffle per iteration (the zeros ride the same exchange
+    # as the contributions; x + 0.0 == x for every IEEE double)
+    anchor = nodes.select(F.col("node").alias("dst"), F.lit(0.0).alias("c"))
     for i in range(iterations):
         sums = (
             contrib_edges.join(ranks, contrib_edges["src"] == ranks["node"])
             .select("dst", (F.col("rank") * F.col("w")).alias("c"))
+            .unionByName(anchor)
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        # re-anchor on the full universe: a node with no inbound edges
-        # must keep rank = base (and keep contributing next iteration),
-        # not silently drop out of the frame
-        ranks = nodes.join(
-            sums, nodes["node"] == sums["dst"], "left"
-        ).select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-            ).alias("rank"),
+        ranks = sums.select(
+            F.col("dst").alias("node"),
+            (F.lit(base) + F.lit(damping) * F.col("s")).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
