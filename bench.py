@@ -42,6 +42,11 @@ def main() -> None:
         # intended broadcasts are explicit broadcast() hints in the
         # query definitions
         .config("spark.driver.memory", "24g")
+        # the suite compiles >100 whole-stage-codegen units; the
+        # default 100-entry janino cache evicts them all between the
+        # warm-up pass and the timed pass, so every timed query would
+        # pay a recompile (seconds for the biggest stages)
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
         # keep stdout clean: the driver captures only the tail of the
         # combined output and parses the final JSON line from it

@@ -269,51 +269,47 @@ def repetition_stats(
     - ``dup_word_frac``: 1 − distinct/total words — the bulk
       repetition signal.
 
-    Shape: ZERO shuffles — both signals are per-row array expressions.
-    The most-frequent-bigram count equals the longest equal-run in the
-    SORTED bigram array, computed by one ``aggregate`` HOF pass
-    (prev/run/best accumulator) inside codegen.  The earlier
-    formulation exploded one row per bigram into a two-level groupBy,
-    i.e. a shuffle carrying O(total tokens) rows; this one carries
-    nothing — at 100 TB the operator is a pure map stage that fuses
-    with whatever reads or writes around it."""
+    Shape: ZERO shuffles — a pure map stage.  dup_word_frac is a
+    codegen array expression; top_bigram_frac is an Arrow-batched
+    pandas UDF (per-batch Counter over word pairs).  Two rejected
+    alternatives, both measured at sf0.1: explode-per-bigram into a
+    two-level groupBy shuffles O(total tokens) rows (~4.4 s), and an
+    aggregate() HOF longest-run over the sorted bigram array stays
+    shuffle-free but Spark evaluates HOF lambdas INTERPRETED
+    per-element (~1.5 M lambda evals, ~6.4 s).  The vectorized UDF
+    does the same work in ~0.1 s of Python across the executor cores
+    and scales as a map stage at 100 TB.  Rounding happens JVM-side
+    (F.round is HALF_UP; Python's round is banker's — they differ on
+    exact .xxxx5 doubles like 1/32)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _top_bigram_frac(texts):
+        from collections import Counter
+
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            ws = t.split(" ")
+            if len(ws) < 2:
+                out.append(0.0)
+                continue
+            c = Counter(zip(ws, ws[1:]))
+            out.append(max(c.values()) / (len(ws) - 1))
+        return pd.Series(out, dtype="float64")
+
     words = F.split(F.col(text_col), " ")
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - F.lit(1)),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + F.lit(1))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    run = lambda acc, x: F.when(  # noqa: E731
-        x.eqNullSafe(acc["prev"]), acc["run"] + 1
-    ).otherwise(F.lit(1))
-    top_count = F.aggregate(
-        F.array_sort(bigrams),
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            run(acc, x).alias("run"),
-            F.greatest(acc["best"], run(acc, x)).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
     return docs.select(
         F.col(id_col),
         F.round(
             F.lit(1.0) - F.size(F.array_distinct(words)) / F.size(words), 4
         ).alias("dup_word_frac"),
         F.coalesce(
-            F.when(
-                F.size(bigrams) > 0, F.round(top_count / F.size(bigrams), 4)
-            ),
-            F.lit(0.0),
+            F.round(_top_bigram_frac(F.col(text_col)), 4), F.lit(0.0)
         ).alias("top_bigram_frac"),
     )
 
