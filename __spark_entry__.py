@@ -54,6 +54,10 @@ _DRIVER_HEAD = [
     "jq_python_stress",
     "cms_heavy_hitters",
     "stream_incremental_mv",
+    "tdigest_percentiles",
+    "weighted_sample",
+    "funnel_windowed",
+    "topk_join",
     "jw_linkage",
     "repetition_filter",
     "training_pipeline",
@@ -87,10 +91,6 @@ _DRIVER_HEAD = [
     "jq_reduce",
     "jq_regex",
     "minhash_neardup",
-    "embedding_neardup",
-    "dedup_components",
-    "dedup_components_lsss",
-    "token_counts",
 ]
 
 

@@ -251,3 +251,266 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 QUERIES["stream_incremental_mv"] = q_stream_incremental_mv
 ORACLES["stream_incremental_mv"] = _ORACLE_STREAM_MV
+
+
+# ---------------------------------------------------------------------------
+# t-digest percentile sketch (mergeable; bound-verified)
+# ---------------------------------------------------------------------------
+
+
+def q_tdigest_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest percentiles per l_returnflag — the third
+    point on the quantile cost/accuracy curve next to `percentiles`
+    (exact, unscalable sort) and `approx_percentiles` (GK sketch).
+    Raw values NEVER shuffle: mapInPandas builds one ≤2δ-centroid
+    digest per partition-group, the shuffle carries only those digest
+    rows, applyInPandas merges and interpolates (operators/tdigest.py).
+
+    Sketch estimates are partition-layout-dependent, so the query
+    emits VERIFIED bounds, not raw estimates (the approx_percentiles
+    pattern, queries.py:1655): a second pass computes each estimate's
+    exact rank and checks |rank − q| ≤ 0.01 + 2/n, plus a mass check
+    that the digest saw exactly n rows.  Oracle = deterministic
+    all-true table; any accuracy/mass violation flips a boolean."""
+    from ..operators.tdigest import tdigest_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.5, 0.9, 0.99]
+    est = tdigest_quantiles(
+        li, "l_returnflag", "l_extendedprice", qs, delta=200.0
+    ).withColumnRenamed("group", "grp")
+    vals = li.select(
+        F.col("l_returnflag").alias("grp"), "l_extendedprice"
+    )
+    ranks = (
+        vals.join(F.broadcast(est), "grp")
+        .groupBy("grp", "q")
+        .agg(
+            (
+                F.sum((F.col("l_extendedprice") <= F.col("est")).cast("long"))
+                / F.count("*")
+            ).alias("rank"),
+            F.count("*").alias("n"),
+            F.first("n").alias("n_digest"),
+        )
+    )
+    tol = F.lit(0.01) + F.lit(2.0) / F.col("n")
+    return ranks.select(
+        "grp",
+        "q",
+        "n",
+        (F.abs(F.col("rank") - F.col("q")) <= tol).alias("within_bound"),
+        (F.col("n_digest") == F.col("n")).alias("mass_ok"),
+    ).orderBy("grp", "q")
+
+
+_ORACLE_TDIGEST = """
+SELECT l_returnflag AS grp, CAST(q AS DOUBLE) AS q, count(*) AS n,
+       true AS within_bound, true AS mass_ok
+FROM lineitem
+CROSS JOIN (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q)
+GROUP BY 1, 2 ORDER BY grp, q
+"""
+
+QUERIES["tdigest_percentiles"] = q_tdigest_percentiles
+ORACLES["tdigest_percentiles"] = _ORACLE_TDIGEST
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–
+    Spirakis A-ES key: key_i = u_i^(1/w_i), take the k largest.  This
+    is the one-pass, merge-friendly shape for 100 TB mixture sampling
+    (distinct from stratified_sample's Bernoulli rates and from
+    importance_resample's Gumbel top-k over logits): Spark's
+    `ORDER BY key DESC LIMIT k` compiles to TakeOrderedAndProject —
+    per-partition partial top-k, only k rows per partition reach the
+    driver-side merge, no global sort shuffle.
+
+    u is the repo's deterministic md5 idiom (so the oracle replays the
+    exact same draw), compared in log space (ln u)/w — monotone in
+    u^(1/w), numerically safer, and identical on both engines.  Weight
+    = token count: longer documents proportionally likelier."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+            .cast("double")
+            + F.lit(0.5)
+        )
+        / F.lit(float(16**13))
+    )
+    w = F.greatest(F.size(F.split(F.trim("text"), r"\s+")), F.lit(1))
+    keyed = docs.select(
+        "doc_id",
+        w.alias("weight"),
+        (F.log(u) / w).alias("key"),
+    )
+    return (
+        keyed.orderBy(F.col("key").desc(), "doc_id")
+        .limit(64)
+        .select("doc_id", "weight")
+    )
+
+
+_ORACLE_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         greatest(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '')), 1) AS weight,
+         ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 0.5)
+            / pow(16.0, 13))
+           / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                      x -> x <> '')), 1) AS key
+  FROM documents)
+SELECT doc_id, weight FROM keyed ORDER BY key DESC, doc_id LIMIT 64
+"""
+
+QUERIES["weighted_sample"] = q_weighted_sample
+ORACLES["weighted_sample"] = _ORACLE_WEIGHTED_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# Conversion-window funnel (view → click → purchase, bounded gaps)
+# ---------------------------------------------------------------------------
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel with a CONVERSION WINDOW: view → click →
+    purchase where each step lands within 30 minutes of the previous
+    step's first completion.  Unlike funnel_conversion (any-order-in-
+    time) this chains the deadline sequentially, so it needs three
+    dependent conditional mins — expressed as one groupBy per step on
+    the SAME user_id key: the first aggregation shuffles once and the
+    two follow-up joins + re-aggregations reuse that hash partitioning
+    (co-partitioned, no new exchange of the big side)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    win_us = 30 * 60 * 1_000_000
+    t1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    t2 = (
+        ev.join(t1, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("t1").alias("t1"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1"))
+                    & (
+                        F.unix_micros("ts") - F.unix_micros("t1")
+                        <= F.lit(win_us)
+                    ),
+                    F.col("ts"),
+                )
+            ).alias("t2"),
+        )
+    )
+    t3 = (
+        ev.join(t2, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("t1").alias("t1"),
+            F.first("t2").alias("t2"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2"))
+                    & (
+                        F.unix_micros("ts") - F.unix_micros("t2")
+                        <= F.lit(win_us)
+                    ),
+                    F.col("ts"),
+                )
+            ).alias("t3"),
+        )
+    )
+    return t3.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("step_view"),
+        F.count("t2").alias("step_click_30m"),
+        F.count("t3").alias("step_purchase_30m"),
+    )
+
+
+_ORACLE_FUNNEL_WINDOWED = """
+WITH t1 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY 1),
+t2 AS (
+  SELECT e.user_id, any_value(t1.t1) AS t1,
+         min(CASE WHEN e.event_type = 'click' AND e.ts > t1.t1
+                   AND e.ts <= t1.t1 + INTERVAL 30 MINUTE
+              THEN e.ts END) AS t2
+  FROM events e JOIN t1 USING (user_id) GROUP BY 1),
+t3 AS (
+  SELECT e.user_id, any_value(t2.t1) AS t1, any_value(t2.t2) AS t2,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts > t2.t2
+                   AND e.ts <= t2.t2 + INTERVAL 30 MINUTE
+              THEN e.ts END) AS t3
+  FROM events e JOIN t2 USING (user_id) GROUP BY 1)
+SELECT count(*) AS n_users, count(t1) AS step_view,
+       count(t2) AS step_click_30m, count(t3) AS step_purchase_30m
+FROM t3
+"""
+
+QUERIES["funnel_windowed"] = q_funnel_windowed
+ORACLES["funnel_windowed"] = _ORACLE_FUNNEL_WINDOWED
+
+
+# ---------------------------------------------------------------------------
+# Top-k join (per-key limit pushed into the shuffle: WindowGroupLimit)
+# ---------------------------------------------------------------------------
+
+
+def q_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment by price: broadcast-join the
+    customer dim onto orders, then rank within segment.  The
+    row_number ≤ 3 predicate is pushed INTO the shuffle by Spark's
+    WindowGroupLimit rule (verified in tests/test_plans.py): each map
+    task forwards at most k rows per segment, so the exchange carries
+    O(partitions × segments × k) rows instead of the full fact table —
+    the difference between a top-k and a global sort at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    from pyspark.sql import Window
+
+    j = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+    return (
+        j.select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
+_ORACLE_TOPK_JOIN = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+WHERE rk <= 3 ORDER BY c_mktsegment, rk
+"""
+
+QUERIES["topk_join"] = q_topk_join
+ORACLES["topk_join"] = _ORACLE_TOPK_JOIN

@@ -125,3 +125,36 @@ def test_bloom_prefilter_prunes_but_preserves_semantics(spark):
     assert "LeftSemi" in plan
     # the bloom build side is one tiny array broadcast, not a shuffle of the fact
     assert "BroadcastExchange" in plan
+
+
+def test_topk_join_group_limit_both_sides_of_shuffle(spark):
+    """topk_join's per-segment limit must appear BOTH map-side (Partial
+    WindowGroupLimit before the exchange — each task forwards ≤k rows
+    per key) and final-side, and the dim join must be broadcast."""
+    plan = formatted_plan(spark, "topk_join")
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_is_partial_topk_not_global_sort(spark):
+    """A-ES sampling must plan as TakeOrderedAndProject (per-partition
+    partial top-k, k rows to the driver merge) — a global Sort +
+    Exchange of the corpus would be the 100 TB failure mode."""
+    plan = formatted_plan(spark, "weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_funnel_windowed_reuses_user_partitioning(spark):
+    """The three chained per-user aggregations must hash-shuffle the
+    events fact at most once per source scan — follow-up joins and
+    re-aggregations are co-partitioned on user_id."""
+    plan = formatted_plan(spark, "funnel_windowed")
+    # 3 scans of events (t1/t2/t3 chain) → at most one hash exchange
+    # of each scan + broadcast/small exchanges; no range partitioning
+    fact_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning(user_id" in l
+    ]
+    assert len(fact_exchanges) <= 3
