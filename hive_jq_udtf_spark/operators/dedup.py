@@ -495,11 +495,25 @@ def _lsss_run(pairs: DataFrame, max_iter: int) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
+    def _observed_checkpoint(df: DataFrame) -> tuple[DataFrame, tuple]:
+        """Materialize df (eager localCheckpoint) and piggyback the
+        convergence stats (count, order-invariant xor-hash) on the
+        SAME job via observe() — zero extra actions per round."""
+        obs = Observation()
+        out = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return out, (m["n"], m["h"])
+
     # normalized undirected edge set: (hi, lo)
-    cur = (
+    cur, cur_stats = _observed_checkpoint(
         e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iter):
@@ -520,30 +534,24 @@ def _lsss_run(pairs: DataFrame, max_iter: int) -> DataFrame:
         # neighbor; link u and every smaller neighbor to m
         smins = lsn.groupBy("u").agg(F.min("v").alias("m"))
         j = lsn.join(smins, "u")
-        ss = (
+        # zero-extra-job fixed-point check: the normalized DISTINCT
+        # edge sets are equal iff (count, order-independent xor of
+        # xxhash64) agree; both ride the materialization job via
+        # observe() (bit_xor: no ANSI overflow, order-invariant,
+        # sound on distinct sets), and the previous round's stats are
+        # carried in Python instead of being recomputed.
+        ss, ss_stats = _observed_checkpoint(
             j.select(F.col("v").alias("a"), F.col("m").alias("b"))
             .union(j.select(F.col("u").alias("a"), F.col("m").alias("b")))
             .where(F.col("a") != F.col("b"))
             .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        # one-job fixed-point check: the normalized DISTINCT edge sets
-        # are equal iff (count, order-independent hash-xor) agree —
-        # far cheaper than two exceptAll scans per round (bit_xor:
-        # no ANSI overflow, order-invariant, sound on distinct sets)
-        def _stats(df: DataFrame):
-            r = df.agg(
-                F.count("*").alias("n"),
-                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-            ).first()
-            return (r["n"], r["h"])
-
-        if _stats(ss) == _stats(cur):
+        if ss_stats == cur_stats:
             cur = ss
             converged = True
             break
-        cur = ss
+        cur, cur_stats = ss, ss_stats
     if not converged:
         raise RuntimeError(
             f"connected_components_lsss did not converge in {max_iter} rounds"
