@@ -142,12 +142,13 @@ ORDER BY supplier_cnt DESC, p_brand
 def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join with an explicit Bloom pre-filter on the fact side.
 
-    Build: 3 xxhash64 positions per PROMO partkey into an m=2^16 slot
-    space, collapsed to one sorted distinct-position array (a few KB)
-    that broadcasts to every probe task. Probe: a lineitem row
-    survives only if ALL its 3 positions are present — no false
-    negatives, so the final exact semi join returns IDENTICAL results
-    to the plain semi join (the oracle).  This is the runtime-filter
+    Build: 3 xxhash64 positions per PROMO partkey into an m=2^16 bit
+    space, packed into a dense 1024-long bitmap (8 KB) that
+    broadcasts to every probe task. Probe: a lineitem row survives
+    only if ALL its 3 bits are set (O(1) word-index + bit-test per
+    position, pure codegen) — no false negatives, so the final exact
+    semi join returns IDENTICAL results to the plain semi join (the
+    oracle).  This is the runtime-filter
     shape Spark applies to shuffle joins at scale: the fact scan
     drops most rows before the exchange instead of after it.  The
     exact semi join still runs afterwards, so bloom false positives
@@ -163,24 +164,52 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    def position(col, seed):
-        return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m)).cast("long")
+    # positions as SQL fragments so BOTH sides hash identical types
+    # (xxhash64 is type-sensitive: an INT seed and a LONG seed hash
+    # differently — a mismatch would silently create false negatives)
+    def position_sql(col: str, seed: int) -> str:
+        return f"pmod(xxhash64({col}, {seed}L), {m})"
 
-    bset = promo_keys.select(
-        F.explode(F.array(*[position(F.col("p_partkey"), s) for s in seeds])).alias(
-            "pos"
+    # PACKED BITMAP, not a sorted position array: m bits as m/64
+    # longs.  The earlier array_contains form was an O(|set|) linear
+    # scan per probe (~3-4 s at sf0.1 with ~10k set positions); the
+    # bitmap probe is O(1) — word index + bit test, pure codegen
+    # (~0.1 s warm).  Build: per-position (word, bit) rows → bit_or
+    # per word → densify to a fixed 1024-long array via a transform
+    # over the word index (absent words → 0).  A HOF, but it runs
+    # ONCE over 1024 elements on the build side, never per probe row.
+    words = (
+        promo_keys.select(
+            F.explode(
+                F.array(
+                    *[F.expr(position_sql("p_partkey", s)) for s in seeds]
+                )
+            ).alias("pos")
         )
-    ).agg(F.array_sort(F.collect_set("pos")).alias("bset"))
-
-    # membership as an AND of plain array_contains conjuncts — NOT a
-    # forall() higher-order function: HOF lambdas drop out of
-    # whole-stage codegen and ran interpreted at ~50µs/row (33s at
-    # sf0.1); the conjunct form stays inside codegen (~1s)
+        .select(
+            F.expr("CAST(pos DIV 64 AS BIGINT) AS w"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT)) AS bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    bitmap = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("mp")
+    ).select(
+        F.expr(
+            f"transform(sequence(0L, {m // 64 - 1}L), i -> coalesce(mp[i], 0L))"
+            " AS bm"
+        )
+    )
     member = None
     for s in seeds:
-        c = F.array_contains(F.col("bset"), position(F.col("l_partkey"), s))
+        p = position_sql("l_partkey", s)
+        c = F.expr(
+            f"(shiftrightunsigned(bm[CAST({p} DIV 64 AS INT)],"
+            f" CAST({p} % 64 AS INT)) & 1L) = 1L"
+        )
         member = c if member is None else (member & c)
-    candidates = lineitem.join(F.broadcast(bset)).where(member).drop("bset")
+    candidates = lineitem.join(F.broadcast(bitmap)).where(member).drop("bm")
     return (
         candidates.join(
             F.broadcast(promo_keys),

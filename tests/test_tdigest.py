@@ -95,3 +95,22 @@ def test_spark_estimates_and_shuffle_shape(spark):
     assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
     before_exchange = plan.split("Exchange hashpartitioning", 1)[-1]
     assert "MapInPandas" in before_exchange  # digest below the exchange
+
+
+def test_vectorized_unit_digest_matches_bound():
+    from hive_jq_udtf_spark.operators.tdigest import digest_sorted_units
+
+    vals = RNG.lognormal(0.0, 2.0, size=100_000)
+    m, w = digest_sorted_units(vals, 200.0)
+    assert w.sum() == pytest.approx(vals.size)
+    assert (m * w).sum() == pytest.approx(vals.sum(), rel=1e-9)
+    assert m.size <= 2 * 200
+    svals = np.sort(vals)
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+        est = quantile(m, w, [q])[0]
+        assert abs(_rank(svals, est) - q) < 0.01, q
+    # degenerate shapes
+    m, w = digest_sorted_units(np.array([]), 100.0)
+    assert m.size == 0
+    m, w = digest_sorted_units(np.array([2.0]), 100.0)
+    assert (m.tolist(), w.tolist()) == ([2.0], [1.0])
