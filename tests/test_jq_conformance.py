@@ -339,6 +339,18 @@ EDGE_CASES = [
     ('{"a":{"b":1,"c":2}} * {"a":{"b":9}}', None, [{"a": {"b": 9, "c": 2}}]),
     ('[limit(1; 1, error("boom"))]', None, [[1]]),
     ('first(1, error("boom"))', None, [1]),
+    # early-exit laziness: these hang or error if limit/first/until
+    # materialize their generator before truncating
+    ("[limit(3; repeat(7))]", None, [[7, 7, 7]]),
+    ("first(range(1000000000))", None, [0]),
+    ("[first(empty)]", None, [[]]),
+    ('[limit(0; error("boom"))]', None, [[]]),
+    # format-applied string interpolation: the @format applies to each
+    # interpolated fragment, never to the literal text around it
+    ('{"x":"hi"} | @base64 "val: \\(.x)"', None, ["val: aGk="]),
+    ('{"a":"a b"} | @uri "k=\\(.a)"', None, ["k=a%20b"]),
+    ('@html "<p>\\("<b>")</p>"', None, ["<p>&lt;b&gt;</p>"]),
+    ('@sh "echo \\("it\'s")"', None, ["echo 'it'\\''s'"]),
     ("(.a, .b) = 1", {}, [{"a": 1, "b": 1}]),
     (".a[] = 0", {"a": [1, 2]}, [{"a": [0, 0]}]),
     ("del(.a[])", {"a": [1, 2], "b": 3}, [{"a": [], "b": 3}]),
