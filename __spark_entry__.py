@@ -58,6 +58,8 @@ _DRIVER_HEAD = [
     "weighted_sample",
     "funnel_windowed",
     "topk_join",
+    "triangle_count",
+    "stratified_topk_sample",
     "jw_linkage",
     "repetition_filter",
     "training_pipeline",
@@ -89,8 +91,6 @@ _DRIVER_HEAD = [
     "doc_fingerprints",
     "jq_assignment",
     "jq_reduce",
-    "jq_regex",
-    "minhash_neardup",
 ]
 
 

@@ -514,3 +514,91 @@ WHERE rk <= 3 ORDER BY c_mktsegment, rk
 
 QUERIES["topk_join"] = q_topk_join
 ORACLES["topk_join"] = _ORACLE_TOPK_JOIN
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the part co-occurrence graph (parts linked when
+    they appear in the same order).  Degree-ordered orientation caps
+    the wedge join at sum(outdeg²) ≤ m·√m — the skew-killer that
+    makes the count feasible when a hub part appears in millions of
+    orders (operators/graph.py).  The oracle counts the same
+    id-normalized triangles with a 3-way join (semantics, not
+    strategy)."""
+    from ..operators.graph import triangle_count
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    return triangle_count(edges)
+
+
+_ORACLE_TRIANGLES = """
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+       FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+nodes AS (SELECT u FROM e0 UNION SELECT v FROM e0)
+SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       (SELECT count(*) FROM e0) AS n_edges,
+       (SELECT count(*) FROM e0 e1
+        JOIN e0 e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN e0 e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+"""
+
+QUERIES["triangle_count"] = q_triangle_count
+ORACLES["triangle_count"] = _ORACLE_TRIANGLES
+
+
+# ---------------------------------------------------------------------------
+# Exact-k stratified sample (deterministic, group-limit pushdown)
+# ---------------------------------------------------------------------------
+
+
+def q_stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY k rows per stratum (vs stratified_sample's Bernoulli
+    rates, which only hit k in expectation): rank by the
+    deterministic md5 draw within each market segment, keep k=5.
+    row_number ≤ k plans as WindowGroupLimit — each map task forwards
+    at most k rows per stratum into the shuffle, so the exchange is
+    O(tasks × strata × k) regardless of table size."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+    )
+    return (
+        cust.select(
+            "c_mktsegment", "c_custkey", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") <= 5)
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
+_ORACLE_STRAT_TOPK = """
+SELECT c_mktsegment, c_custkey, rk
+FROM (
+  SELECT c_mktsegment, c_custkey,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY md5(c_custkey::VARCHAR), c_custkey) AS rk
+  FROM customer)
+WHERE rk <= 5 ORDER BY c_mktsegment, rk
+"""
+
+QUERIES["stratified_topk_sample"] = q_stratified_topk_sample
+ORACLES["stratified_topk_sample"] = _ORACLE_STRAT_TOPK

@@ -119,3 +119,53 @@ def test_pq_recall_vs_exact(spark):
     # The gate is that quantization carries real signal: ≥ 0.2 versus
     # the 0.01 random-guess baseline (5 of 500).
     assert hits / total >= 0.2, f"recall@5 {hits/total:.2f}"
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has 4 triangles; adding a pendant edge and a duplicate /
+    reversed / self-loop edge must change nothing."""
+    from hive_jq_udtf_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(3, 9), (1, 0), (2, 2), (0, 1)]  # pendant, rev-dup, loop, dup
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    row = triangle_count(df).first()
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (5, 7, 4)
+
+
+def test_triangle_count_triangle_free(spark):
+    from hive_jq_udtf_spark.operators.graph import triangle_count
+
+    # a path and a star: no triangles
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (10, 12), (10, 13)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).first()
+    assert row["n_triangles"] == 0 and row["n_edges"] == 6
+
+
+def test_triangle_count_empty(spark):
+    from hive_jq_udtf_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame([], "src long, dst long")
+    row = triangle_count(df).first()
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (0, 0, 0)
+
+
+def test_triangle_count_hub_skew(spark):
+    """Hub wheel: center 0 connected to a 40-cycle — 40 triangles.
+    Degree orientation points every spoke AWAY from the hub, so the
+    wedge join fans out over the cycle nodes (outdeg ≤ 3), not the
+    hub's degree-41."""
+    from hive_jq_udtf_spark.operators.graph import triangle_count
+
+    n = 40
+    spokes = [(0, i) for i in range(1, n + 1)]
+    cycle = [(i, i % n + 1) for i in range(1, n + 1)]
+    df = spark.createDataFrame(spokes + cycle, "src long, dst long")
+    row = triangle_count(df).first()
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (n + 1, 2 * n, n)

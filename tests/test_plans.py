@@ -158,3 +158,8 @@ def test_funnel_windowed_reuses_user_partitioning(spark):
         if "Exchange hashpartitioning(user_id" in l
     ]
     assert len(fact_exchanges) <= 3
+
+
+def test_stratified_topk_sample_group_limit(spark):
+    plan = formatted_plan(spark, "stratified_topk_sample")
+    assert plan.count("WindowGroupLimit") >= 2  # map-side partial + final
