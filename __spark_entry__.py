@@ -60,6 +60,7 @@ _DRIVER_HEAD = [
     "topk_join",
     "triangle_count",
     "stratified_topk_sample",
+    "semantic_dedup",
     "jw_linkage",
     "repetition_filter",
     "training_pipeline",
@@ -90,7 +91,6 @@ _DRIVER_HEAD = [
     "quality_score",
     "doc_fingerprints",
     "jq_assignment",
-    "jq_reduce",
 ]
 
 

@@ -605,3 +605,56 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("adc", 4).alias("adc"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids,  # numpy (C, dim) float64 — trained offline / supplied
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    coarse-cluster the corpus into centroid cells, then drop the
+    higher-id member of every WITHIN-CELL pair whose cosine ≥
+    threshold.  Returns the surviving (id, cell) rows.
+
+    This is the scale shape that makes embedding dedup tractable at
+    100 TB: the quadratic pairwise step is confined to one cell
+    (|cell| ≈ N/C — pick C so a cell's Gram fits an executor), the
+    corpus shuffles once on cell id, and cross-cell pairs are never
+    materialized (the documented recall trade-off vs the exact
+    pairwise_cosine operator).  Centroids are supplied externally and
+    assignment is deterministic (ties by cell id), so a SQL oracle
+    can replicate the pruning decision for decision.
+    """
+    cells = ivf_assign_cells(df, centroids, 1, vec_col, id_col).select(
+        id_col, "cell"
+    )
+    normed = with_norm(df, vec_col).select(
+        id_col, F.col("__vec_d").alias("v"), F.col("__norm").alias("n")
+    )
+    m = cells.join(normed, id_col)
+    a = m.select(
+        F.col("cell"),
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = m.select(
+        F.col("cell"),
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    losers = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return cells.join(losers, id_col, "left_anti").select(id_col, "cell")

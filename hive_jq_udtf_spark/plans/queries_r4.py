@@ -602,3 +602,78 @@ WHERE rk <= 5 ORDER BY c_mktsegment, rk
 
 QUERIES["stratified_topk_sample"] = q_stratified_topk_sample
 ORACLES["stratified_topk_sample"] = _ORACLE_STRAT_TOPK
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup: cluster-then-prune within centroid cells)
+# ---------------------------------------------------------------------------
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings corpus: 8 deterministic centroid
+    cells (first 8 corpus vectors, the ann_ivf_topk convention), drop
+    the higher id of every within-cell pair with cosine ≥ 0.4
+    (operators/similarity.py::semantic_dedup).  The quadratic step is
+    confined to one cell — the property that keeps embedding dedup
+    tractable at 100 TB — and the oracle replays assignment + pruning
+    decision for decision."""
+    import numpy as np
+
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.where(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    out = semantic_dedup(emb, centroids, threshold=0.4)
+    return (
+        out.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_survivors"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+            F.sum("vec_id").alias("id_sum"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _gen_semantic_dedup_oracle(
+    n_cells: int = 8, threshold: float = 0.4, dim: int = 64
+) -> str:
+    d2 = " + ".join(
+        f"(e.embedding[{i+1}]::DOUBLE - c.cv[{i+1}]::DOUBLE) * (e.embedding[{i+1}]::DOUBLE - c.cv[{i+1}]::DOUBLE)"
+        for i in range(dim)
+    )
+    norm = (
+        "sqrt("
+        + " + ".join(
+            f"embedding[{i+1}]::DOUBLE * embedding[{i+1}]::DOUBLE" for i in range(dim)
+        )
+        + ")"
+    )
+    pair_dot = " + ".join(
+        f"an.embedding[{i+1}]::DOUBLE * bn.embedding[{i+1}]::DOUBLE" for i in range(dim)
+    )
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {n_cells}),
+a AS (SELECT e.vec_id, c.cid, ({d2}) AS d2 FROM embeddings e CROSS JOIN cent c),
+r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a),
+cells AS (SELECT vec_id, cid AS cell FROM r WHERE rn = 1),
+n AS (SELECT vec_id, embedding, {norm} AS nrm FROM embeddings),
+losers AS (SELECT DISTINCT cb.vec_id
+           FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+           JOIN n an ON an.vec_id = ca.vec_id
+           JOIN n bn ON bn.vec_id = cb.vec_id
+           WHERE ({pair_dot}) / (an.nrm * bn.nrm) >= {threshold}),
+surv AS (SELECT c.vec_id, c.cell FROM cells c
+         LEFT JOIN losers l ON c.vec_id = l.vec_id WHERE l.vec_id IS NULL)
+SELECT cell, count(*) AS n_survivors, min(vec_id) AS min_id,
+       max(vec_id) AS max_id, CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM surv GROUP BY cell ORDER BY cell
+"""
+
+
+QUERIES["semantic_dedup"] = q_semantic_dedup
+ORACLES["semantic_dedup"] = _gen_semantic_dedup_oracle()

@@ -734,3 +734,27 @@ def test_cms_tight_width_still_one_sided(spark):
     rows = cms_heavy_hitters(docs, k=5, depth=4, width=8).collect()
     assert all(r.est_cnt >= r.true_cnt for r in rows)
     assert rows[0].true_cnt == 2000  # "hot" 50x in 40 docs
+
+
+def test_semantic_dedup_drops_within_cell_dups(spark):
+    """Identical vectors land in the same cell and the higher id is
+    dropped; a near-orthogonal vector survives even in the same cell;
+    cross-cell duplicates are NOT dropped (the documented recall
+    trade-off of cell confinement)."""
+    import numpy as np
+
+    from hive_jq_udtf_spark.operators.similarity import semantic_dedup
+
+    c0 = [1.0, 0.0, 0.0, 0.0]
+    c1 = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (10, [0.9, 0.1, 0.0, 0.0]),   # cell 0
+        (11, [0.9, 0.1, 0.0, 0.0]),   # duplicate of 10 -> dropped
+        (12, [0.0, 0.05, 0.9, 0.0]),  # cell 0-or-1 but orthogonal -> kept
+        (20, [0.1, 0.9, 0.0, 0.0]),   # cell 1
+        (21, [0.1, 0.9, 0.0, 0.0]),   # duplicate of 20 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, np.array([c0, c1]), threshold=0.95)
+    got = sorted(r["vec_id"] for r in out.collect())
+    assert got == [10, 12, 20]
