@@ -531,8 +531,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy)."""
     from ..operators.graph import triangle_count
 
+    # one ship-year of co-occurrences: the filter pushes to the scan
+    # and bounds the wedge set (the full-history graph is ~50× denser
+    # — wedge volume grows with sum(outdeg²), so scoping the graph is
+    # the knob, not the algorithm)
     li = (
         load_table(spark, sf_dir, "lineitem")
+        .where(F.year("l_shipdate") == 1995)
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -548,7 +553,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_TRIANGLES = """
-WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            WHERE year(l_shipdate) = 1995),
 e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
        FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
 nodes AS (SELECT u FROM e0 UNION SELECT v FROM e0)
