@@ -61,6 +61,8 @@ _DRIVER_HEAD = [
     "triangle_count",
     "stratified_topk_sample",
     "semantic_dedup",
+    "dedup_time_window",
+    "winsorized_stats",
     "jw_linkage",
     "repetition_filter",
     "training_pipeline",
@@ -89,8 +91,6 @@ _DRIVER_HEAD = [
     "simsearch_topk",
     "text_stats",
     "quality_score",
-    "doc_fingerprints",
-    "jq_assignment",
 ]
 
 

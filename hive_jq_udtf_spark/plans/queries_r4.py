@@ -683,3 +683,109 @@ FROM surv GROUP BY cell ORDER BY cell
 
 QUERIES["semantic_dedup"] = q_semantic_dedup
 ORACLES["semantic_dedup"] = _gen_semantic_dedup_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Batch time-window dedup (keep first of each burst)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of stream_dedup_watermark: per (user, event_type),
+    events arriving within 30 minutes of the previous one are burst
+    duplicates — keep only each burst's first event.  One window
+    (lag + gap flag) on a single hash exchange of (user_id,
+    event_type); the survivors aggregate on the SAME partitioning.
+    The keep-decision is the gaps-and-islands shape, so a SQL oracle
+    replays it row for row (vs the streaming variant's state-store
+    eviction, which only a rows-only check could see)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    keep = gap_us.isNull() | (gap_us >= 30 * 60 * 1_000_000)
+    kept = ev.select("user_id", "event_type", "ts", keep.alias("keep")).where(
+        "keep"
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_DEDUP_TW = """
+WITH m AS (
+  SELECT user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+kept AS (
+  SELECT * FROM m
+  WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE)
+SELECT event_type, count(*) AS n_kept,
+       count(DISTINCT user_id) AS n_users
+FROM kept GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["dedup_time_window"] = q_dedup_time_window
+ORACLES["dedup_time_window"] = _ORACLE_DEDUP_TW
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics
+# ---------------------------------------------------------------------------
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust per-group statistics: clamp l_extendedprice to
+    its group's [p05, p95] (winsorization), report mean before/after.
+    The percentile pass and the clamp pass share the group key, and
+    the tiny per-group bounds frame re-joins as a broadcast — the fact
+    table shuffles once.  (Exact percentiles by choice: the t-digest /
+    approx_percentile operators are the 100 TB substitutes; this
+    query's subject is the clamp semantics.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    )
+    j = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(bounds), "l_returnflag"
+    )
+    clamped = F.greatest(F.least(F.col("l_extendedprice"), F.col("hi")), F.col("lo"))
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l_extendedprice"), 4).alias("mean_raw"),
+            F.round(F.avg(clamped), 4).alias("mean_winsor"),
+            F.round(F.first("lo"), 4).alias("p05"),
+            F.round(F.first("hi"), 4).alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_WINSOR = """
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY 1)
+SELECT l.l_returnflag, count(*) AS n,
+       round(avg(l.l_extendedprice), 4) AS mean_raw,
+       round(avg(greatest(least(l.l_extendedprice, b.hi), b.lo)), 4)
+         AS mean_winsor,
+       round(any_value(b.lo), 4) AS p05,
+       round(any_value(b.hi), 4) AS p95
+FROM lineitem l JOIN b USING (l_returnflag)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["winsorized_stats"] = q_winsorized_stats
+ORACLES["winsorized_stats"] = _ORACLE_WINSOR
