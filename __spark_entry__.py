@@ -63,6 +63,7 @@ _DRIVER_HEAD = [
     "semantic_dedup",
     "dedup_time_window",
     "winsorized_stats",
+    "kcore",
     "jw_linkage",
     "repetition_filter",
     "training_pipeline",
@@ -90,7 +91,6 @@ _DRIVER_HEAD = [
     "neardup_jaccard",
     "simsearch_topk",
     "text_stats",
-    "quality_score",
 ]
 
 

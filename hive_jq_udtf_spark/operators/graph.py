@@ -76,3 +76,75 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .crossJoin(deg.agg(F.count("*").alias("n_nodes")))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    steps: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop
+    nodes with degree < k (and their edges) until stable.  Returns a
+    1-row frame (n_core_nodes, n_core_edges, converged).
+
+    Spark shape: each peel step is one degree aggregation + two
+    co-partitioned semi joins, all keyed on node id; the shrinking
+    edge set is localCheckpoint-ed per step (bounded lineage).  The
+    step count is CAPPED (``steps``) so a SQL oracle can unroll the
+    identical peel; the loop exits early once a peel removes nothing
+    (monotonicity makes the early exit result-identical to the full
+    unroll).  ``converged`` certifies a confirming no-op peel happened
+    within the cap — i.e. the true fixpoint needs depth ≤ steps−1 —
+    so a data set needing deeper peeling fails loudly (flag False,
+    caught by the oracle compare) instead of returning a non-core.
+    """
+    from pyspark.sql import Observation
+
+    def _peel_checkpoint(df: DataFrame) -> tuple[DataFrame, int]:
+        """Materialize a peel step and read its edge count off the
+        SAME job via observe() — the lsss convention (dedup.py)."""
+        obs = Observation()
+        out = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
+        )
+        return out, int(obs.get["n"])
+
+    e, n_edges = _peel_checkpoint(
+        edges.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    stable = n_edges == 0
+    for _ in range(steps):
+        if stable:
+            break
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .union(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("n")
+        e, n_after = _peel_checkpoint(
+            e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+        # peeling is monotone: an unchanged edge count IS the fixpoint
+        # (early exit yields the identical result to the full unroll)
+        stable = n_after == n_edges
+        n_edges = n_after
+    nodes = e.select(F.col("u").alias("n")).union(
+        e.select(F.col("v").alias("n"))
+    ).distinct()
+    return (
+        nodes.agg(F.count("*").alias("n_core_nodes"))
+        .crossJoin(e.agg(F.count("*").alias("n_core_edges")))
+        .select(
+            "n_core_nodes",
+            "n_core_edges",
+            F.lit(bool(stable)).alias("converged"),
+        )
+    )

@@ -789,3 +789,73 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["winsorized_stats"] = q_winsorized_stats
 ORACLES["winsorized_stats"] = _ORACLE_WINSOR
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peel, unrolled oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the 1995 part co-occurrence graph: iteratively peel
+    nodes with degree < 4 until stable (operators/graph.py::k_core;
+    measured peel depth 4/5/6 at sf0.001/0.01/0.1 — the 8-step cap
+    leaves room for the confirming no-op peel at every sf, and the
+    engine exits at the fixpoint instead of running the cap out).
+    The oracle unrolls the identical peel as chained MATERIALIZED
+    CTEs (the pagerank convention for iterative algorithms; extra
+    unrolled steps are no-ops past the fixpoint)."""
+    from ..operators.graph import k_core
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.year("l_shipdate") == 1995)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    return k_core(edges, k=4, steps=8)
+
+
+def _gen_kcore_oracle(k: int = 3, steps: int = 8) -> str:
+    # MATERIALIZED: DuckDB inlines plain CTEs, so a chained peel
+    # would expand 3^steps references to the base scan (observed as
+    # "Too many open files" at steps=8)
+    parts = [
+        """e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+       FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p)"""
+    ]
+    for i in range(steps + 1):  # one extra peel for the fixpoint check
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT n, count(*) AS d FROM "
+            f"(SELECT u AS n FROM e{i} UNION ALL SELECT v FROM e{i}) "
+            f"GROUP BY 1)"
+        )
+        parts.append(
+            f"e{i+1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e "
+            f"JOIN d{i} du ON du.n = e.u AND du.d >= {k} "
+            f"JOIN d{i} dv ON dv.n = e.v AND dv.d >= {k})"
+        )
+    n, n1 = steps, steps + 1
+    joined = ",\n".join(parts)
+    return f"""
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            WHERE year(l_shipdate) = 1995),
+{joined}
+SELECT (SELECT count(*) FROM (SELECT u FROM e{n} UNION SELECT v FROM e{n}))
+         AS n_core_nodes,
+       (SELECT count(*) FROM e{n}) AS n_core_edges,
+       (SELECT count(*) FROM e{n1}) = (SELECT count(*) FROM e{n})
+         AS converged
+"""
+
+
+QUERIES["kcore"] = q_kcore
+ORACLES["kcore"] = _gen_kcore_oracle(k=4)

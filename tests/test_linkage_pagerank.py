@@ -169,3 +169,35 @@ def test_triangle_count_hub_skew(spark):
     df = spark.createDataFrame(spokes + cycle, "src long, dst long")
     row = triangle_count(df).first()
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (n + 1, 2 * n, n)
+
+
+def test_kcore_known_graphs(spark):
+    """K4 ∪ pendant: 3-core is exactly K4.  A cycle has a 2-core
+    (itself) and an empty 3-core."""
+    from hive_jq_udtf_spark.operators.graph import k_core
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(3, 9), (9, 8)]  # pendant chain peels away
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    r = k_core(df, k=3, steps=4).first()
+    assert (r["n_core_nodes"], r["n_core_edges"], r["converged"]) == (4, 6, True)
+
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    df = spark.createDataFrame(cyc, "src long, dst long")
+    r2 = k_core(df, k=2, steps=2).first()
+    assert (r2["n_core_nodes"], r2["n_core_edges"], r2["converged"]) == (6, 6, True)
+    r3 = k_core(df, k=3, steps=2).first()
+    assert (r3["n_core_nodes"], r3["n_core_edges"], r3["converged"]) == (0, 0, True)
+
+
+def test_kcore_deep_chain_needs_steps(spark):
+    """A long path peels one layer per step from each end — with too
+    few steps the fixpoint certificate must come back False, never a
+    silently-wrong core."""
+    from hive_jq_udtf_spark.operators.graph import k_core
+
+    path = [(i, i + 1) for i in range(12)]
+    r = k_core(spark.createDataFrame(path, "src long, dst long"), k=2, steps=2).first()
+    assert r["converged"] is False
+    r = k_core(spark.createDataFrame(path, "src long, dst long"), k=2, steps=7).first()
+    assert r["converged"] is True and r["n_core_edges"] == 0
