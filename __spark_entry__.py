@@ -64,6 +64,7 @@ _DRIVER_HEAD = [
     "dedup_time_window",
     "winsorized_stats",
     "kcore",
+    "interval_overlap",
     "jw_linkage",
     "repetition_filter",
     "training_pipeline",
@@ -90,7 +91,6 @@ _DRIVER_HEAD = [
     "dedup_fingerprint",
     "neardup_jaccard",
     "simsearch_topk",
-    "text_stats",
 ]
 
 

@@ -51,3 +51,61 @@ def interval_join_bucketed(
         .where((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
         .drop("__b")
     )
+
+
+def interval_overlap_pairs(
+    intervals: DataFrame,
+    key: str,
+    id_col: str,
+    start: str,
+    end: str,
+    bucket_seconds: int = 30 * 86400,
+) -> DataFrame:
+    """Interval×interval OVERLAP self-join per key: every pair of
+    intervals (id_a < id_b) under the same key with
+    ``a.start <= b.end AND b.start <= a.end``, each pair emitted
+    EXACTLY ONCE.
+
+    Same bucketing idea as interval_join_bucketed, plus the
+    report-once trick that makes it shuffle-minimal: an overlapping
+    pair co-occupies every bucket their spans share, so a naive
+    bucket-join needs a distinct() over the (potentially huge) pair
+    stream; instead each pair is counted only in the ONE bucket
+    containing the overlap's start (max of the two starts) — a pure
+    filter, no dedup exchange.  Shuffle key is (key, bucket);
+    bucket_seconds tunes replication (≈ median interval span).
+    """
+    b = F.lit(bucket_seconds)
+    iv = intervals.select(
+        F.col(key).alias("k"),
+        F.col(id_col).alias("id"),
+        F.unix_timestamp(F.col(start)).alias("s"),
+        F.unix_timestamp(F.col(end)).alias("e"),
+    ).withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / b).cast("long"),
+                F.floor(F.col("e") / b).cast("long"),
+            )
+        ),
+    )
+    a = iv.select("k", "__b", F.col("id").alias("id_a"),
+                  F.col("s").alias("sa"), F.col("e").alias("ea"))
+    c = iv.select("k", "__b", F.col("id").alias("id_b"),
+                  F.col("s").alias("sb"), F.col("e").alias("eb"))
+    return (
+        a.join(c, ["k", "__b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
+        # report-once: only the bucket holding the overlap start emits
+        .where(
+            F.floor(F.greatest(F.col("sa"), F.col("sb")) / b).cast("long")
+            == F.col("__b")
+        )
+        .select(
+            F.col("k").alias(key),
+            "id_a",
+            "id_b",
+        )
+    )

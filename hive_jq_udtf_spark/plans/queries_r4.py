@@ -859,3 +859,56 @@ SELECT (SELECT count(*) FROM (SELECT u FROM e{n} UNION SELECT v FROM e{n}))
 
 QUERIES["kcore"] = q_kcore
 ORACLES["kcore"] = _gen_kcore_oracle(k=4)
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap join (bucketed, report-once)
+# ---------------------------------------------------------------------------
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-order detection: per customer, count pairs of
+    orders whose fulfillment windows [o_orderdate, max l_shipdate]
+    overlap (operators/range_join.py::interval_overlap_pairs).  The
+    bucketed self-join keeps the shuffle key (customer, month-bucket)
+    and the report-once filter emits each of the ~459k overlapping
+    pairs exactly once with NO distinct() exchange — the oracle is
+    the plain inequality theta-join (semantics, not strategy)."""
+    from ..operators.range_join import interval_overlap_pairs
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(
+            li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("ship_end")),
+            orders["o_orderkey"] == F.col("l_orderkey"),
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "ship_end")
+    )
+    pairs = interval_overlap_pairs(
+        iv, key="o_custkey", id_col="o_orderkey",
+        start="o_orderdate", end="ship_end",
+    )
+    return (
+        pairs.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_overlaps"))
+        .orderBy(F.desc("n_overlaps"), "o_custkey")
+        .limit(20)
+    )
+
+
+_ORACLE_INTERVAL_OVERLAP = """
+WITH iv AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate AS s,
+         max(l.l_shipdate) AS e
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3)
+SELECT a.o_custkey, count(*) AS n_overlaps
+FROM iv a JOIN iv b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.s <= b.e AND b.s <= a.e
+GROUP BY 1 ORDER BY n_overlaps DESC, a.o_custkey LIMIT 20
+"""
+
+QUERIES["interval_overlap"] = q_interval_overlap
+ORACLES["interval_overlap"] = _ORACLE_INTERVAL_OVERLAP

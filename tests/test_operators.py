@@ -758,3 +758,26 @@ def test_semantic_dedup_drops_within_cell_dups(spark):
     out = semantic_dedup(df, np.array([c0, c1]), threshold=0.95)
     got = sorted(r["vec_id"] for r in out.collect())
     assert got == [10, 12, 20]
+
+
+def test_interval_overlap_pairs_exactly_once(spark):
+    """Pairs spanning many shared buckets are emitted exactly once
+    (report-once filter, no dedup exchange); non-overlapping and
+    cross-key intervals never pair; touching endpoints DO overlap."""
+    from hive_jq_udtf_spark.operators.range_join import interval_overlap_pairs
+
+    rows = [
+        # key 1: a long interval overlapping two shorter ones
+        (1, 10, "2024-01-01 00:00:00", "2024-06-30 00:00:00"),
+        (1, 11, "2024-02-01 00:00:00", "2024-02-15 00:00:00"),
+        (1, 12, "2024-06-30 00:00:00", "2024-07-10 00:00:00"),  # touches 10
+        (1, 13, "2024-08-01 00:00:00", "2024-08-02 00:00:00"),  # disjoint
+        # key 2: same dates as 11 but different key -> no cross pair
+        (2, 21, "2024-02-01 00:00:00", "2024-02-15 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, id int, s string, e string"
+    ).select("k", "id", F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
+    out = interval_overlap_pairs(df, "k", "id", "s", "e", bucket_seconds=7 * 86400)
+    got = sorted((r["id_a"], r["id_b"]) for r in out.collect())
+    assert got == [(10, 11), (10, 12)]
