@@ -34,8 +34,47 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 3,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
-    """edges: one row per directed edge. Returns (node, rank)."""
+    """edges: one row per directed edge. Returns (node, rank).
+
+    shuffle_partitions: scope a shuffle width sized to the GRAPH
+    around the iteration (the connected_components_lsss convention,
+    dedup.py): per-iteration scheduling cost is per-partition, and a
+    rank frame of |V| rows pays the full relational default width
+    every step.  Measured at sf0.1 (21k nodes, 10 iters): width 64 →
+    ~8-13 s, width 8 → ~5.3 s.  Size to |V| / cluster at real scale.
+    The conf is restored before returning."""
+    import contextlib
+
+    spark = edges.sparkSession
+
+    @contextlib.contextmanager
+    def _scoped():
+        if shuffle_partitions is None:
+            yield
+            return
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    with _scoped():
+        return _pagerank_run(
+            edges, iterations, damping, src, dst, checkpoint_every
+        )
+
+
+def _pagerank_run(
+    edges: DataFrame,
+    iterations: int,
+    damping: float,
+    src: str,
+    dst: str,
+    checkpoint_every: int,
+) -> DataFrame:
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -81,5 +120,9 @@ def pagerank(
             (F.lit(base) + F.lit(damping) * F.col("s")).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+            # EAGER: executes the last few iterations' shuffles NOW,
+            # inside the scoped shuffle width (a lazy checkpoint would
+            # defer them to the caller's collect, after the conf is
+            # restored); the materialized frame is |V| rows — trivial
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -702,7 +702,9 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") + 1000000).alias("dst"),
     ).distinct()
     edges = sp.union(sp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    pr = pagerank(edges, iterations=10, damping=0.85)
+    # shuffle width scoped to the NODE set (21k at sf0.1) — the rank
+    # frame pays per-partition scheduling every iteration
+    pr = pagerank(edges, iterations=10, damping=0.85, shuffle_partitions=8)
     return (
         pr.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), "node")
