@@ -781,3 +781,29 @@ def test_interval_overlap_pairs_exactly_once(spark):
     out = interval_overlap_pairs(df, "k", "id", "s", "e", bucket_seconds=7 * 86400)
     got = sorted((r["id_a"], r["id_b"]) for r in out.collect())
     assert got == [(10, 11), (10, 12)]
+
+
+def test_new_operators_tolerate_empty_inputs(spark):
+    """ANSI-mode probes: empty frames through every wave-2 operator
+    (Spark 4 throws on div-by-zero/overflow — an empty aggregate or
+    an unguarded division would surface here)."""
+    import numpy as np
+
+    from hive_jq_udtf_spark.operators.graph import k_core, triangle_count
+    from hive_jq_udtf_spark.operators.range_join import interval_overlap_pairs
+    from hive_jq_udtf_spark.operators.similarity import semantic_dedup
+    from hive_jq_udtf_spark.operators.tdigest import tdigest_quantiles
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    r = k_core(empty_edges, k=3, steps=3).first()
+    assert (r["n_core_nodes"], r["n_core_edges"], r["converged"]) == (0, 0, True)
+    assert triangle_count(empty_edges).first()["n_triangles"] == 0
+
+    empty_iv = spark.createDataFrame([], "k int, id int, s timestamp, e timestamp")
+    assert interval_overlap_pairs(empty_iv, "k", "id", "s", "e").count() == 0
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semantic_dedup(empty_emb, np.array([[1.0, 0.0]]), 0.9).count() == 0
+
+    empty_vals = spark.createDataFrame([], "g string, x double")
+    assert tdigest_quantiles(empty_vals, "g", "x", [0.5]).count() == 0
