@@ -274,10 +274,22 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            # price sums reach ~e9 at sf0.1; round(double-sum, 4)
+            # there is add-order-sensitive (see region_revenue note) —
+            # sum exactly in DECIMAL, round, cast back
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(30,6)")), 4)
+            .cast("double")
+            .alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(30,6)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
@@ -288,8 +300,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 4) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 4) AS DOUBLE)
+         AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,6))), 4) AS DOUBLE)
+         AS sum_disc_price,
        round(avg(l_quantity), 4) AS avg_qty,
        count(*) AS count_order
 FROM lineitem
@@ -347,9 +362,24 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
+            # DECIMAL sum, not double: at sf0.1 the ~600k-term double
+            # sum reaches 5.9e9, where round(..., 4) demands 17
+            # significant digits — beyond double, so the shuffle's
+            # nondeterministic add order flipped the last rounded
+            # digit between runs.  Per-row product in double is
+            # order-free; casting it to DECIMAL(30,6) (product has ≤4
+            # true decimal digits, so the cast is unambiguous) makes
+            # the SUM exact and order-independent on both engines.
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(30,6)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("r_name")
@@ -358,7 +388,8 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_REGION_REVENUE = """
 SELECT r_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,6))), 4) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -380,13 +411,17 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 2)
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 4).alias("sum_top2_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,6)")), 4)
+            .cast("double")
+            .alias("sum_top2_price"),
         )
     )
 
 
 _ORACLE_WINDOW_TOPK = """
-SELECT count(*) AS n, round(sum(o_totalprice), 4) AS sum_top2_price
+SELECT count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 4) AS DOUBLE)
+         AS sum_top2_price
 FROM (SELECT o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
