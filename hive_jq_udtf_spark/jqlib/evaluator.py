@@ -721,11 +721,324 @@ Fn = Callable[[Any, Env], Iterable]
 
 
 def compile_node(node: AST) -> Fn:
+    s = compile_scalar(node)
+    if s is not None:
+        # provably single-output subtree: one tuple-returning closure
+        # for the WHOLE subtree instead of one generator frame per
+        # node (generator create/resume dominated the Python-tier
+        # profile at ~60 µs/row on reduce/gsub-style programs)
+        def f(v, e, _s=s):
+            return (_s(v, e),)
+
+        return f
+    return _compile_node_raw(node)
+
+
+def _compile_node_raw(node: AST) -> Fn:
     tag = node[0]
     c = _COMPILERS.get(tag)
     if c is None:
         raise JQSyntaxError(f"cannot compile node {tag}")
     return c(node)
+
+
+# ---------------------------------------------------------------------------
+# Scalar fast path: compile_scalar(node) returns fn(v, e) -> value for
+# subtrees that ALWAYS produce exactly one output value (never empty,
+# never fan-out), or None when that cannot be proven.  Semantics are
+# identical to the generator compilers below, including evaluation
+# order (binop evaluates the RIGHT operand first, matching the
+# generator's outer loop) and error behavior.  `empty`, `select`,
+# iteration, try/catch, label/break and slices are never scalar.
+# ---------------------------------------------------------------------------
+
+# builtins whose output is exactly one value whenever every argument
+# stream is single (gsub/sub fan out only through a multi-output
+# replacement, which the all-args-scalar requirement excludes).
+# map/sort_by/group_by/... collect into ONE array regardless of the
+# per-element fan-out of their filter argument, but the argument must
+# still be proven non-empty-safe, so we require scalar args uniformly.
+_SCALAR_CALL_WHITELIST = {
+    ("length", 0), ("utf8bytelength", 0), ("not", 0), ("type", 0),
+    ("tostring", 0), ("tojson", 0), ("tonumber", 0),
+    ("ascii_downcase", 0), ("ascii_upcase", 0),
+    ("explode", 0), ("implode", 0),
+    ("floor", 0), ("ceil", 0), ("sqrt", 0), ("fabs", 0),
+    ("keys", 0), ("keys_unsorted", 0), ("reverse", 0),
+    ("sort", 0), ("unique", 0), ("min", 0), ("max", 0), ("add", 0),
+    ("to_entries", 0), ("from_entries", 0), ("flatten", 0),
+    ("test", 1), ("test", 2), ("startswith", 1), ("endswith", 1),
+    ("ltrimstr", 1), ("rtrimstr", 1), ("split", 1), ("join", 1),
+    ("has", 1), ("contains", 1), ("inside", 1), ("flatten", 1),
+    ("gsub", 2), ("gsub", 3), ("sub", 2), ("sub", 3),
+    ("map", 1), ("map_values", 1), ("sort_by", 1), ("group_by", 1),
+    ("unique_by", 1), ("min_by", 1), ("max_by", 1),
+}
+
+# user funcdefs can shadow any builtin at runtime (_c_call resolves
+# through the env first), so call-whitelisting is only sound when the
+# program being compiled contains no funcdefs at all.  Set per
+# JQProgram compile under _COMPILE_FLAG_LOCK.
+_SCALAR_CALLS_OK = False
+_COMPILE_FLAG_LOCK = __import__("threading").RLock()
+
+
+def _scalar_from_node_fn(fn: Fn):
+    def s(v, e):
+        it = fn(v, e)
+        if type(it) is tuple:
+            return it[0]
+        for x in it:
+            return x
+        raise JQError("internal: single-output node produced no value")
+
+    return s
+
+
+def compile_scalar(node: AST):
+    tag = node[0]
+    if tag == "identity":
+        return lambda v, e: v
+    if tag == "literal":
+        val = node[1]
+        return lambda v, e: val
+    if tag == "field":
+        name = node[1]
+
+        def s_field(v, e):
+            if v is None:
+                return None
+            if isinstance(v, dict):
+                return v.get(name)
+            raise JQError(f'Cannot index {typename(v)} with "{name}"')
+
+        return s_field
+    if tag == "var":
+        name = node[1]
+        return lambda v, e: e.get_var(name)
+    if tag == "index":
+        sidx = compile_scalar(node[1])
+        if sidx is None:
+            return None
+        return lambda v, e: do_index(v, sidx(v, e))
+    if tag == "index_on":
+        stgt = compile_scalar(node[1])
+        if stgt is None:
+            return None
+        sidx = compile_scalar(node[2])
+        if sidx is None:
+            return None
+
+        def s_index_on(v, e):
+            iv = sidx(v, e)  # index first: generator iterates it outer
+            return do_index(stgt(v, e), iv)
+
+        return s_index_on
+    if tag == "format":
+        name = node[1]
+        return lambda v, e: apply_format(name, v)
+    if tag == "neg":
+        sa = compile_scalar(node[1])
+        if sa is None:
+            return None
+
+        def s_neg(v, e):
+            av = sa(v, e)
+            if not _is_num(av):
+                raise JQError(f"{_desc(av)} cannot be negated")
+            return -av
+
+        return s_neg
+    if tag == "pipe":
+        sa = compile_scalar(node[1])
+        if sa is None:
+            return None
+        sb = compile_scalar(node[2])
+        if sb is None:
+            return None
+        return lambda v, e: sb(sa(v, e), e)
+    if tag == "binop":
+        op = node[1]
+        sa = compile_scalar(node[2])
+        if sa is None:
+            return None
+        sb = compile_scalar(node[3])
+        if sb is None:
+            return None
+        cmp_fn = _CMP_RESULT.get(op)
+        if cmp_fn is not None:
+
+            def s_cmp(v, e):
+                bv = sb(v, e)  # right first: generator iterates b outer
+                return cmp_fn(cmp_values(sa(v, e), bv))
+
+            return s_cmp
+        if op == "+":
+
+            def s_add(v, e):
+                bv = sb(v, e)
+                return op_add(sa(v, e), bv)
+
+            return s_add
+
+        def s_arith(v, e):
+            bv = sb(v, e)
+            return op_arith(op, sa(v, e), bv)
+
+        return s_arith
+    if tag == "and":
+        sa = compile_scalar(node[1])
+        sb = compile_scalar(node[2]) if sa is not None else None
+        if sa is None or sb is None:
+            return None
+
+        def s_and(v, e):
+            if not is_truthy(sa(v, e)):
+                return False
+            return is_truthy(sb(v, e))
+
+        return s_and
+    if tag == "or":
+        sa = compile_scalar(node[1])
+        sb = compile_scalar(node[2]) if sa is not None else None
+        if sa is None or sb is None:
+            return None
+
+        def s_or(v, e):
+            if is_truthy(sa(v, e)):
+                return True
+            return is_truthy(sb(v, e))
+
+        return s_or
+    if tag == "alt":
+        sa = compile_scalar(node[1])
+        sb = compile_scalar(node[2]) if sa is not None else None
+        if sa is None or sb is None:
+            return None
+
+        def s_alt(v, e):
+            try:
+                av = sa(v, e)
+            except JQBreak:
+                raise
+            except JQError:
+                return sb(v, e)
+            if is_truthy(av):
+                return av
+            return sb(v, e)
+
+        return s_alt
+    if tag == "string":
+        parts, fmt = node[1], node[2]
+        fmt_name = fmt if fmt else "@text"
+        compiled = []
+        for p in parts:
+            if isinstance(p, str):
+                compiled.append(p)
+            else:
+                sp = compile_scalar(p)
+                if sp is None:
+                    return None
+                compiled.append(sp)
+
+        def s_str(v, e):
+            acc = ""
+            for p in compiled:
+                acc += p if isinstance(p, str) else apply_format(fmt_name, p(v, e))
+            return acc
+
+        return s_str
+    if tag == "object":
+        entries = []
+        for k, val in node[1]:
+            sk = compile_scalar(k)
+            if sk is None:
+                return None
+            sv = compile_scalar(val)
+            if sv is None:
+                return None
+            entries.append((sk, sv))
+
+        def s_obj(v, e):
+            out = {}
+            for kfn, vfn in entries:
+                kv = kfn(v, e)
+                if not isinstance(kv, str):
+                    raise JQError("Object keys must be strings")
+                out[kv] = vfn(v, e)
+            return out
+
+        return s_obj
+    if tag == "array":
+        body = compile_node(node[1]) if node[1] is not None else None
+        if body is None:
+            return lambda v, e: []
+        return lambda v, e: [*body(v, e)]
+    if tag == "if":
+        sbranches = []
+        for c, t in node[1]:
+            sc = compile_scalar(c)
+            if sc is None:
+                return None
+            st = compile_scalar(t)
+            if st is None:
+                return None
+            sbranches.append((sc, st))
+        sels = None
+        if node[2] is not None:
+            sels = compile_scalar(node[2])
+            if sels is None:
+                return None
+
+        def s_if(v, e):
+            for sc, st in sbranches:
+                if is_truthy(sc(v, e)):
+                    return st(v, e)
+            return v if sels is None else sels(v, e)
+
+        return s_if
+    if tag == "as":
+        patterns = node[2]
+        if len(patterns) != 1 or patterns[0][0] != "pvar":
+            return None
+        ssrc = compile_scalar(node[1])
+        if ssrc is None:
+            return None
+        sbody = compile_scalar(node[3])
+        if sbody is None:
+            return None
+        name = patterns[0][1]
+        return lambda v, e: sbody(v, e.bind_var(name, ssrc(v, e)))
+    if tag == "reduce":
+        if node[2][0] != "pvar":
+            return None
+        sinit = compile_scalar(node[3])
+        if sinit is None:
+            return None
+        supdate = compile_scalar(node[4])
+        if supdate is None:
+            return None
+        src = compile_node(node[1])
+        name = node[2][1]
+
+        def s_reduce(v, e):
+            acc = sinit(v, e)
+            for sv in src(v, e):
+                acc = supdate(acc, e.bind_var(name, sv))
+            return acc
+
+        return s_reduce
+    if tag == "call":
+        if not _SCALAR_CALLS_OK:
+            return None
+        _, name, args = node
+        if (name, len(args)) not in _SCALAR_CALL_WHITELIST:
+            return None
+        for a in args:
+            if compile_scalar(a) is None:
+                return None
+        return _scalar_from_node_fn(_compile_node_raw(node))
+    return None
 
 
 def _c_identity(node):
@@ -792,6 +1105,14 @@ def _c_slice_on(node):
 
 
 def _c_iterate_on(node):
+    stgt = compile_scalar(node[1])
+    if stgt is not None:
+        # scalar target: hand back do_iterate's list directly — no
+        # generator frame for the `.x[]` shape
+        def f_scalar(v, e):
+            return do_iterate(stgt(v, e))
+
+        return f_scalar
     target_fn = compile_node(node[1])
 
     def f(v, e):
@@ -2896,6 +3217,20 @@ _orig_c_call = _c_call
 
 def _c_call_dispatch(node):
     _, name, args = node
+    if name == "select" and len(args) == 1 and _SCALAR_CALLS_OK:
+        # lean select: scalar condition → no arg-stream machinery,
+        # no runtime get_func lookup (sound only when the program has
+        # no funcdefs that could shadow `select` — same gate as the
+        # scalar call whitelist)
+        scond = compile_scalar(args[0])
+        if scond is not None:
+
+            def f_select(v, e):
+                if is_truthy(scond(v, e)):
+                    return (v,)
+                return ()
+
+            return f_select
     if name == "path" and len(args) == 1:
         return _c_call_path(node)
     if name == "del" and len(args) == 1:
@@ -3068,7 +3403,16 @@ class JQProgram:
     def __init__(self, source: str):
         self.source = source
         self._ast = parse(source)
-        self._fn = compile_node(self._ast)
+        # the scalar fast path may whitelist builtin CALLS only when
+        # the program cannot shadow them with its own funcdefs; the
+        # flag is module-global, so serialize compiles around it
+        global _SCALAR_CALLS_OK
+        with _COMPILE_FLAG_LOCK:
+            _SCALAR_CALLS_OK = not _ast_has_funcdef(self._ast)
+            try:
+                self._fn = compile_node(self._ast)
+            finally:
+                _SCALAR_CALLS_OK = False
 
     def __call__(self, value: Any, vars: dict | None = None) -> list:
         return list(self.iter(value, vars))
@@ -3086,6 +3430,16 @@ class JQProgram:
         for x in self.iter(value, vars):
             return x
         return None
+
+
+def _ast_has_funcdef(node) -> bool:
+    if isinstance(node, tuple):
+        if node and node[0] == "funcdef":
+            return True
+        return any(_ast_has_funcdef(c) for c in node)
+    if isinstance(node, list):
+        return any(_ast_has_funcdef(c) for c in node)
+    return False
 
 
 _COMPILE_CACHE: dict[str, JQProgram] = {}
