@@ -412,7 +412,23 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # lineage (e.g. a similarity join) re-executes per iteration.
     edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
     sym = edges.union(edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-    labels = (
+    from pyspark.sql import Observation
+
+    def _observed_checkpoint(df: DataFrame) -> tuple[DataFrame, tuple]:
+        """Materialize a label frame and read its fixed-point stats
+        (count + order-invariant xor hash of (id, comp)) off the SAME
+        job via observe() — no per-iteration join + limit-count job
+        (the lsss convention below)."""
+        obs = Observation()
+        out = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("id", "comp")).alias("h"),
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return out, (m["n"], m["h"])
+
+    labels, stats = _observed_checkpoint(
         sym.select(F.col("doc_a").alias("id"))
         .union(sym.select(F.col("doc_b").alias("id")))
         .distinct()
@@ -426,16 +442,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
         )
-        changed = (
-            prop.alias("p")
-            .join(labels.alias("l"), "id")
-            .where(F.col("p.comp") != F.col("l.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = prop.localCheckpoint(eager=True) if changed else prop
-        if not changed:
+        # labels are min-monotone and the id set is fixed, so equal
+        # (count, xor-hash) across rounds IS the fixed point
+        labels, new_stats = _observed_checkpoint(prop)
+        if new_stats == stats:
             break
+        stats = new_stats
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 
