@@ -720,8 +720,11 @@ def _captures_object(m: re.Match) -> dict:
 Fn = Callable[[Any, Env], Iterable]
 
 
+_DISABLE_SCALAR = False  # test hook: force the generator compilers
+
+
 def compile_node(node: AST) -> Fn:
-    s = compile_scalar(node)
+    s = None if _DISABLE_SCALAR else compile_scalar(node)
     if s is not None:
         # provably single-output subtree: one tuple-returning closure
         # for the WHOLE subtree instead of one generator frame per
