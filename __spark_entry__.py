@@ -65,6 +65,7 @@ _DRIVER_HEAD = [
     "winsorized_stats",
     "kcore",
     "interval_overlap",
+    "sliding_chunks",
     "jw_linkage",
     "repetition_filter",
     "training_pipeline",
@@ -90,7 +91,6 @@ _DRIVER_HEAD = [
     "dedup_exact",
     "dedup_fingerprint",
     "neardup_jaccard",
-    "simsearch_topk",
 ]
 
 

@@ -493,3 +493,61 @@ def quality_classify(
     return f.withColumn("q_score", score).withColumn(
         "q_pass", F.col("q_score") >= F.lit(threshold)
     )
+
+
+def sliding_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping sliding-window chunking — the RAG / embedding-prep
+    shape: windows of ``chunk_tokens`` whitespace tokens starting
+    every ``stride`` tokens (overlap = chunk_tokens − stride), plus a
+    short tail chunk so every token lands in ≥1 chunk.
+
+    Pure codegen: tokenize once, generate the start offsets with
+    ``sequence`` and slice per start — one narrow projection and one
+    explode, no Python worker and no shuffle at all (chunking is
+    embarrassingly parallel; the explode multiplies rows ~n/stride,
+    which the downstream consumer controls via stride).  Start
+    offsets beyond the first are dropped when they'd produce a chunk
+    fully contained in the previous one (start ≥ n_tokens ⇒ no new
+    tokens).
+
+    Returns (id, chunk_id, start_tok, n_toks, chunk_text).
+    """
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError("require 0 < stride <= chunk_tokens")
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    d = docs.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__n", F.size("__toks")
+    )
+    # starts: 0, stride, 2·stride, … while start < n (never empty:
+    # an empty document still yields start 0 with an empty chunk,
+    # filtered below)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("__n") - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    ch = d.select(
+        id_col,
+        "__n",
+        "__toks",
+        F.posexplode(starts).alias("chunk_id", "start_tok"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("start_tok") + 1, chunk_tokens)
+    return (
+        ch.where(F.col("__n") > 0)
+        .select(
+            id_col,
+            "chunk_id",
+            "start_tok",
+            F.size(piece).alias("n_toks"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )

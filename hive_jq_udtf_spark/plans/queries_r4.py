@@ -916,3 +916,56 @@ GROUP BY 1 ORDER BY n_overlaps DESC, a.o_custkey LIMIT 20
 
 QUERIES["interval_overlap"] = q_interval_overlap
 ORACLES["interval_overlap"] = _ORACLE_INTERVAL_OVERLAP
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (RAG / embedding prep)
+# ---------------------------------------------------------------------------
+
+
+def q_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token chunks with stride 24 (25% overlap) over
+    the documents corpus (operators/text.py::sliding_chunks) — pure
+    codegen, zero shuffles before the ordered sample.  Chunk text is
+    md5-prefixed so the gate is content-sensitive while the compared
+    frame stays narrow."""
+    from ..operators.text import sliding_chunks
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    ch = sliding_chunks(docs, chunk_tokens=32, stride=24)
+    return (
+        ch.select(
+            "doc_id",
+            "chunk_id",
+            "start_tok",
+            "n_toks",
+            F.substring(F.md5("chunk_text"), 1, 8).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_ORACLE_SLIDING_CHUNKS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 40),
+s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, greatest(len(toks) - 1, 0) + 1, 24)) AS start_tok,
+         generate_subscripts(range(0, greatest(len(toks) - 1, 0) + 1, 24), 1) - 1
+           AS chunk_id
+  FROM t WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id, chunk_id, start_tok,
+         toks[start_tok + 1 : start_tok + 32] AS piece
+  FROM s)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(start_tok AS INTEGER) AS start_tok,
+       CAST(len(piece) AS INTEGER) AS n_toks,
+       substr(md5(array_to_string(piece, ' ')), 1, 8) AS chunk_md5
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+QUERIES["sliding_chunks"] = q_sliding_chunks
+ORACLES["sliding_chunks"] = _ORACLE_SLIDING_CHUNKS

@@ -807,3 +807,36 @@ def test_new_operators_tolerate_empty_inputs(spark):
 
     empty_vals = spark.createDataFrame([], "g string, x double")
     assert tdigest_quantiles(empty_vals, "g", "x", [0.5]).count() == 0
+
+
+def test_sliding_chunks_coverage_and_overlap(spark):
+    """Every token lands in >=1 chunk; adjacent chunks overlap by
+    chunk_tokens - stride; short tails kept; empty docs dropped."""
+    from hive_jq_udtf_spark.operators.text import sliding_chunks
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    rows = sliding_chunks(df, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,3,6,9 -> sizes 4,4,4,1
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["start_tok"] for r in d1] == [0, 3, 6, 9]
+    assert [r["n_toks"] for r in d1] == [4, 4, 4, 1]
+    # coverage: union of [start, start+n) == all 10 token positions
+    covered = set()
+    for r in d1:
+        covered |= set(range(r["start_tok"], r["start_tok"] + r["n_toks"]))
+    assert covered == set(range(10))
+    # overlap: consecutive chunks share chunk_tokens - stride tokens
+    assert d1[0]["chunk_text"].split()[3] == d1[1]["chunk_text"].split()[0]
+    # doc 2: one short chunk; doc 3 (empty): none
+    assert [r["n_toks"] for r in by_doc[2]] == [2]
+    assert 3 not in by_doc
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sliding_chunks(df, chunk_tokens=4, stride=5)
