@@ -66,6 +66,7 @@ _DRIVER_HEAD = [
     "kcore",
     "interval_overlap",
     "sliding_chunks",
+    "bpe_merge_candidates",
     "jw_linkage",
     "repetition_filter",
     "training_pipeline",
@@ -90,7 +91,6 @@ _DRIVER_HEAD = [
     "semi_anti_join",
     "dedup_exact",
     "dedup_fingerprint",
-    "neardup_jaccard",
 ]
 
 

@@ -969,3 +969,70 @@ FROM c ORDER BY doc_id, chunk_id
 
 QUERIES["sliding_chunks"] = q_sliding_chunks
 ORACLES["sliding_chunks"] = _ORACLE_SLIDING_CHUNKS
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate mining (tokenizer-training step 1)
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First round of BPE training: count adjacent symbol pairs
+    inside words (symbols = characters at round 0) across the corpus
+    and rank the top merge candidates.  Shape: words dedup to a
+    (word, count) table FIRST — the classic BPE trick, pair counting
+    is then proportional to VOCABULARY size, not corpus size — and
+    the pair explode is a pure codegen transform over the word's
+    character array.  Everything before the final top-k is two
+    map-side-combinable aggregations."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), r"[^a-z]+"),
+                    lambda w: w != F.lit(""),
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    chars = F.split(F.col("word"), "")
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(word) - 1),"
+                " i -> concat(substring(word, i, 1), ' ',"
+                "             substring(word, i + 1, 1)))"
+            )
+        ).alias("pair"),
+    ).where(F.char_length("word") >= 2)
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(25)
+    )
+
+
+_ORACLE_BPE = r"""
+WITH words AS (
+  SELECT w AS word, count(*) AS wc
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY 1),
+pairs AS (
+  SELECT wc,
+         unnest(list_transform(range(1, length(word)),
+                               i -> substr(word, i, 1) || ' ' ||
+                                    substr(word, i + 1, 1))) AS pair
+  FROM words WHERE length(word) >= 2)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 25
+"""
+
+QUERIES["bpe_merge_candidates"] = q_bpe_merge_candidates
+ORACLES["bpe_merge_candidates"] = _ORACLE_BPE

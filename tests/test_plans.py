@@ -163,3 +163,28 @@ def test_funnel_windowed_reuses_user_partitioning(spark):
 def test_stratified_topk_sample_group_limit(spark):
     plan = formatted_plan(spark, "stratified_topk_sample")
     assert plan.count("WindowGroupLimit") >= 2  # map-side partial + final
+
+
+def test_interval_overlap_no_cartesian(spark):
+    """The overlap self-join must be a hash join on (key, bucket) —
+    never a nested-loop/cartesian over the interval table."""
+    plan = formatted_plan(spark, "interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sliding_chunks_no_shuffle_before_sort(spark):
+    """Chunking is embarrassingly parallel: the only exchange in the
+    plan is the final presentation sort's range partitioning."""
+    plan = formatted_plan(spark, "sliding_chunks")
+    import re
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), exchanges
+
+
+def test_semantic_dedup_confines_quadratic_join_to_cells(spark):
+    """The pairwise join must key on the cell id (hash join), and the
+    corpus must reach it through the one mapInPandas assignment."""
+    plan = formatted_plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
