@@ -67,6 +67,7 @@ _DRIVER_HEAD = [
     "interval_overlap",
     "sliding_chunks",
     "bpe_merge_candidates",
+    "jq_native_reduce",
     "jw_linkage",
     "repetition_filter",
     "training_pipeline",
@@ -90,7 +91,6 @@ _DRIVER_HEAD = [
     "setops",
     "semi_anti_join",
     "dedup_exact",
-    "dedup_fingerprint",
 ]
 
 

@@ -54,6 +54,7 @@ _SPEC_KINDS = {
     "strpred",
     "ifelse",
     "splitidx",
+    "reduce",
 }
 
 
@@ -155,6 +156,8 @@ def _flatten(ast: AST, out: list) -> bool:
                 proj[k_ast[1]] = ("splitidx",) + si
             elif (ie := _as_ifelse(v_ast)) is not None:
                 proj[k_ast[1]] = ("ifelse",) + ie
+            elif (rd := _as_reduce(v_ast)) is not None:
+                proj[k_ast[1]] = ("reduce",) + rd
             else:
                 return False
         out.append(("project", proj))
@@ -398,6 +401,79 @@ def _as_arrayfn(ast: AST):
     if args:
         return None
     return (path, name, ())
+
+
+def _as_reduce(ast: AST):
+    """``reduce .path[] as $v (INIT; UPDATE)`` with a numeric INIT
+    and an arithmetic UPDATE over ``.`` (the accumulator), ``$v`` and
+    numeric literals (+ − * /) → (path, init, update_ast, varname),
+    else None.  Compiles to a Catalyst ``aggregate()`` fold over the
+    once-parsed array — custom reductions (sum of squares, weighted
+    folds) stay JVM-side, generalizing the fixed ``add`` arrayfn.
+
+    jq deltas are the documented cast-garbage class shared by every
+    arrayfn: jq ABORTS on a null/typed-wrong element (number + null)
+    or division by zero, this tier propagates NULL / IEEE inf which
+    the declared-type try_cast turns into NULL."""
+    if ast[0] != "reduce":
+        return None
+    src, pat, init, upd = ast[1], ast[2], ast[3], ast[4]
+    if pat[0] != "pvar" or src[0] != "iterate_on":
+        return None
+    path = _as_path(src[1])
+    if not path or not all(isinstance(s, str) for s in path):
+        return None
+    if path[0] in _SPEC_KINDS:
+        return None
+    d = _scalar_literal(init)
+    if d is None or not isinstance(d[0], (int, float)) or isinstance(d[0], bool):
+        return None
+    if not _reduce_update_ok(upd, pat[1]):
+        return None
+    return (path, d[0], upd, pat[1])
+
+
+def _reduce_update_ok(ast: AST, var: str) -> bool:
+    tag = ast[0]
+    if tag == "identity":
+        return True
+    if tag == "var":
+        return ast[1] == var
+    if tag == "literal":
+        return isinstance(ast[1], (int, float)) and not isinstance(ast[1], bool)
+    if tag == "neg":
+        return _reduce_update_ok(ast[1], var)
+    if tag == "binop" and ast[1] in ("+", "-", "*", "/"):
+        return _reduce_update_ok(ast[2], var) and _reduce_update_ok(ast[3], var)
+    return False
+
+
+def _reduce_col(json_col: Column, path: Path, init, upd: AST) -> Column:
+    raw = F.get_json_object(json_col, _json_path(path))
+    arr = F.from_json(raw, T.ArrayType(T.DoubleType()))
+
+    def build(a: AST, acc: Column, x: Column) -> Column:
+        tag = a[0]
+        if tag == "identity":
+            return acc
+        if tag == "var":
+            return x
+        if tag == "literal":
+            return F.lit(float(a[1]))
+        if tag == "neg":
+            return -build(a[1], acc, x)
+        op, l, r = a[1], build(a[2], acc, x), build(a[3], acc, x)
+        if op == "+":
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        return l / r
+
+    return F.aggregate(
+        arr, F.lit(float(init)), lambda acc, x: build(upd, acc, x)
+    )
 
 
 def _as_split_index(ast: AST):
@@ -724,6 +800,7 @@ def analyze_program(program: str) -> Optional[NativeIR]:
                     "strpred",
                     "arrayfn",
                     "splitidx",
+                    "reduce",
                 ):
                     proj[k] = (v[0], tuple(base) + v[1]) + v[2:]
                 elif isinstance(v, tuple) and v and v[0] == "ifelse":
@@ -1268,6 +1345,8 @@ def _validate_new_specs(project: Optional[dict], schema: T.StructType) -> None:
                 raise _SchemaConflict(spec)
             if fn == "join" and not isinstance(dt, T.StringType):
                 raise _SchemaConflict(spec)
+        if spec[0] == "reduce" and not isinstance(dt, _NUMERIC_TYPES):
+            raise _SchemaConflict(spec)  # numeric fold only
             if fn in ("sort", "unique") and isinstance(
                 getattr(dt, "elementType", None), (T.ArrayType, T.MapType, T.StructType)
             ):
@@ -1385,6 +1464,10 @@ class NativePlan:
                 elif isinstance(spec, tuple) and spec and spec[0] == "arrayfn":
                     _, path, fn, fargs = spec
                     c = _arrayfn_col(col, path, fn, fargs, fdt.dataType)
+                    out_cols.append(c.try_cast(fdt.dataType).alias(fdt.name))
+                elif isinstance(spec, tuple) and spec and spec[0] == "reduce":
+                    _, path, init, upd, _var = spec
+                    c = _reduce_col(col, path, init, upd)
                     out_cols.append(c.try_cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "splitidx":
                     _, path, sep, idx = spec
@@ -1509,6 +1592,7 @@ class NativePlan:
                     "strpred",
                     "ifelse",
                     "splitidx",
+                    "reduce",
                 ):
                     # scalar-tier-only spec kinds: under an iterate the
                     # program falls back to the Python tier

@@ -1036,3 +1036,72 @@ FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 25
 
 QUERIES["bpe_merge_candidates"] = q_bpe_merge_candidates
 ORACLES["bpe_merge_candidates"] = _ORACLE_BPE
+
+
+# ---------------------------------------------------------------------------
+# Native-tier reduce (aggregate() fold) gate query
+# ---------------------------------------------------------------------------
+
+
+def q_jq_native_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-compiler growth: jq ``reduce`` with CUSTOM arithmetic
+    folds (sum, sum of squares, alternating-scaled fold) compiled
+    entirely to Catalyst aggregate() HOFs — native='require' fails
+    loudly on any Python fallback.  Per-order JSON docs carry the
+    sorted quantity array (produce-then-process round trip, the
+    jq_native_arrayfns convention); the oracle recomputes every fold
+    from the base tables with list_reduce."""
+    from ..udtf import jq_explode
+
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    docs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(F.sort_array(F.collect_list("l_quantity")).alias("qtys"))
+        .select(
+            F.to_json(
+                F.struct(F.col("o_orderkey").alias("id"), "qtys")
+            ).alias("j")
+        )
+    )
+    prog = (
+        "{id: .id,"
+        " total: (reduce .qtys[] as $q (0; . + $q)),"
+        " sumsq: (reduce .qtys[] as $q (0; . + $q * $q)),"
+        " fold:  (reduce .qtys[] as $q (1; . * 2 - $q / 2))}"
+    )
+    x = jq_explode(
+        docs, "j", prog,
+        "id:bigint", "total:double", "sumsq:double", "fold:double",
+        native="require",
+    )
+    return (
+        x.select(
+            "id",
+            F.round("total", 4).alias("total"),
+            F.round("sumsq", 4).alias("sumsq"),
+            F.round("fold", 4).alias("fold"),
+        )
+        .orderBy("id")
+    )
+
+
+_ORACLE_JQ_NATIVE_REDUCE = """
+WITH q AS (
+  SELECT o.o_orderkey AS id,
+         list_sort(list(l.l_quantity)) AS qtys
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey < 2000 GROUP BY 1)
+SELECT id,
+       round(list_reduce(list_prepend(0.0, qtys), (a, x) -> a + x), 4)
+         AS total,
+       round(list_reduce(list_prepend(0.0, qtys), (a, x) -> a + x * x), 4)
+         AS sumsq,
+       round(list_reduce(list_prepend(1.0, qtys), (a, x) -> a * 2 - x / 2), 4)
+         AS fold
+FROM q ORDER BY id
+"""
+
+QUERIES["jq_native_reduce"] = q_jq_native_reduce
+ORACLES["jq_native_reduce"] = _ORACLE_JQ_NATIVE_REDUCE

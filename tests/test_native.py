@@ -504,6 +504,11 @@ GROWTH_CASES = [
     # map-typed projections, both tiers (M4: object → map, else {})
     ("{m: .s}", ("m:map<string,int>",)),
     (".orders[] | {m: .lines[0]}", ("m:map<string,string>",)),
+    # native reduce → aggregate() fold (numeric custom reductions)
+    ("{s: (reduce .nums[] as $v (0; . + $v))}", ("s:double",)),
+    ("{q: (reduce .nums[] as $v (0; . + $v * $v)), n: (.nums | length)}",
+     ("q:double", "n:int")),
+    ("{w: (reduce .nums[] as $v (1; . * 2 - $v / 2))}", ("w:double",)),
     # `not` (negated jq truthiness) and `has` in select — both tiers
     ('select(.name | not) | {name}', ("name:string",)),
     ('select(.orders | has(1)) | {name}', ("name:string",)),
@@ -618,3 +623,16 @@ def test_native_or_of_ands_falls_back():
         compile_native("select((.k > 1 and .k < 5) or .k > 90) | {k: .k}", ("k:int",))
         is None
     )
+
+
+def test_native_reduce_rejects_non_arithmetic(spark):
+    """Only numeric folds compile: string concat, foreign vars,
+    comparisons and non-literal inits stay on the Python tier."""
+    for prog in (
+        '{s: (reduce .nums[] as $v (0; . + ($v | tostring)))}',
+        '{s: (reduce .nums[] as $v (0; . + $other))}',
+        '{s: (reduce .nums[] as $v (.base; . + $v))}',
+        '{s: (reduce .nums[] as $v (0; if . > 3 then . else $v end))}',
+        '{s: (reduce .nums[] as $v (0; . % 2))}',
+    ):
+        assert compile_native(prog, ("s:double",)) is None, prog
