@@ -840,6 +840,49 @@ def compile_scalar(node: AST):
     if tag == "format":
         name = node[1]
         return lambda v, e: apply_format(name, v)
+    if tag == "try":
+        # only `try f catch g` with BOTH sides scalar is single
+        # (catch-less try swallows the error into an EMPTY stream)
+        if node[2] is None:
+            return None
+        sbody = compile_scalar(node[1])
+        if sbody is None:
+            return None
+        shandler = compile_scalar(node[2])
+        if shandler is None:
+            return None
+
+        def s_try(v, e):
+            try:
+                return sbody(v, e)
+            except JQBreak:
+                raise
+            except JQError as err:
+                return shandler(err.value, e)
+
+        return s_try
+    if tag == "slice_on":
+        stgt = compile_scalar(node[1])
+        if stgt is None:
+            return None
+        slo = compile_scalar(node[2]) if node[2] is not None else (lambda v, e: None)
+        if slo is None:
+            return None
+        shi = compile_scalar(node[3]) if node[3] is not None else (lambda v, e: None)
+        if shi is None:
+            return None
+
+        def s_slice(v, e):
+            hi = shi(v, e)  # hi outer, lo, then target — generator order
+            lo = slo(v, e)
+            tv = stgt(v, e)
+            if lo is not None and not _is_num(lo) or hi is not None and not _is_num(hi):
+                raise JQError(
+                    "Start and end indices of an array slice must be numbers"
+                )
+            return do_slice(tv, lo, hi)
+
+        return s_slice
     if tag == "neg":
         sa = compile_scalar(node[1])
         if sa is None:

@@ -83,6 +83,16 @@ PROGRAMS = [
     ('[limit(0; error("boom"))]', None),
     ('[limit(1; 1, error("boom"))]', None),
     ('first(.xs[] | select(. > 1))', {"xs": [1, 2, 3]}),
+    # try/catch and slices (round-4 wave 3 scalar constructs)
+    ('try (.a | tonumber) catch "bad"', {"a": "12"}),
+    ('try (.a | tonumber) catch "bad"', {"a": "zz"}),
+    ('try (1/0) catch .', None),
+    ('.s[2:5]', {"s": "abcdefgh"}),
+    ('.xs[1:]', {"xs": [1, 2, 3]}),
+    ('.xs[:-1]', {"xs": [1, 2, 3]}),
+    ('.s[.a:.b]', {"s": "abcdef", "a": 1, "b": 4}),
+    ('.s["x":2]', {"s": "abc"}),  # non-numeric index error
+    ('.x[1:2]', {"x": 5}),  # slice of number errors
     # funcdef gate: user shadowing of a whitelisted builtin MUST win
     ('def length: 99; .s | length', {"s": "abcdef"}),
     ('def add: "shadowed"; .xs | add', {"xs": [1, 2]}),
