@@ -68,6 +68,7 @@ _DRIVER_HEAD = [
     "sliding_chunks",
     "bpe_merge_candidates",
     "jq_native_reduce",
+    "multimodal_features",
     "jw_linkage",
     "repetition_filter",
     "training_pipeline",
@@ -90,7 +91,6 @@ _DRIVER_HEAD = [
     "rollup_counts",
     "setops",
     "semi_anti_join",
-    "dedup_exact",
 ]
 
 

@@ -1105,3 +1105,63 @@ FROM q ORDER BY id
 
 QUERIES["jq_native_reduce"] = q_jq_native_reduce
 ORACLES["jq_native_reduce"] = _ORACLE_JQ_NATIVE_REDUCE
+
+
+# ---------------------------------------------------------------------------
+# Multimodal feature extraction (Arrow decode path, per-value gate)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads
+    (operators/multimodal.py::extract_features): documents packed as
+    media, the deterministic stride-histogram decoder (the disclosed
+    stand-in for a real codec+model) applied per batch via
+    mapInPandas.  Unlike multimodal_stats (metadata-only aggregate),
+    this gate checks every FEATURE VALUE: the fake decoder is
+    byte-arithmetic the oracle replays exactly (documents are pure
+    single-byte text, so char stride == byte stride)."""
+    from ..operators.multimodal import docs_as_media, extract_features
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    feats = extract_features(docs_as_media(docs), dim=8)
+    # features are float32 on the wire (the right width for 100 TB
+    # embeddings); every possible value is k/997 (k < 997), and an
+    # exhaustive check shows all 997 values round identically at 4
+    # decimals through the float32 round-trip (min distance to a
+    # rounding boundary 5.0e-8 vs max float32 error 3.0e-8), so the
+    # double-cast + round(4) gate is exact, not probabilistic
+    cols = [
+        F.round(F.element_at("feature", i + 1).cast("double"), 4).alias(f"f{i}")
+        for i in range(8)
+    ]
+    return (
+        feats.select("media_id", "decode_ok", *cols).orderBy("media_id")
+    )
+
+
+_ORACLE_MM_FEATURES = """
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+p0 AS (
+  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM base),
+pos AS (
+  SELECT doc_id, i, ord(substr(text, CAST(i AS INTEGER), 1)) AS b FROM p0),
+lanes AS (
+  SELECT doc_id, (i - 1) % 8 AS lane, sum(b) AS s
+  FROM pos GROUP BY 1, 2),
+f AS (SELECT doc_id, lane, round((s % 997) / 997.0, 4) AS fv FROM lanes)
+SELECT b.doc_id AS media_id, true AS decode_ok,
+       coalesce(max(CASE WHEN lane = 0 THEN fv END), 0.0) AS f0,
+       coalesce(max(CASE WHEN lane = 1 THEN fv END), 0.0) AS f1,
+       coalesce(max(CASE WHEN lane = 2 THEN fv END), 0.0) AS f2,
+       coalesce(max(CASE WHEN lane = 3 THEN fv END), 0.0) AS f3,
+       coalesce(max(CASE WHEN lane = 4 THEN fv END), 0.0) AS f4,
+       coalesce(max(CASE WHEN lane = 5 THEN fv END), 0.0) AS f5,
+       coalesce(max(CASE WHEN lane = 6 THEN fv END), 0.0) AS f6,
+       coalesce(max(CASE WHEN lane = 7 THEN fv END), 0.0) AS f7
+FROM base b LEFT JOIN f ON f.doc_id = b.doc_id
+GROUP BY 1 ORDER BY media_id
+"""
+
+QUERIES["multimodal_features"] = q_multimodal_features
+ORACLES["multimodal_features"] = _ORACLE_MM_FEATURES
