@@ -1011,7 +1011,22 @@ def q_jq_native_arrayfns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band:string",
         native="require",
     )
-    return out.drop("j").orderBy("id")
+    # Driver-gate convention: no bare array/map columns in checked
+    # outputs (the harness canonicalizer sorts with pandas and dies on
+    # unhashable list cells — CORRECTNESS_r04 err). The native tier
+    # still sorts the array<double>; we serialize it AFTER the UDTF.
+    # Quantities are integral doubles, so cast→bigint makes the joined
+    # string formatting-stable across Spark and DuckDB.
+    return (
+        out.drop("j")
+        .withColumn(
+            "sorted_q",
+            F.array_join(
+                F.transform("sorted_q", lambda x: x.cast("bigint")), ","
+            ),
+        )
+        .orderBy("id")
+    )
 
 
 _ORACLE_NATIVE_ARRAYFNS = """
@@ -1019,7 +1034,7 @@ SELECT o_orderkey AS id,
        sum(l_quantity) AS total,
        max(l_quantity) AS mx,
        min(l_quantity) AS first_q,
-       list(l_quantity ORDER BY l_quantity) AS sorted_q,
+       array_to_string(list(CAST(l_quantity AS BIGINT) ORDER BY l_quantity), ',') AS sorted_q,
        regexp_replace(any_value(o_orderpriority), '[ -]', '_', 'g') AS pr,
        any_value(o_orderpriority) LIKE '%URGENT%' AS urgent,
        split_part(any_value(o_orderpriority), '-', 1) AS head,

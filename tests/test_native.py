@@ -636,3 +636,66 @@ def test_native_reduce_rejects_non_arithmetic(spark):
         '{s: (reduce .nums[] as $v (0; . % 2))}',
     ):
         assert compile_native(prog, ("s:double",)) is None, prog
+
+
+def test_native_sort_unique_nested_elements_fall_back(spark):
+    """VERDICT r4 #2: sort/unique over nested element types must NOT
+    compile natively — Spark's sort_array orders nested arrays/structs
+    with JVM ordering, which diverges from jq's cross-type total order.
+    The gate was dead code (unreachable after the reduce raise); these
+    pin the restored behavior."""
+    for decl in (
+        "s:array<array<bigint>>",
+        "s:array<struct<a:bigint>>",
+        "s:array<map<string,bigint>>",
+    ):
+        assert compile_native("{s: (.xs | sort)}", (decl,)) is None, decl
+        assert compile_native("{s: (.xs | unique)}", (decl,)) is None, decl
+    # flat element types still compile
+    assert compile_native("{s: (.xs | sort)}", ("s:array<double>",)) is not None
+    assert compile_native("{s: (.xs | unique)}", ("s:array<string>",)) is not None
+
+
+def test_native_sort_nested_require_raises(spark):
+    """native='require' on a nested-element sort raises instead of
+    silently mis-ordering; native='auto' falls back to the Python tier
+    and matches jq's order."""
+    df = spark.createDataFrame(
+        [('{"xs":[[3,1],[2],[1,2,3]]}',), ('{"xs":[[2],[1,9]]}',)], ["j"]
+    )
+    prog = "{s: (.xs | sort)}"
+    with pytest.raises(Exception):
+        jq_explode(df, "j", prog, "s:array<array<bigint>>", native="require")
+    out = {
+        tuple(tuple(x) for x in r.s)
+        for r in jq_explode(
+            df, "j", prog, "s:array<array<bigint>>", native="auto"
+        ).collect()
+    }
+    # jq sorts arrays lexicographically element-wise
+    assert out == {((1, 2, 3), (2,), (3, 1)), ((1, 9), (2,))}
+
+
+def test_native_projected_strpred_array_not_serialized_match(spark):
+    """Projected test/contains/startswith are variant-gated: an array
+    value whose JSON serialization contains the needle must NOT match
+    (native yields the null→false delta, never a substring hit on the
+    serialized text)."""
+    df = spark.createDataFrame(
+        [
+            ('{"tags":["xylophone","b"]}',),  # serialization contains "x"
+            ('{"tags":{"x":1}}',),  # object serialization contains "x"
+            ('{"tags":"axe"}',),
+            ('{"tags":"bob"}',),
+        ],
+        ["j"],
+    )
+    prog = '{has_x: (.tags | contains("x"))}'
+    rows = sorted(
+        (r.has_x,)
+        for r in jq_explode(df, "j", prog, "has_x:boolean", native="require")
+        .drop("j")
+        .collect()
+    )
+    # only the real string "axe" matches; array/object rows are False
+    assert rows == [(False,), (False,), (False,), (True,)]

@@ -67,7 +67,28 @@ def main():
         if sql is None:
             continue
         try:
-            spd = fn(spark, sf_dir).toPandas()
+            sdf = fn(spark, sf_dir)
+            # Driver-gate convention (VERDICT r4 #1): no bare array/map
+            # top-level columns in any oracle-checked output — the
+            # driver's pandas canonicalizer sorts rows and dies on
+            # unhashable list/dict cells. Serialize (array_join /
+            # to_json) before returning.
+            from pyspark.sql import types as T
+
+            bad_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (T.ArrayType, T.MapType))
+            ]
+            if bad_cols:
+                print(
+                    f"FAIL  {name}: array/map top-level column(s) "
+                    f"{bad_cols} in a driver-checked output — serialize "
+                    f"with array_join/to_json"
+                )
+                n_fail += 1
+                continue
+            spd = sdf.toPandas()
             opd = con.execute(sql).df()
         except Exception as ex:
             print(f"FAIL  {name}: {type(ex).__name__}: {str(ex)[:200]}")
