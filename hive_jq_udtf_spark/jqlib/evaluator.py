@@ -465,6 +465,15 @@ def apply_format(name: str, v: Any) -> str:
         if not isinstance(v, str):
             raise JQError(f"{typename(v)} cannot be base64-decoded")
         return base64.b64decode(v + "=" * (-len(v) % 4)).decode("utf-8", errors="replace")
+    if name == "@base32":
+        # jq-1.5 format set (jq manual "Format strings and escaping")
+        return base64.b32encode(tostring(v).encode("utf-8")).decode("ascii")
+    if name == "@base32d":
+        if not isinstance(v, str):
+            raise JQError(f"{typename(v)} cannot be base32-decoded")
+        return base64.b32decode(v + "=" * (-len(v) % 8)).decode(
+            "utf-8", errors="replace"
+        )
     raise JQError(f"{name} is not a valid format")
 
 

@@ -3459,3 +3459,4 @@ ORACLES["importance_resample"] = _ORACLE_RESAMPLE
 # must stay at the very bottom (it imports QUERIES from here).
 from . import queries_r3  # noqa: E402,F401  isort:skip
 from . import queries_r4  # noqa: E402,F401  isort:skip
+from . import queries_r5  # noqa: E402,F401  isort:skip

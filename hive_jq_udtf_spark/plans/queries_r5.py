@@ -1,0 +1,312 @@
+"""Round-5 queries: windowed funnel within gap-sessions, dynamic-k
+top-k join, HLL pre-join cardinality estimation, and the SQL macro
+wrappers (jq_first / jq_values) end-to-end.
+
+Registers into plans.queries.QUERIES/ORACLES on import (same pattern
+as queries_r3 / queries_r4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .queries import ORACLES, QUERIES
+
+
+# ---------------------------------------------------------------------------
+# Windowed funnel WITHIN gap-sessions (session_funnel × funnel_windowed)
+# ---------------------------------------------------------------------------
+
+
+def q_session_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel with a CONVERSION WINDOW evaluated inside
+    30-min-gap sessions: within each session, first view → click
+    within 10 min of that view → purchase within 10 min of that
+    click.  Sessionization is the lag()+running-sum two-window shape
+    (ONE shuffle on user_id, AQE-skew-safe); the three dependent
+    conditional mins then run per (user, session) where every
+    aggregation and self-join keys on the session id derived from
+    that same user partitioning — the big events frame is exchanged
+    once for the windows and once for the (user, session) hash, and
+    the two funnel-step joins reuse the latter co-partitioning.  At
+    100 TB the skew knob is the user key (sessions per user are
+    bounded by the gap rule, so (user, session) is strictly finer)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    win_us = 10 * 60 * 1_000_000
+    keys = ["user_id", "session_seq"]
+    s1 = sess.groupBy(*keys).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    s2 = (
+        sess.join(s1, keys)
+        .groupBy(*keys)
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view"))
+                    & (
+                        F.unix_micros("ts") - F.unix_micros("t_view")
+                        <= F.lit(win_us)
+                    ),
+                    F.col("ts"),
+                )
+            ).alias("t_click"),
+        )
+    )
+    s3 = (
+        sess.join(s2, keys)
+        .groupBy(*keys)
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click"))
+                    & (
+                        F.unix_micros("ts") - F.unix_micros("t_click")
+                        <= F.lit(win_us)
+                    ),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase"),
+        )
+    )
+    return s3.agg(
+        F.count("*").alias("n_sessions"),
+        F.count("t_view").alias("step_view"),
+        F.count("t_click").alias("step_click_10m"),
+        F.count("t_purchase").alias("step_purchase_10m"),
+    )
+
+
+_ORACLE_SESSION_FUNNEL_WINDOWED = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, event_type, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked),
+s1 AS (
+  SELECT user_id, session_seq,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM sess GROUP BY 1, 2),
+s2 AS (
+  SELECT s.user_id, s.session_seq, any_value(p.t_view) AS t_view,
+         min(CASE WHEN s.event_type = 'click' AND s.ts > p.t_view
+                   AND s.ts <= p.t_view + INTERVAL 10 MINUTE
+              THEN s.ts END) AS t_click
+  FROM sess s JOIN s1 p USING (user_id, session_seq) GROUP BY 1, 2),
+s3 AS (
+  SELECT s.user_id, s.session_seq, any_value(p.t_view) AS t_view,
+         any_value(p.t_click) AS t_click,
+         min(CASE WHEN s.event_type = 'purchase' AND s.ts > p.t_click
+                   AND s.ts <= p.t_click + INTERVAL 10 MINUTE
+              THEN s.ts END) AS t_purchase
+  FROM sess s JOIN s2 p USING (user_id, session_seq) GROUP BY 1, 2)
+SELECT count(*) AS n_sessions,
+       count(t_view) AS step_view,
+       count(t_click) AS step_click_10m,
+       count(t_purchase) AS step_purchase_10m
+FROM s3
+"""
+
+QUERIES["session_funnel_windowed"] = q_session_funnel_windowed
+ORACLES["session_funnel_windowed"] = _ORACLE_SESSION_FUNNEL_WINDOWED
+
+
+# ---------------------------------------------------------------------------
+# Per-key top-k join with DYNAMIC k
+# ---------------------------------------------------------------------------
+
+
+def q_topk_join_dynamic_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k orders per market segment where k VARIES per segment
+    (k = 2 + length(segment) mod 3 — a stand-in for a per-key config
+    dim).  The per-key k defeats Spark's WindowGroupLimit pushdown,
+    so operators/topk.py ranks once and filters by the static upper
+    bound (literal → pushdown fires, the exchange carries at most
+    max_k rows per segment per map task) before the dynamic per-key
+    trim runs on the already-tiny frame.  tests/test_plans.py asserts
+    the WindowGroupLimit node survives."""
+    from ..operators.topk import topk_per_key_dynamic
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .withColumn("k", F.lit(2) + F.length("c_mktsegment") % 3)
+    )
+    out = topk_per_key_dynamic(
+        j,
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        "k",
+        max_k=4,
+    )
+    return out.select(
+        "c_mktsegment", "k", "o_orderkey", "o_totalprice", "rk"
+    ).orderBy("c_mktsegment", "rk")
+
+
+_ORACLE_TOPK_DYNAMIC = """
+SELECT c_mktsegment, k, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT c.c_mktsegment, 2 + length(c.c_mktsegment) % 3 AS k,
+         o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+WHERE rk <= k ORDER BY c_mktsegment, rk
+"""
+
+QUERIES["topk_join_dynamic_k"] = q_topk_join_dynamic_k
+ORACLES["topk_join_dynamic_k"] = _ORACLE_TOPK_DYNAMIC
+
+
+# ---------------------------------------------------------------------------
+# HLL pre-join cardinality estimation
+# ---------------------------------------------------------------------------
+
+
+def q_hll_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate |orders ⋈ lineitem| per order priority WITHOUT
+    executing the join (operators/joinest.py: one HLL+count pass per
+    side, right stats broadcast as a single row), then VERIFY the
+    estimate against the real join count.  The sketch estimate is
+    engine-specific, so — like hll_distinct — the emitted columns are
+    the deterministic exact values plus a bound check: the estimate
+    must land within 15% of the true cardinality (TPC-H multiplicities
+    are near-uniform; HLL rsd=0.02 adds ~2%).  The oracle is the
+    exact+all-true table; the row fails if the estimator ever drifts
+    out of bound."""
+    from ..operators.joinest import join_cardinality_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    est = join_cardinality_estimate(
+        orders,
+        li,
+        "o_orderkey",
+        "l_orderkey",
+        group_cols=["o_orderpriority"],
+    )
+    true = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("true_join_rows"))
+    )
+    ok = (
+        F.abs(F.col("est_join_rows") - F.col("true_join_rows"))
+        <= 0.15 * F.col("true_join_rows")
+    )
+    return (
+        est.join(true, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_left",
+            "n_right",
+            "true_join_rows",
+            ok.alias("est_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_HLL_JOINEST = """
+WITH l AS (SELECT o_orderpriority, count(*) AS n_left
+           FROM orders GROUP BY 1),
+r AS (SELECT count(*) AS n_right FROM lineitem),
+t AS (SELECT o.o_orderpriority, count(*) AS true_join_rows
+      FROM orders o JOIN lineitem li ON o.o_orderkey = li.l_orderkey
+      GROUP BY 1)
+SELECT l.o_orderpriority, l.n_left, r.n_right, t.true_join_rows,
+       TRUE AS est_ok
+FROM l CROSS JOIN r JOIN t USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+QUERIES["hll_join_cardinality"] = q_hll_join_cardinality
+ORACLES["hll_join_cardinality"] = _ORACLE_HLL_JOINEST
+
+
+# ---------------------------------------------------------------------------
+# SQL macro wrappers end-to-end (jq_first / jq_values)
+# ---------------------------------------------------------------------------
+
+
+def q_jq_first_values_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The jq_first / jq_values SQL macros (udtf.py::register_macros)
+    end-to-end: per-event docs {id, et, vals: [k, null, k+1]} are
+    built with to_json, then jq_values fans out the NON-null stream
+    elements (jq's `values` filter drops the embedded null) while
+    jq_first takes the head of the same stream — both in one SQL
+    statement, aggregated per event type.  Mirrors the reference's
+    nested-program idiom (README.md:70) as named table functions."""
+    from ..udtf import register_macros
+
+    register_macros(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    docs = ev.select(
+        "event_type",
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.array(k, F.lit(None).cast("bigint"), k + 1).alias("vals"),
+            )
+        ).alias("j"),
+    )
+    docs.createOrReplaceTempView("jq_macro_docs")
+    return spark.sql(
+        """
+        SELECT d.event_type,
+               count(v.col1) AS n_values,
+               sum(v.col1) AS sum_values,
+               sum(f.col1) AS sum_first
+        FROM jq_macro_docs d,
+        LATERAL jq_values(d.j, '.vals[]', 'bigint') v,
+        LATERAL jq_first(d.j, '.vals[]', 'bigint') f
+        GROUP BY d.event_type ORDER BY d.event_type
+        """
+    )
+
+
+# each event contributes vals [k, null, k+1]: jq_values keeps k and
+# k+1 (2 rows), jq_first keeps k (1 row, repeated across the 2-row
+# values fanout → sum_first = 2k per event)
+_ORACLE_JQ_MACROS = """
+WITH k AS (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type,
+       2 * count(*) AS n_values,
+       CAST(sum(2 * k + 1) AS BIGINT) AS sum_values,
+       CAST(sum(2 * k) AS BIGINT) AS sum_first
+FROM k GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["jq_first_values_sql"] = q_jq_first_values_sql
+ORACLES["jq_first_values_sql"] = _ORACLE_JQ_MACROS

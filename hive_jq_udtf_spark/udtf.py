@@ -106,8 +106,16 @@ def process_json(
 # ---------------------------------------------------------------------------
 
 
-def _make_udtf_class():
+def _make_udtf_class(wrap: str | None = None):
+    """Build the SQL UDTF class.  ``wrap`` is a macro template with a
+    ``{}`` placeholder for the user's program text — the SQL-level
+    macro wrappers (``jq_first``/``jq_values``) are pure program
+    rewrites, so they share this one implementation (compile cache,
+    marshaller, error channel) instead of duplicating the engine."""
     from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    def rewrite(src: str) -> str:
+        return wrap.format(f"({src})") if wrap else src
 
     class JsonQueryUDTF:
         """``jq(json, 'PROGRAM', 'TYPE' | 'name:type'...)`` — emits
@@ -137,14 +145,14 @@ def _make_udtf_class():
                     )
                 decls.append(d.value)
             try:
-                prog = jq_compile(prog_arg.value)  # compile-once, O2
+                prog = jq_compile(rewrite(prog_arg.value))  # compile-once, O2
                 schema, single = parse_output_schema(decls)
             except (JQSyntaxError, SchemaDeclarationError) as ex:
                 raise Exception(f"jq(): {ex}") from None
             return AnalyzeResult(schema=schema)
 
         def eval(self, json_str, program, *decls):
-            prog, marshaller = compile_query(program, tuple(decls))
+            prog, marshaller = compile_query(rewrite(program), tuple(decls))
             yield from process_json(prog, marshaller, json_str)
 
     return JsonQueryUDTF
@@ -168,6 +176,27 @@ def register_versioned(spark: SparkSession, base: str = "jq") -> None:
     so queries can pin an engine version during upgrades."""
     register(spark, base)
     register(spark, f"{base}{VERSION}")
+
+
+def register_macros(spark: SparkSession, base: str = "jq") -> None:
+    """SQL macro wrappers over the UDTF — the two most common jq-in-SQL
+    idioms (reference README.md:70's nested-program pattern) as named
+    table functions, implemented as pure program rewrites:
+
+      jq_first(json, P, T...)   ≡ jq(json, 'first((P))', T...)
+        — at most one row: the first output of the stream.
+      jq_values(json, P, T...)  ≡ jq(json, '(P) | values', T...)
+        — one row per NON-NULL output (jq's ``values`` filter).
+
+    Table functions live in Spark's table-function registry, so these
+    names coexist with the scalar ``jq_first`` UDF
+    (functions/jq_functions.py) — SELECT-position resolves the scalar,
+    FROM/LATERAL-position resolves these.
+    """
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register(f"{base}_first", udtf(_make_udtf_class("first{}")))
+    spark.udtf.register(f"{base}_values", udtf(_make_udtf_class("{} | values")))
 
 
 # ---------------------------------------------------------------------------

@@ -267,6 +267,9 @@ CASES = [
     ('@sh', "it's", ["'it'\\''s'"]),
     ('@html', "<a>", ["&lt;a&gt;"]),
     ('@base64 | @base64d', "round", ["round"]),
+    ('@base32', "hello", ["NBSWY3DP"]),
+    ('@base32 | @base32d', "round", ["round"]),
+    ('@base32', 7, ["G4======"]),  # non-strings stringify first, like @base64
     # destructuring
     (". as [$a, $b, $c] | [$c, $b, $a]", [1, 2], [[None, 2, 1]]),
     (". as {a: [$x, $y]} | $x + $y", {"a": [1, 2]}, [3]),

@@ -840,3 +840,43 @@ def test_sliding_chunks_coverage_and_overlap(spark):
 
     with _pytest.raises(ValueError):
         sliding_chunks(df, chunk_tokens=4, stride=5)
+
+
+def test_topk_per_key_dynamic(spark):
+    from pyspark.sql import functions as F
+
+    from hive_jq_udtf_spark.operators.topk import topk_per_key_dynamic
+
+    rows = [
+        ("a", i, float(100 - i)) for i in range(10)
+    ] + [("b", i, float(50 - i)) for i in range(10)]
+    df = spark.createDataFrame(rows, ["key", "id", "score"]).withColumn(
+        "k", F.when(F.col("key") == "a", 2).otherwise(4)
+    )
+    out = topk_per_key_dynamic(
+        df, ["key"], [F.col("score").desc(), F.col("id")], "k", max_k=4
+    ).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append((r.rk, r.id))
+    assert sorted(by_key["a"]) == [(1, 0), (2, 1)]  # k=2
+    assert sorted(by_key["b"]) == [(1, 0), (2, 1), (3, 2), (4, 3)]  # k=4
+
+
+def test_join_cardinality_estimate_bounds(spark):
+    from hive_jq_udtf_spark.operators.joinest import join_cardinality_estimate
+
+    # 100 left keys, each appearing 5x on the right: est = 100*500/100
+    left = spark.range(100).withColumnRenamed("id", "k")
+    right = (
+        spark.range(500)
+        .selectExpr("id % 100 AS k")
+    )
+    est = join_cardinality_estimate(left, right, "k", "k").collect()[0]
+    assert est.n_left == 100 and est.n_right == 500
+    true = 500  # each right row matches exactly one left row
+    assert abs(est.est_join_rows - true) <= 0.1 * true
+    # empty side → zero estimate, no division error
+    empty = spark.range(0).withColumnRenamed("id", "k")
+    e2 = join_cardinality_estimate(empty, right, "k", "k").collect()[0]
+    assert e2.est_join_rows == 0

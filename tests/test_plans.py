@@ -188,3 +188,41 @@ def test_semantic_dedup_confines_quadratic_join_to_cells(spark):
     plan = formatted_plan(spark, "semantic_dedup")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" in plan
+
+
+def test_topk_dynamic_k_keeps_group_limit_pushdown(spark):
+    # the dynamic per-key k would defeat WindowGroupLimit; the
+    # two-stage operator filters by the literal max_k first so the
+    # pushdown still fires (map tasks forward at most max_k rows/key)
+    plan = formatted_plan(spark, "topk_join_dynamic_k")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan  # customer dim stays broadcast
+
+
+def test_hll_join_cardinality_estimate_is_join_free(spark):
+    # the ESTIMATE itself must never execute the join being estimated:
+    # one agg pass per side, right stats broadcast as a single row
+    from hive_jq_udtf_spark.operators.joinest import join_cardinality_estimate
+    from hive_jq_udtf_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    est = join_cardinality_estimate(
+        orders, li, "o_orderkey", "l_orderkey", group_cols=["o_orderpriority"]
+    )
+    qe = est._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = qe.explainString(mode)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan  # only the 1-row nested-loop
+    assert "partial_approx_count_distinct" in plan  # mergeable HLL partials
+
+
+def test_session_funnel_windowed_partitioning_reuse(spark):
+    # sessionize (1 user_id exchange) + three (user, session) aggs
+    # whose joins reuse the same hash partitioning: the events table
+    # must not be re-exchanged per funnel step beyond the two keys
+    plan = formatted_plan(spark, "session_funnel_windowed")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2

@@ -146,3 +146,36 @@ def test_versioned_registration(spark_jq):
            LATERAL jq1(t.j, '{k: .k}', 'k:int') v"""
     ).collect()
     assert [r.k for r in out] == [9]
+
+
+def test_sql_macros_first_and_values(spark_jq):
+    """jq_first / jq_values table-function macros (udtf.py::
+    register_macros): pure program rewrites over the shared UDTF.
+    first → at most one row; values → non-null outputs only; both
+    coexist with the scalar jq_first UDF (separate registries)."""
+    from hive_jq_udtf_spark.udtf import register_macros
+
+    register_macros(spark_jq)
+    rows = spark_jq.sql(
+        """SELECT t.* FROM LATERAL
+           jq_values('{"a":[3,null,5]}', '.a[]', 'v:int') t"""
+    ).collect()
+    # multi-column decl: object outputs only — scalars have no field v
+    assert [r.v for r in rows] == [None, None]
+    rows = spark_jq.sql(
+        """SELECT t.* FROM LATERAL
+           jq_values('{"a":[3,null,5]}', '.a[]', 'int') t"""
+    ).collect()
+    assert [r.col1 for r in rows] == [3, 5]  # null dropped
+    rows = spark_jq.sql(
+        """SELECT t.* FROM LATERAL
+           jq_first('{"a":[3,4,5]}', '.a[]', 'int') t"""
+    ).collect()
+    assert [r.col1 for r in rows] == [3]
+    # empty stream → zero rows (first(empty) is empty, not null)
+    assert (
+        spark_jq.sql(
+            """SELECT t.* FROM LATERAL jq_first('{"a":[]}', '.a[]', 'int') t"""
+        ).count()
+        == 0
+    )
