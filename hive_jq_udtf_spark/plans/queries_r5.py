@@ -269,7 +269,11 @@ def q_jq_first_values_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..udtf import register_macros
 
     register_macros(spark)
-    ev = load_table(spark, sf_dir, "events")
+    # scope: the two LATERALs each run the full Python-tier UDTF per
+    # row; 20k rows exercises the macros end-to-end without making the
+    # driver gate pay a double full-scan (the full-scan Python-tier
+    # throughput number is jq_python_stress's job)
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 20000)
     k = F.get_json_object("props", "$.k").cast("bigint")
     docs = ev.select(
         "event_type",
@@ -300,7 +304,7 @@ def q_jq_first_values_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 # values fanout → sum_first = 2k per event)
 _ORACLE_JQ_MACROS = """
 WITH k AS (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
-           FROM events)
+           FROM events WHERE event_id < 20000)
 SELECT event_type,
        2 * count(*) AS n_values,
        CAST(sum(2 * k + 1) AS BIGINT) AS sum_values,
