@@ -43,6 +43,7 @@ _DRIVER_HEAD = [
     "session_funnel_windowed",
     "topk_join_dynamic_k",
     "jq_first_values_sql",
+    "kmeans_embeddings",
     # last driver-checked in r02 (16)
     "language_id",
     "ann_srp_topk",
@@ -90,7 +91,6 @@ _DRIVER_HEAD = [
     "jq_native_expr_filter",
     "token_heavy_hitters",
     "stratified_sample",
-    "jq_native_strings",
 ]
 
 

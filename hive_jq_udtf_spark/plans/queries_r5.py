@@ -314,3 +314,83 @@ FROM k GROUP BY event_type ORDER BY event_type
 
 QUERIES["jq_first_values_sql"] = q_jq_first_values_sql
 ORACLES["jq_first_values_sql"] = _ORACLE_JQ_MACROS
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means over the embeddings table
+# ---------------------------------------------------------------------------
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three distributed Lloyd iterations over the embeddings table
+    (operators/kmeans.py): assignment is pure codegen (k broadcast
+    literal centroids, zip_with/aggregate squared-L2, first-min
+    tie-break), the update shuffles only (cluster, dim) partial sums,
+    and the driver syncs nothing but the k x d centroid matrix per
+    iteration.  Deterministic end-to-end (smallest-id init, rounded
+    centroids), so the oracle replays the identical three iterations
+    as unrolled SQL (DuckDB list_distance / ordered row_number
+    argmin).  Output: per-cluster population, mean label, and the
+    first centroid coordinate."""
+    from ..operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = kmeans_fit(emb, k=8, iters=3)
+    c0 = [c[0] for c in centroids]
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("label"), 4).alias("mean_label"),
+        )
+        .withColumn(
+            "centroid_c0",
+            F.element_at(F.lit(c0), F.col("cluster_id") + 1),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _kmeans_oracle_iteration(i: int) -> str:
+    """One unrolled Lloyd iteration: assign against c{i-1}, update to
+    c{i} (empty clusters keep the previous centroid)."""
+    return f"""
+a{i} AS (SELECT vec_id, cid FROM (
+   SELECT e.vec_id, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY list_distance(e.v, c.c), c.cid) AS rn
+   FROM e CROSS JOIN c{i - 1} c) WHERE rn = 1),
+m{i} AS (SELECT a.cid, u.pos, round(avg(u.val), 6) AS val
+        FROM a{i} a JOIN e USING (vec_id),
+             (SELECT e2.vec_id, unnest(e2.v) AS val,
+                     generate_subscripts(e2.v, 1) AS pos
+              FROM e e2) u
+        WHERE u.vec_id = e.vec_id
+        GROUP BY a.cid, u.pos),
+n{i} AS (SELECT cid, list(val ORDER BY pos) AS c FROM m{i} GROUP BY cid),
+c{i} AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+        FROM c{i - 1} p LEFT JOIN n{i} n USING (cid))"""
+
+
+_ORACLE_KMEANS = (
+    """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+       FROM e ORDER BY vec_id LIMIT 8),"""
+    + ",".join(_kmeans_oracle_iteration(i) for i in (1, 2, 3))
+    + """,
+afinal AS (SELECT vec_id, cid FROM (
+   SELECT e.vec_id, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY list_distance(e.v, c.c), c.cid) AS rn
+   FROM e CROSS JOIN c3 c) WHERE rn = 1)
+SELECT a.cid AS cluster_id, count(*) AS n_members,
+       round(avg(e.label), 4) AS mean_label,
+       any_value(c.c[1]) AS centroid_c0
+FROM afinal a JOIN e USING (vec_id) JOIN c3 c ON c.cid = a.cid
+GROUP BY a.cid ORDER BY cluster_id
+"""
+)
+
+QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
+ORACLES["kmeans_embeddings"] = _ORACLE_KMEANS

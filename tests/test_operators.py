@@ -880,3 +880,42 @@ def test_join_cardinality_estimate_bounds(spark):
     empty = spark.range(0).withColumnRenamed("id", "k")
     e2 = join_cardinality_estimate(empty, right, "k", "k").collect()[0]
     assert e2.est_join_rows == 0
+
+
+def test_kmeans_separated_clusters(spark):
+    from hive_jq_udtf_spark.operators.kmeans import assign_clusters, kmeans_fit
+
+    # two tight, well-separated blobs -> k=2 must recover them exactly
+    rows = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(5)] + [
+        (10 + i, [10.0 + 0.01 * i, 10.0]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, assigned = kmeans_fit(df, k=2, iters=3)
+    got = {r.vec_id: r.cluster_id for r in assigned.collect()}
+    low = {got[i] for i in range(5)}
+    high = {got[10 + i] for i in range(5)}
+    assert len(low) == 1 and len(high) == 1 and low != high
+    # centroids converge to the blob means (rounded)
+    cl = cents[low.pop()]
+    assert abs(cl[0] - 0.02) < 1e-6 and abs(cl[1] - 0.0) < 1e-6
+
+    # assignment tie-break: equidistant point goes to the LOWEST cid
+    tie = spark.createDataFrame(
+        [(0, [5.0, 5.0])], "vec_id long, embedding array<double>"
+    )
+    out = assign_clusters(tie, [[0.0, 0.0], [10.0, 10.0]]).collect()[0]
+    assert out.cluster_id == 0
+
+    # assignment is pure codegen: no Python node in the plan
+    plan = (
+        assign_clusters(df, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmeans_fit(df, k=50, iters=1)  # fewer vectors than k
