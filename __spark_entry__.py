@@ -44,6 +44,8 @@ _DRIVER_HEAD = [
     "topk_join_dynamic_k",
     "jq_first_values_sql",
     "kmeans_embeddings",
+    "dup_ngram_spans",
+    "embedding_standardize",
     # last driver-checked in r02 (16)
     "language_id",
     "ann_srp_topk",
@@ -89,8 +91,6 @@ _DRIVER_HEAD = [
     "jq_native_multicol",
     "jq_native_select",
     "jq_native_expr_filter",
-    "token_heavy_hitters",
-    "stratified_sample",
 ]
 
 

@@ -394,3 +394,137 @@ GROUP BY a.cid ORDER BY cluster_id
 
 QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
 ORACLES["kmeans_embeddings"] = _ORACLE_KMEANS
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate n-gram span detection (substring-dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-passage detection: which 8-token spans occur in
+    MORE THAN ONE document (the substring-dedup signal of "exact
+    substring deduplication" in LLM data curation — a span shared
+    across documents is memorization fuel).  Shape: n-grams are built
+    in pure codegen (sequence + slice + array_join — no shuffle, no
+    Python), exploded, then shuffled ONCE on the gram; the per-gram
+    doc count and the per-doc rollup reuse that co-partitioning (the
+    gram→doc join keys on the gram hash partitioning the aggregation
+    just produced).  At 100 TB the exchange carries (gram, doc) pairs
+    ∝ corpus tokens — the same cost class as the inverted index — and
+    the duplicated-gram set the join touches is the (small) collision
+    set, AQE-coalesced."""
+    n = 8
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    gram_docs = g.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("n_docs_with_gram")
+    )
+    per_doc = (
+        g.join(gram_docs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("n_docs_with_gram") > 1, 1).otherwise(0)
+            ).alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6),
+        )
+    )
+    return per_doc.orderBy(
+        F.col("dup_ratio").desc(), "doc_id"
+    ).limit(15)
+
+
+_ORACLE_DUP_NGRAMS = """
+WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents),
+g AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(t) - 6, 1))) AS r(i)
+      WHERE len(t) >= 8),
+gd AS (SELECT gram, count(DISTINCT doc_id) AS n_docs_with_gram FROM g GROUP BY gram),
+per_doc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN gd.n_docs_with_gram > 1 THEN 1 ELSE 0 END) AS n_dup_grams
+  FROM g JOIN gd USING (gram) GROUP BY g.doc_id)
+SELECT doc_id, n_grams, CAST(n_dup_grams AS BIGINT) AS n_dup_grams,
+       round(n_dup_grams * 1.0 / n_grams, 6) AS dup_ratio
+FROM per_doc
+ORDER BY dup_ratio DESC, doc_id LIMIT 15
+"""
+
+QUERIES["dup_ngram_spans"] = q_dup_ngram_spans
+ORACLES["dup_ngram_spans"] = _ORACLE_DUP_NGRAMS
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding standardization (distributed feature scaling)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding column,
+    computed distributively: dimension means/stds come from ONE
+    posexplode aggregation (map-side-combined partial sums — never a
+    vector collect), are broadcast back as a literal d-length pair of
+    arrays, and the normalization itself is pure codegen zip_with.
+    The verification output aggregates the standardized corpus per
+    label: post-standardization dimension means must be ~0 and stds
+    ~1 globally, so per-label deviations expose real structure.  The
+    oracle replays the same two-pass arithmetic (population std, +1e-9
+    guard) in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    stats = (
+        emb.select(F.posexplode(vec).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.avg("val").alias("mu"),
+            F.round(F.stddev_pop("val"), 9).alias("sigma"),
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    mu = [r["mu"] for r in stats]
+    sigma = [r["sigma"] + 1e-9 for r in stats]
+    z = F.zip_with(
+        F.zip_with(vec, F.lit(mu), lambda x, m: x - m),
+        F.lit(sigma),
+        lambda x, s: x / s,
+    )
+    zsum = F.aggregate(z, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        emb.select("label", zsum.alias("zsum"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("zsum"), 4).alias("mean_zsum"),
+        )
+        .orderBy("label")
+    )
+
+
+_ORACLE_EMB_STD = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+u AS (SELECT vec_id, label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+stats AS (SELECT pos, avg(val) AS mu, round(stddev_pop(val), 9) + 1e-9 AS sigma
+          FROM u GROUP BY pos),
+z AS (SELECT u.vec_id, u.label, sum((u.val - s.mu) / s.sigma ORDER BY u.pos) AS zsum
+      FROM u JOIN stats s USING (pos) GROUP BY u.vec_id, u.label)
+SELECT label, count(*) AS n, round(avg(zsum), 4) AS mean_zsum
+FROM z GROUP BY label ORDER BY label
+"""
+
+QUERIES["embedding_standardize"] = q_embedding_standardize
+ORACLES["embedding_standardize"] = _ORACLE_EMB_STD

@@ -226,3 +226,12 @@ def test_session_funnel_windowed_partitioning_reuse(spark):
     # must not be re-exchanged per funnel step beyond the two keys
     plan = formatted_plan(spark, "session_funnel_windowed")
     assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_dup_ngram_spans_single_gram_exchange_no_python(spark):
+    # n-gram construction is codegen (sequence/slice/array_join); the
+    # gram aggregation and the gram→doc join reuse one gram hash
+    # partitioning; nothing crosses into Python
+    plan = formatted_plan(spark, "dup_ngram_spans")
+    assert not any(p in plan for p in PY_NODES)
+    assert plan.count("Exchange hashpartitioning(gram") <= 2
