@@ -406,14 +406,15 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     MORE THAN ONE document (the substring-dedup signal of "exact
     substring deduplication" in LLM data curation — a span shared
     across documents is memorization fuel).  Shape: n-grams are built
-    in pure codegen (sequence + slice + array_join — no shuffle, no
-    Python), exploded, then shuffled ONCE on the gram; the per-gram
-    doc count and the per-doc rollup reuse that co-partitioning (the
-    gram→doc join keys on the gram hash partitioning the aggregation
-    just produced).  At 100 TB the exchange carries (gram, doc) pairs
-    ∝ corpus tokens — the same cost class as the inverted index — and
-    the duplicated-gram set the join touches is the (small) collision
-    set, AQE-coalesced."""
+    in pure codegen (sequence + slice + array_join), reduced to their
+    64-bit xxhash BEFORE the exchange — the shuffle carries 8-byte
+    keys, not ~100-byte token strings (~12× less shuffle volume at
+    100 TB; a 2⁻⁶⁴-per-pair hash collision would only merge two gram
+    identities, the same accepted trade-off as the connected-
+    components convergence hash).  Shuffled ONCE on the gram hash;
+    "appears in more than one doc" is min(doc)≠max(doc) — no
+    COUNT(DISTINCT) expand — and the per-doc rollup's join reuses the
+    gram-hash partitioning the aggregation just produced."""
     n = 8
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
@@ -421,21 +422,21 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     g = docs.select("doc_id", F.explode(grams).alias("gram"))
     gram_docs = g.groupBy("gram").agg(
-        F.countDistinct("doc_id").alias("n_docs_with_gram")
+        (F.min("doc_id") != F.max("doc_id")).alias("is_dup")
     )
     per_doc = (
         g.join(gram_docs, "gram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("n_docs_with_gram") > 1, 1).otherwise(0)
-            ).alias("n_dup_grams"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
         )
         .withColumn(
             "dup_ratio",

@@ -35,6 +35,9 @@ DEFAULT = [
     "training_pipeline",    # composed multi-stage pipeline
     "window_topk",          # window group-limit
     "tdigest_percentiles",  # mergeable sketch (mapInPandas)
+    "kmeans_embeddings",    # iterative codegen assignment + dim agg
+    "dup_ngram_spans",      # token-explode + gram shuffle
+    "hll_join_cardinality", # sketch stats + verification join
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
