@@ -424,9 +424,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             obs,
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("id", "comp")).alias("h"),
+            # second INDEPENDENT hash (salted) squares the odds of an
+            # xor-collision terminating propagation early: ~2^-128 per
+            # round instead of ~2^-64 (ADVICE r4)
+            F.bit_xor(F.xxhash64(F.lit("cc2"), "id", "comp")).alias("h2"),
         ).localCheckpoint(eager=True)
         m = obs.get
-        return out, (m["n"], m["h"])
+        return out, (m["n"], m["h"], m["h2"])
 
     labels, stats = _observed_checkpoint(
         sym.select(F.col("doc_a").alias("id"))
@@ -518,9 +522,11 @@ def _lsss_run(pairs: DataFrame, max_iter: int) -> DataFrame:
             obs,
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            # salted second hash squares the xor-collision odds (ADVICE r4)
+            F.bit_xor(F.xxhash64(F.lit("lsss2"), "u", "v")).alias("h2"),
         ).localCheckpoint(eager=True)
         m = obs.get
-        return out, (m["n"], m["h"])
+        return out, (m["n"], m["h"], m["h2"])
 
     # normalized undirected edge set: (hi, lo)
     cur, cur_stats = _observed_checkpoint(

@@ -125,4 +125,10 @@ def _pagerank_run(
             # defer them to the caller's collect, after the conf is
             # restored); the materialized frame is |V| rows — trivial
             ranks = ranks.localCheckpoint(eager=True)
+    if iterations % checkpoint_every != 0:
+        # trailing iterations after the last in-loop checkpoint would
+        # otherwise execute lazily at the CALLER's action — outside the
+        # scoped shuffle-partitions conf (ADVICE r4); materialize them
+        # here so every iteration's shuffle runs inside the scope
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks
