@@ -46,6 +46,8 @@ _DRIVER_HEAD = [
     "kmeans_embeddings",
     "dup_ngram_spans",
     "embedding_standardize",
+    "table_profile",
+    "equidepth_histogram",
     # last driver-checked in r02 (16)
     "language_id",
     "ann_srp_topk",
@@ -89,8 +91,6 @@ _DRIVER_HEAD = [
     "stream_dedup",
     "jq_scalar_functions",
     "jq_native_multicol",
-    "jq_native_select",
-    "jq_native_expr_filter",
 ]
 
 

@@ -529,3 +529,187 @@ FROM z GROUP BY label ORDER BY label
 
 QUERIES["embedding_standardize"] = q_embedding_standardize
 ORACLES["embedding_standardize"] = _ORACLE_EMB_STD
+
+
+# ---------------------------------------------------------------------------
+# One-pass table profiling (ANALYZE-style column statistics)
+# ---------------------------------------------------------------------------
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics profile of lineitem in ONE aggregation pass —
+    the ANALYZE/data-profiling primitive: per column, row count, null
+    count, exact distinct count, and min/max (rendered as strings so
+    heterogeneous columns share a schema), wide-aggregated in a single
+    job then unpivoted with stack().  The HLL estimate for each column
+    is verified against the exact count (hll_distinct convention:
+    deterministic exact values + bound flag; the sketch is the 100 TB
+    path — fixed-size mergeable partials — while the exact count here
+    doubles as its verification).  One scan, one aggregation, zero
+    joins."""
+    cols = [
+        "l_orderkey",
+        "l_quantity",
+        "l_returnflag",
+        "l_shipdate",
+        "l_extendedprice",
+    ]
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    rsd = 0.02
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.approx_count_distinct(c, rsd).alias(f"{c}__andv"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv, {c}__andv, {c}__min, {c}__max"
+        for c in cols
+    )
+    return (
+        wide.selectExpr(
+            "n_rows",
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, ndv, andv, min_s, max_s)",
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            "n_nulls",
+            "ndv",
+            (
+                F.abs(F.col("andv") - F.col("ndv"))
+                <= F.lit(5 * rsd) * F.col("ndv")
+            ).alias("ndv_bound_ok"),
+            "min_s",
+            "max_s",
+        )
+        .orderBy("column_name")
+    )
+
+
+_ORACLE_PROFILE = """
+WITH w AS (
+  SELECT count(*) AS n_rows,
+         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls,
+         count(DISTINCT l_orderkey) AS k_ndv,
+         CAST(min(l_orderkey) AS VARCHAR) AS k_min, CAST(max(l_orderkey) AS VARCHAR) AS k_max,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nulls,
+         count(DISTINCT l_quantity) AS q_ndv,
+         CAST(min(l_quantity) AS VARCHAR) AS q_min, CAST(max(l_quantity) AS VARCHAR) AS q_max,
+         sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS r_nulls,
+         count(DISTINCT l_returnflag) AS r_ndv,
+         CAST(min(l_returnflag) AS VARCHAR) AS r_min, CAST(max(l_returnflag) AS VARCHAR) AS r_max,
+         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS s_nulls,
+         count(DISTINCT l_shipdate) AS s_ndv,
+         strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS s_min,
+         strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS s_max,
+         sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS e_nulls,
+         count(DISTINCT l_extendedprice) AS e_ndv,
+         CAST(min(l_extendedprice) AS VARCHAR) AS e_min, CAST(max(l_extendedprice) AS VARCHAR) AS e_max
+  FROM lineitem)
+SELECT * FROM (
+  SELECT 'l_orderkey' AS column_name, n_rows, CAST(k_nulls AS BIGINT) AS n_nulls,
+         k_ndv AS ndv, TRUE AS ndv_bound_ok, k_min AS min_s, k_max AS max_s FROM w
+  UNION ALL
+  SELECT 'l_quantity', n_rows, CAST(q_nulls AS BIGINT), q_ndv, TRUE, q_min, q_max FROM w
+  UNION ALL
+  SELECT 'l_returnflag', n_rows, CAST(r_nulls AS BIGINT), r_ndv, TRUE, r_min, r_max FROM w
+  UNION ALL
+  SELECT 'l_shipdate', n_rows, CAST(s_nulls AS BIGINT), s_ndv, TRUE, s_min, s_max FROM w
+  UNION ALL
+  SELECT 'l_extendedprice', n_rows, CAST(e_nulls AS BIGINT), e_ndv, TRUE, e_min, e_max FROM w)
+ORDER BY column_name
+"""
+
+QUERIES["table_profile"] = q_table_profile
+ORACLES["table_profile"] = _ORACLE_PROFILE
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (distributed quantile binning)
+# ---------------------------------------------------------------------------
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bucket equi-depth histogram of l_extendedprice: bucket
+    bounds from Spark's exact interpolating `percentile` (the same
+    definition as DuckDB quantile_cont), then one scan counts rows
+    per bucket via
+    a codegen bucket-index expression (no second shuffle of data —
+    bounds are a 1-row broadcast literal).  Equi-depth histograms are
+    the optimizer/statistics primitive for selectivity estimation and
+    the binning step for feature discretization at 100 TB (the scale
+    path swaps the exact percentile for the t-digest/GK sketches this
+    repo also ships; the binning scan is unchanged)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    n_buckets = 10
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds_row = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array({}))".format(
+                ",".join(str(q) for q in qs)
+            )
+        ).alias("b")
+    ).collect()[0]
+    bounds = [float(b) for b in bounds_row["b"]]
+    # bucket i covers (bounds[i-1], bounds[i]]; first bucket (-inf, b0]
+    idx = F.lit(0)
+    for b in bounds:
+        idx = idx + F.when(F.col("l_extendedprice") > F.lit(b), 1).otherwise(0)
+    return (
+        li.select(idx.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "lo",
+            F.when(
+                F.col("bucket") == 0, F.lit(None).cast("double")
+            ).otherwise(
+                F.element_at(F.lit(bounds), F.col("bucket").cast("int"))
+            ),
+        )
+        .withColumn(
+            "hi",
+            F.when(
+                F.col("bucket") == n_buckets - 1, F.lit(None).cast("double")
+            ).otherwise(
+                F.element_at(F.lit(bounds), F.col("bucket").cast("int") + 1)
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+# DuckDB quantile_cont matches Spark's exact percentile_approx
+# (accuracy >= N) interpolation for the same data
+_ORACLE_EQUIDEPTH = """
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice,
+                       [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bounds
+  FROM lineitem),
+x AS (
+  SELECT CAST(
+           (CASE WHEN l_extendedprice > bounds[1] THEN 1 ELSE 0 END) +
+           (CASE WHEN l_extendedprice > bounds[2] THEN 1 ELSE 0 END) +
+           (CASE WHEN l_extendedprice > bounds[3] THEN 1 ELSE 0 END) +
+           (CASE WHEN l_extendedprice > bounds[4] THEN 1 ELSE 0 END) +
+           (CASE WHEN l_extendedprice > bounds[5] THEN 1 ELSE 0 END) +
+           (CASE WHEN l_extendedprice > bounds[6] THEN 1 ELSE 0 END) +
+           (CASE WHEN l_extendedprice > bounds[7] THEN 1 ELSE 0 END) +
+           (CASE WHEN l_extendedprice > bounds[8] THEN 1 ELSE 0 END) +
+           (CASE WHEN l_extendedprice > bounds[9] THEN 1 ELSE 0 END) AS INTEGER) AS bucket
+  FROM lineitem CROSS JOIN b)
+SELECT x.bucket, count(*) AS n,
+       CASE WHEN x.bucket = 0 THEN NULL ELSE b.bounds[x.bucket] END AS lo,
+       CASE WHEN x.bucket = 9 THEN NULL ELSE b.bounds[x.bucket + 1] END AS hi
+FROM x CROSS JOIN b
+GROUP BY x.bucket, b.bounds ORDER BY x.bucket
+"""
+
+QUERIES["equidepth_histogram"] = q_equidepth_histogram
+ORACLES["equidepth_histogram"] = _ORACLE_EQUIDEPTH
