@@ -48,6 +48,8 @@ _DRIVER_HEAD = [
     "embedding_standardize",
     "table_profile",
     "equidepth_histogram",
+    "event_transitions",
+    "negative_sampling",
     # last driver-checked in r02 (16)
     "language_id",
     "ann_srp_topk",
@@ -89,8 +91,6 @@ _DRIVER_HEAD = [
     "stream_stream_join",
     "stream_stream_left_outer",
     "stream_dedup",
-    "jq_scalar_functions",
-    "jq_native_multicol",
 ]
 
 

@@ -713,3 +713,150 @@ GROUP BY x.bucket, b.bounds ORDER BY x.bucket
 
 QUERIES["equidepth_histogram"] = q_equidepth_histogram
 ORACLES["equidepth_histogram"] = _ORACLE_EQUIDEPTH
+
+
+# ---------------------------------------------------------------------------
+# Event-transition mining (session path bigrams)
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order path mining: per-user event streams become
+    (prev_type → type) transition bigrams via ONE window pass
+    (lag over the user partition — the exchange the sessionization
+    family already establishes), then a global transition matrix with
+    per-source probabilities.  The two aggregations are map-side
+    combinable and the transition space is |types|² — tiny however
+    large the corpus, so the output never becomes the bottleneck."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bi = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = bi.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(totals), 6).alias("p"),
+    ).orderBy("prev_type", "next_type")
+
+
+_ORACLE_TRANSITIONS = """
+WITH bi AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events),
+c AS (SELECT prev_type, next_type, count(*) AS n FROM bi
+      WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM c ORDER BY prev_type, next_type
+"""
+
+QUERIES["event_transitions"] = q_event_transitions
+ORACLES["event_transitions"] = _ORACLE_TRANSITIONS
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive-pair mining)
+# ---------------------------------------------------------------------------
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative sampling: for each anchor
+    document, draw k=3 deterministic negatives with the offset trick
+    — offset = 1 + (md5-hash(anchor, i) mod (N-1)), neg = (anchor +
+    offset) mod N — which can NEVER return the anchor itself and
+    needs no rejection loop.  The draw is the repo's portable md5
+    idiom, so the oracle replays it bit-for-bit; the negative's
+    metadata comes from one broadcast-joinable id lookup.  Output:
+    per-language count of anchors whose negatives happen to share the
+    anchor's language (the collision rate a curriculum would
+    monitor).  Everything is codegen: hash, offset, modulo, one join
+    keyed on the (uniform, unskewed) sampled id."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    n_docs = docs.count()
+    k = 3
+    anchors = docs.select(
+        F.col("doc_id").alias("anchor_id"), F.col("lang").alias("anchor_lang")
+    ).where(F.col("anchor_id") < 500)
+    pairs = anchors.select(
+        "anchor_id",
+        "anchor_lang",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+    ).select(
+        "anchor_id",
+        "anchor_lang",
+        (
+            (
+                F.col("anchor_id")
+                + 1
+                + F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("anchor_id").cast("string"),
+                                    F.col("i").cast("string"),
+                                )
+                            ),
+                            1,
+                            13,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                    F.lit(n_docs - 1),
+                )
+            )
+            % n_docs
+        ).alias("neg_id"),
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                docs.select(
+                    F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang")
+                )
+            ),
+            "neg_id",
+        )
+        .groupBy("anchor_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("neg_lang") == F.col("anchor_lang"), 1).otherwise(0)
+            ).alias("n_same_lang"),
+        )
+        .orderBy("anchor_lang")
+    )
+
+
+_ORACLE_NEGSAMPLE = """
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+anchors AS (SELECT doc_id AS anchor_id, lang AS anchor_lang FROM documents
+            WHERE doc_id < 500),
+pairs AS (
+  SELECT a.anchor_id, a.anchor_lang,
+         (a.anchor_id + 1 +
+          (('0x' || substr(md5(a.anchor_id || ':' || i), 1, 13))::BIGINT
+           % (n.n_docs - 1))) % n.n_docs AS neg_id
+  FROM anchors a CROSS JOIN n, unnest([0, 1, 2]) AS t(i))
+SELECT p.anchor_lang, count(*) AS n_pairs,
+       CAST(sum(CASE WHEN d.lang = p.anchor_lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_lang
+FROM pairs p JOIN documents d ON d.doc_id = p.neg_id
+GROUP BY p.anchor_lang ORDER BY p.anchor_lang
+"""
+
+QUERIES["negative_sampling"] = q_negative_sampling
+ORACLES["negative_sampling"] = _ORACLE_NEGSAMPLE
