@@ -50,6 +50,7 @@ _DRIVER_HEAD = [
     "equidepth_histogram",
     "event_transitions",
     "negative_sampling",
+    "stream_hll_window",
     # last driver-checked in r02 (16)
     "language_id",
     "ann_srp_topk",
@@ -90,7 +91,6 @@ _DRIVER_HEAD = [
     "approx_percentiles",
     "stream_stream_join",
     "stream_stream_left_outer",
-    "stream_dedup",
 ]
 
 
