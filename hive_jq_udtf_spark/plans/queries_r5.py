@@ -537,16 +537,22 @@ ORACLES["embedding_standardize"] = _ORACLE_EMB_STD
 
 
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-statistics profile of lineitem in ONE aggregation pass —
-    the ANALYZE/data-profiling primitive: per column, row count, null
-    count, exact distinct count, and min/max (rendered as strings so
-    heterogeneous columns share a schema), wide-aggregated in a single
-    job then unpivoted with stack().  The HLL estimate for each column
-    is verified against the exact count (hll_distinct convention:
-    deterministic exact values + bound flag; the sketch is the 100 TB
-    path — fixed-size mergeable partials — while the exact count here
-    doubles as its verification).  One scan, one aggregation, zero
-    joins."""
+    """Column-statistics profile of lineitem — the ANALYZE/
+    data-profiling primitive: per column, row count, null count,
+    exact distinct count (verified against the HLL estimate, the
+    100 TB fixed-size-partials path), and min/max rendered as strings
+    so heterogeneous columns share a schema.
+
+    Shape note (measured): N countDistinct's in ONE aggregate makes
+    Catalyst EXPAND every row N+1 ways and aggregate the whole
+    multiplied stream in a single task group — 43 s at sf0.1.  The
+    profile instead runs (a) one cheap wide pass for nulls/min/max
+    (no distinct), and (b) one UNPIVOTED pass — stack the columns
+    into (column_name, val) rows, then a single-distinct-column
+    aggregation that Spark executes as a standard two-phase
+    (partial-distinct) plan partitioned BY COLUMN — and joins the two
+    tiny results.  Same one-job-per-pass scan cost at any scale,
+    no expand."""
     cols = [
         "l_orderkey",
         "l_quantity",
@@ -560,22 +566,29 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__ndv"),
-            F.approx_count_distinct(c, rsd).alias(f"{c}__andv"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
-    wide = li.agg(*aggs)
+    wide = load_table(spark, sf_dir, "lineitem").agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__ndv, {c}__andv, {c}__min, {c}__max"
-        for c in cols
+        f"'{c}', {c}__nulls, {c}__min, {c}__max" for c in cols
+    )
+    basic = wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS (column_name, n_nulls, min_s, max_s)",
+    )
+    stack_vals = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in cols
+    )
+    long = li.selectExpr(
+        f"stack({len(cols)}, {stack_vals}) AS (column_name, val)"
+    )
+    ndv = long.groupBy("column_name").agg(
+        F.countDistinct("val").alias("ndv"),
+        F.approx_count_distinct("val", rsd).alias("andv"),
     )
     return (
-        wide.selectExpr(
-            "n_rows",
-            f"stack({len(cols)}, {stack_args}) AS "
-            "(column_name, n_nulls, ndv, andv, min_s, max_s)",
-        )
+        basic.join(ndv, "column_name")
         .select(
             "column_name",
             "n_rows",
