@@ -51,6 +51,8 @@ _DRIVER_HEAD = [
     "event_transitions",
     "negative_sampling",
     "stream_hll_window",
+    "rolling_anomaly",
+    "snapshot_diff",
     # last driver-checked in r02 (16)
     "language_id",
     "ann_srp_topk",
@@ -89,8 +91,6 @@ _DRIVER_HEAD = [
     # oldest r03-checked greens, registration order (fill)
     "stream_windowed",
     "approx_percentiles",
-    "stream_stream_join",
-    "stream_stream_left_outer",
 ]
 
 

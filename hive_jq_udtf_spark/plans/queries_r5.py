@@ -957,3 +957,130 @@ FROM events GROUP BY 1 ORDER BY win_epoch
 
 QUERIES["stream_hll_window"] = q_stream_hll_window
 ORACLES["stream_hll_window"] = _ORACLE_STREAM_HLL
+
+
+# ---------------------------------------------------------------------------
+# Rolling anomaly detection (per-key trailing-window z-score)
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling anomaly flags: each event's value is scored
+    against the mean/std of the PRECEDING 20 events for that user
+    (strictly trailing frame — no leakage from the current row), and
+    |z| > 3 flags it.  One window pass on the user partitioning (the
+    same single exchange as the sessionization family); the rolling
+    frame is O(20) state per row regardless of history length, which
+    is what makes this the streaming-adjacent batch shape at 100 TB.
+    Output: per-user anomaly counts over users with enough history."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    n_prev = F.count("value").over(w)
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    scored = ev.select(
+        "user_id",
+        "value",
+        n_prev.alias("n_prev"),
+        mu.alias("mu"),
+        sd.alias("sd"),
+    ).where((F.col("n_prev") >= 10) & (F.col("sd") > 0))
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(F.when(F.abs(z) > 3, 1).otherwise(0)).alias("n_anomalies"),
+            F.round(F.max(F.abs(z)), 4).alias("max_abs_z"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_ROLLING_ANOMALY = """
+WITH s AS (
+  SELECT user_id, value,
+         count(value) OVER w AS n_prev,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sd
+  FROM events WHERE user_id < 200
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+f AS (SELECT user_id, (value - mu) / sd AS z FROM s
+      WHERE n_prev >= 10 AND sd > 0)
+SELECT user_id, count(*) AS n_scored,
+       CAST(sum(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       round(max(abs(z)), 4) AS max_abs_z
+FROM f GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["rolling_anomaly"] = q_rolling_anomaly
+ORACLES["rolling_anomaly"] = _ORACLE_ROLLING_ANOMALY
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (keyed change classification between two table states)
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse snapshot diff: classify every order key across two
+    table states (orders through 1997 vs through 1998, with every
+    100th carried-over key given a simulated priority update in the
+    new state) as ADDED / REMOVED / CHANGED / UNCHANGED via ONE full
+    outer join on the key; change detection compares a codegen row
+    fingerprint (xxhash64 of the tracked columns) instead of
+    column-by-column predicates, so the compare cost doesn't grow
+    with column count.  Both snapshot scans push their date filter to
+    parquet.  Output: counts per change class (added/changed/unchanged
+    appear in this append-only synthetic pair; removed is handled by
+    the same classification)."""
+    orders = load_table(spark, sf_dir, "orders")
+    fp = lambda prio: F.xxhash64("o_orderstatus", "o_totalprice", prio)
+    old = orders.where(F.year("o_orderdate") <= 1997).select(
+        "o_orderkey", fp(F.col("o_orderpriority")).alias("fp_old")
+    )
+    drifted = F.when(
+        F.col("o_orderkey") % 100 == 0, F.lit("9-RECLASSIFIED")
+    ).otherwise(F.col("o_orderpriority"))
+    new = orders.where(F.year("o_orderdate") <= 1998).select(
+        "o_orderkey", fp(drifted).alias("fp_new")
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    cls = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(cls.alias("change_class"))
+        .groupBy("change_class")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change_class")
+    )
+
+
+_ORACLE_SNAPDIFF = """
+WITH old AS (SELECT o_orderkey FROM orders WHERE year(o_orderdate) <= 1997),
+new AS (SELECT o_orderkey, o_orderkey % 100 = 0 AS drifted
+        FROM orders WHERE year(o_orderdate) <= 1998),
+j AS (SELECT o.o_orderkey IS NULL AS is_added,
+             n.o_orderkey IS NULL AS is_removed,
+             coalesce(n.drifted, FALSE) AS is_changed
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+SELECT CASE WHEN is_added THEN 'added'
+            WHEN is_removed THEN 'removed'
+            WHEN is_changed THEN 'changed'
+            ELSE 'unchanged' END AS change_class,
+       count(*) AS n
+FROM j GROUP BY 1 ORDER BY change_class
+"""
+
+QUERIES["snapshot_diff"] = q_snapshot_diff
+ORACLES["snapshot_diff"] = _ORACLE_SNAPDIFF
