@@ -53,6 +53,7 @@ _DRIVER_HEAD = [
     "stream_hll_window",
     "rolling_anomaly",
     "snapshot_diff",
+    "bmp_decode_stats",
     # last driver-checked in r02 (16)
     "language_id",
     "ann_srp_topk",
@@ -90,7 +91,6 @@ _DRIVER_HEAD = [
     "dedup_exact",
     # oldest r03-checked greens, registration order (fill)
     "stream_windowed",
-    "approx_percentiles",
 ]
 
 

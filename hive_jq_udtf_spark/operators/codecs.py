@@ -1,0 +1,152 @@
+"""Pure-stdlib media codecs: 24-bit BMP (image) and PCM WAV (audio).
+
+The container has no image/audio libraries, but these two formats
+need none — BMP is a fixed header plus raw padded pixel rows, WAV is
+a RIFF header plus raw PCM — so the multimodal pipeline gets REAL
+decode → transform → encode paths for them (numpy for the pixel
+math), while compressed formats (PNG/JPEG/MP4) remain stubbed behind
+``use_real_codecs`` with a clear error.
+
+Everything here is deterministic and side-effect free; the Spark
+operators in multimodal.py call these inside Arrow-batched
+mapInPandas stages.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# BMP (Windows BITMAPINFOHEADER, 24 bpp, bottom-up, no compression)
+# ---------------------------------------------------------------------------
+
+_BMP_HEADER = struct.Struct("<2sIHHI")  # signature, file size, res, res, data offset
+_BMP_INFO = struct.Struct("<IiiHHIIiiII")
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit BMP bytes (rows bottom-up,
+    4-byte padded, BGR byte order — the format's native layout)."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects (H, W, 3) RGB")
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+    data_size = stride * h
+    offset = _BMP_HEADER.size + _BMP_INFO.size
+    header = _BMP_HEADER.pack(b"BM", offset + data_size, 0, 0, offset)
+    info = _BMP_INFO.pack(_BMP_INFO.size, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    bgr = pixels[::-1, :, ::-1]  # bottom-up rows, RGB→BGR
+    if pad:
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        padded[:, :row_bytes] = bgr.reshape(h, row_bytes)
+        body = padded.tobytes()
+    else:
+        body = bgr.tobytes()
+    return header + info + body
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit BMP bytes → (H, W, 3) uint8 RGB."""
+    sig, _, _, _, offset = _BMP_HEADER.unpack_from(data, 0)
+    if sig != b"BM":
+        raise ValueError("not a BMP payload")
+    (
+        hdr_size,
+        w,
+        h,
+        _planes,
+        bpp,
+        compression,
+        _img_size,
+        _xp,
+        _yp,
+        _used,
+        _important,
+    ) = _BMP_INFO.unpack_from(data, _BMP_HEADER.size)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    flipped = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    raw = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = raw.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR→RGB
+    return rgb[::-1] if flipped else rgb
+
+
+def resize_rgb_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize of (H, W, 3) → (height, width, 3) —
+    the standard index-mapping definition (floor((i+0.5)*src/dst))."""
+    h, w, _ = pixels.shape
+    yi = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    xi = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    return pixels[yi][:, xi]
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF, uncompressed 16-bit PCM)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """1-D int16 PCM samples → mono 16-bit WAV bytes."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    n = len(pcm)
+    hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", n) + pcm
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Mono/stereo 16-bit PCM WAV bytes → (samples int16 (N,) or
+    (N, ch), sample_rate).  Walks RIFF chunks, so extra chunks
+    (LIST/fact) are tolerated."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _bps, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV variant (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(pcm, dtype="<i2")
+    if channels > 1:
+        samples = samples[: len(samples) - len(samples) % channels].reshape(
+            -1, channels
+        )
+    return samples, rate
+
+
+def wav_features(samples: np.ndarray) -> list[float]:
+    """Real audio features from PCM: mean, RMS, peak, zero-crossing
+    rate (mono-mixed first; normalized to [-1, 1])."""
+    if samples.ndim > 1:
+        samples = samples.mean(axis=1)
+    x = samples.astype(np.float64) / 32768.0
+    if len(x) == 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if len(x) > 1 else 0.0
+    return [
+        float(np.mean(x)),
+        float(np.sqrt(np.mean(x * x))),
+        float(np.max(np.abs(x))),
+        zc,
+    ]

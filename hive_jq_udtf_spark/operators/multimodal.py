@@ -3,10 +3,15 @@
 Image/audio/video payloads are opaque ``binary`` columns with a
 typed metadata struct; jq (on a JSON metadata column) doubles as the
 metadata-extraction operator.  Decode/resize/frame-sample run as
-Arrow-batched ``mapInPandas`` stages — the real codec calls are
-STUBBED (no image/audio libraries in this container) behind
-``use_real_codecs``; the Spark-side plumbing (schemas, batch
-iteration, partition behavior) is real and tested.
+Arrow-batched ``mapInPandas`` stages.
+
+``use_real_codecs=True`` is REAL for the formats that need no
+external library: 24-bit BMP images and 16-bit PCM WAV audio decode/
+encode/resize/feature-extract through operators/codecs.py (pure
+stdlib struct + numpy — value-tested against local references).
+Compressed formats (PNG/JPEG/MP4) remain stubbed with a clear error:
+no codec libraries exist in this container; plug one into the same
+dispatch.
 
 Scale shape: mapInPandas streams Arrow batches; binary payloads
 never pass through Python row-at-a-time, and metadata-only
@@ -15,6 +20,7 @@ pruning happens before any decode."""
 
 from __future__ import annotations
 
+from struct import error as struct_error
 from typing import Iterator
 
 import pandas as pd
@@ -84,27 +90,70 @@ def _fake_decode_features(content: bytes, modality: str, dim: int) -> list[float
     return out
 
 
+def _real_decode_features(content: bytes, dim: int) -> tuple[list[float], bool]:
+    """Dispatch on the payload's magic bytes; BMP → per-channel pixel
+    stats, WAV → PCM signal stats, both zero-padded to ``dim``.
+    Unknown/undecodable payloads return (zeros, False) — a curation
+    pipeline routes them, it doesn't crash on them."""
+    import numpy as np
+
+    from . import codecs
+
+    if content is None:
+        return [0.0] * dim, False
+    try:
+        if content[:2] == b"BM":
+            px = codecs.decode_bmp(bytes(content))
+            n = px.shape[0] * px.shape[1]
+            # exact integer channel sums, THEN the two divisions — one
+            # float rounding path, reproducible by plain SQL arithmetic
+            # (per-element b/255 then mean would accumulate float error)
+            feats = [
+                float(int(px[:, :, 0].sum(dtype=np.int64))) / n / 255.0,
+                float(int(px[:, :, 1].sum(dtype=np.int64))) / n / 255.0,
+                float(int(px[:, :, 2].sum(dtype=np.int64))) / n / 255.0,
+                float((px.astype(np.float64) / 255.0).std()),
+            ]
+        elif content[:4] == b"RIFF":
+            samples, _rate = codecs.decode_wav(bytes(content))
+            feats = codecs.wav_features(samples)
+        else:
+            return [0.0] * dim, False
+    except (ValueError, struct_error):
+        return [0.0] * dim, False
+    return (feats + [0.0] * dim)[:dim], True
+
+
 def extract_features(
     media: DataFrame, dim: int = 8, use_real_codecs: bool = False
 ) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads."""
-    if use_real_codecs:
-        raise NotImplementedError(
-            "real image/audio codecs are not available in this environment; "
-            "plug a decoder into _fake_decode_features's slot"
-        )
+    """Arrow-batched feature extraction over binary payloads.
+
+    use_real_codecs=True decodes BMP/WAV for real (codecs.py);
+    anything else comes back decode_ok=False.  The default fake path
+    (byte-histogram moments) keeps working for arbitrary payloads —
+    it is the stand-in for decoders this container cannot host."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if use_real_codecs:
+                pairs = [
+                    _real_decode_features(c, dim) for c in pdf["content"]
+                ]
+                feats = [p[0] for p in pairs]
+                oks = [p[1] for p in pairs]
+            else:
+                feats = [
+                    _fake_decode_features(c, m, dim)
+                    for c, m in zip(pdf["content"], pdf["modality"])
+                ]
+                oks = [c is not None for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
-                    "feature": [
-                        _fake_decode_features(c, m, dim)
-                        for c, m in zip(pdf["content"], pdf["modality"])
-                    ],
-                    "decode_ok": [c is not None for c in pdf["content"]],
+                    "feature": feats,
+                    "decode_ok": oks,
                 }
             )
 
@@ -117,23 +166,55 @@ def resize_images(
     """Image resize stage (stub): passes payloads through and stamps
     the target dimensions into metadata; a real implementation swaps
     the passthrough for decode→resize→encode inside the same
-    mapInPandas body."""
-    if use_real_codecs:
-        raise NotImplementedError("no image codecs in this environment")
+    mapInPandas body.
 
+    use_real_codecs=True REALLY resizes BMP payloads (decode →
+    nearest-neighbor → re-encode, codecs.py); non-BMP payloads raise
+    NotImplementedError — compressed formats need libraries this
+    container does not have."""
     out_schema = MEDIA_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
         for pdf in batches:
+            contents = list(pdf["content"])
+            if use_real_codecs:
+                resized = []
+                for c in contents:
+                    if c is None:
+                        resized.append(None)
+                        continue
+                    if bytes(c[:2]) != b"BM":
+                        raise NotImplementedError(
+                            "real resize implemented for BMP only — no "
+                            "PNG/JPEG codecs in this environment"
+                        )
+                    px = codecs.decode_bmp(bytes(c))
+                    resized.append(
+                        codecs.encode_bmp(
+                            codecs.resize_rgb_nearest(px, width, height)
+                        )
+                    )
+                contents = resized
             meta = [
-                {**(m or {}), "width": width, "height": height}
-                for m in pdf["meta"]
+                {
+                    **(m or {}),
+                    "width": width,
+                    "height": height,
+                    **(
+                        {"n_bytes": len(c)}
+                        if (use_real_codecs and c is not None)
+                        else {}
+                    ),
+                }
+                for m, c in zip(pdf["meta"], contents)
             ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
-                    "content": pdf["content"],
+                    "content": contents,
                     "meta": meta,
                 }
             )

@@ -1084,3 +1084,97 @@ FROM j GROUP BY 1 ORDER BY change_class
 
 QUERIES["snapshot_diff"] = q_snapshot_diff
 ORACLES["snapshot_diff"] = _ORACLE_SNAPDIFF
+
+
+# ---------------------------------------------------------------------------
+# REAL BMP decode path, value-gated end-to-end
+# ---------------------------------------------------------------------------
+
+
+def q_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real image-codec path under the driver gate: deterministic
+    6×5 RGB BMPs are synthesized from each document's first 90 text
+    bytes (zero-padded), ENCODED to actual BMP files (operators/
+    codecs.py — header, bottom-up rows, BGR, stride padding), decoded
+    back by the REAL decoder inside the Arrow mapInPandas feature
+    stage, and reduced to per-channel means.  The oracle never sees a
+    BMP: it recomputes the channel means straight from the text
+    bytes, so any header/stride/channel-order bug in either codec
+    direction shows up as a value mismatch.  (PNG/JPEG remain stubbed
+    — no codec libraries in this container; BMP/WAV need none.)"""
+    import numpy as np
+
+    from ..operators import codecs
+    from ..operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = {"media_id": [], "modality": [], "content": [], "meta": []}
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")[:90]
+                buf = np.zeros(90, dtype=np.uint8)
+                buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                bmp = codecs.encode_bmp(buf.reshape(6, 5, 3))
+                rows["media_id"].append(mid)
+                rows["modality"].append("image")
+                rows["content"].append(bmp)
+                rows["meta"].append(
+                    {
+                        "mime": "image/bmp",
+                        "width": 5,
+                        "height": 6,
+                        "duration_ms": None,
+                        "n_bytes": len(bmp),
+                    }
+                )
+            import pandas as pd
+
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    feats = extract_features(media, dim=4, use_real_codecs=True)
+    # FEATURE_SCHEMA carries float32; a float32 mean re-rounded to 6dp
+    # can land on the wrong side of a rounding boundary.  The integer
+    # channel SUM is exactly recoverable from the float32 mean
+    # (relative error ~6e-8 x 7650 << 0.5), so the gate compares
+    # integers — bit-exact across codec, schema, and oracle.
+    def ch_sum(i: int):
+        return F.round(
+            F.element_at("feature", i).cast("double") * (30 * 255)
+        ).cast("bigint")
+
+    return feats.select(
+        "media_id",
+        "decode_ok",
+        ch_sum(1).alias("sum_r"),
+        ch_sum(2).alias("sum_g"),
+        ch_sum(3).alias("sum_b"),
+    ).orderBy("media_id")
+
+
+# channel c = text byte positions p (1-based) with (p-1) % 3 == c,
+# zero-padded to 90 bytes -> exact integer channel sums
+_ORACLE_BMP_STATS = """
+WITH base AS (SELECT doc_id, substr(text, 1, 90) AS t FROM documents
+              WHERE doc_id < 200),
+pos AS (SELECT doc_id, i, ord(substr(t, CAST(i AS INTEGER), 1)) AS b
+        FROM base, unnest(range(1, 91)) AS r(i)
+        WHERE i <= length(t)),
+ch AS (SELECT doc_id, (i - 1) % 3 AS c, sum(b) AS s
+       FROM pos GROUP BY 1, 2)
+SELECT b.doc_id AS media_id, TRUE AS decode_ok,
+       CAST(coalesce(max(CASE WHEN c = 0 THEN s END), 0) AS BIGINT) AS sum_r,
+       CAST(coalesce(max(CASE WHEN c = 1 THEN s END), 0) AS BIGINT) AS sum_g,
+       CAST(coalesce(max(CASE WHEN c = 2 THEN s END), 0) AS BIGINT) AS sum_b
+FROM base b LEFT JOIN ch ON ch.doc_id = b.doc_id
+GROUP BY b.doc_id ORDER BY media_id
+"""
+
+QUERIES["bmp_decode_stats"] = q_bmp_decode_stats
+ORACLES["bmp_decode_stats"] = _ORACLE_BMP_STATS
