@@ -54,6 +54,7 @@ _DRIVER_HEAD = [
     "rolling_anomaly",
     "snapshot_diff",
     "bmp_decode_stats",
+    "wav_decode_stats",
     # last driver-checked in r02 (16)
     "language_id",
     "ann_srp_topk",
@@ -89,8 +90,6 @@ _DRIVER_HEAD = [
     "neardup_jaccard",
     "dedup_fingerprint",
     "dedup_exact",
-    # oldest r03-checked greens, registration order (fill)
-    "stream_windowed",
 ]
 
 

@@ -1178,3 +1178,96 @@ GROUP BY b.doc_id ORDER BY media_id
 
 QUERIES["bmp_decode_stats"] = q_bmp_decode_stats
 ORACLES["bmp_decode_stats"] = _ORACLE_BMP_STATS
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV decode path, value-gated end-to-end
+# ---------------------------------------------------------------------------
+
+
+def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real audio-codec path under the driver gate: 32 deterministic
+    int16 PCM samples are synthesized from each document's first 64
+    text bytes (big-endian pairs, offset to signed), written to an
+    actual RIFF/WAV file and read back through the REAL decoder
+    (operators/codecs.py), then reduced to integer-exact signal
+    metrics (sample sum, peak magnitude, sign-change count).  The
+    oracle reconstructs the same integers straight from the text —
+    any RIFF-chunk/endianness/PCM-layout bug in either direction is a
+    value mismatch."""
+    import numpy as np
+
+    from ..operators import codecs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    out_schema = (
+        "doc_id long, n_samples int, sum_s long, peak_abs long, n_sign_changes long"
+    )
+
+    def roundtrip(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "n_samples": [],
+                "sum_s": [],
+                "peak_abs": [],
+                "n_sign_changes": [],
+            }
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")[:64]
+                buf = np.zeros(64, dtype=np.uint8)
+                buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                samples = (
+                    buf[0::2].astype(np.int64) * 256 + buf[1::2].astype(np.int64)
+                ) - 32768
+                wav = codecs.encode_wav(samples.astype(np.int16), 16000)
+                decoded, rate = codecs.decode_wav(wav)
+                assert rate == 16000
+                s = decoded.astype(np.int64)
+                neg = s < 0
+                rows["doc_id"].append(mid)
+                rows["n_samples"].append(len(s))
+                rows["sum_s"].append(int(s.sum()))
+                rows["peak_abs"].append(int(np.abs(s).max()) if len(s) else 0)
+                rows["n_sign_changes"].append(
+                    int((neg[1:] != neg[:-1]).sum()) if len(s) > 1 else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(roundtrip, schema=out_schema).orderBy("doc_id")
+
+
+# sample i (0-based, 32 of them) = b(2i)*256 + b(2i+1) - 32768 with
+# text zero-padded to 64 bytes; sign change counted on the s<0 flag
+_ORACLE_WAV_STATS = """
+WITH base AS (SELECT doc_id, substr(text, 1, 64) AS t FROM documents
+              WHERE doc_id < 200),
+bytes AS (SELECT doc_id, i,
+                 CASE WHEN i <= length(t)
+                      THEN ord(substr(t, CAST(i AS INTEGER), 1)) ELSE 0 END AS b
+          FROM base, unnest(range(1, 65)) AS r(i)),
+samples AS (SELECT h.doc_id, (h.i - 1) / 2 AS si,
+                   h.b * 256 + l.b - 32768 AS s
+            FROM bytes h JOIN bytes l
+              ON h.doc_id = l.doc_id AND l.i = h.i + 1
+            WHERE h.i % 2 = 1),
+flags AS (SELECT doc_id, si, s, s < 0 AS neg,
+                 lag(s < 0) OVER (PARTITION BY doc_id ORDER BY si) AS prev_neg
+          FROM samples)
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n_samples,
+       CAST(sum(s) AS BIGINT) AS sum_s,
+       CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+       CAST(sum(CASE WHEN prev_neg IS NOT NULL AND neg <> prev_neg
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sign_changes
+FROM flags GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["wav_decode_stats"] = q_wav_decode_stats
+ORACLES["wav_decode_stats"] = _ORACLE_WAV_STATS
