@@ -1271,3 +1271,88 @@ FROM flags GROUP BY doc_id ORDER BY doc_id
 
 QUERIES["wav_decode_stats"] = q_wav_decode_stats
 ORACLES["wav_decode_stats"] = _ORACLE_WAV_STATS
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout (Welch t-statistic per metric slice)
+# ---------------------------------------------------------------------------
+
+
+def q_ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis as ONE aggregation pass: users are hashed
+    into arms (deterministic md5 parity — the repo's portable idiom),
+    and per event-type slice the readout computes both arms' n/mean/
+    variance, the lift, and Welch's t-statistic, entirely from
+    map-side-combinable aggregates (sum, sumsq, count — never a
+    per-arm self-join).  The t computation is closed-form over those
+    sums, so the whole readout is codegen after a single shuffle on
+    the slice key; at 100 TB this is the shape experimentation
+    platforms need (one pass, mergeable partials, slices scale with
+    |event_type| not |events|)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    x = ev.withColumn("arm", arm)
+    agg = x.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("value"))).alias("s_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("value") * F.col("value"))).alias(
+            "ss_a"
+        ),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("value"))).alias("s_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("value") * F.col("value"))).alias(
+            "ss_b"
+        ),
+    )
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    se = F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 4).alias("mean_a"),
+        F.round(mean_b, 4).alias("mean_b"),
+        F.round(mean_b - mean_a, 4).alias("lift"),
+        F.round((mean_b - mean_a) / se, 4).alias("t_welch"),
+    ).orderBy("event_type")
+
+
+_ORACLE_AB = """
+WITH x AS (
+  SELECT event_type, value,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 2 AS arm
+  FROM events),
+agg AS (
+  SELECT event_type,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN arm = 0 THEN value END) AS s_a,
+         sum(CASE WHEN arm = 0 THEN value * value END) AS ss_a,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+         sum(CASE WHEN arm = 1 THEN value END) AS s_b,
+         sum(CASE WHEN arm = 1 THEN value * value END) AS ss_b
+  FROM x GROUP BY event_type)
+SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(s_a / n_a, 4) AS mean_a,
+       round(s_b / n_b, 4) AS mean_b,
+       round(s_b / n_b - s_a / n_a, 4) AS lift,
+       round((s_b / n_b - s_a / n_a) /
+             sqrt(((ss_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+                  + ((ss_b - s_b * s_b / n_b) / (n_b - 1)) / n_b), 4) AS t_welch
+FROM agg ORDER BY event_type
+"""
+
+QUERIES["ab_experiment_readout"] = q_ab_experiment_readout
+ORACLES["ab_experiment_readout"] = _ORACLE_AB
