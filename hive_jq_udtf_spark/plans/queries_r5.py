@@ -1356,3 +1356,77 @@ FROM agg ORDER BY event_type
 
 QUERIES["ab_experiment_readout"] = q_ab_experiment_readout
 ORACLES["ab_experiment_readout"] = _ORACLE_AB
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch set operations (distinct INTERSECTION estimation)
+# ---------------------------------------------------------------------------
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set algebra from sketches: |users(view) ∩
+    users(purchase)| and each side's cardinality estimated from KMV
+    sketches (operators/kmv.py) — the set operation HLL cannot do —
+    then VERIFIED against the exact intersection (hll_distinct
+    convention: emitted columns are the deterministic exact values
+    plus bound flags; the row fails if an estimate drifts).  Sketch
+    build is one exchange per pass with WindowGroupLimit bounding the
+    collect to s × k hashes; k=256 → rsd ≈ 1/√k ≈ 6%, bounds set at
+    4σ (25%) for the intersection and 3σ (18%) for cardinalities."""
+    from ..operators.kmv import kmv_distinct, kmv_intersection, kmv_sketches
+
+    k = 256
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    sketches = kmv_sketches(ev, "event_type", "user_id", k=k)
+    est_view = kmv_distinct(sketches.get("view", []), k)
+    est_purch = kmv_distinct(sketches.get("purchase", []), k)
+    est_inter = kmv_intersection(
+        sketches.get("view", []), sketches.get("purchase", []), k
+    )
+    exact = ev.groupBy().agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("n_view"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_purchase"),
+    )
+    inter_exact = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id")
+        .intersect(
+            ev.where(F.col("event_type") == "purchase").select("user_id")
+        )
+        .count()
+    )
+    return exact.select(
+        "n_view",
+        "n_purchase",
+        F.lit(inter_exact).alias("n_both"),
+        (
+            F.abs(F.lit(est_view) - F.col("n_view")) <= 0.18 * F.col("n_view")
+        ).alias("view_est_ok"),
+        (
+            F.abs(F.lit(est_purch) - F.col("n_purchase"))
+            <= 0.18 * F.col("n_purchase")
+        ).alias("purchase_est_ok"),
+        (
+            F.abs(F.lit(est_inter) - F.lit(inter_exact))
+            <= 0.25 * F.lit(inter_exact)
+        ).alias("inter_est_ok"),
+    )
+
+
+_ORACLE_KMV = """
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM p) AS n_purchase,
+       (SELECT count(*) FROM v JOIN p USING (user_id)) AS n_both,
+       TRUE AS view_est_ok, TRUE AS purchase_est_ok, TRUE AS inter_est_ok
+"""
+
+QUERIES["kmv_set_ops"] = q_kmv_set_ops
+ORACLES["kmv_set_ops"] = _ORACLE_KMV

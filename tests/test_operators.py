@@ -1018,3 +1018,44 @@ def test_multimodal_real_codecs_end_to_end(spark):
         assert dec.shape == (12, 10, 3)
         assert np.array_equal(dec, codecs.resize_rgb_nearest(px, 10, 12))
         assert out[i].meta.width == 10 and out[i].meta.n_bytes == len(bytes(out[i].content))
+
+
+def test_kmv_estimates_and_exact_small_sets(spark):
+    from hive_jq_udtf_spark.operators.kmv import (
+        kmv_distinct,
+        kmv_intersection,
+        kmv_sketches,
+    )
+
+    # A = 0..999, B = 500..1499 -> |A|=|B|=1000, |A∩B|=500
+    rows = [("a", i) for i in range(1000)] + [("b", i) for i in range(500, 1500)]
+    df = spark.createDataFrame(rows, "s string, v long")
+    k = 128
+    sk = kmv_sketches(df, "s", "v", k=k)
+    assert len(sk["a"]) == k and sk["a"] == sorted(sk["a"])
+    da, db = kmv_distinct(sk["a"], k), kmv_distinct(sk["b"], k)
+    assert abs(da - 1000) < 0.3 * 1000 and abs(db - 1000) < 0.3 * 1000
+    inter = kmv_intersection(sk["a"], sk["b"], k)
+    assert abs(inter - 500) < 0.45 * 500  # J-estimate noise ~1/sqrt(k·J)
+    # sets smaller than k: sketch IS the set -> exact
+    small = spark.createDataFrame(
+        [("x", i) for i in range(50)] + [("y", i) for i in range(25, 75)],
+        "s string, v long",
+    )
+    sk2 = kmv_sketches(small, "s", "v", k=k)
+    assert kmv_distinct(sk2["x"], k) == 50.0
+    assert kmv_intersection(sk2["x"], sk2["y"], k) == 25.0
+    # the k-smallest filter plans as WindowGroupLimit (bounded collect)
+    from pyspark.sql import functions as F, Window
+
+    h = (F.xxhash64("v").cast("double")).alias("u")
+    d = df.select(F.col("s"), h).dropDuplicates(["s", "u"])
+    w = Window.partitionBy("s").orderBy("u")
+    plan = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
