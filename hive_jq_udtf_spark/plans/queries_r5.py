@@ -1430,3 +1430,126 @@ SELECT (SELECT count(*) FROM v) AS n_view,
 
 QUERIES["kmv_set_ops"] = q_kmv_set_ops
 ORACLES["kmv_set_ops"] = _ORACLE_KMV
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join of facts against SCD2 dimension versions
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correctness for versioned dimensions: every
+    purchase event is joined to the dimension STATE THAT WAS VALID at
+    purchase time — the per-user SCD2 version stream built from the
+    user's view events (scd2_history's interval logic).  The PIT
+    lookup is the as-of shape, so it reuses operators/asof.py: ONE
+    shuffle (union + user-keyed window), ZERO join nodes — the
+    interval containment never becomes a range join.  The oracle uses
+    DuckDB's native ASOF JOIN, verifying the same semantics from the
+    definition."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    dim = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("state_value"),
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(probes, dim, key="user_id", ts="ts", right_cols=["state_value"])
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("state_value_r").alias("n_with_state"),
+            F.round(F.sum("state_value_r"), 4).alias("sum_state"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_PIT = """
+WITH dim AS (SELECT user_id, ts, round(value, 4) AS state_value
+             FROM events WHERE event_type = 'view' AND user_id < 40),
+probes AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase' AND user_id < 40),
+j AS (SELECT p.user_id, d.state_value
+      FROM probes p ASOF LEFT JOIN dim d
+        ON p.user_id = d.user_id AND p.ts >= d.ts)
+SELECT user_id, count(*) AS n_purchases,
+       count(state_value) AS n_with_state,
+       round(sum(state_value), 4) AS sum_state
+FROM j GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["scd2_pit_join"] = q_scd2_pit_join
+ORACLES["scd2_pit_join"] = _ORACLE_PIT
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning (bin-packing small files into target sizes)
+# ---------------------------------------------------------------------------
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the table-maintenance primitive
+    behind OPTIMIZE: per-(priority, month) "files" (row counts stand
+    in for bytes) are packed into merge jobs by running-cumulative-sum
+    binning (bin = floor(cumsum_before / target)), one window pass in
+    layout order.  Sequential cumsum binning is the streaming-friendly
+    packing discipline (no NP-hard bin packing, never reorders the
+    layout, each job reads contiguous files).  Output: one row per
+    planned merge job with file count and total size."""
+    target = 4000
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        "o_orderpriority", F.date_trunc("month", "o_orderdate").alias("mon")
+    ).agg(F.count(F.lit(1)).alias("size"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.select(
+        "o_orderpriority",
+        "mon",
+        "size",
+        F.floor(
+            F.coalesce(F.sum("size").over(w), F.lit(0)) / F.lit(target)
+        ).alias("bin"),
+    )
+    return (
+        planned.groupBy("o_orderpriority", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size").alias("total_size"),
+            F.min("mon").alias("from_month"),
+            F.max("mon").alias("to_month"),
+        )
+        .orderBy("o_orderpriority", "bin")
+    )
+
+
+_ORACLE_COMPACTION = """
+WITH files AS (
+  SELECT o_orderpriority, date_trunc('month', o_orderdate) AS mon,
+         count(*) AS size
+  FROM orders GROUP BY 1, 2),
+planned AS (
+  SELECT o_orderpriority, mon, size,
+         CAST(floor(coalesce(sum(size) OVER (PARTITION BY o_orderpriority
+                                             ORDER BY mon
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0)
+                    / 4000) AS BIGINT) AS bin
+  FROM files)
+SELECT o_orderpriority, bin, count(*) AS n_files,
+       CAST(sum(size) AS BIGINT) AS total_size,
+       min(mon) AS from_month, max(mon) AS to_month
+FROM planned GROUP BY 1, 2 ORDER BY o_orderpriority, bin
+"""
+
+QUERIES["compaction_plan"] = q_compaction_plan
+ORACLES["compaction_plan"] = _ORACLE_COMPACTION
