@@ -150,3 +150,54 @@ def wav_features(samples: np.ndarray) -> list[float]:
         float(np.max(np.abs(x))),
         zc,
     ]
+
+
+def resample_pcm(
+    samples: np.ndarray, src_rate: int, dst_rate: int
+) -> np.ndarray:
+    """Linear-interpolation PCM resample (mono int16 → int16).
+    Output length = floor(n * dst/src); sample t maps to source
+    position t*src/dst and interpolates its two neighbors — the
+    textbook definition, deterministic, no windowed filtering."""
+    if samples.ndim > 1:
+        samples = samples.mean(axis=1)
+    n = len(samples)
+    if n == 0 or src_rate == dst_rate:
+        return samples.astype(np.int16)
+    m = int(n * dst_rate / src_rate)
+    pos = np.arange(m, dtype=np.float64) * src_rate / dst_rate
+    i0 = np.minimum(pos.astype(np.int64), n - 1)
+    i1 = np.minimum(i0 + 1, n - 1)
+    frac = pos - i0
+    x = samples.astype(np.float64)
+    out = x[i0] * (1.0 - frac) + x[i1] * frac
+    return np.clip(np.rint(out), -32768, 32767).astype(np.int16)
+
+
+def crop_rgb(
+    pixels: np.ndarray, x: int, y: int, width: int, height: int
+) -> np.ndarray:
+    """Crop (H, W, 3) to the [y:y+height, x:x+width] window; raises
+    if the window leaves the image (no silent clamping)."""
+    h, w, _ = pixels.shape
+    if x < 0 or y < 0 or x + width > w or y + height > h:
+        raise ValueError(f"crop window {x},{y},{width},{height} outside {w}x{h}")
+    return pixels[y : y + height, x : x + width]
+
+
+def letterbox_rgb(
+    pixels: np.ndarray, width: int, height: int, fill: int = 0
+) -> np.ndarray:
+    """Aspect-preserving fit into (height, width): nearest-resize the
+    longest-fitting scale, then center on a ``fill`` canvas — the
+    standard model-input normalization that avoids distortion."""
+    h, w, _ = pixels.shape
+    scale = min(width / w, height / h)
+    nw = max(int(w * scale), 1)
+    nh = max(int(h * scale), 1)
+    resized = resize_rgb_nearest(pixels, nw, nh)
+    canvas = np.full((height, width, 3), fill, dtype=np.uint8)
+    oy = (height - nh) // 2
+    ox = (width - nw) // 2
+    canvas[oy : oy + nh, ox : ox + nw] = resized
+    return canvas

@@ -1059,3 +1059,34 @@ def test_kmv_estimates_and_exact_small_sets(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_codecs_resample_crop_letterbox():
+    import numpy as np
+
+    from hive_jq_udtf_spark.operators import codecs
+
+    # resample: a linear ramp stays a linear ramp at any rate
+    ramp = np.linspace(-10000, 10000, 160).astype(np.int16)
+    up = codecs.resample_pcm(ramp, 8000, 16000)
+    assert len(up) == 320
+    diffs = np.diff(up.astype(np.int64))
+    assert diffs.min() >= 0 and abs(int(up[0]) - int(ramp[0])) <= 1
+    down = codecs.resample_pcm(ramp, 8000, 4000)
+    assert len(down) == 80 and np.array_equal(down, ramp[0::2])  # exact 2:1 picks
+    assert len(codecs.resample_pcm(np.array([], dtype=np.int16), 8000, 4000)) == 0
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    crop = codecs.crop_rgb(px, 1, 2, 4, 3)
+    assert crop.shape == (3, 4, 3) and np.array_equal(crop, px[2:5, 1:5])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        codecs.crop_rgb(px, 4, 0, 4, 3)  # runs off the right edge
+
+    boxed = codecs.letterbox_rgb(px, 12, 8, fill=7)
+    assert boxed.shape == (8, 12, 3)
+    # 8x6 -> scale=min(12/6, 8/8)=1.0 -> content 8 rows x 6 cols centered
+    assert np.array_equal(boxed[:, 3:9], px)
+    assert (boxed[:, :3] == 7).all() and (boxed[:, 9:] == 7).all()
