@@ -172,7 +172,14 @@ def main() -> None:
         s = getattr(tl, "s", None)
         if s is None:
             s = spark.newSession()
+            # newSession() seeds conf from the BUILDER conf, not the
+            # parent's runtime conf.set calls — re-pin everything the
+            # staging section set or the concurrent scans run un-split
             s.conf.set("spark.sql.session.timeZone", "UTC")
+            s.conf.set(
+                "spark.sql.files.maxPartitionBytes",
+                spark.conf.get("spark.sql.files.maxPartitionBytes"),
+            )
             tl.s = s
         try:
             fn(s, sf_dir).collect()

@@ -10,6 +10,7 @@ the reference a UDTF rather than a UDF (JsonQueryUDTF.java:97-99).
 from __future__ import annotations
 
 import base64
+import binascii
 import calendar
 import hashlib
 import math
@@ -471,9 +472,15 @@ def apply_format(name: str, v: Any) -> str:
     if name == "@base32d":
         if not isinstance(v, str):
             raise JQError(f"{typename(v)} cannot be base32-decoded")
-        return base64.b32decode(v + "=" * (-len(v) % 8)).decode(
-            "utf-8", errors="replace"
-        )
+        try:
+            return base64.b32decode(v + "=" * (-len(v) % 8)).decode(
+                "utf-8", errors="replace"
+            )
+        except binascii.Error:
+            # binascii.Error is not a JQError: unwrapped it would escape
+            # the $error channel AND jq-level try/catch (real jq raises
+            # a catchable error here)
+            raise JQError(f"{v} is not valid base32 data") from None
     raise JQError(f"{name} is not a valid format")
 
 

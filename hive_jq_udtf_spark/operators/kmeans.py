@@ -66,9 +66,6 @@ def kmeans_fit(
 
     An empty cluster keeps its previous centroid (no re-seeding — the
     deterministic choice the oracle can replicate)."""
-    dim_row = df.select(F.size(vec_col).alias("d")).limit(1).collect()
-    if not dim_row:
-        raise ValueError("kmeans_fit: empty input")
     init_rows = (
         df.select(id_col, vec_col)
         .orderBy(id_col)

@@ -105,6 +105,10 @@ def _real_decode_features(content: bytes, dim: int) -> tuple[list[float], bool]:
         if content[:2] == b"BM":
             px = codecs.decode_bmp(bytes(content))
             n = px.shape[0] * px.shape[1]
+            if n == 0:
+                # a header can declare width/height 0 — route it, the
+                # contract is decode_ok=False, never a task crash
+                return [0.0] * dim, False
             # exact integer channel sums, THEN the two divisions — one
             # float rounding path, reproducible by plain SQL arithmetic
             # (per-element b/255 then mean would accumulate float error)

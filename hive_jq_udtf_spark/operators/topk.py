@@ -28,10 +28,16 @@ def topk_per_key_dynamic(
     rank_name: str = "rk",
 ) -> DataFrame:
     """Keep the top-``k`` rows per key where ``k`` varies per key
-    (``k_col``, already joined onto ``df``; values are capped at
-    ``max_k``).  ``order_cols`` must be a total order (include a
-    tiebreaker) for deterministic results."""
+    (``k_col``, already joined onto ``df``).  k values above
+    ``max_k`` are CLAMPED to it — max_k is the static pushdown bound,
+    so ranks beyond it cannot be produced; pick max_k ≥ max(k).
+    ``order_cols`` must be a total order (include a tiebreaker) for
+    deterministic results."""
     kc = F.col(k_col) if isinstance(k_col, str) else k_col
+    # the literal bound is what WindowGroupLimit pushes into the
+    # shuffle; a k value above max_k would be SILENTLY truncated by
+    # it, so enforce the contract visibly: clamp k to max_k
+    kc = F.least(kc, F.lit(max_k))
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     ranked = df.withColumn(rank_name, F.row_number().over(w))
     # literal bound FIRST (its own filter → WindowGroupLimit pushes it

@@ -1450,10 +1450,13 @@ def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import asof_join
 
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
-    dim = ev.where(F.col("event_type") == "view").select(
-        "user_id",
-        "ts",
-        F.round("value", 4).alias("state_value"),
+    # collapse (user, ts) ties to one version (max value) so the as-of
+    # pick is deterministic in BOTH engines — DuckDB's ASOF JOIN
+    # resolves ties arbitrarily, Spark's union+window by payload order
+    dim = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("state_value"))
     )
     probes = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id"
@@ -1471,8 +1474,9 @@ def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_PIT = """
-WITH dim AS (SELECT user_id, ts, round(value, 4) AS state_value
-             FROM events WHERE event_type = 'view' AND user_id < 40),
+WITH dim AS (SELECT user_id, ts, round(max(value), 4) AS state_value
+             FROM events WHERE event_type = 'view' AND user_id < 40
+             GROUP BY user_id, ts),
 probes AS (SELECT user_id, ts, event_id FROM events
            WHERE event_type = 'purchase' AND user_id < 40),
 j AS (SELECT p.user_id, d.state_value

@@ -270,6 +270,7 @@ CASES = [
     ('@base32', "hello", ["NBSWY3DP"]),
     ('@base32 | @base32d', "round", ["round"]),
     ('@base32', 7, ["G4======"]),  # non-strings stringify first, like @base64
+    ('try @base32d catch "bad"', "hello", ["bad"]),  # invalid base32 -> catchable jq error
     # destructuring
     (". as [$a, $b, $c] | [$c, $b, $a]", [1, 2], [[None, 2, 1]]),
     (". as {a: [$x, $y]} | $x + $y", {"a": [1, 2]}, [3]),
