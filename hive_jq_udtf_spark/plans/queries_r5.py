@@ -1557,3 +1557,112 @@ FROM planned GROUP BY 1, 2 ORDER BY o_orderpriority, bin
 
 QUERIES["compaction_plan"] = q_compaction_plan
 ORACLES["compaction_plan"] = _ORACLE_COMPACTION
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve locality layout (the Z-order upgrade)
+# ---------------------------------------------------------------------------
+
+
+def _hilbert_cols(x, y, order: int):
+    """(x, y) in [0, 2^order)² → Hilbert distance d, as pure integer
+    Catalyst expressions: the standard xy2d loop (rot + accumulate)
+    unrolled ``order`` times.  Every step is CASE/AND/XOR arithmetic,
+    so the identical unroll is expressible in SQL for the oracle."""
+    d = F.lit(0).cast("long")
+    for level in range(order - 1, -1, -1):
+        s = 1 << level
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        d = d + F.lit(s) * F.lit(s) * (F.lit(3) * rx).bitwiseXOR(ry)
+        # rotate quadrant: when ry == 0 → mirror (if rx == 1) and swap
+        nx = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - y).otherwise(y),
+        ).otherwise(x)
+        ny = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - x).otherwise(x),
+        ).otherwise(y)
+        x, y = nx, ny
+    return d
+
+
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering quality report — the locality upgrade
+    over zorder_layout: the Hilbert curve has no Morton 'seams' (every
+    consecutive pair of cells is adjacent), so per-file bounding boxes
+    are tighter and data-skipping prunes more.  The xy2d computation
+    is the standard rot-and-accumulate loop unrolled 4 levels (16×16
+    grid) into pure integer CASE/XOR codegen — no UDF — and the
+    oracle replays the identical unroll in SQL.  Output: per-file
+    min/max of both dimensions plus each file's bounding-box area, the
+    pruning-quality measure to compare against zorder_layout's."""
+    order = 4
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.col("user_id") % 16).cast("long")
+    y = (F.floor("value").cast("long") % 16).cast("long")
+    hd = _hilbert_cols(x, y, order)
+    hdf = ev.select("event_id", x.alias("x"), y.alias("y"), hd.alias("h"))
+    wf = Window.orderBy("h", "event_id")
+    return (
+        hdf.select("x", "y", F.ntile(16).over(wf).alias("file_id"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        .withColumn(
+            "bbox_area",
+            (F.col("x_max") - F.col("x_min") + 1)
+            * (F.col("y_max") - F.col("y_min") + 1),
+        )
+        .orderBy("file_id")
+    )
+
+
+def _hilbert_sql_unroll(order: int) -> str:
+    """The same xy2d unroll as staged SQL CTE columns."""
+    steps = []
+    prev = "g0"
+    steps.append(
+        "g0 AS (SELECT event_id, x, y, CAST(0 AS BIGINT) AS d, x AS cx, y AS cy FROM grid)"
+    )
+    for i, level in enumerate(range(order - 1, -1, -1), start=1):
+        s = 1 << level
+        steps.append(
+            f"""g{i} AS (
+  SELECT event_id, x, y,
+         d + {s * s} * xor(3 * (CASE WHEN (cx & {s}) > 0 THEN 1 ELSE 0 END),
+                           (CASE WHEN (cy & {s}) > 0 THEN 1 ELSE 0 END)) AS d,
+         CASE WHEN (cy & {s}) > 0 THEN cx
+              WHEN (cx & {s}) > 0 THEN {s - 1} - cy ELSE cy END AS cx,
+         CASE WHEN (cy & {s}) > 0 THEN cy
+              WHEN (cx & {s}) > 0 THEN {s - 1} - cx ELSE cx END AS cy
+  FROM g{i - 1})"""
+        )
+        prev = f"g{i}"
+    return ",\n".join(steps), prev
+
+
+_H_STEPS, _H_LAST = _hilbert_sql_unroll(4)
+
+_ORACLE_HILBERT = f"""
+WITH grid AS (
+  SELECT event_id, user_id % 16 AS x,
+         CAST(floor(value) AS BIGINT) % 16 AS y
+  FROM events),
+{_H_STEPS},
+filed AS (SELECT x, y, ntile(16) OVER (ORDER BY d, event_id) AS file_id
+          FROM {_H_LAST})
+SELECT file_id, count(*) AS n, min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max,
+       (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS bbox_area
+FROM filed GROUP BY file_id ORDER BY file_id
+"""
+
+QUERIES["hilbert_layout"] = q_hilbert_layout
+ORACLES["hilbert_layout"] = _ORACLE_HILBERT

@@ -235,3 +235,25 @@ def test_dup_ngram_spans_single_gram_exchange_no_python(spark):
     plan = formatted_plan(spark, "dup_ngram_spans")
     assert not any(p in plan for p in PY_NODES)
     assert plan.count("Exchange hashpartitioning(gram") <= 2
+
+
+def test_hilbert_unroll_is_true_hilbert_curve(spark):
+    # the 4-level unrolled xy2d must be a bijection on the 16x16 grid
+    # with every consecutive pair of cells unit-adjacent (the locality
+    # property that makes it beat Morton for data skipping)
+    from pyspark.sql import functions as F
+
+    from hive_jq_udtf_spark.plans.queries_r5 import _hilbert_cols
+
+    g = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    rows = g.select(
+        "x", "y", _hilbert_cols(F.col("x"), F.col("y"), 4).alias("d")
+    ).collect()
+    assert sorted(r.d for r in rows) == list(range(256))
+    pos = {r.d: (r.x, r.y) for r in rows}
+    assert all(
+        abs(pos[d][0] - pos[d + 1][0]) + abs(pos[d][1] - pos[d + 1][1]) == 1
+        for d in range(255)
+    )
