@@ -1666,3 +1666,150 @@ FROM filed GROUP BY file_id ORDER BY file_id
 
 QUERIES["hilbert_layout"] = q_hilbert_layout
 ORACLES["hilbert_layout"] = _ORACLE_HILBERT
+
+
+# ---------------------------------------------------------------------------
+# Time-series densification (calendar-spine gap filling)
+# ---------------------------------------------------------------------------
+
+
+def q_timeseries_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free per-user daily series: a generated calendar spine
+    (sequence + explode over the table's own [min, max] day range —
+    no external table) cross-joined with the user dim, left-joined
+    with the observed daily aggregates, missing days filled with
+    zeros.  The spine is |users| × |days| rows built from literals
+    (broadcast-sized), so the only real exchange is the daily
+    aggregation of the fact table; gap filling itself never shuffles
+    events.  Verification aggregates the densified series (total
+    days, zero-filled days, value sum) per user."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 25)
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    ).collect()[0]
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("v"), F.count(F.lit(1)).alias("n"))
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(
+        spark.range(1).select(
+            F.explode(
+                F.sequence(
+                    F.lit(bounds["lo"]),
+                    F.lit(bounds["hi"]),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day")
+        )
+    )
+    dense = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("v", F.lit(0.0)).alias("v"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+    return (
+        dense.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.when(F.col("n") == 0, 1).otherwise(0)).alias("n_gap_days"),
+            F.round(F.sum("v"), 4).alias("total_v"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_DENSIFY = """
+WITH ev AS (SELECT * FROM events WHERE user_id < 25),
+bounds AS (SELECT date_trunc('day', min(ts)) AS lo,
+                  date_trunc('day', max(ts)) AS hi FROM ev),
+spine AS (SELECT u.user_id, d.day
+          FROM (SELECT DISTINCT user_id FROM ev) u
+          CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+                      FROM bounds) d),
+daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+                 round(sum(value), 4) AS v, count(*) AS n
+          FROM ev GROUP BY 1, 2),
+dense AS (SELECT s.user_id, s.day, coalesce(d.v, 0.0) AS v,
+                 coalesce(d.n, 0) AS n
+          FROM spine s LEFT JOIN daily d USING (user_id, day))
+SELECT user_id, count(*) AS n_days,
+       CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_days,
+       round(sum(v), 4) AS total_v
+FROM dense GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["timeseries_densify"] = q_timeseries_densify
+ORACLES["timeseries_densify"] = _ORACLE_DENSIFY
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per language
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-characteristic terms: per language, the 5 tokens with
+    the highest summed TF-IDF (tf = in-doc count, idf = ln((N+1)/
+    (df+1)) — the smoothed convention).  Token explode shuffles once
+    on (doc, token); document frequency reuses the token partitioning
+    from the same exploded frame; the per-language top-5 is a
+    WindowGroupLimit rank.  At 100 TB this is the inverted-index cost
+    class — everything map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_, "tok")
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)),
+        )
+        .groupBy("lang", "tok")
+        .agg(F.round(F.sum("tfidf"), 6).alias("score"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("lang", "rk", "tok", "score")
+        .orderBy("lang", "rk")
+    )
+
+
+_ORACLE_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, lang, tok, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT lang, tok,
+         round(sum(tf * ln((n_docs + 1.0) / (df + 1))), 6) AS score
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+  GROUP BY lang, tok, n_docs)
+SELECT lang, rk, tok, score FROM (
+  SELECT lang, tok, score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score DESC, tok) AS rk
+  FROM scored)
+WHERE rk <= 5 ORDER BY lang, rk
+"""
+
+QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
+ORACLES["tfidf_top_terms"] = _ORACLE_TFIDF
