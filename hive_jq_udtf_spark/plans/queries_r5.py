@@ -1813,3 +1813,81 @@ WHERE rk <= 5 ORDER BY lang, rk
 
 QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
 ORACLES["tfidf_top_terms"] = _ORACLE_TFIDF
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift monitoring (population stability index)
+# ---------------------------------------------------------------------------
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two time slices — the
+    standard production drift monitor: the metric distribution of the
+    month's first half (reference) vs second half (current), binned
+    into 10 fixed-width buckets, PSI = Σ (p−q)·ln(p/q) with +0.5
+    Laplace smoothing per bin (the convention that keeps empty bins
+    finite).  ONE scan computes both periods' histograms (conditional
+    aggregation on a shared bin key — no self-join, no second pass);
+    the PSI fold is a tiny 10-row aggregate.  Output: per-event-type
+    PSI plus both sample sizes."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.dayofmonth("ts") <= 15).alias("is_ref"),
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int").alias("bin"),
+    )
+    hist = ev.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+    )
+    totals = Window.partitionBy("event_type")
+    n_bins = F.count(F.lit(1)).over(totals)  # bins actually present
+    p = (F.col("n_ref") + 0.5) / (F.sum("n_ref").over(totals) + 0.5 * n_bins)
+    q = (F.col("n_cur") + 0.5) / (F.sum("n_cur").over(totals) + 0.5 * n_bins)
+    per_bin = hist.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        ((p - q) * F.log(p / q)).alias("psi_term"),
+    )
+    return (
+        per_bin.groupBy("event_type")
+        .agg(
+            F.sum("n_ref").alias("n_ref"),
+            F.sum("n_cur").alias("n_cur"),
+            F.round(F.sum("psi_term"), 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# smoothing denominator = sum(n) + 0.5 x bins PRESENT (bins empty in
+# BOTH periods are absent from the grouped frame) — both engines
+# count present bins with a window count over the hist frame.
+_ORACLE_PSI = """
+WITH ev AS (
+  SELECT event_type, value, day(ts) <= 15 AS is_ref,
+         CAST(least(floor(value / 50), 9) AS INTEGER) AS bin
+  FROM events),
+hist AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_cur
+  FROM ev GROUP BY 1, 2),
+terms AS (
+  SELECT event_type, n_ref, n_cur,
+         ((n_ref + 0.5) / (sum(n_ref) OVER w + 0.5 * count(*) OVER w)
+          - (n_cur + 0.5) / (sum(n_cur) OVER w + 0.5 * count(*) OVER w))
+         * ln(((n_ref + 0.5) / (sum(n_ref) OVER w + 0.5 * count(*) OVER w))
+              / ((n_cur + 0.5) / (sum(n_cur) OVER w + 0.5 * count(*) OVER w)))
+           AS psi_term
+  FROM hist
+  WINDOW w AS (PARTITION BY event_type))
+SELECT event_type, CAST(sum(n_ref) AS BIGINT) AS n_ref,
+       CAST(sum(n_cur) AS BIGINT) AS n_cur,
+       round(sum(psi_term), 6) AS psi
+FROM terms GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["psi_drift"] = q_psi_drift
+ORACLES["psi_drift"] = _ORACLE_PSI
