@@ -1891,3 +1891,76 @@ FROM terms GROUP BY event_type ORDER BY event_type
 
 QUERIES["psi_drift"] = q_psi_drift
 ORACLES["psi_drift"] = _ORACLE_PSI
+
+
+# ---------------------------------------------------------------------------
+# Sort-merge-bucket join (zero-exchange co-located join)
+# ---------------------------------------------------------------------------
+
+_BUCKET_GATE_READY: dict[str, bool] = {}
+
+
+def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB co-location strategy as a gated query: orders and
+    lineitem are written ONCE as managed tables bucketed (and sorted)
+    on the join key, and the revenue-per-priority join then plans as
+    a sort-merge join with NO Exchange on either side — the shuffle
+    was paid at ingest, amortized over every subsequent join on that
+    key (tests/test_plans.py pins the exchange-free shape).  The
+    bucketed write is cached per (process, sf_dir); re-running the
+    query measures only the join."""
+    key = f"bucket_gate::{sf_dir}"
+    from ..sources.jsonl import write_bucketed
+
+    if not _BUCKET_GATE_READY.get(key):
+        # a previous PROCESS may have left the managed-table location
+        # behind (saveAsTable can't overwrite a directory the current
+        # catalog doesn't know about) — drop both name and location
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        for t in ("b_orders_gate", "b_lineitem_gate"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            if wh:
+                shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderkey") < 30000
+        )
+        li = load_table(spark, sf_dir, "lineitem").where(
+            F.col("l_orderkey") < 30000
+        )
+        write_bucketed(
+            orders, "b_orders_gate", ["o_orderkey"], num_buckets=8,
+            sort_by=["o_orderkey"],
+        )
+        write_bucketed(
+            li, "b_lineitem_gate", ["l_orderkey"], num_buckets=8,
+            sort_by=["l_orderkey"],
+        )
+        _BUCKET_GATE_READY[key] = True
+    o = spark.table("b_orders_gate")
+    l = spark.table("b_lineitem_gate")
+    j = o.hint("merge").join(l, o["o_orderkey"] == l["l_orderkey"])
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_BUCKETED = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey < 30000 AND l.l_orderkey < 30000
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["bucketed_join_agg"] = q_bucketed_join_agg
+ORACLES["bucketed_join_agg"] = _ORACLE_BUCKETED

@@ -257,3 +257,17 @@ def test_hilbert_unroll_is_true_hilbert_curve(spark):
         abs(pos[d][0] - pos[d + 1][0]) + abs(pos[d][1] - pos[d + 1][1]) == 1
         for d in range(255)
     )
+
+
+def test_bucketed_join_agg_zero_exchange(spark):
+    # both sides bucketed+sorted on the key: the sort-merge join must
+    # consume the bucketing — no Exchange anywhere in the plan
+    plan = formatted_plan(spark, "bucketed_join_agg")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2  # both scans consume buckets
+    # join itself is exchange-free: only the final groupBy + orderBy
+    # exchanges remain (an unbucketed SMJ would add two more).  Count
+    # detail entries, not tree-header mentions.
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
