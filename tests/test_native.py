@@ -699,3 +699,101 @@ def test_native_projected_strpred_array_not_serialized_match(spark):
     )
     # only the real string "axe" matches; array/object rows are False
     assert rows == [(False,), (False,), (False,), (True,)]
+
+
+def test_native_generated_differential(spark):
+    """Systematic gate-gap detector: pseudo-randomly generated
+    simple-path programs over pseudo-random dirty-ish documents; every
+    program that the native tier ACCEPTS must produce exactly the
+    Python tier's rows.  (The restored sort/unique nested gate was a
+    class of bug this sweep would have caught — a program compiling
+    natively with divergent semantics.)"""
+    import itertools
+    import json
+    import random
+
+    rng = random.Random(20260814)
+
+    def rand_doc():
+        def val(depth):
+            r = rng.random()
+            if depth > 2 or r < 0.25:
+                return rng.choice(
+                    [None, True, False, rng.randint(-50, 50),
+                     round(rng.uniform(-5, 5), 3), "s%d" % rng.randint(0, 9),
+                     "URGENT", "x-y"]
+                )
+            if r < 0.55:
+                return [val(depth + 1) for _ in range(rng.randint(0, 4))]
+            return {k: val(depth + 1) for k in rng.sample("abcde", rng.randint(1, 3))}
+
+        # documented text-view deltas stay OUT of the generator (bool
+        # under a numeric decl: lenient marshals 1/0, the native text
+        # tier nulls — native.py:18); dedicated unit tests pin those.
+        return {
+            "k": rng.choice([rng.randint(-99, 99), None, "55"]),
+            "s": rng.choice(["URGENT-1", "low", "", None]),
+            "xs": rng.choice(
+                [[rng.randint(0, 9) for _ in range(rng.randint(0, 5))],
+                 [round(rng.uniform(0, 9), 2) for _ in range(3)], None, 3,
+                 ["a", "b", "a"]]
+            ),
+            "o": val(0),
+        }
+
+    docs = [json.dumps(rand_doc()) for _ in range(60)]
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+
+    programs = [
+        ("{v: .k}", ("v:bigint",)),
+        ("{v: .k, s: .s}", ("v:double", "s:string")),
+        ('select(.s == "URGENT-1") | {v: .k}', ("v:bigint",)),
+        ("select(.k > 10) | {k: .k}", ("k:bigint",)),
+        ("{n: (.xs | length)}", ("n:bigint",)),
+        ("{t: (.k | tostring)}", ("t:string",)),
+        ("{a: (.xs | add)}", ("a:double",)),
+        ("{m: (.xs | max), mn: (.xs | min)}", ("m:double", "mn:double")),
+        ("{f: (.xs | first), l: (.xs | last)}", ("f:double", "l:double")),
+        ("{r: (.xs | reverse)}", ("r:array<double>",)),
+        ("{s: (.xs | sort)}", ("s:array<double>",)),
+        ("{u: (.xs | unique)}", ("u:array<string>",)),
+        # string fns guarded by a null-filter: jq raises a REAL type
+        # error on null|contains(...), which would skip the whole
+        # frame; the guard keeps both tiers comparable while still
+        # exercising the predicates on every non-null shape
+        ('select(.s != null) | {p: (.s | test("URG"))}', ("p:boolean",)),
+        ('select(.s != null) | {c: (.s | contains("ow"))}', ("c:boolean",)),
+        ('select(.s != null) | {h: (.s | split("-")[0])}', ("h:string",)),
+        ('select(.s != null) | {g: (.s | gsub("[-x]"; "_"))}', ("g:string",)),
+        ('{b: (if .k > 0 then "pos" else "neg" end)}', ("b:string",)),
+        ("{v: (.k // -1)}", ("v:bigint",)),
+        ("{v: .o.a}", ("v:string",)),
+        ('select(.k != null) | {v: .k}', ("v:bigint",)),
+    ]
+
+    from hive_jq_udtf_spark.native import compile_native
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    checked = 0
+    for prog, decls in programs:
+        if compile_native(prog, decls) is None:
+            continue  # python-tier only: nothing to diff
+        def rows(native):
+            try:
+                out = jq_explode(df, "j", prog, *decls, native=native)
+                rows = [tuple(r) for r in out.drop("j").collect()]
+                return sorted(rows, key=repr), None
+            except Exception as ex:
+                return None, type(ex).__name__
+
+        a, ea = rows("require")
+        b, eb = rows("never")
+        if eb is not None:
+            # the python tier raises real jq type errors the native
+            # tier maps to nulls — the documented cast-leniency delta;
+            # only assert when BOTH tiers produce rows
+            continue
+        assert ea is None, f"{prog}: native raised {ea}, python did not"
+        assert a == b, f"{prog}: native {a[:3]} != python {b[:3]}"
+        checked += 1
+    assert checked >= 10  # the sweep must actually exercise the tier
