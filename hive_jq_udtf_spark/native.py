@@ -1674,14 +1674,58 @@ class NativePlan:
         elem = self._elem_schema()
         # wrap the LAST element's schema in each iterate level's array
         # + the steps leading to it, innermost-out, then the pre-path
-        arr_t: T.DataType = T.ArrayType(elem)
+        lvl0: T.DataType = T.ArrayType(elem)
         for mid in reversed(ir.mid_paths):
-            arr_t = T.ArrayType(wrap_steps(mid, arr_t))
-        arr_t = wrap_steps(ir.pre_path, arr_t)
+            lvl0 = T.ArrayType(wrap_steps(mid, lvl0))
+        arr_t = wrap_steps(ir.pre_path, lvl0)
         parsed = F.from_json(col, arr_t)
         nav = parsed
         for s in ir.pre_path:
             nav = _nav_step(nav, s)
+        if isinstance(lvl0.elementType, T.StructType):
+            # from_json nulls the WHOLE typed array when any element is
+            # a scalar, which would DROP rows the reference marshals as
+            # null-field rows (M1/M3: field of a non-object → NULL).
+            # Rebuild from the string-array view (which preserves every
+            # element's JSON text): per-element field extraction for
+            # flat element schemas, or length-many null elements when
+            # the schema is nested (count-correct, field-lossy only for
+            # mixed arrays under nested access — a narrower delta).
+            src = (
+                F.get_json_object(col, _json_path(ir.pre_path))
+                if ir.pre_path
+                else col
+            )
+            et = lvl0.elementType
+            flat = not ir.mid_paths and all(
+                not isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
+                for f in et.fields
+            )
+            if flat:
+
+                def _rebuild(e):
+                    cols = []
+                    for f in et.fields:
+                        raw = F.get_json_object(e, _json_path((f.name,)))
+                        if isinstance(f.dataType, T.VariantType):
+                            cols.append(F.try_parse_json(raw).alias(f.name))
+                        else:
+                            cols.append(
+                                _cast_extracted(raw, f.dataType).alias(f.name)
+                            )
+                    return F.struct(*cols)
+
+                fallback = F.transform(
+                    F.from_json(src, T.ArrayType(T.StringType())),
+                    lambda e: _rebuild(e),
+                )
+            else:
+                n_elems = F.json_array_length(src)
+                fallback = F.when(
+                    n_elems.isNotNull(),
+                    F.array_repeat(F.lit(None).cast(et), n_elems),
+                )
+            nav = F.coalesce(nav, fallback)
         gen = F.explode_outer if outer else F.explode
         out = df.withColumn("__jq_elem0", gen(nav))
         ec = F.col("__jq_elem0")

@@ -797,3 +797,32 @@ def test_native_generated_differential(spark):
         assert a == b, f"{prog}: native {a[:3]} != python {b[:3]}"
         checked += 1
     assert checked >= 10  # the sweep must actually exercise the tier
+
+
+def test_native_iterate_scalar_elements_preserve_rows(spark):
+    """from_json nulls a typed array wholesale when an element is a
+    scalar, which used to DROP rows the reference marshals as
+    null-field rows (M1/M3).  The string-array fallback rebuilds flat
+    element structs per element, so the native tier matches the
+    marshaller exactly — including mixed object/scalar arrays."""
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"xs": [10, 20]}'),        # all scalars
+            (2, '{"xs": []}'),               # empty
+            (3, '{"xs": [{"v": 7}]}'),       # object
+            (4, '{"xs": [{"v": 3}, "mix", 5]}'),  # mixed
+            (5, '{"xs": [null, {"v": 1}]}'),  # null element
+        ],
+        "id long, j string",
+    )
+
+    def rows(native):
+        out = jq_explode(df, "j", ".xs[]", "v:int", native=native)
+        return sorted(((r.id, r.v) for r in out.select("id", "v").collect()), key=repr)
+
+    assert rows("require") == rows("never") == [
+        (1, None), (1, None), (3, 7), (4, 3), (4, None), (4, None),
+        (5, 1), (5, None),
+    ]

