@@ -1686,16 +1686,23 @@ class NativePlan:
             # from_json nulls the WHOLE typed array when any element is
             # a scalar, which would DROP rows the reference marshals as
             # null-field rows (M1/M3: field of a non-object → NULL).
-            # Rebuild from the string-array view (which preserves every
-            # element's JSON text): per-element field extraction for
-            # flat element schemas, or length-many null elements when
-            # the schema is nested (count-correct, field-lossy only for
-            # mixed arrays under nested access — a narrower delta).
+            # Rebuild through an array<variant> parse: each element
+            # keeps its exact JSON type, so object elements still yield
+            # their fields while scalar/string elements yield NULLs —
+            # including strings whose CONTENT looks like JSON (the
+            # text view cannot tell those apart; the variant gate can).
+            jsonpath = _json_path(ir.pre_path) if ir.pre_path else "$"
             src = (
                 F.get_json_object(col, _json_path(ir.pre_path))
                 if ir.pre_path
                 else col
             )
+            # only rebuild when the value at the path IS a JSON array —
+            # get_json_object strips quotes from string values, so a
+            # string "[1,2]" would otherwise fabricate rows
+            is_array = F.schema_of_variant(
+                F.try_variant_get(F.try_parse_json(col), jsonpath, "variant")
+            ).startswith("ARRAY")
             et = lvl0.elementType
             flat = not ir.mid_paths and all(
                 not isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
@@ -1706,26 +1713,27 @@ class NativePlan:
                 def _rebuild(e):
                     cols = []
                     for f in et.fields:
-                        raw = F.get_json_object(e, _json_path((f.name,)))
+                        fp = _json_path((f.name,))
                         if isinstance(f.dataType, T.VariantType):
-                            cols.append(F.try_parse_json(raw).alias(f.name))
+                            cols.append(
+                                F.try_variant_get(e, fp, "variant").alias(f.name)
+                            )
                         else:
                             cols.append(
-                                _cast_extracted(raw, f.dataType).alias(f.name)
+                                F.try_variant_get(
+                                    e, fp, f.dataType.simpleString()
+                                ).alias(f.name)
                             )
                     return F.struct(*cols)
 
                 fallback = F.transform(
-                    F.from_json(src, T.ArrayType(T.StringType())),
+                    F.from_json(src, T.ArrayType(T.VariantType())),
                     lambda e: _rebuild(e),
                 )
             else:
                 n_elems = F.json_array_length(src)
-                fallback = F.when(
-                    n_elems.isNotNull(),
-                    F.array_repeat(F.lit(None).cast(et), n_elems),
-                )
-            nav = F.coalesce(nav, fallback)
+                fallback = F.array_repeat(F.lit(None).cast(et), n_elems)
+            nav = F.coalesce(nav, F.when(is_array, fallback))
         gen = F.explode_outer if outer else F.explode
         out = df.withColumn("__jq_elem0", gen(nav))
         ec = F.col("__jq_elem0")

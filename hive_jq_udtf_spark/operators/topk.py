@@ -36,8 +36,10 @@ def topk_per_key_dynamic(
     kc = F.col(k_col) if isinstance(k_col, str) else k_col
     # the literal bound is what WindowGroupLimit pushes into the
     # shuffle; a k value above max_k would be SILENTLY truncated by
-    # it, so enforce the contract visibly: clamp k to max_k
-    kc = F.least(kc, F.lit(max_k))
+    # it, so enforce the contract visibly: clamp k to max_k.  NULL k
+    # (e.g. an unconfigured key after a left join) must keep yielding
+    # ZERO rows — least() skips NULLs, so map NULL to -1 first
+    kc = F.least(F.coalesce(kc, F.lit(-1)), F.lit(max_k))
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     ranked = df.withColumn(rank_name, F.row_number().over(w))
     # literal bound FIRST (its own filter → WindowGroupLimit pushes it

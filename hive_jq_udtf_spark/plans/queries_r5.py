@@ -1624,10 +1624,10 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hilbert_sql_unroll(order: int) -> str:
-    """The same xy2d unroll as staged SQL CTE columns."""
+def _hilbert_sql_unroll(order: int) -> tuple[str, str]:
+    """The same xy2d unroll as staged SQL CTE columns; returns
+    (joined CTE definitions, name of the last CTE)."""
     steps = []
-    prev = "g0"
     steps.append(
         "g0 AS (SELECT event_id, x, y, CAST(0 AS BIGINT) AS d, x AS cx, y AS cy FROM grid)"
     )
@@ -1644,8 +1644,7 @@ def _hilbert_sql_unroll(order: int) -> str:
               WHEN (cx & {s}) > 0 THEN {s - 1} - cx ELSE cx END AS cy
   FROM g{i - 1})"""
         )
-        prev = f"g{i}"
-    return ",\n".join(steps), prev
+    return ",\n".join(steps), f"g{order}"
 
 
 _H_STEPS, _H_LAST = _hilbert_sql_unroll(4)
@@ -1909,6 +1908,11 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (tests/test_plans.py pins the exchange-free shape).  The
     bucketed write is cached per (process, sf_dir); re-running the
     query measures only the join."""
+    import hashlib
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders = f"b_orders_gate_{sfx}"
+    t_li = f"b_lineitem_gate_{sfx}"
     key = f"bucket_gate::{sf_dir}"
     from ..sources.jsonl import write_bucketed
 
@@ -1920,7 +1924,7 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-        for t in ("b_orders_gate", "b_lineitem_gate"):
+        for t in (t_orders, t_li):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             if wh:
                 shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
@@ -1931,16 +1935,16 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") < 30000
         )
         write_bucketed(
-            orders, "b_orders_gate", ["o_orderkey"], num_buckets=8,
+            orders, t_orders, ["o_orderkey"], num_buckets=8,
             sort_by=["o_orderkey"],
         )
         write_bucketed(
-            li, "b_lineitem_gate", ["l_orderkey"], num_buckets=8,
+            li, t_li, ["l_orderkey"], num_buckets=8,
             sort_by=["l_orderkey"],
         )
         _BUCKET_GATE_READY[key] = True
-    o = spark.table("b_orders_gate")
-    l = spark.table("b_lineitem_gate")
+    o = spark.table(t_orders)
+    l = spark.table(t_li)
     j = o.hint("merge").join(l, o["o_orderkey"] == l["l_orderkey"])
     return (
         j.groupBy("o_orderpriority")

@@ -708,7 +708,6 @@ def test_native_generated_differential(spark):
     Python tier's rows.  (The restored sort/unique nested gate was a
     class of bug this sweep would have caught — a program compiling
     natively with divergent semantics.)"""
-    import itertools
     import json
     import random
 

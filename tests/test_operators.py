@@ -1090,3 +1090,17 @@ def test_codecs_resample_crop_letterbox():
     # 8x6 -> scale=min(12/6, 8/8)=1.0 -> content 8 rows x 6 cols centered
     assert np.array_equal(boxed[:, 3:9], px)
     assert (boxed[:, :3] == 7).all() and (boxed[:, 9:] == 7).all()
+
+
+def test_topk_dynamic_null_k_yields_no_rows(spark):
+    from pyspark.sql import functions as F
+
+    from hive_jq_udtf_spark.operators.topk import topk_per_key_dynamic
+
+    df = spark.createDataFrame(
+        [("a", 1, 9.0), ("a", 2, 8.0), ("b", 3, 7.0)], "key string, id long, score double"
+    ).withColumn("k", F.when(F.col("key") == "a", 2))  # b -> NULL k
+    out = topk_per_key_dynamic(
+        df, ["key"], [F.col("score").desc(), F.col("id")], "k", max_k=4
+    ).collect()
+    assert sorted((r.key, r.id) for r in out) == [("a", 1), ("a", 2)]  # b dropped
