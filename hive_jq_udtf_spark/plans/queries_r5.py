@@ -1968,3 +1968,76 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 QUERIES["bucketed_join_agg"] = q_bucketed_join_agg
 ORACLES["bucketed_join_agg"] = _ORACLE_BUCKETED
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed top-k (heavy users per hour, rank over the sink)
+# ---------------------------------------------------------------------------
+
+
+def q_stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: per-hour (window, user) event counts
+    aggregated IN-STREAM (watermarked, complete mode, availableNow),
+    then the top-3 users per window ranked over the sink table —
+    ranking is not allowed inside a streaming aggregation, so the
+    stream maintains the mergeable counts and the cheap rank runs on
+    the tiny materialized state (the lambda-architecture split that
+    scales: stream state is O(windows × users-per-window), the rank
+    is O(sink)).  Ties break on user_id; the oracle replays the same
+    counts + rank in batch."""
+    from ..sources.tables import stream_events
+    from .queries import _STREAM_QUERY_SEQ, _stream_shuffle
+
+    raw = stream_events(spark, sf_dir)
+    agg = (
+        raw.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "user_id", "n")
+    )
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stream_topk_{_STREAM_QUERY_SEQ[0]}"
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming query did not finish within 300s")
+    sink = spark.table(name)
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n").desc(), F.col("user_id")
+    )
+    return (
+        sink.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.unix_timestamp("win_start").alias("win_epoch"),
+            "rk",
+            "user_id",
+            "n",
+        )
+        .orderBy("win_epoch", "rk")
+    )
+
+
+_ORACLE_STREAM_TOPK = """
+WITH counts AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, user_id,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT win_start, user_id, n,
+         row_number() OVER (PARTITION BY win_start
+                            ORDER BY n DESC, user_id) AS rk
+  FROM counts)
+SELECT CAST(epoch(win_start) AS BIGINT) AS win_epoch, rk, user_id, n
+FROM ranked WHERE rk <= 3 ORDER BY win_epoch, rk
+"""
+
+QUERIES["stream_topk_users"] = q_stream_topk_users
+ORACLES["stream_topk_users"] = _ORACLE_STREAM_TOPK
