@@ -2041,3 +2041,69 @@ FROM ranked WHERE rk <= 3 ORDER BY win_epoch, rk
 
 QUERIES["stream_topk_users"] = q_stream_topk_users
 ORACLES["stream_topk_users"] = _ORACLE_STREAM_TOPK
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across groups
+# ---------------------------------------------------------------------------
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of the value metric ACROSS event types —
+    the batch-effect-correction transform: each value maps to the
+    mean of the values holding the same within-group rank in every
+    group, so all groups share one distribution afterwards.  Shape:
+    one rank window per group (|group| exchanges collapse into one
+    hash partition on event_type), then the rank-wise mean is a tiny
+    aggregation joined back by rank.  Truncated to the common rank
+    range so every rank has all groups represented (the standard
+    equal-n convention).  Verification: per-group moments of the
+    normalized metric must be IDENTICAL across groups — the defining
+    property — so the output is per-type count/mean/min/max of the
+    normalized values, rounded."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # rank ties (equal values) may order arbitrarily, but equal values
+    # produce identical (rank, value) multisets either way, so every
+    # downstream aggregate is deterministic in both engines
+    wr = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.withColumn("rk", F.row_number().over(wr))
+    n_common = (
+        ranked.groupBy("event_type")
+        .agg(F.max("rk").alias("n"))
+        .agg(F.min("n").alias("m"))
+        .collect()[0]["m"]
+    )
+    trunc = ranked.where(F.col("rk") <= n_common)
+    rank_means = trunc.groupBy("rk").agg(F.avg("value").alias("qn_value"))
+    out = trunc.join(rank_means, "rk")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("qn_value"), 4).alias("mean_qn"),
+            F.round(F.min("qn_value"), 4).alias("min_qn"),
+            F.round(F.max("qn_value"), 4).alias("max_qn"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_QNORM = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk
+  FROM events),
+m AS (SELECT min(n) AS n_common FROM (
+        SELECT event_type, max(rk) AS n FROM ranked GROUP BY 1)),
+trunc AS (SELECT r.* FROM ranked r CROSS JOIN m WHERE r.rk <= m.n_common),
+rank_means AS (SELECT rk, avg(value) AS qn_value FROM trunc GROUP BY rk)
+SELECT t.event_type, count(*) AS n,
+       round(avg(q.qn_value), 4) AS mean_qn,
+       round(min(q.qn_value), 4) AS min_qn,
+       round(max(q.qn_value), 4) AS max_qn
+FROM trunc t JOIN rank_means q USING (rk)
+GROUP BY t.event_type ORDER BY t.event_type
+"""
+
+QUERIES["quantile_normalize"] = q_quantile_normalize
+ORACLES["quantile_normalize"] = _ORACLE_QNORM
