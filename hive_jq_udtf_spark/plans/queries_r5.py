@@ -2107,3 +2107,128 @@ GROUP BY t.event_type ORDER BY t.event_type
 
 QUERIES["quantile_normalize"] = q_quantile_normalize
 ORACLES["quantile_normalize"] = _ORACLE_QNORM
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (melt) surface
+# ---------------------------------------------------------------------------
+
+
+def q_melt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via Spark's native unpivot (melt): three
+    lineitem measures become (metric, value) rows — the reshape
+    feeding per-metric aggregation/monitoring pipelines — then
+    per-metric stats.  unpivot is a zero-shuffle projection (each row
+    fans out to 3 in place); the only exchange is the final tiny
+    aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    long = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("val"), 4).alias("mean_val"),
+            F.round(F.min("val"), 4).alias("min_val"),
+            F.round(F.max("val"), 4).alias("max_val"),
+        )
+        .orderBy("metric")
+    )
+
+
+_ORACLE_MELT = """
+WITH long AS (
+  SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem)
+SELECT metric, count(*) AS n, round(avg(val), 4) AS mean_val,
+       round(min(val), 4) AS min_val, round(max(val), 4) AS max_val
+FROM long GROUP BY metric ORDER BY metric
+"""
+
+QUERIES["melt_metrics"] = q_melt_metrics
+ORACLES["melt_metrics"] = _ORACLE_MELT
+
+
+# ---------------------------------------------------------------------------
+# First-touch vs last-touch attribution in one window pass
+# ---------------------------------------------------------------------------
+
+
+def q_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-attribution comparison: every purchase attributes its
+    value to the FIRST and the LAST view within the preceding 24 h —
+    both computed in ONE pass over a single user-keyed range window
+    (range frame [-24 h, -1 s] over FLOORED epoch seconds — both
+    engines must frame over the same integer grid or sub-second gaps
+    diverge; conditional min/max inside the frame), no self-join, no
+    asof machinery.  The
+    output aggregates attributed revenue by whether each model found
+    a touchpoint — the classic first/last-touch comparison report."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-86400, -1)
+    )
+    view_ts = F.when(F.col("event_type") == "view", sec)
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.min(view_ts).over(w).alias("first_view_s"),
+        F.max(view_ts).over(w).alias("last_view_s"),
+    ).where(F.col("event_type") == "purchase")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("first_view_s").alias("n_attributed"),
+        F.round(
+            F.sum(F.when(F.col("first_view_s").isNotNull(), F.col("value"))), 4
+        ).alias("attributed_value"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("last_view_s") != F.col("first_view_s"), F.col("value")
+                )
+            ),
+            4,
+        ).alias("value_where_models_differ"),
+    )
+
+
+_ORACLE_ATTRIB = """
+WITH e AS (
+  SELECT user_id, event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+marked AS (
+  SELECT user_id, event_type, value,
+         min(CASE WHEN event_type = 'view' THEN sec END)
+           OVER w AS first_view_s,
+         max(CASE WHEN event_type = 'view' THEN sec END)
+           OVER w AS last_view_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING))
+SELECT count(*) AS n_purchases,
+       count(first_view_s) AS n_attributed,
+       round(sum(CASE WHEN first_view_s IS NOT NULL THEN value END), 4)
+         AS attributed_value,
+       round(sum(CASE WHEN last_view_s <> first_view_s THEN value END), 4)
+         AS value_where_models_differ
+FROM marked WHERE event_type = 'purchase'
+"""
+
+QUERIES["attribution_models"] = q_attribution_models
+ORACLES["attribution_models"] = _ORACLE_ATTRIB
