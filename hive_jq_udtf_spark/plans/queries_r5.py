@@ -2232,3 +2232,94 @@ FROM marked WHERE event_type = 'purchase'
 
 QUERIES["attribution_models"] = q_attribution_models
 ORACLES["attribution_models"] = _ORACLE_ATTRIB
+
+
+# ---------------------------------------------------------------------------
+# Metric correlation matrix per group
+# ---------------------------------------------------------------------------
+
+
+def q_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlations between the lineitem measures per return
+    flag — the feature-analysis primitive — computed with the
+    built-in corr aggregate (one pass, map-side-combinable moment
+    sums; never a self-join).  Rounded to 6 dp; both engines use the
+    same sample-covariance definition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.corr("l_quantity", "l_discount"), 6).alias(
+                "corr_qty_disc"
+            ),
+            F.round(F.corr("l_extendedprice", "l_tax"), 6).alias(
+                "corr_price_tax"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_CORR = """
+SELECT l_returnflag, count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+       round(corr(l_extendedprice, l_tax), 6) AS corr_price_tax
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+QUERIES["metric_correlations"] = q_metric_correlations
+ORACLES["metric_correlations"] = _ORACLE_CORR
+
+
+# ---------------------------------------------------------------------------
+# Inter-event time distribution per event type
+# ---------------------------------------------------------------------------
+
+
+def q_interevent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival statistics — the traffic-modeling
+    primitive (rate estimation, burst detection): per-user consecutive
+    gaps from ONE lag window on the user partitioning, then per-type
+    mean/max and the exponential-fit rate 1/mean.  Gap computation
+    reuses the sessionization family's single exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gaps = ev.select(
+        "event_type", (gap / 1e6).alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
+            F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+            F.round(F.lit(1.0) / F.avg("gap_s"), 8).alias("rate_per_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_INTEREVENT = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts - lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id)) / 1e6 AS gap_s
+  FROM events)
+SELECT event_type, count(*) AS n_gaps,
+       round(avg(gap_s), 4) AS mean_gap_s,
+       round(max(gap_s), 4) AS max_gap_s,
+       round(1.0 / avg(gap_s), 8) AS rate_per_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["interevent_stats"] = q_interevent_stats
+ORACLES["interevent_stats"] = _ORACLE_INTEREVENT
