@@ -2323,3 +2323,123 @@ GROUP BY event_type ORDER BY event_type
 
 QUERIES["interevent_stats"] = q_interevent_stats
 ORACLES["interevent_stats"] = _ORACLE_INTEREVENT
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster size distribution
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape of the near-duplicate graph: connected components over
+    the exact-hash duplicate pairs, rolled into a cluster-SIZE
+    histogram (how many singletons / pairs / bigger families) — the
+    summary a dedup run reports before deciding keep-policies.  The
+    pair source here is exact-hash equality (deterministic), the
+    components come from operators/dedup.py's label propagation, and
+    the histogram is two tiny aggregations over the component
+    labels."""
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    h = docs.select("doc_id", F.sha2("text", 256).alias("hh"))
+    a, b = h.alias("a"), h.alias("b")
+    pairs = (
+        a.join(b, "hh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    n_docs = docs.count()
+    in_clusters = sizes.agg(
+        F.coalesce(F.sum("sz"), F.lit(0)).alias("n_in"),
+        F.count(F.lit(1)).alias("n_clusters"),
+    ).collect()[0]
+    hist = (
+        sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+    singletons = n_docs - int(in_clusters["n_in"])
+    one_row = spark.createDataFrame([(1, singletons)], "sz int, n_clusters long")
+    return (
+        hist.select(F.col("sz").cast("int"), F.col("n_clusters"))
+        .unionByName(one_row)
+        .groupBy("sz")
+        .agg(F.sum("n_clusters").alias("n_clusters"))
+        .orderBy("sz")
+    )
+
+
+_ORACLE_CLUSTER_SIZES = """
+WITH h AS (SELECT doc_id, sha256(text) AS hh FROM documents),
+comp AS (SELECT hh, count(*) AS sz FROM h GROUP BY hh)
+SELECT CAST(sz AS INTEGER) AS sz,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM comp GROUP BY sz ORDER BY sz
+"""
+
+QUERIES["dedup_cluster_sizes"] = q_dedup_cluster_sizes
+ORACLES["dedup_cluster_sizes"] = _ORACLE_CLUSTER_SIZES
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (event type × value band)
+# ---------------------------------------------------------------------------
+
+
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence statistic between event type
+    and the value band — the categorical-association primitive: the
+    contingency table is ONE aggregation, the margins are two window
+    sums over that tiny table, and chi² = Σ (o−e)²/e folds in place.
+    Output: the statistic, degrees of freedom, and the table size."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 100), F.lit(4)).cast("int").alias("band"),
+    )
+    ct = ev.groupBy("event_type", "band").agg(F.count(F.lit(1)).alias("o"))
+    w_all = Window.partitionBy()
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("band")
+    e = (
+        F.sum("o").over(w_r)
+        * F.sum("o").over(w_c)
+        / F.sum("o").over(w_all)
+    )
+    terms = ct.select(
+        "event_type",
+        "band",
+        "o",
+        ((F.col("o") - e) * (F.col("o") - e) / e).alias("t"),
+    )
+    n_types = ev.select("event_type").distinct().count()
+    n_bands = ev.select("band").distinct().count()
+    return terms.agg(
+        F.round(F.sum("t"), 6).alias("chi2"),
+        F.lit((n_types - 1) * (n_bands - 1)).alias("dof"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+
+_ORACLE_CHISQ = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(least(floor(value / 100), 4) AS INTEGER) AS band
+  FROM events),
+ct AS (SELECT event_type, band, count(*) AS o FROM ev GROUP BY 1, 2),
+terms AS (
+  SELECT o,
+         sum(o) OVER (PARTITION BY event_type) * sum(o) OVER (PARTITION BY band)
+           * 1.0 / sum(o) OVER () AS e
+  FROM ct)
+SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+       ((SELECT count(DISTINCT event_type) FROM ev) - 1)
+         * ((SELECT count(DISTINCT band) FROM ev) - 1) AS dof,
+       count(*) AS n_cells
+FROM terms
+"""
+
+QUERIES["chisq_independence"] = q_chisq_independence
+ORACLES["chisq_independence"] = _ORACLE_CHISQ
