@@ -2443,3 +2443,149 @@ FROM terms
 
 QUERIES["chisq_independence"] = q_chisq_independence
 ORACLES["chisq_independence"] = _ORACLE_CHISQ
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining: top event trigrams
+# ---------------------------------------------------------------------------
+
+
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 sequential patterns: the 10 most frequent (a → b → c)
+    event chains across users, from TWO lag windows on the same
+    user partitioning (one exchange, one sort — the second lag reuses
+    the frame), ranked with a global top-k.  The pattern space is
+    |types|³ so the aggregation output stays tiny at any corpus
+    size."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.lag("event_type", 2).over(w).alias("a"),
+        F.lag("event_type", 1).over(w).alias("b"),
+        F.col("event_type").alias("c"),
+    ).where(F.col("a").isNotNull())
+    return (
+        tri.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b", "c")
+        .limit(10)
+    )
+
+
+_ORACLE_TRIGRAMS = """
+WITH tri AS (
+  SELECT lag(event_type, 2) OVER w AS a,
+         lag(event_type, 1) OVER w AS b,
+         event_type AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT a, b, c, count(*) AS n FROM tri WHERE a IS NOT NULL
+GROUP BY a, b, c ORDER BY n DESC, a, b, c LIMIT 10
+"""
+
+QUERIES["event_trigrams"] = q_event_trigrams
+ORACLES["event_trigrams"] = _ORACLE_TRIGRAMS
+
+
+# ---------------------------------------------------------------------------
+# Nearest-event join (closest in time, either direction)
+# ---------------------------------------------------------------------------
+
+
+def q_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor-in-time join: every purchase matched to its
+    temporally CLOSEST view (before OR after) for the same user —
+    the sensor-alignment generalization of the as-of join.  Shape:
+    one union + user-keyed sort window computes the nearest
+    PRECEDING view (backward as-of) and the nearest FOLLOWING view
+    (forward as-of, the same window reversed) in a single exchange;
+    the closer of the two wins (ties → the earlier view).  The
+    oracle runs DuckDB's backward and forward ASOF joins and picks
+    the closer side by the same rule."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 60)
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts")
+    # union: tag probes/views, order by ts; last view ts ≤ probe, and
+    # first view ts ≥ probe via the mirrored window
+    u = probes.select(
+        "user_id", "ts", F.lit(1).alias("tag"), F.col("event_id")
+    ).unionByName(
+        views.select(
+            "user_id", "ts", F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    view_ts = F.when(F.col("tag") == 0, F.col("ts"))
+    marked = u.select(
+        "user_id",
+        "ts",
+        "tag",
+        "event_id",
+        F.max(view_ts).over(w_back).alias("prev_view"),
+        F.min(view_ts).over(w_fwd).alias("next_view"),
+    ).where(F.col("tag") == 1)
+    d_prev = F.unix_micros("ts") - F.unix_micros("prev_view")
+    d_next = F.unix_micros("next_view") - F.unix_micros("ts")
+    nearest = F.when(
+        F.col("prev_view").isNull(), F.col("next_view")
+    ).when(
+        F.col("next_view").isNull(), F.col("prev_view")
+    ).when(d_prev <= d_next, F.col("prev_view")).otherwise(F.col("next_view"))
+    out = marked.select(
+        "user_id",
+        "event_id",
+        nearest.alias("nearest_view"),
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("nearest_view").alias("n_matched"),
+            F.count_distinct("nearest_view").alias("n_distinct_views"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_NEAREST = """
+WITH ev AS (SELECT * FROM events WHERE user_id < 60),
+probes AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'purchase'),
+views AS (SELECT user_id, ts AS vts FROM ev WHERE event_type = 'view'),
+back AS (
+  SELECT p.user_id, p.event_id, p.ts, v.vts AS prev_view
+  FROM probes p ASOF LEFT JOIN views v
+    ON p.user_id = v.user_id AND p.ts >= v.vts),
+fwd AS (
+  SELECT p.user_id, p.event_id, v.vts AS next_view
+  FROM probes p ASOF LEFT JOIN views v
+    ON p.user_id = v.user_id AND p.ts <= v.vts),
+j AS (
+  SELECT b.user_id, b.event_id,
+         CASE WHEN b.prev_view IS NULL THEN f.next_view
+              WHEN f.next_view IS NULL THEN b.prev_view
+              WHEN epoch_us(b.ts - b.prev_view)
+                   <= epoch_us(f.next_view - b.ts) THEN b.prev_view
+              ELSE f.next_view END AS nearest_view
+  FROM back b JOIN fwd f USING (user_id, event_id))
+SELECT user_id, count(*) AS n_purchases,
+       count(nearest_view) AS n_matched,
+       count(DISTINCT nearest_view) AS n_distinct_views
+FROM j GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["nearest_event_join"] = q_nearest_event_join
+ORACLES["nearest_event_join"] = _ORACLE_NEAREST
