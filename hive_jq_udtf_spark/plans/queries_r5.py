@@ -2589,3 +2589,71 @@ FROM j GROUP BY user_id ORDER BY user_id
 
 QUERIES["nearest_event_join"] = q_nearest_event_join
 ORACLES["nearest_event_join"] = _ORACLE_NEAREST
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration (Gini / Lorenz)
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration analysis of customer revenue — Gini coefficient
+    and Lorenz points (share of revenue held by the bottom 50% / 90%
+    of customers): per-customer totals (one exchange), a rank window
+    over the totals, and the Gini folded from the classic
+    rank-weighted sum  G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n  — no
+    pairwise |xᵢ−xⱼ| join.  The window runs over CUSTOMERS (already
+    aggregated), not order rows, so the sorted pass is tiny relative
+    to the fact scan at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = per_cust.select(
+        "rev", F.row_number().over(w).alias("i")
+    )
+    # bottom-share thresholds need n first; one tiny driver round-trip
+    # over the already-aggregated customer frame (O(customers) rows)
+    n_total = ranked.agg(F.count(F.lit(1)), F.sum("rev")).collect()[0]
+    n, total = int(n_total[0]), float(n_total[1])
+    shares = ranked.agg(
+        F.round(
+            F.sum(F.when(F.col("i") <= int(n * 0.5), F.col("rev"))) / total, 6
+        ).alias("bottom50_share"),
+        F.round(
+            F.sum(F.when(F.col("i") <= int(n * 0.9), F.col("rev"))) / total, 6
+        ).alias("bottom90_share"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("rev"))) / (n * total)
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )
+    return shares.select(
+        F.lit(n).alias("n_customers"),
+        F.round(F.lit(total), 2).alias("total_revenue"),
+        "gini",
+        "bottom50_share",
+        "bottom90_share",
+    )
+
+
+_ORACLE_GINI = """
+WITH per_cust AS (
+  SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY 1),
+ranked AS (
+  SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i FROM per_cust),
+s AS (SELECT count(*) AS n, sum(rev) AS total, sum(i * rev) AS iw FROM ranked)
+SELECT CAST(s.n AS BIGINT) AS n_customers,
+       round(s.total, 2) AS total_revenue,
+       round(2.0 * s.iw / (s.n * s.total) - (s.n + 1.0) / s.n, 6) AS gini,
+       round((SELECT sum(rev) FROM ranked, s WHERE i <= CAST(floor(s.n * 0.5) AS BIGINT))
+             / s.total, 6) AS bottom50_share,
+       round((SELECT sum(rev) FROM ranked, s WHERE i <= CAST(floor(s.n * 0.9) AS BIGINT))
+             / s.total, 6) AS bottom90_share
+FROM s
+"""
+
+QUERIES["revenue_concentration"] = q_revenue_concentration
+ORACLES["revenue_concentration"] = _ORACLE_GINI
