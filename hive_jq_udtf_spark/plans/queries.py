@@ -3460,3 +3460,4 @@ ORACLES["importance_resample"] = _ORACLE_RESAMPLE
 from . import queries_r3  # noqa: E402,F401  isort:skip
 from . import queries_r4  # noqa: E402,F401  isort:skip
 from . import queries_r5  # noqa: E402,F401  isort:skip
+from . import queries_r5b  # noqa: E402,F401  isort:skip

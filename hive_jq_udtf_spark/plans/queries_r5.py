@@ -1529,8 +1529,12 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_files"),
             F.sum("size").alias("total_size"),
-            F.min("mon").alias("from_month"),
-            F.max("mon").alias("to_month"),
+            # string render: DuckDB's date_trunc yields DATE here while
+            # Spark yields TIMESTAMP — pandas masks that (both become
+            # Timestamp) but raw fetches don't; a 'yyyy-MM' string is
+            # canonical under every comparator
+            F.date_format(F.min("mon"), "yyyy-MM").alias("from_month"),
+            F.date_format(F.max("mon"), "yyyy-MM").alias("to_month"),
         )
         .orderBy("o_orderpriority", "bin")
     )
@@ -1551,7 +1555,8 @@ planned AS (
   FROM files)
 SELECT o_orderpriority, bin, count(*) AS n_files,
        CAST(sum(size) AS BIGINT) AS total_size,
-       min(mon) AS from_month, max(mon) AS to_month
+       strftime(min(mon), '%Y-%m') AS from_month,
+       strftime(max(mon), '%Y-%m') AS to_month
 FROM planned GROUP BY 1, 2 ORDER BY o_orderpriority, bin
 """
 

@@ -271,3 +271,34 @@ def test_bucketed_join_agg_zero_exchange(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_returned_items_filter_pushed_and_preaggregated(spark):
+    # TPC-H Q10 shape: the returnflag filter must reach the lineitem
+    # scan, and the per-customer sum must partial-aggregate before its
+    # shuffle (so the customer join input is |customers|, not |lineitem|)
+    plan = formatted_plan(spark, "returned_items")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "partial_sum" in plan
+
+
+def test_promo_revenue_part_join_broadcast_and_pruned(spark):
+    plan = formatted_plan(spark, "promo_revenue_share")
+    assert "BroadcastHashJoin" in plan
+    # part scan reads only the two used columns
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l and "p_partkey" in l]
+    assert reads and all("p_retailprice" not in l and "p_name" not in l for l in reads)
+
+
+def test_dormant_customers_anti_join_with_pushed_date(spark):
+    plan = formatted_plan(spark, "dormant_customers")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # filter at the orders scan
+
+
+def test_volume_shipping_dims_broadcast_no_cartesian(spark):
+    plan = formatted_plan(spark, "volume_shipping")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # nation-pair filter pushed to the 25-row nation scan
+    assert "In(n_name" in plan
