@@ -3461,3 +3461,4 @@ from . import queries_r3  # noqa: E402,F401  isort:skip
 from . import queries_r4  # noqa: E402,F401  isort:skip
 from . import queries_r5  # noqa: E402,F401  isort:skip
 from . import queries_r5b  # noqa: E402,F401  isort:skip
+from . import queries_r5c  # noqa: E402,F401  isort:skip

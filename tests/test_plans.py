@@ -302,3 +302,19 @@ def test_volume_shipping_dims_broadcast_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # nation-pair filter pushed to the 25-row nation scan
     assert "In(n_name" in plan
+
+
+def test_ks_preaggregates_before_global_window(spark):
+    # the fact pass must collapse to per-distinct-value counts (partial
+    # aggregation) BEFORE the single-partition ECDF window
+    plan = formatted_plan(spark, "ks_two_sample")
+    assert "partial_sum" in plan
+    assert plan.count("Window") >= 1
+    # the segment filter reaches the customer scan
+    assert "In(c_mktsegment" in plan
+
+
+def test_kaplan_meier_total_is_broadcast(spark):
+    plan = formatted_plan(spark, "kaplan_meier")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
