@@ -3462,3 +3462,4 @@ from . import queries_r4  # noqa: E402,F401  isort:skip
 from . import queries_r5  # noqa: E402,F401  isort:skip
 from . import queries_r5b  # noqa: E402,F401  isort:skip
 from . import queries_r5c  # noqa: E402,F401  isort:skip
+from . import queries_r5d  # noqa: E402,F401  isort:skip

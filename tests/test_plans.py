@@ -318,3 +318,18 @@ def test_kaplan_meier_total_is_broadcast(spark):
     plan = formatted_plan(spark, "kaplan_meier")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_containment_df_cap_bounds_candidates(spark):
+    # the shingle self-join must be preceded by the df<=20 frequency
+    # cap (the fan-out bound) and must be a hash join, never cartesian
+    plan = formatted_plan(spark, "containment_neardup")
+    assert "CartesianProduct" not in plan
+    assert "(df" in plan and "20" in plan
+    assert "partial_count" in plan
+
+
+def test_bigram_ppl_counts_map_combine(spark):
+    plan = formatted_plan(spark, "bigram_ppl")
+    assert "partial_count" in plan  # train counts combine before shuffle
+    assert "CartesianProduct" not in plan
