@@ -174,21 +174,22 @@ FROM s
 
 def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized trailing-6 exponential smoothing (α = 0.3) of the
-    monthly purchase-event count per event_type.  The kernel is the
+    daily event count per event_type (the events table spans ~30
+    days, so daily is the natural series granularity).  The kernel is the
     FINITE sum Σₖ (1−α)ᵏ·x₍ᵢ₋ₖ₎ / Σₖ (1−α)ᵏ over k = 0..5 written as
     six explicit lag() terms — identical evaluation order on both
     engines, so the doubles match bit-for-bit before rounding.  (The
     infinite-memory recursive EWMA needs either a sequential scan or
     the numerically-unstable (1−α)^(−i) trick; the truncated kernel is
     the standard streaming-safe form and differs by < (1−α)⁶ ≈ 12 %
-    of weight, fully documented here.)  Monthly pre-aggregation is the
+    of weight, fully documented here.)  Daily pre-aggregation is the
     only pass over events; the lag window runs per event_type over
-    ~80 rows."""
+    ~30 rows."""
     ev = load_table(spark, sf_dir, "events")
-    monthly = ev.groupBy(
-        "event_type", F.date_format("ts", "yyyy-MM").alias("mon")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.count(F.lit(1)).cast("double").alias("x"))
-    w = Window.partitionBy("event_type").orderBy("mon")
+    w = Window.partitionBy("event_type").orderBy("day")
     beta = 0.7
     num = F.lit(0.0)
     den = F.lit(0.0)
@@ -197,20 +198,20 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = num + F.when(term.isNotNull(), F.lit(beta**k) * term).otherwise(0.0)
         den = den + F.when(term.isNotNull(), F.lit(beta**k)).otherwise(0.0)
     return (
-        monthly.select(
-            "event_type", "mon", F.col("x").cast("long").alias("n_events"),
+        daily.select(
+            "event_type", "day", F.col("x").cast("long").alias("n_events"),
             F.round(num / den, 4).alias("ewma"),
         )
-        .orderBy("event_type", "mon")
+        .orderBy("event_type", "day")
     )
 
 
 _ORACLE_EWMA = """
-WITH monthly AS (
-  SELECT event_type, strftime(ts, '%Y-%m') AS mon,
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
          CAST(count(*) AS DOUBLE) AS x
   FROM events GROUP BY 1, 2)
-SELECT event_type, mon, CAST(x AS BIGINT) AS n_events,
+SELECT event_type, day, CAST(x AS BIGINT) AS n_events,
        round((
           coalesce(1.0     * lag(x, 0) OVER w, 0) +
           coalesce(0.7     * lag(x, 1) OVER w, 0) +
@@ -226,9 +227,9 @@ SELECT event_type, mon, CAST(x AS BIGINT) AS n_events,
           (CASE WHEN lag(x, 4) OVER w IS NULL THEN 0 ELSE 0.2401  END) +
           (CASE WHEN lag(x, 5) OVER w IS NULL THEN 0 ELSE 0.16807 END)
         ), 4) AS ewma
-FROM monthly
-WINDOW w AS (PARTITION BY event_type ORDER BY mon)
-ORDER BY event_type, mon
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+ORDER BY event_type, day
 """
 
 
