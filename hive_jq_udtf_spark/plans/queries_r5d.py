@@ -39,30 +39,48 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter).  One shuffle on the shingle hash, one on the pair."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    # shingles are carried as xxhash64 fingerprints from the start:
+    # the distinct / df-count / self-join all shuffle 8-byte longs
+    # instead of ~25-byte gram strings (the same fingerprinting the
+    # MinHash/fingerprint dedup family uses, dedup.py:91); grams is
+    # consumed by three downstream aggregations, so materialize the
+    # exploded+distinct pass once instead of recomputing it per branch
     grams = (
         toks.select(
             "doc_id",
             F.explode(
                 F.expr(
                     "transform(slice(ts, 1, greatest(size(ts) - 2, 0)),"
-                    " (t, i) -> concat_ws(' ', t, ts[i + 1], ts[i + 2]))"
+                    " (t, i) -> xxhash64(concat_ws(' ', t, ts[i + 1], ts[i + 2])))"
                 )
             ).alias("sh"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = grams.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= 20)
     g = grams.join(rare.select("sh"), "sh")
-    pairs = (
+    # |A∩B| is symmetric, so join and aggregate each unordered pair
+    # ONCE (doc_a < doc_b halves the pair fan-out) and emit both
+    # orientations afterwards — the asymmetry lives only in the
+    # denominator applied below
+    half = (
         g.alias("a")
         .join(g.alias("b"), "sh")
-        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
-            F.col("a.doc_id").alias("contained"),
-            F.col("b.doc_id").alias("container"),
+            F.col("a.doc_id").alias("lo"),
+            F.col("b.doc_id").alias("hi"),
         )
         .agg(F.count(F.lit(1)).alias("common"))
+    )
+    pairs = half.select(
+        F.col("lo").alias("contained"), F.col("hi").alias("container"), "common"
+    ).unionByName(
+        half.select(
+            F.col("hi").alias("contained"), F.col("lo").alias("container"), "common"
+        )
     )
     return (
         pairs.join(sizes.withColumnRenamed("doc_id", "contained"), "contained")
