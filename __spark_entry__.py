@@ -28,17 +28,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # The repo has grown past 50, so the head below rotates coverage so
 # every query appears in a driver artifact within a bounded number of
 # rounds (see README "Correctness coverage rotation" and COVERAGE.md
-# for the per-round union table).  Round 5 front-loads: (1) the one
-# query that has never had a green artifact (jq_native_arrayfns —
+# for the per-round union table).  Round 5 priority: (1) the one
+# query that has never had a GREEN artifact (jq_native_arrayfns —
 # fixed this round: array column serialized for the driver
-# canonicalizer), (2) everything new this round, (3) the 33 queries
-# from PLAN_r5 §1 whose last driver check is r02 or that were
-# displaced from the r4 head, oldest-checked first.  After this
-# round's artifact, no query's last driver check is older than r03.
+# canonicalizer), then (2) every query that has never appeared in a
+# driver artifact at all, oldest-registered first (the round-5 waves
+# outgrew the 50-slot head; the overflow — containment_neardup, bigram_ppl, embedding_covariance, bigram_pmi, jq_datetime_ops, mad_outliers, benford_deviation, theil_sen_trend —
+# plus the stale-r03 cohort is the documented round-6 head, see
+# PLAN_r6 §1).  Never-checked beats stale-checked: a stale query has
+# at least one green artifact proving the pipeline once agreed.
 _DRIVER_HEAD = [
-    # never-green (fixed this round): rotation priority 1
     "jq_native_arrayfns",
-    # new in round 5
     "hll_join_cardinality",
     "session_funnel_windowed",
     "topk_join_dynamic_k",
@@ -55,41 +55,39 @@ _DRIVER_HEAD = [
     "snapshot_diff",
     "bmp_decode_stats",
     "wav_decode_stats",
-    # last driver-checked in r02 (16)
-    "language_id",
-    "ann_srp_topk",
-    "ann_ivf_topk",
-    "session_windows",
-    "salted_join_agg",
-    "minhash_dedup_keep",
-    "cube_counts",
-    "distinct_agg",
-    "pivot_counts",
-    "asof_attribution",
-    "range_attribution",
-    "jq_sql_lateral",
-    "stateful_running_totals",
-    "train_test_split",
-    "pack_documents",
-    "percentiles",
-    # displaced from the r4 head by wave-2 additions (17)
-    "multimodal_stats",
-    "simhash_neardup",
-    "embedding_neardup",
-    "dedup_components",
-    "dedup_components_lsss",
-    "token_counts",
-    "jq_regex",
-    "minhash_neardup",
-    "jq_reduce",
-    "doc_fingerprints",
-    "jq_assignment",
-    "quality_score",
-    "text_stats",
-    "simsearch_topk",
-    "neardup_jaccard",
-    "dedup_fingerprint",
-    "dedup_exact",
+    "ab_experiment_readout",
+    "kmv_set_ops",
+    "scd2_pit_join",
+    "compaction_plan",
+    "hilbert_layout",
+    "timeseries_densify",
+    "tfidf_top_terms",
+    "psi_drift",
+    "bucketed_join_agg",
+    "stream_topk_users",
+    "quantile_normalize",
+    "melt_metrics",
+    "attribution_models",
+    "metric_correlations",
+    "interevent_stats",
+    "dedup_cluster_sizes",
+    "chisq_independence",
+    "event_trigrams",
+    "nearest_event_join",
+    "revenue_concentration",
+    "volume_shipping",
+    "market_share",
+    "returned_items",
+    "customer_distribution",
+    "promo_revenue_share",
+    "large_volume_customers",
+    "dormant_customers",
+    "late_shipments",
+    "ks_two_sample",
+    "mannwhitney_u",
+    "ewma_smoothing",
+    "cusum_changepoint",
+    "kaplan_meier",
 ]
 
 
