@@ -3464,3 +3464,4 @@ from . import queries_r5b  # noqa: E402,F401  isort:skip
 from . import queries_r5c  # noqa: E402,F401  isort:skip
 from . import queries_r5d  # noqa: E402,F401  isort:skip
 from . import queries_r5e  # noqa: E402,F401  isort:skip
+from . import queries_r5f  # noqa: E402,F401  isort:skip

@@ -1,0 +1,223 @@
+"""Round-5 continuation wave E: corpus-statistics and embedding-eval
+operators — a Zipf's-law exponent fit over the word-frequency
+distribution, per-source exact-duplication ratios, and a
+leave-one-out k-NN classification readout over the labeled
+embeddings (the standard embedding-quality probe before spending
+training compute on a corpus).
+
+Registers into plans.queries.QUERIES/ORACLES on import.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .queries import ORACLES, QUERIES
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit — log-log OLS over the top-1000 word frequencies
+# ---------------------------------------------------------------------------
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS of ln(freq) on ln(rank) over the 1000 most
+    frequent words — natural text gives slope ≈ −1; a flat slope
+    flags synthetic or templated corpora (a cheap corpus-health
+    screen).  One token-count shuffle (map-combined), a top-1000
+    rank window over the aggregated vocabulary, then closed-form OLS
+    moments in a single 1-row aggregate.  Ranks tie-break by word so
+    both engines see the identical point set."""
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.orderBy(F.desc("c"), "w")
+    # rank-filter, NOT .limit(): limit after a window select gives an
+    # arbitrary subset in Spark; rn <= 1000 pins the exact point set
+    top = (
+        freqs.select(
+            F.row_number().over(wr).alias("rn"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+        .where(F.col("rn") <= 1000)
+        .select(F.log(F.col("rn").cast("double")).alias("x"), "y")
+    )
+    m = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    slope = (F.col("mxy") - F.col("mx") * F.col("my")) / (
+        F.col("mxx") - F.col("mx") * F.col("mx")
+    )
+    r_num = F.col("mxy") - F.col("mx") * F.col("my")
+    r2 = (r_num * r_num) / (
+        (F.col("mxx") - F.col("mx") * F.col("mx"))
+        * (F.col("myy") - F.col("my") * F.col("my"))
+    )
+    return m.select(
+        F.col("n").alias("n_words"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 4).alias("intercept"),
+        F.round(r2, 4).alias("r2"),
+    )
+
+
+_ORACLE_ZIPF = """
+WITH freqs AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1),
+top AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM freqs ORDER BY c DESC, w LIMIT 1000),
+m AS (
+  SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my, avg(x * y) AS mxy,
+         avg(x * x) AS mxx, avg(y * y) AS myy
+  FROM top)
+SELECT n AS n_words,
+       round((mxy - mx * my) / (mxx - mx * mx), 4) AS zipf_slope,
+       round(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 4) AS intercept,
+       round((mxy - mx * my) * (mxy - mx * my)
+             / ((mxx - mx * mx) * (myy - my * my)), 4) AS r2
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# source_dup_ratio — exact duplication per source
+# ---------------------------------------------------------------------------
+
+
+def q_source_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate pressure per source: documents vs distinct
+    texts and the implied dup ratio — the per-provider triage number
+    that decides where dedup compute goes first.  One grouped
+    aggregate; countDistinct is partial-aggregated on the text hash
+    (at 100 TB swap in the repo's HLL sketch for the distinct when
+    ±2 % suffices, hll_distinct)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 4).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_SOURCE_DUP = """
+SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_unique,
+       round(1.0 - count(DISTINCT text) * 1.0 / count(*), 4) AS dup_ratio
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# knn_label_eval — leave-one-out 5-NN majority-vote accuracy
+# ---------------------------------------------------------------------------
+
+
+def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality probe: leave-one-out 5-nearest-neighbor
+    majority-vote accuracy per true label, over a deterministic 1/10
+    query sample (vec_id % 10 = 0) against the full corpus.  Cosine
+    scores run in whole-stage codegen (zip_with/aggregate HOFs); the
+    top-5 cut is a per-query rank window (WindowGroupLimit) and the
+    vote a count-desc/label-asc mode — every tie broken
+    deterministically so the oracle matches row-for-row.  At scale
+    the corpus side swaps to the IVF/PQ index (similarity.py) — this
+    exact variant IS the recall baseline those are judged against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+        F.col("label").alias("clabel"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+    )
+    nq = F.sqrt(F.aggregate(F.transform("qe", lambda a: a * a), F.lit(0.0), lambda s, x: s + x))
+    nc = F.sqrt(F.aggregate(F.transform("ce", lambda a: a * a), F.lit(0.0), lambda s, x: s + x))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "qlabel", "cid", "clabel", (dot / (nq * nc)).alias("cos"))
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    top5 = scored.withColumn("rk", F.row_number().over(wk)).where(F.col("rk") <= 5)
+    votes = top5.groupBy("qid", "qlabel", "clabel").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("v"), "clabel")
+    pred = (
+        votes.withColumn("rv", F.row_number().over(wv))
+        .where(F.col("rv") == 1)
+        .select("qid", "qlabel", F.col("clabel").alias("pred"))
+    )
+    return (
+        pred.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(
+                F.avg(F.when(F.col("pred") == F.col("qlabel"), 1.0).otherwise(0.0)), 4
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+_ORACLE_KNN = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, label AS qlabel
+  FROM embeddings WHERE vec_id % 10 = 0),
+c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce, label AS clabel
+  FROM embeddings),
+scored AS (
+  SELECT qid, qlabel, cid, clabel, list_cosine_similarity(qe, ce) AS cos
+  FROM q CROSS JOIN c WHERE qid <> cid),
+top5 AS (
+  SELECT * FROM (
+    SELECT qid, qlabel, clabel,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+    FROM scored) WHERE rk <= 5),
+votes AS (
+  SELECT qid, qlabel, clabel, count(*) AS v FROM top5 GROUP BY 1, 2, 3),
+pred AS (
+  SELECT qid, qlabel, clabel AS pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY v DESC, clabel) AS rv
+    FROM votes) WHERE rv = 1)
+SELECT qlabel AS label, count(*) AS n_queries,
+       round(avg(CASE WHEN pred = qlabel THEN 1.0 ELSE 0.0 END), 4) AS accuracy
+FROM pred GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["zipf_fit"] = q_zipf_fit
+ORACLES["zipf_fit"] = _ORACLE_ZIPF
+QUERIES["source_dup_ratio"] = q_source_dup_ratio
+ORACLES["source_dup_ratio"] = _ORACLE_SOURCE_DUP
+QUERIES["knn_label_eval"] = q_knn_label_eval
+ORACLES["knn_label_eval"] = _ORACLE_KNN

@@ -333,3 +333,12 @@ def test_bigram_ppl_counts_map_combine(spark):
     plan = formatted_plan(spark, "bigram_ppl")
     assert "partial_count" in plan  # train counts combine before shuffle
     assert "CartesianProduct" not in plan
+
+
+def test_knn_eval_topk_uses_group_limit(spark):
+    # the rk<=5 cut must run as WindowGroupLimit (partial top-k below
+    # the exchange), and the cosine math must stay JVM-side
+    plan = formatted_plan(spark, "knn_label_eval")
+    assert "WindowGroupLimit" in plan
+    for node in PY_NODES:
+        assert node not in plan
