@@ -474,3 +474,100 @@ QUERIES["dormant_customers"] = q_dormant_customers
 ORACLES["dormant_customers"] = _ORACLE_DORMANT_CUSTOMERS
 QUERIES["late_shipments"] = q_late_shipments
 ORACLES["late_shipments"] = _ORACLE_LATE_SHIPMENTS
+
+
+# ---------------------------------------------------------------------------
+# top_supplier_revenue — TPC-H Q15 shape
+# ---------------------------------------------------------------------------
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: the supplier(s) achieving the maximum three-month revenue
+    (1996-Q1 ship dates).  The revenue "view" aggregates lineitem
+    once; the max is a 1-row broadcast joined back — the scalar-
+    subquery shape, never a re-scan of the fact table.  Ties (all
+    maximal suppliers) are kept exactly as the reference SQL does."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(_dec_rev()), 4).cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mr"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mr"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_ORACLE_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 4)
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# small_quantity_revenue — TPC-H Q17 shape
+# ---------------------------------------------------------------------------
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: average yearly revenue lost if small orders (below 20 %
+    of the part's own average quantity) were not filled, for one
+    brand.  The per-part average is a grouped aggregate joined back
+    to the same scan's rows — Catalyst plans the correlated scalar
+    subquery as an aggregate + join, NOT a per-row re-scan; the brand
+    filter broadcasts into both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    p = part.where(F.col("p_brand") == "Brand#11").select("p_partkey")
+    filtered = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    avg_q = filtered.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("q_fence")
+    )
+    return (
+        filtered.join(avg_q, "l_partkey")
+        .where(F.col("l_quantity") < F.col("q_fence"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,6)")) / 7.0, 4
+            )
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_ORACLE_SMALL_QUANTITY = """
+WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+f AS (SELECT l.* FROM lineitem l JOIN p ON l.l_partkey = p.p_partkey),
+a AS (SELECT l_partkey, avg(l_quantity) * 0.2 AS q_fence FROM f GROUP BY 1)
+SELECT CAST(round(sum(CAST(f.l_extendedprice AS DECIMAL(30,6))) / 7.0, 4) AS DOUBLE)
+         AS avg_yearly,
+       count(*) AS n_lines
+FROM f JOIN a ON f.l_partkey = a.l_partkey
+WHERE f.l_quantity < a.q_fence
+"""
+
+
+QUERIES["top_supplier_revenue"] = q_top_supplier_revenue
+ORACLES["top_supplier_revenue"] = _ORACLE_TOP_SUPPLIER
+QUERIES["small_quantity_revenue"] = q_small_quantity_revenue
+ORACLES["small_quantity_revenue"] = _ORACLE_SMALL_QUANTITY

@@ -38,6 +38,10 @@ DEFAULT = [
     "kmeans_embeddings",    # iterative codegen assignment + dim agg
     "dup_ngram_spans",      # token-explode + gram shuffle
     "hll_join_cardinality", # sketch stats + verification join
+    "volume_shipping",      # TPC-H multi-join + broadcast dims
+    "ks_two_sample",        # pre-agg + single-partition ECDF window
+    "containment_neardup",  # df-capped shingle index self-join
+    "knn_label_eval",       # crossJoin cosine + WindowGroupLimit
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
