@@ -1,0 +1,96 @@
+"""Density-based clustering (DBSCAN) over an embedding column.
+
+Decomposition into relational primitives (no Python in the plan):
+
+  1. eps-neighbor graph: pairwise squared euclidean distance under
+     whole-stage codegen (zip_with/aggregate HOFs), kept only where
+     d² ≤ eps².  Exact all-pairs here; at 100 TB the candidate
+     generator swaps to the IVF cell index (similarity.py) exactly
+     like semantic_dedup confines its quadratic step — DBSCAN's
+     neighbor query IS a fixed-radius similarity join.
+  2. core points: neighbor degree ≥ min_pts (degree EXCLUDES the
+     point itself; documented convention, mirrored by the oracle).
+  3. clusters: connected components over the core–core subgraph,
+     reusing the label-propagation operator (dedup.py) — component
+     id = min reachable vec_id, deterministic.
+  4. border points: non-core with ≥ 1 core neighbor join the MINIMUM
+     core neighbor's cluster (canonical DBSCAN leaves this
+     tie-broken arbitrarily; the min rule pins it for oracles).
+  5. everything else is noise (cluster −1).
+
+Reference scope note: the reference engine (CyberAgent/hive-jq-udtf)
+has no clustering surface; this belongs to the driver-mandated
+LLM-pipeline operator suite alongside kmeans/semantic_dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import connected_components
+
+
+def _dist2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def dbscan_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1.15,
+    min_pts: int = 3,
+) -> DataFrame:
+    """→ (vec_id, cluster, is_core): cluster is the min vec_id of the
+    member core component, −1 for noise."""
+    pts = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    half = (
+        a.crossJoin(b)
+        .where(F.col("a.id") < F.col("b.id"))
+        .where(_dist2(F.col("a.v"), F.col("b.v")) <= F.lit(eps * eps))
+        .select(F.col("a.id").alias("x"), F.col("b.id").alias("y"))
+    )
+    edges = half.unionByName(
+        half.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).localCheckpoint(eager=False)
+    deg = edges.groupBy("x").agg(F.count(F.lit(1)).alias("nbrs"))
+    core = deg.where(F.col("nbrs") >= min_pts).select(F.col("x").alias("id"))
+    cc_edges = (
+        edges.join(core.withColumnRenamed("id", "x"), "x")
+        .join(core.withColumnRenamed("id", "y"), "y")
+        .select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
+    )
+    comp = connected_components(cc_edges).select(
+        F.col("doc_id").alias("id"), F.col("component").alias("cluster")
+    )
+    # isolated core points (min_pts satisfied by non-core neighbors
+    # only) have no core-core edge: they form singleton clusters
+    comp = comp.unionByName(
+        core.join(comp, "id", "left_anti").select("id", F.col("id").alias("cluster"))
+    )
+    border = (
+        edges.join(core.withColumnRenamed("id", "x"), "x", "left_anti")
+        .join(comp.withColumnRenamed("id", "y"), "y")
+        .groupBy(F.col("x").alias("id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    assigned = comp.select("id", "cluster", F.lit(True).alias("is_core")).unionByName(
+        border.select("id", "cluster", F.lit(False).alias("is_core"))
+    )
+    return (
+        pts.select("id")
+        .join(assigned, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("cluster", F.lit(-1)).alias("cluster"),
+            F.coalesce("is_core", F.lit(False)).alias("is_core"),
+        )
+    )

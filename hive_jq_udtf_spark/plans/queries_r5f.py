@@ -235,3 +235,77 @@ QUERIES["source_dup_ratio"] = q_source_dup_ratio
 ORACLES["source_dup_ratio"] = _ORACLE_SOURCE_DUP
 QUERIES["knn_label_eval"] = q_knn_label_eval
 ORACLES["knn_label_eval"] = _ORACLE_KNN
+
+
+# ---------------------------------------------------------------------------
+# dbscan_clusters — density-based clustering summary
+# ---------------------------------------------------------------------------
+
+
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the embedding column (eps = 1.15, min_pts = 3):
+    per-cluster size / core / border counts plus the noise bucket
+    (cluster −1).  The operator decomposes into an eps-radius
+    similarity join, a degree filter, connected components over the
+    core-core subgraph (reused label-propagation operator), and a
+    min-rule border assignment — every step relational, every tie
+    deterministic (operators/dbscan.py).  The oracle replays the
+    definition with a recursive reachability CTE."""
+    from ..operators.dbscan import dbscan_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asgn = dbscan_embeddings(emb, eps=1.15, min_pts=3)
+    return (
+        asgn.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.sum(F.when(F.col("is_core"), 1).otherwise(0)).alias("n_core"),
+            F.sum(F.when(F.col("is_core"), 0).otherwise(1)).alias("n_border_or_noise"),
+        )
+        .orderBy("cluster")
+    )
+
+
+_ORACLE_DBSCAN = """
+WITH RECURSIVE e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+half AS (
+  SELECT a.id AS x, b.id AS y FROM e a JOIN e b
+  ON a.id < b.id AND list_distance(a.v, b.v) <= 1.15),
+sym AS (SELECT x, y FROM half UNION ALL SELECT y, x FROM half),
+deg AS (SELECT x, count(*) AS nbrs FROM sym GROUP BY 1),
+core AS (SELECT x AS id FROM deg WHERE nbrs >= 3),
+cce AS (
+  SELECT s.x, s.y FROM sym s
+  JOIN core c1 ON s.x = c1.id JOIN core c2 ON s.y = c2.id),
+walk(id, comp) AS (
+  SELECT x, x FROM cce
+  UNION
+  SELECT c.x, w.comp FROM cce c JOIN walk w ON c.y = w.id),
+comp0 AS (SELECT id, min(comp) AS cluster FROM walk GROUP BY id),
+comp AS (
+  SELECT * FROM comp0
+  UNION ALL
+  SELECT id, id FROM core WHERE id NOT IN (SELECT id FROM comp0)),
+border AS (
+  SELECT s.x AS id, min(c.cluster) AS cluster
+  FROM sym s JOIN comp c ON s.y = c.id
+  WHERE s.x NOT IN (SELECT id FROM core)
+  GROUP BY 1),
+asgn AS (
+  SELECT id, cluster, TRUE AS is_core FROM comp
+  UNION ALL
+  SELECT id, cluster, FALSE AS is_core FROM border),
+alle AS (
+  SELECT e.id, coalesce(a.cluster, -1) AS cluster,
+         coalesce(a.is_core, FALSE) AS is_core
+  FROM e LEFT JOIN asgn a ON e.id = a.id)
+SELECT cluster, count(*) AS size,
+       CAST(sum(CASE WHEN is_core THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+       CAST(sum(CASE WHEN is_core THEN 0 ELSE 1 END) AS BIGINT) AS n_border_or_noise
+FROM alle GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["dbscan_clusters"] = q_dbscan_clusters
+ORACLES["dbscan_clusters"] = _ORACLE_DBSCAN

@@ -1104,3 +1104,40 @@ def test_topk_dynamic_null_k_yields_no_rows(spark):
         df, ["key"], [F.col("score").desc(), F.col("id")], "k", max_k=4
     ).collect()
     assert sorted((r.key, r.id) for r in out) == [("a", 1), ("a", 2)]  # b dropped
+
+
+def test_dbscan_two_blobs_and_noise(spark):
+    # two tight 4-point blobs + one remote noise point; eps=1 joins
+    # within-blob only; min_pts=2 (excluding self) makes all blob
+    # points core; the noise point has no neighbors
+    from hive_jq_udtf_spark.operators.dbscan import dbscan_embeddings
+
+    def blob(base_id, cx):
+        return [(base_id + i, [cx + 0.1 * i, 0.0]) for i in range(4)]
+
+    rows = blob(0, 0.0) + blob(10, 100.0) + [(99, [50.0, 50.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.cluster, r.is_core)
+        for r in dbscan_embeddings(emb, eps=1.0, min_pts=2).collect()
+    }
+    assert out[99] == (-1, False)  # noise
+    assert {out[i] for i in (0, 1, 2, 3)} == {(0, True)}  # blob 1 → min id 0
+    assert {out[i] for i in (10, 11, 12, 13)} == {(10, True)}  # blob 2
+
+
+def test_dbscan_border_assignment_min_rule(spark):
+    # chain 0—1—2 (ends not within eps of each other): degree excludes
+    # self, so only the middle point reaches min_pts=2 — an ISOLATED
+    # core forming a singleton cluster (id 1); both ends are border
+    # points of that cluster, never core
+    from hive_jq_udtf_spark.operators.dbscan import dbscan_embeddings
+
+    rows = [(0, [0.0]), (1, [0.5]), (2, [1.4])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.cluster, r.is_core)
+        for r in dbscan_embeddings(emb, eps=1.0, min_pts=2).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[0] == (1, False) and out[2] == (1, False)
