@@ -3465,3 +3465,4 @@ from . import queries_r5c  # noqa: E402,F401  isort:skip
 from . import queries_r5d  # noqa: E402,F401  isort:skip
 from . import queries_r5e  # noqa: E402,F401  isort:skip
 from . import queries_r5f  # noqa: E402,F401  isort:skip
+from . import queries_r5g  # noqa: E402,F401  isort:skip
