@@ -309,3 +309,102 @@ FROM alle GROUP BY 1 ORDER BY 1
 
 QUERIES["dbscan_clusters"] = q_dbscan_clusters
 ORACLES["dbscan_clusters"] = _ORACLE_DBSCAN
+
+
+# ---------------------------------------------------------------------------
+# seasonality_index — day-of-week multiplicative decomposition
+# ---------------------------------------------------------------------------
+
+
+def q_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative day-of-week seasonality per event_type: the
+    average daily count for each weekday divided by the overall
+    average daily count — index > 1 marks the hot days.  Two stacked
+    aggregations (events → daily counts → weekday means) and one
+    broadcast join of the per-type overall means; everything after
+    the first shuffle is O(types × 7)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.avg("x").alias("dow_avg"), F.count(F.lit(1)).alias("n_days")
+    )
+    overall = daily.groupBy("event_type").agg(F.avg("x").alias("all_avg"))
+    return (
+        per_dow.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_days",
+            F.round(F.col("dow_avg") / F.col("all_avg"), 4).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+_ORACLE_SEASONALITY = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         dayofweek(ts) + 1 AS dow, CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2, 3),
+per_dow AS (
+  SELECT event_type, dow, avg(x) AS dow_avg, count(*) AS n_days
+  FROM daily GROUP BY 1, 2),
+o AS (SELECT event_type, avg(x) AS all_avg FROM daily GROUP BY 1)
+SELECT p.event_type, CAST(p.dow AS INTEGER) AS dow,
+       CAST(p.n_days AS BIGINT) AS n_days,
+       round(p.dow_avg / o.all_avg, 4) AS seasonal_index
+FROM per_dow p JOIN o ON p.event_type = o.event_type
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# ntile_deciles — decile profile of order values per segment
+# ---------------------------------------------------------------------------
+
+
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile profile of order totals within each market segment:
+    ntile(10) over a fully deterministic order (price, then orderkey)
+    so both engines cut identical buckets, then per-decile count /
+    min / max.  The window sorts per segment — at scale this is the
+    classic quantile-profile query served by range partitioning on
+    (segment, price) or, approximately, by the GK/t-digest sketches."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        cust.select("c_custkey", "c_mktsegment"), orders.o_custkey == cust.c_custkey
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    return (
+        j.select("c_mktsegment", "o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("c_mktsegment", "decile")
+    )
+
+
+_ORACLE_NTILE = """
+SELECT c_mktsegment, decile, count(*) AS n,
+       round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+FROM (
+  SELECT c.c_mktsegment, o.o_totalprice,
+         ntile(10) OVER (PARTITION BY c.c_mktsegment
+                         ORDER BY o.o_totalprice, o.o_orderkey) AS decile
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES["seasonality_index"] = q_seasonality_index
+ORACLES["seasonality_index"] = _ORACLE_SEASONALITY
+QUERIES["ntile_deciles"] = q_ntile_deciles
+ORACLES["ntile_deciles"] = _ORACLE_NTILE
