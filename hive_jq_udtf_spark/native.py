@@ -19,8 +19,12 @@ produce NULL where Jackson-lenient marshalling produces 0/false for
 *non-coercible* garbage, and compiled arithmetic (`- * / %`) yields
 NULL on a null/missing operand where jq ABORTS the query (`+` keeps
 jq's null-identity; comparisons keep jq's null-below-everything
-order).  On clean data the tiers agree — pinned by the property
-tests in tests/test_native.py.
+order).  sqrt of a
+negative yields NaN natively where the Python tier raises the jq
+error — same class.  On clean data the tiers agree BIT-FOR-BIT —
+pinned by the property tests in tests/test_native.py; transcendental
+math fns stay Python-tier because JVM libm is not correctly rounded
+(see _NUM_FNS note).
 """
 
 from __future__ import annotations
@@ -184,7 +188,20 @@ _STR_FNS = {
     "tostring": 0,
     "gsub": 2,
 }
-_NUM_FNS = {"tonumber": 0, "floor": 0, "sqrt": 0, "fabs": 0}
+# NOTE deliberately excludes the transcendentals (exp/log/log2/log10/
+# pow): JVM Math.* is only 1-ulp-accurate while the Python tier's
+# libm is correctly rounded — measured 1-ulp drift on log2 — and the
+# native tier holds a BIT-EQUALITY contract with the Python tier on
+# clean data (tests/test_native.py differentials).  floor/ceil are
+# exact integer ops and sqrt is IEEE-correctly-rounded on both sides,
+# so those compile natively.
+_NUM_FNS = {
+    "tonumber": 0,
+    "floor": 0,
+    "ceil": 0,
+    "sqrt": 0,
+    "fabs": 0,
+}
 
 # string predicates compilable inside select(): jq fn name → handled
 # in _string_pred_col (startswith/endswith literal; test → rlike)
@@ -329,10 +346,13 @@ def _apply_fnchain(c: Column, fns) -> Column:
             c = c.try_cast("double")
         elif name == "floor":
             c = F.floor(c.try_cast("double"))
+        elif name == "ceil":
+            c = F.ceil(c.try_cast("double"))
         elif name == "sqrt":
             c = F.sqrt(c.try_cast("double"))
         elif name == "fabs":
             c = F.abs(c.try_cast("double"))
+
     return c
 
 

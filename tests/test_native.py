@@ -825,3 +825,24 @@ def test_native_iterate_scalar_elements_preserve_rows(spark):
         (1, None), (1, None), (3, 7), (4, 3), (4, None), (4, None),
         (5, 1), (5, None),
     ]
+
+
+def test_native_ceil_matches_python_tier_and_log_stays_python(spark):
+    # ceil is exactly portable and compiles natively; the
+    # transcendentals must NOT compile (JVM libm is 1-ulp off Python's
+    # correctly-rounded libm — the bit-equality contract would break)
+    import pytest
+
+    from hive_jq_udtf_spark.native import compile_native
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    df = spark.createDataFrame(
+        [('{"k": 7.3}',), ('{"k": -2.5}',), ('{"k": 100.01}',)], "j string"
+    )
+    prog = '{c: (.k | ceil), f: (.k | floor)}'
+    decls = ("c:bigint", "f:bigint")
+    nat = jq_explode(df, "j", prog, *decls, native="require").drop("j").collect()
+    py = jq_explode(df, "j", prog, *decls, native="never").drop("j").collect()
+    assert sorted(nat) == sorted(py)
+    assert compile_native('{l: (.k | log2)}', ("l:double",)) is None
+    assert compile_native('{e: (.k | exp)}', ("e:double",)) is None
