@@ -3466,3 +3466,4 @@ from . import queries_r5d  # noqa: E402,F401  isort:skip
 from . import queries_r5e  # noqa: E402,F401  isort:skip
 from . import queries_r5f  # noqa: E402,F401  isort:skip
 from . import queries_r5g  # noqa: E402,F401  isort:skip
+from . import queries_r5h  # noqa: E402,F401  isort:skip
