@@ -342,3 +342,23 @@ def test_knn_eval_topk_uses_group_limit(spark):
     assert "WindowGroupLimit" in plan
     for node in PY_NODES:
         assert node not in plan
+
+
+def test_rfm_windows_run_on_aggregated_frame(spark):
+    # the three ntile windows must sort the per-customer aggregate,
+    # not order rows: partial aggregation collapses before any window
+    plan = formatted_plan(spark, "rfm_segmentation")
+    assert "partial_" in plan
+    assert plan.index("HashAggregate") < plan.index("Window")
+
+
+def test_basket_lift_pairs_join_on_orderkey_not_cartesian(spark):
+    plan = formatted_plan(spark, "basket_lift")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_dbscan_distance_math_is_jvm_side(spark):
+    plan = formatted_plan(spark, "dbscan_clusters")
+    for node in PY_NODES:
+        assert node not in plan
