@@ -250,10 +250,15 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     core-core subgraph (reused label-propagation operator), and a
     min-rule border assignment — every step relational, every tie
     deterministic (operators/dbscan.py).  The oracle replays the
-    definition with a recursive reachability CTE."""
+    definition with a recursive reachability CTE.  The gate runs on a
+    deterministic 1/5 subsample (vec_id % 5 = 0): exact all-pairs
+    DBSCAN is O(n²d) by definition, and the subsample keeps the
+    driver-checked query at bench scale while the operator itself
+    stays full-corpus (its scale path is swapping the all-pairs
+    candidate generator for the IVF cell index, see dbscan.py)."""
     from ..operators.dbscan import dbscan_embeddings
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
     asgn = dbscan_embeddings(emb, eps=1.15, min_pts=3)
     return (
         asgn.groupBy("cluster")
@@ -268,7 +273,8 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_DBSCAN = """
 WITH RECURSIVE e AS (
-  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id % 5 = 0),
 half AS (
   SELECT a.id AS x, b.id AS y FROM e a JOIN e b
   ON a.id < b.id AND list_distance(a.v, b.v) <= 1.15),
