@@ -571,3 +571,61 @@ QUERIES["top_supplier_revenue"] = q_top_supplier_revenue
 ORACLES["top_supplier_revenue"] = _ORACLE_TOP_SUPPLIER
 QUERIES["small_quantity_revenue"] = q_small_quantity_revenue
 ORACLES["small_quantity_revenue"] = _ORACLE_SMALL_QUANTITY
+
+
+# ---------------------------------------------------------------------------
+# bracketed_revenue — TPC-H Q19 shape
+# ---------------------------------------------------------------------------
+
+
+def q_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: revenue from three disjunctive (brand × quantity-bracket ×
+    size-bracket) predicates — the classic OR-of-ANDs shape that tests
+    predicate normalization: Catalyst pushes the common `l_quantity`
+    bounds and the partkey equi-join below the OR, and the part side
+    prunes to (p_partkey, p_brand, p_size) only.  Adaptation: the
+    driver schema has no container/shipinstruct columns, so the
+    brackets use p_size bands instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    p = part.select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    b = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#33")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(b).agg(
+        F.round(F.sum(_dec_rev()), 4).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_ORACLE_BRACKETED = """
+SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))), 4)
+            AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+QUERIES["bracketed_revenue"] = q_bracketed_revenue
+ORACLES["bracketed_revenue"] = _ORACLE_BRACKETED

@@ -1141,3 +1141,70 @@ def test_dbscan_border_assignment_min_rule(spark):
     }
     assert out[1] == (1, True)
     assert out[0] == (1, False) and out[2] == (1, False)
+
+
+def test_dbscan_matches_bruteforce_reference(spark):
+    # randomized-but-seeded point sets vs a pure-Python DBSCAN with
+    # the SAME conventions (degree excludes self; cluster id = min
+    # member core id via core-graph reachability; border -> min core
+    # neighbor's cluster)
+    import itertools
+    import random
+
+    from hive_jq_udtf_spark.operators.dbscan import dbscan_embeddings
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 18
+        pts = {i: [rng.uniform(0, 4), rng.uniform(0, 4)] for i in range(n)}
+        eps, min_pts = 1.0, 2
+        nbrs = {i: set() for i in pts}
+        for i, j in itertools.combinations(pts, 2):
+            d2 = sum((a - b) ** 2 for a, b in zip(pts[i], pts[j]))
+            if d2 <= eps * eps:
+                nbrs[i].add(j)
+                nbrs[j].add(i)
+        core = {i for i in pts if len(nbrs[i]) >= min_pts}
+        comp = {}
+        for s in sorted(core):
+            if s in comp:
+                continue
+            stack, seen = [s], {s}
+            while stack:
+                u = stack.pop()
+                for v in nbrs[u] & core:
+                    if v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            m = min(seen)
+            for u in seen:
+                comp[u] = m
+        expected = {}
+        for i in pts:
+            if i in core:
+                expected[i] = (comp[i], True)
+            else:
+                cn = sorted(comp[j] for j in nbrs[i] if j in core)
+                expected[i] = (cn[0], False) if cn else (-1, False)
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in pts.items()], "vec_id long, embedding array<double>"
+        )
+        got = {
+            r.vec_id: (r.cluster, r.is_core)
+            for r in dbscan_embeddings(emb, eps=eps, min_pts=min_pts).collect()
+        }
+        assert got == expected, f"trial {trial}"
+
+
+def test_dbscan_empty_and_all_noise(spark):
+    from hive_jq_udtf_spark.operators.dbscan import dbscan_embeddings
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert dbscan_embeddings(empty).collect() == []
+    # far-apart points: no edges at all -> everything noise
+    far = spark.createDataFrame(
+        [(i, [float(i * 100)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    out = dbscan_embeddings(far, eps=1.0, min_pts=2).collect()
+    assert all(r.cluster == -1 and not r.is_core for r in out) and len(out) == 4
