@@ -1667,6 +1667,7 @@ def _c_funcdef(node):
 def _c_call(node):
     _, name, args = node
     arg_fns = [compile_node(a) for a in args]
+    arg_asts = list(args)
     arity = len(args)
 
     native = NATIVE.get((name, arity))
@@ -1674,7 +1675,7 @@ def _c_call(node):
     def f(v, e):
         fd = e.get_func(name, arity)
         if fd is not None:
-            yield from _call_funcdef(fd, arg_fns, v, e)
+            yield from _call_funcdef(fd, arg_fns, v, e, arg_asts)
             return
         if native is not None:
             yield from native(v, e, arg_fns)
@@ -1688,17 +1689,17 @@ def _c_call(node):
     return f
 
 
-def _call_funcdef(fd: FuncDef, arg_fns, v, e):
+def _call_funcdef(fd: FuncDef, arg_fns, v, e, arg_asts=None):
     def_env = fd.env_cell[0]
     if not fd.params:
         yield from fd.body(v, def_env)
         return
     # value params ($x) fan out over their argument streams; filter
     # params bind lazily as closures over the caller env.
-    yield from _bind_params(fd, arg_fns, 0, {}, {}, v, e, def_env)
+    yield from _bind_params(fd, arg_fns, 0, {}, {}, v, e, def_env, arg_asts)
 
 
-def _bind_params(fd, arg_fns, i, var_binds, func_binds, v, e, def_env):
+def _bind_params(fd, arg_fns, i, var_binds, func_binds, v, e, def_env, arg_asts=None):
     if i >= len(fd.params):
         env2 = Env(vars=var_binds or None, funcs=func_binds or None, parent=def_env)
         yield from fd.body(v, env2)
@@ -1713,12 +1714,18 @@ def _bind_params(fd, arg_fns, i, var_binds, func_binds, v, e, def_env):
             fb = dict(func_binds)
             cell = [e]
             fb[(pname, 0)] = FuncDef([], (lambda val, env, _a=av: (_a,)), cell)
-            yield from _bind_params(fd, arg_fns, i + 1, vb, fb, v, e, def_env)
+            yield from _bind_params(fd, arg_fns, i + 1, vb, fb, v, e, def_env, arg_asts)
     else:
         fb = dict(func_binds)
         cell = [e]
-        fb[(p, 0)] = FuncDef([], (lambda val, env, _f=afn, _e=e: _f(val, _e)), cell)
-        yield from _bind_params(fd, arg_fns, i + 1, var_binds, fb, v, e, def_env)
+        # carry the arg AST so the param also works in PATH position
+        # (e.g. `def pick(pathexps): ... path(pathexps) ...`): _p_call
+        # lazily compiles body_ast with def_env = this caller env
+        ast = arg_asts[i] if arg_asts is not None else None
+        fb[(p, 0)] = FuncDef(
+            [], (lambda val, env, _f=afn, _e=e: _f(val, _e)), cell, ast
+        )
+        yield from _bind_params(fd, arg_fns, i + 1, var_binds, fb, v, e, def_env, arg_asts)
 
 
 # ---------------------------------------------------------------------------
@@ -3414,6 +3421,12 @@ def ltrimstr_all($x): ltrimstr($x);
 def input_filename: null;
 def have_literal_numbers: true;
 def have_decnum: false;
+def abs: if . < 0 then - . else . end;
+def toarray: if type == "array" then . else [.] end;
+def pick(pathexps): . as $v | reduce path(pathexps) as $p (null; setpath($p; $v | getpath($p)));
+def trim: if type == "string" then (sub("^[ \t\r\n\f]+"; "") | sub("[ \t\r\n\f]+$"; "")) else error("trim input must be a string") end;
+def ltrim: if type == "string" then sub("^[ \t\r\n\f]+"; "") else error("ltrim input must be a string") end;
+def rtrim: if type == "string" then sub("[ \t\r\n\f]+$"; "") else error("rtrim input must be a string") end;
 """
 
 _PRELUDE_NAMES: list[str] = []

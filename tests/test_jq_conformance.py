@@ -283,6 +283,25 @@ CASES = [
     ('fromstream(tostream)', [[1, {"b": 2}], "x"], [[[1, {"b": 2}], "x"]]),
     ("tojson | fromjson", {"a": [1, 2.5, None]}, [{"a": [1, 2.5, None]}]),
     ('{} | .a.b.c = 1', None, [{"a": {"b": {"c": 1}}}]),
+    # jq-1.7 additions (public builtin.jq definitions)
+    ("abs", -5, [5]),
+    ("abs", 3.25, [3.25]),
+    ("[.[] | abs]", [-1, 2, -3.5], [[1, 2, 3.5]]),
+    ("toarray", 1, [[1]]),
+    ("toarray", [1, 2], [[1, 2]]),
+    ("toarray", None, [[None]]),
+    ('pick(.a.b, .c)', {"a": {"b": 1, "x": 2}, "c": 3, "d": 4},
+     [{"a": {"b": 1}, "c": 3}]),
+    ('pick(.x[1])', {"x": [1, 2, 3]}, [{"x": [None, 2]}]),
+    ('pick(.[] | .k)', [{"k": 1, "z": 9}, {"k": 2, "z": 8}],
+     [[{"k": 1}, {"k": 2}]]),
+    ("trim", "  hi \t", ["hi"]),
+    ("ltrim", " hi ", ["hi "]),
+    ("rtrim", " hi ", [" hi"]),
+    ("trim", "nospace", ["nospace"]),
+    # path expressions THROUGH filter parameters (the pick enabler)
+    ('def f(p): path(p); f(.a.b)', {"a": {"b": 1}}, [["a", "b"]]),
+    ('def f(p): [paths] as $x | path(p); f(.a)', {"a": 1}, [["a"]]),
 ]
 
 
