@@ -3427,6 +3427,10 @@ def pick(pathexps): . as $v | reduce path(pathexps) as $p (null; setpath($p; $v 
 def trim: if type == "string" then (sub("^[ \t\r\n\f]+"; "") | sub("[ \t\r\n\f]+$"; "")) else error("trim input must be a string") end;
 def ltrim: if type == "string" then sub("^[ \t\r\n\f]+"; "") else error("ltrim input must be a string") end;
 def rtrim: if type == "string" then sub("[ \t\r\n\f]+$"; "") else error("rtrim input must be a string") end;
+def IN(src): any(src == .; .);
+def IN(target; src): any(src == target; .);
+def INDEX(stream; idx_expr): reduce stream as $row ({}; .[$row | idx_expr | tostring] |= $row);
+def INDEX(idx_expr): INDEX(.[]; idx_expr);
 """
 
 _PRELUDE_NAMES: list[str] = []

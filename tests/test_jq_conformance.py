@@ -302,6 +302,14 @@ CASES = [
     # path expressions THROUGH filter parameters (the pick enabler)
     ('def f(p): path(p); f(.a.b)', {"a": {"b": 1}}, [["a", "b"]]),
     ('def f(p): [paths] as $x | path(p); f(.a)', {"a": 1}, [["a"]]),
+    # SQL-style helpers (jq builtin.jq: IN / INDEX)
+    ("IN(1, 2)", 1, [True]),
+    ("IN(1, 2)", 3, [False]),
+    ("IN(.[]; 1, 5)", [0, 1, 2], [True]),
+    ("IN(.[]; 7, 8)", [0, 1, 2], [False]),
+    ("INDEX(.k)", [{"k": "a", "v": 1}, {"k": "b", "v": 2}],
+     [{"a": {"k": "a", "v": 1}, "b": {"k": "b", "v": 2}}]),
+    ("INDEX(.[]; .id)", [{"id": 7}], [{"7": {"id": 7}}]),
 ]
 
 
