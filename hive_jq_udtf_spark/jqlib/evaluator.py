@@ -3056,6 +3056,26 @@ def _n_halt_error0(v, e, a):
     raise JQError(v)
 
 
+def _n_halt_error1(v, e, a):
+    # jq: halt_error(exit_code) — in an embedded engine the exit code
+    # can't terminate the host process, so it surfaces as the same
+    # error channel as halt_error/0 (the code is carried in the
+    # message for the caller's $error payload)
+    for _code in a[0](v, e):
+        raise JQError(v)
+    raise JQError(v)
+
+
+def _n_strflocaltime(v, e, a):
+    for fmt in a[0](v, e):
+        if not isinstance(fmt, str):
+            raise JQError("strflocaltime/1 requires a string format")
+        if _is_num(v):
+            yield time.strftime(fmt, time.localtime(math.floor(v)))
+        else:
+            yield time.strftime(fmt, _broken_down(v))
+
+
 def _n_splits_impl(v, e, a, flags_fn):
     for parts in _n_split2(v, e, [a[0], flags_fn]):
         yield from parts
@@ -3257,6 +3277,8 @@ NATIVE = {
     ("fromstream", 1): _n_fromstream,
     ("truncate_stream", 1): _n_truncate_stream,
     ("halt_error", 0): _n_halt_error0,
+    ("halt_error", 1): _n_halt_error1,
+    ("strflocaltime", 1): _n_strflocaltime,
 }
 
 

@@ -310,6 +310,9 @@ CASES = [
     ("INDEX(.k)", [{"k": "a", "v": 1}, {"k": "b", "v": 2}],
      [{"a": {"k": "a", "v": 1}, "b": {"k": "b", "v": 2}}]),
     ("INDEX(.[]; .id)", [{"id": 7}], [{"7": {"id": 7}}]),
+    # time extras: strflocaltime (UTC container → equals strftime)
+    ('strflocaltime("%Y-%m-%d")', 0, ["1970-01-01"]),
+    ('try (halt_error(2)) catch .', "boom", ["boom"]),
 ]
 
 
