@@ -263,3 +263,64 @@ QUERIES["benford_deviation"] = q_benford_deviation
 ORACLES["benford_deviation"] = _ORACLE_BENFORD
 QUERIES["theil_sen_trend"] = q_theil_sen_trend
 ORACLES["theil_sen_trend"] = _ORACLE_THEIL_SEN
+
+
+# ---------------------------------------------------------------------------
+# jq_sql_helpers — IN / pick / trim through the UDTF
+# ---------------------------------------------------------------------------
+
+
+def q_jq_sql_helpers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-style jq helpers end-to-end: IN(...) membership on the
+    event type, pick(...) projection re-serialized with tojson, and
+    the 1.7 trim family on padded strings — all inside one UDTF pass,
+    aggregated to a single row the DuckDB oracle reproduces with
+    plain SQL (IN list, json_object, trim)."""
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.withColumn(
+        "payload",
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.col("event_type").alias("t"),
+                F.concat(F.lit("  "), F.col("event_type"), F.lit(" \t ")).alias("pad"),
+            )
+        ),
+    )
+    x = jq_explode(
+        j,
+        "payload",
+        '{id: .id, hot: (.t | IN("view", "click")),'
+        ' picked: (pick(.id) | tojson), tt: (.pad | trim)}',
+        "id:bigint",
+        "hot:boolean",
+        "picked:string",
+        "tt:string",
+        native="never",
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("hot"), 1).otherwise(0)).alias("n_hot"),
+        F.sum(F.when(F.col("hot"), F.col("id"))).alias("hot_id_sum"),
+        F.max("picked").alias("max_picked"),
+        F.countDistinct("tt").alias("n_types_trimmed"),
+        F.max("tt").alias("max_trimmed"),
+    )
+
+
+_ORACLE_JQ_SQL_HELPERS = """
+SELECT count(*) AS n,
+       CAST(sum(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hot,
+       CAST(sum(CASE WHEN event_type IN ('view', 'click') THEN event_id END) AS BIGINT)
+         AS hot_id_sum,
+       max('{"id":' || CAST(event_id AS VARCHAR) || '}') AS max_picked,
+       count(DISTINCT event_type) AS n_types_trimmed,
+       max(event_type) AS max_trimmed
+FROM events
+"""
+
+
+QUERIES["jq_sql_helpers"] = q_jq_sql_helpers
+ORACLES["jq_sql_helpers"] = _ORACLE_JQ_SQL_HELPERS
