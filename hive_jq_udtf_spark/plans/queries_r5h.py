@@ -159,3 +159,97 @@ QUERIES["rfm_segmentation"] = q_rfm_segmentation
 ORACLES["rfm_segmentation"] = _ORACLE_RFM
 QUERIES["basket_lift"] = q_basket_lift
 ORACLES["basket_lift"] = _ORACLE_BASKET
+
+
+# ---------------------------------------------------------------------------
+# hopping_counts — sliding (hopping) time windows in batch
+# ---------------------------------------------------------------------------
+
+
+def q_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window counts: 1-hour windows sliding every 30 minutes
+    (each event lands in exactly two windows), via the native
+    window(ts, size, slide) TVF — Spark expands the assignment
+    inline, no join against a window spine.  Output limited to the
+    top 48 densest (window, type) cells with deterministic
+    tie-breaks.  The oracle replays the expansion with a 2-row
+    unnest per event."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_epoch"),
+            "event_type",
+            "n",
+        )
+    )
+    return counts.orderBy(F.desc("n"), "win_epoch", "event_type").limit(48)
+
+
+_ORACLE_HOPPING = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS win_start,
+         event_type, ts
+  FROM events, unnest([0, 1]) AS t(k)
+  WHERE ts >= time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE
+    AND ts <  time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE + INTERVAL 1 HOUR),
+counts AS (
+  SELECT CAST(epoch(win_start) AS BIGINT) AS win_epoch, event_type, count(*) AS n
+  FROM expanded GROUP BY 1, 2)
+SELECT win_epoch, event_type, n
+FROM counts ORDER BY n DESC, win_epoch, event_type LIMIT 48
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_longest — survivor policy: longest text wins
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup grouping with a KEEP-LONGEST survivor policy (ties →
+    smallest doc_id): groups key on the text hash, the survivor is a
+    rank-1 row per group — WindowGroupLimit keeps the top-k cut below
+    the exchange.  Complements minhash_dedup_keep's min-id rule with
+    the policy real pipelines actually want (longest variant usually
+    carries the most content).  Output: per-source survivor counts
+    and the byte mass dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.xxhash64("text")).orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(0)).alias(
+                "chars_dropped"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_KEEP_LONGEST = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY text ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["hopping_counts"] = q_hopping_counts
+ORACLES["hopping_counts"] = _ORACLE_HOPPING
+QUERIES["dedup_keep_longest"] = q_dedup_keep_longest
+ORACLES["dedup_keep_longest"] = _ORACLE_KEEP_LONGEST
