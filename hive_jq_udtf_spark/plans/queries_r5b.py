@@ -629,3 +629,81 @@ WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
 
 QUERIES["bracketed_revenue"] = q_bracketed_revenue
 ORACLES["bracketed_revenue"] = _ORACLE_BRACKETED
+
+
+# ---------------------------------------------------------------------------
+# waiting_suppliers — TPC-H Q21 shape (adapted)
+# ---------------------------------------------------------------------------
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: suppliers who were the ONLY late supplier on a
+    multi-supplier order — the double-correlated EXISTS / NOT EXISTS
+    shape (another supplier on the order exists; another LATE
+    supplier does not).  Catalyst plans both as semi/anti joins on
+    orderkey, no per-row subquery re-execution.  Adaptation: the
+    driver schema has no commit/receipt dates, so "late" = shipped
+    more than 60 days after the order date; top 10 suppliers by
+    waiting count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    l1 = lo.where(F.col("late")).select("l_orderkey", "l_suppkey").alias("l1")
+    others = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    late_others = lo.where(F.col("late")).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(
+            others,
+            (F.col("l1.l_orderkey") == F.col("o2"))
+            & (F.col("l1.l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l1.l_orderkey") == F.col("o3"))
+            & (F.col("l1.l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+    return (
+        waiting.join(supp.select("s_suppkey", "s_name"), waiting.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(10)
+    )
+
+
+_ORACLE_WAITING = """
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT s.s_suppkey, s.s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM lo l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY 1, 2
+ORDER BY numwait DESC, s.s_suppkey LIMIT 10
+"""
+
+
+QUERIES["waiting_suppliers"] = q_waiting_suppliers
+ORACLES["waiting_suppliers"] = _ORACLE_WAITING

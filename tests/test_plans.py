@@ -362,3 +362,11 @@ def test_dbscan_distance_math_is_jvm_side(spark):
     plan = formatted_plan(spark, "dbscan_clusters")
     for node in PY_NODES:
         assert node not in plan
+
+
+def test_waiting_suppliers_semi_anti_no_resubquery(spark):
+    # Q21 shape: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, both as
+    # joins on orderkey; no nested-loop and no cartesian
+    plan = formatted_plan(spark, "waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
