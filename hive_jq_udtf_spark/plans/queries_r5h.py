@@ -253,3 +253,65 @@ QUERIES["hopping_counts"] = q_hopping_counts
 ORACLES["hopping_counts"] = _ORACLE_HOPPING
 QUERIES["dedup_keep_longest"] = q_dedup_keep_longest
 ORACLES["dedup_keep_longest"] = _ORACLE_KEEP_LONGEST
+
+
+# ---------------------------------------------------------------------------
+# audience_overlap — Jaccard between event-type user populations
+# ---------------------------------------------------------------------------
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every pair of event types, the
+    Jaccard similarity of their distinct user sets — the segment-
+    overlap readout behind campaign planning.  One distinct pass
+    builds (type, user); the pair intersection is a self-join on
+    user_id (fan-out bounded by types-per-user ≤ 5); unions come from
+    the per-type counts, |A∪B| = |A|+|B|−|A∩B|.  At 100 TB the exact
+    distinct swaps for the KMV sketch (kmv_set_ops) — this exact
+    variant is its accuracy baseline."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tu.alias("a"), tu.alias("b")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"event_type": "type_a", "n": "na"}), "type_a")
+        .join(sizes.withColumnsRenamed({"event_type": "type_b", "n": "nb"}), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "common",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_ORACLE_AUDIENCE = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS common
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT i.type_a, i.type_b, i.common,
+       round(i.common * 1.0 / (sa.n + sb.n - i.common), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.type_a = sa.event_type
+JOIN sizes sb ON i.type_b = sb.event_type
+ORDER BY 1, 2
+"""
+
+
+QUERIES["audience_overlap"] = q_audience_overlap
+ORACLES["audience_overlap"] = _ORACLE_AUDIENCE
