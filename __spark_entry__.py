@@ -33,10 +33,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # fixed this round: array column serialized for the driver
 # canonicalizer), then (2) every query that has never appeared in a
 # driver artifact at all, oldest-registered first (the round-5 waves
-# outgrew the 50-slot head; the overflow — containment_neardup, bigram_ppl, embedding_covariance, bigram_pmi, jq_datetime_ops, mad_outliers, benford_deviation, theil_sen_trend —
-# plus the stale-r03 cohort is the documented round-6 head, see
-# PLAN_r6 §1).  Never-checked beats stale-checked: a stale query has
-# at least one green artifact proving the pipeline once agreed.
+# outgrew the 50-slot head; the overflow — every never-checked query
+# NOT in the list below, enumerated authoritatively in PLAN_r6.md §1 —
+# plus the stale-r03 cohort is the documented round-6 head).
+# Never-checked beats stale-checked: a stale query has at least one
+# green artifact proving the pipeline once agreed.
 _DRIVER_HEAD = [
     "jq_native_arrayfns",
     "hll_join_cardinality",

@@ -3446,9 +3446,9 @@ def have_decnum: false;
 def abs: if . < 0 then - . else . end;
 def toarray: if type == "array" then . else [.] end;
 def pick(pathexps): . as $v | reduce path(pathexps) as $p (null; setpath($p; $v | getpath($p)));
-def trim: if type == "string" then (sub("^[ \t\r\n\f]+"; "") | sub("[ \t\r\n\f]+$"; "")) else error("trim input must be a string") end;
-def ltrim: if type == "string" then sub("^[ \t\r\n\f]+"; "") else error("ltrim input must be a string") end;
-def rtrim: if type == "string" then sub("[ \t\r\n\f]+$"; "") else error("rtrim input must be a string") end;
+def trim: if type == "string" then (sub("^[ \t\r\n\f\u000b]+"; "") | sub("[ \t\r\n\f\u000b]+$"; "")) else error("trim input must be a string") end;
+def ltrim: if type == "string" then sub("^[ \t\r\n\f\u000b]+"; "") else error("ltrim input must be a string") end;
+def rtrim: if type == "string" then sub("[ \t\r\n\f\u000b]+$"; "") else error("rtrim input must be a string") end;
 def IN(src): any(src == .; .);
 def IN(target; src): any(src == target; .);
 def INDEX(stream; idx_expr): reduce stream as $row ({}; .[$row | idx_expr | tostring] |= $row);

@@ -10,8 +10,12 @@ Decomposition into relational primitives (no Python in the plan):
      neighbor query IS a fixed-radius similarity join.
   2. core points: neighbor degree ≥ min_pts (degree EXCLUDES the
      point itself; documented convention, mirrored by the oracle).
-  3. clusters: connected components over the core–core subgraph,
-     reusing the label-propagation operator (dedup.py) — component
+  3. clusters: connected components over the core–core subgraph via
+     the large-star/small-star operator (dedup.py) — O(log²|V|)
+     rounds on ANY graph shape (a filament of cores has diameter
+     O(n), where one-hop label propagation would silently stop at
+     max_iter and split the cluster) and it RAISES on
+     non-convergence instead of returning wrong labels.  Component
      id = min reachable vec_id, deterministic.
   4. border points: non-core with ≥ 1 core neighbor join the MINIMUM
      core neighbor's cluster (canonical DBSCAN leaves this
@@ -28,15 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import connected_components
-
-
-def _dist2(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
+from .dedup import connected_components_lsss
+from .similarity import dist2_col
 
 
 def dbscan_embeddings(
@@ -55,7 +52,7 @@ def dbscan_embeddings(
     half = (
         a.crossJoin(b)
         .where(F.col("a.id") < F.col("b.id"))
-        .where(_dist2(F.col("a.v"), F.col("b.v")) <= F.lit(eps * eps))
+        .where(dist2_col(F.col("a.v"), F.col("b.v")) <= F.lit(eps * eps))
         .select(F.col("a.id").alias("x"), F.col("b.id").alias("y"))
     )
     edges = half.unionByName(
@@ -68,7 +65,7 @@ def dbscan_embeddings(
         .join(core.withColumnRenamed("id", "y"), "y")
         .select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
     )
-    comp = connected_components(cc_edges).select(
+    comp = connected_components_lsss(cc_edges).select(
         F.col("doc_id").alias("id"), F.col("component").alias("cluster")
     )
     # isolated core points (min_pts satisfied by non-core neighbors

@@ -51,6 +51,18 @@ def norm_col(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def dist2_col(a: Column, b: Column) -> Column:
+    """Squared euclidean distance — the shared kernel for DBSCAN's
+    eps-neighbor join (and any fixed-radius similarity join); same
+    left-to-right fold order as dot_col/norm_col so all vector math
+    in the repo produces identical doubles for identical inputs."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "__norm") -> DataFrame:
     return df.withColumn("__vec_d", _to_double(F.col(vec_col))).withColumn(
         out, norm_col(F.col("__vec_d"))

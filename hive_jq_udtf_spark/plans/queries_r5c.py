@@ -213,19 +213,19 @@ WITH daily AS (
   FROM events GROUP BY 1, 2)
 SELECT event_type, day, CAST(x AS BIGINT) AS n_events,
        round((
-          coalesce(1.0     * lag(x, 0) OVER w, 0) +
-          coalesce(0.7     * lag(x, 1) OVER w, 0) +
-          coalesce(0.49    * lag(x, 2) OVER w, 0) +
-          coalesce(0.343   * lag(x, 3) OVER w, 0) +
-          coalesce(0.2401  * lag(x, 4) OVER w, 0) +
-          coalesce(0.16807 * lag(x, 5) OVER w, 0)
+          coalesce(CAST('1.0' AS DOUBLE) * lag(x, 0) OVER w, 0) +
+          coalesce(CAST('0.7' AS DOUBLE) * lag(x, 1) OVER w, 0) +
+          coalesce(CAST('0.48999999999999994' AS DOUBLE) * lag(x, 2) OVER w, 0) +
+          coalesce(CAST('0.3429999999999999' AS DOUBLE) * lag(x, 3) OVER w, 0) +
+          coalesce(CAST('0.24009999999999995' AS DOUBLE) * lag(x, 4) OVER w, 0) +
+          coalesce(CAST('0.16806999999999994' AS DOUBLE) * lag(x, 5) OVER w, 0)
         ) / (
-          (CASE WHEN lag(x, 0) OVER w IS NULL THEN 0 ELSE 1.0     END) +
-          (CASE WHEN lag(x, 1) OVER w IS NULL THEN 0 ELSE 0.7     END) +
-          (CASE WHEN lag(x, 2) OVER w IS NULL THEN 0 ELSE 0.49    END) +
-          (CASE WHEN lag(x, 3) OVER w IS NULL THEN 0 ELSE 0.343   END) +
-          (CASE WHEN lag(x, 4) OVER w IS NULL THEN 0 ELSE 0.2401  END) +
-          (CASE WHEN lag(x, 5) OVER w IS NULL THEN 0 ELSE 0.16807 END)
+          (CASE WHEN lag(x, 0) OVER w IS NULL THEN 0 ELSE CAST('1.0' AS DOUBLE) END) +
+          (CASE WHEN lag(x, 1) OVER w IS NULL THEN 0 ELSE CAST('0.7' AS DOUBLE) END) +
+          (CASE WHEN lag(x, 2) OVER w IS NULL THEN 0 ELSE CAST('0.48999999999999994' AS DOUBLE) END) +
+          (CASE WHEN lag(x, 3) OVER w IS NULL THEN 0 ELSE CAST('0.3429999999999999' AS DOUBLE) END) +
+          (CASE WHEN lag(x, 4) OVER w IS NULL THEN 0 ELSE CAST('0.24009999999999995' AS DOUBLE) END) +
+          (CASE WHEN lag(x, 5) OVER w IS NULL THEN 0 ELSE CAST('0.16806999999999994' AS DOUBLE) END)
         ), 4) AS ewma
 FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY day)

@@ -63,8 +63,8 @@ def q_jq_datetime_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_JQ_DATETIME = """
-SELECT CAST(min(epoch(ts)) AS BIGINT) AS min_epoch,
-       CAST(max(epoch(ts)) AS BIGINT) AS max_epoch,
+SELECT CAST(floor(min(epoch(ts))) AS BIGINT) AS min_epoch,
+       CAST(floor(max(epoch(ts))) AS BIGINT) AS max_epoch,
        max(strftime(ts + INTERVAL 1 DAY, '%Y-%m-%dT%H:%M:%SZ')) AS max_next_day,
        count(*) AS n,
        CAST(sum(event_id) AS BIGINT) AS id_sum

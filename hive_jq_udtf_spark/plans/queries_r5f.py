@@ -144,30 +144,25 @@ def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically so the oracle matches row-for-row.  At scale
     the corpus side swaps to the IVF/PQ index (similarity.py) — this
     exact variant IS the recall baseline those are judged against."""
+    from ..operators.similarity import dot_col, norm_col
+
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def _norm(col):
-        return F.sqrt(
-            F.aggregate(F.transform(col, lambda a: a * a), F.lit(0.0), lambda s, x: s + x)
-        )
-
     # norms are per-VECTOR quantities — hoist them out of the pair
     # join (computing them per pair multiplies the HOF work by the
     # other side's cardinality); the per-pair expression is then just
-    # the dot product.  Same formula dot/(|q||c|), bit-identical.
+    # the dot product.  Same formula dot/(|q||c|), bit-identical;
+    # kernels shared with the similarity operator module.
     q = emb.where(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").cast("array<double>").alias("qe"),
         F.col("label").alias("qlabel"),
-    ).withColumn("nq", _norm(F.col("qe")))
+    ).withColumn("nq", norm_col(F.col("qe")))
     c = emb.select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").cast("array<double>").alias("ce"),
         F.col("label").alias("clabel"),
-    ).withColumn("nc", _norm(F.col("ce")))
-    dot = F.aggregate(
-        F.zip_with("qe", "ce", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
-    )
+    ).withColumn("nc", norm_col(F.col("ce")))
+    dot = dot_col(F.col("qe"), F.col("ce"))
     scored = (
         q.crossJoin(c)
         .where(F.col("qid") != F.col("cid"))

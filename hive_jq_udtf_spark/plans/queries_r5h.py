@@ -61,7 +61,14 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+            # SUM, not avg: the mean of 2-dp values lands exactly on
+            # .xx5 half-cent boundaries where Spark (rounds the
+            # shortest-decimal repr) and DuckDB (rounds the binary
+            # value) disagree; the decimal sum is exact on both
+            # (docs/oracle_determinism.md rule 2; review finding)
+            F.round(F.sum(F.col("monetary").cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("sum_monetary"),
         )
         .orderBy("r_score", "f_score", "m_score")
     )
@@ -82,7 +89,7 @@ scored AS (
          ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
   FROM per_cust)
 SELECT r_score, f_score, m_score, count(*) AS n_customers,
-       round(avg(monetary), 2) AS avg_monetary
+       CAST(round(sum(CAST(monetary AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_monetary
 FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 

@@ -310,8 +310,9 @@ CASES = [
     ("INDEX(.k)", [{"k": "a", "v": 1}, {"k": "b", "v": 2}],
      [{"a": {"k": "a", "v": 1}, "b": {"k": "b", "v": 2}}]),
     ("INDEX(.[]; .id)", [{"id": 7}], [{"7": {"id": 7}}]),
-    # time extras: strflocaltime (UTC container → equals strftime)
-    ('strflocaltime("%Y-%m-%d")', 0, ["1970-01-01"]),
+    # strflocaltime: host-TZ-dependent by design — crash-check here,
+    # value pinned under an explicit TZ in test_strflocaltime_utc
+    ('strflocaltime("%Y-%m-%d")', 0, None),
     ('try (halt_error(2)) catch .', "boom", ["boom"]),
 ]
 
@@ -483,3 +484,23 @@ REGEX_DIALECT_REJECTED = [
 def test_regex_dialect_rejections(program):
     with pytest.raises(JQError):
         list(jq_compile(program).iter("abc"))
+
+
+def test_strflocaltime_utc(monkeypatch):
+    # pin the OS timezone for the assertion: strflocaltime follows the
+    # HOST tz (like jq), so the parametrized corpus can't assume UTC
+    import time as _time
+
+    monkeypatch.setenv("TZ", "UTC")
+    _time.tzset()
+    try:
+        assert jq_compile('strflocaltime("%Y-%m-%d")')(0) == ["1970-01-01"]
+    finally:
+        monkeypatch.delenv("TZ", raising=False)
+        _time.tzset()
+
+
+def test_trim_strips_vertical_tab():
+    # jq 1.7's C trim is isspace()-based: vertical tab included
+    assert jq_compile("trim")(" \u000bhi\u000b ") == ["hi"]
+    assert jq_compile("ltrim")("\u000bx") == ["x"]

@@ -1208,3 +1208,18 @@ def test_dbscan_empty_and_all_noise(spark):
     )
     out = dbscan_embeddings(far, eps=1.0, min_pts=2).collect()
     assert all(r.cluster == -1 and not r.is_core for r in out) and len(out) == 4
+
+
+def test_dbscan_filament_is_one_cluster(spark):
+    # 30 cores on a line (diameter ~ n): one-hop label propagation at
+    # default max_iter would split this; the LSSS component operator
+    # must return a single cluster (regression for the review finding)
+    from hive_jq_udtf_spark.operators.dbscan import dbscan_embeddings
+
+    rows = [(i, [float(i)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dbscan_embeddings(emb, eps=1.15, min_pts=2).collect()
+    # endpoints have one neighbor each -> border; min CORE id is 1
+    assert {r.cluster for r in out} == {1}
+    core = {r.vec_id for r in out if r.is_core}
+    assert core == set(range(1, 29))
