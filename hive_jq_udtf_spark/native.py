@@ -1702,69 +1702,113 @@ class NativePlan:
         nav = parsed
         for s in ir.pre_path:
             nav = _nav_step(nav, s)
-        if isinstance(lvl0.elementType, T.StructType):
-            # from_json nulls the WHOLE typed array when any element is
-            # a scalar, which would DROP rows the reference marshals as
-            # null-field rows (M1/M3: field of a non-object → NULL).
-            # Rebuild through an array<variant> parse: each element
-            # keeps its exact JSON type, so object elements still yield
-            # their fields while scalar/string elements yield NULLs —
-            # including strings whose CONTENT looks like JSON (the
-            # text view cannot tell those apart; the variant gate can).
-            jsonpath = _json_path(ir.pre_path) if ir.pre_path else "$"
-            src = (
-                F.get_json_object(col, _json_path(ir.pre_path))
-                if ir.pre_path
-                else col
-            )
-            # only rebuild when the value at the path IS a JSON array —
-            # get_json_object strips quotes from string values, so a
-            # string "[1,2]" would otherwise fabricate rows
-            is_array = F.schema_of_variant(
-                F.try_variant_get(F.try_parse_json(col), jsonpath, "variant")
-            ).startswith("ARRAY")
-            et = lvl0.elementType
-            flat = not ir.mid_paths and all(
-                not isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
-                for f in et.fields
-            )
-            if flat:
+        # from_json nulls the WHOLE typed array when any element
+        # mismatches the element schema (a scalar where a struct is
+        # declared, a string in a numeric array, ...), which would DROP
+        # rows the reference marshals as null-field rows (M1/M3: field
+        # of a non-object → NULL).  Rebuild through an array<variant>
+        # parse: each element keeps its exact JSON type, so well-typed
+        # elements still yield their values (try_variant_get casts
+        # support nested struct/array targets) while mismatched
+        # elements yield NULLs — including strings whose CONTENT looks
+        # like JSON (the text view cannot tell those apart; the
+        # variant gate can).  Applies to EVERY element shape: struct
+        # elements (flat or nested — an earlier revision fabricated
+        # all-NULL rows for nested/mid-path element schemas, nulling
+        # valid object elements) and bare scalar elements (which
+        # previously had no fallback at all, dropping every row of a
+        # mixed array).  Garbage-value casts (non-numeric string into
+        # a numeric field → NULL here vs Jackson-lenient 0 in the
+        # Python tier) remain the documented cast-leniency delta.
+        jsonpath = _json_path(ir.pre_path) if ir.pre_path else "$"
+        src = (
+            F.get_json_object(col, _json_path(ir.pre_path))
+            if ir.pre_path
+            else col
+        )
+        # only rebuild when the value at the path IS a JSON array —
+        # get_json_object strips quotes from string values, so a
+        # string "[1,2]" would otherwise fabricate rows
+        is_array = F.schema_of_variant(
+            F.try_variant_get(F.try_parse_json(col), jsonpath, "variant")
+        ).startswith("ARRAY")
+        et = lvl0.elementType
 
-                def _rebuild(e):
-                    cols = []
-                    for f in et.fields:
-                        fp = _json_path((f.name,))
-                        if isinstance(f.dataType, T.VariantType):
-                            cols.append(
-                                F.try_variant_get(e, fp, "variant").alias(f.name)
-                            )
-                        else:
-                            cols.append(
-                                F.try_variant_get(
-                                    e, fp, f.dataType.simpleString()
-                                ).alias(f.name)
-                            )
-                    return F.struct(*cols)
+        def _rebuild(e):
+            if isinstance(et, T.StructType):
+                cols = []
+                for f in et.fields:
+                    fp = _json_path((f.name,))
+                    if isinstance(f.dataType, T.VariantType):
+                        cols.append(
+                            F.try_variant_get(e, fp, "variant").alias(f.name)
+                        )
+                    else:
+                        cols.append(
+                            F.try_variant_get(
+                                e, fp, f.dataType.simpleString()
+                            ).alias(f.name)
+                        )
+                return F.struct(*cols)
+            if isinstance(et, T.VariantType):
+                return e
+            return F.try_variant_get(e, "$", et.simpleString())
 
-                fallback = F.transform(
-                    F.from_json(src, T.ArrayType(T.VariantType())),
-                    lambda e: _rebuild(e),
-                )
-            else:
-                n_elems = F.json_array_length(src)
-                fallback = F.array_repeat(F.lit(None).cast(et), n_elems)
-            nav = F.coalesce(nav, F.when(is_array, fallback))
+        fallback = F.transform(
+            F.from_json(src, T.ArrayType(T.VariantType())),
+            lambda e: _rebuild(e),
+        )
+        nav = F.coalesce(nav, F.when(is_array, fallback))
         gen = F.explode_outer if outer else F.explode
-        out = df.withColumn("__jq_elem0", gen(nav))
-        ec = F.col("__jq_elem0")
-        # chained explode for multi-iterate programs (.a[].b[]):
-        # navigate the mid path on the current element, explode again
-        for lvl, mid in enumerate(ir.mid_paths, start=1):
-            c2 = ec
-            for s in mid:
-                c2 = _nav_step(c2, s)
-            out = out.withColumn(f"__jq_elem{lvl}", gen(c2))
-            ec = F.col(f"__jq_elem{lvl}")
+        if ir.mid_paths:
+            # chained explode for multi-iterate programs (.a[].b[]).
+            # from_json nulls the DEEPEST mismatching node (an inner
+            # array with one off-type element nulls just that array,
+            # keeping the outer parse), so the level-0 coalesce above
+            # cannot see inner losses.  Thread a variant twin through
+            # every explode level via arrays_zip: each level re-derives
+            # its array from the element's variant (per-element-lenient
+            # nested cast) when the typed navigation lost it.
+            lvl_types = [T.ArrayType(elem)]
+            for mid in reversed(ir.mid_paths):
+                lvl_types.append(T.ArrayType(wrap_steps(mid, lvl_types[-1])))
+            lvl_types.reverse()  # lvl_types[lvl] = array type exploded at lvl
+            null_var = F.lit(None).cast(T.VariantType())
+            var0 = F.try_variant_get(
+                F.try_parse_json(col), jsonpath, "array<variant>"
+            )
+            var0 = F.coalesce(var0, F.array_repeat(null_var, F.size(nav)))
+            zipped = F.when(
+                nav.isNotNull(), F.arrays_zip(nav.alias("t"), var0.alias("v"))
+            )
+            out = df.withColumn("__jq_elem0", gen(zipped))
+            ec = F.col("__jq_elem0").getField("t")
+            ev = F.col("__jq_elem0").getField("v")
+            for lvl, mid in enumerate(ir.mid_paths, start=1):
+                c2 = ec
+                for s in mid:
+                    c2 = _nav_step(c2, s)
+                vpath = _json_path(mid)
+                v2 = F.try_variant_get(ev, vpath, "array<variant>")
+                c2 = F.coalesce(
+                    c2,
+                    F.when(
+                        v2.isNotNull(),
+                        F.try_variant_get(
+                            ev, vpath, lvl_types[lvl].simpleString()
+                        ),
+                    ),
+                )
+                v2 = F.coalesce(v2, F.array_repeat(null_var, F.size(c2)))
+                zipped = F.when(
+                    c2.isNotNull(), F.arrays_zip(c2.alias("t"), v2.alias("v"))
+                )
+                out = out.withColumn(f"__jq_elem{lvl}", gen(zipped))
+                ec = F.col(f"__jq_elem{lvl}").getField("t")
+                ev = F.col(f"__jq_elem{lvl}").getField("v")
+        else:
+            out = df.withColumn("__jq_elem0", gen(nav))
+            ec = F.col("__jq_elem0")
         for f in ir.post_filters:
             out = out.where(_cond_col(f, lambda ff: _struct_filter_col(ec, ff)))
         out_cols = []

@@ -827,6 +827,71 @@ def test_native_iterate_scalar_elements_preserve_rows(spark):
     ]
 
 
+def test_native_mixed_arrays_nested_and_multi_level(spark):
+    """ADVICE r5 (native.py non-flat fallback): the rebuild must keep
+    valid object elements when the declared element schema has NESTED
+    fields, and must preserve rows for bare-scalar element schemas and
+    chained multi-iterate programs.  An earlier revision fabricated
+    all-NULL rows (nested decls) or dropped the rows outright (scalar
+    decls, inner arrays) whenever from_json nulled the typed parse."""
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    # nested field type in the element schema + mixed object/scalar
+    df = spark.createDataFrame(
+        [(4, '{"xs": [{"v": [3]}, "mix", 5]}'), (6, '{"xs": [{"v": [1, 2]}]}')],
+        "id long, j string",
+    )
+
+    def rows(native):
+        out = jq_explode(df, "j", ".xs[]", "v:array<int>", native=native)
+        return sorted(((r.id, r.v) for r in out.select("id", "v").collect()), key=repr)
+
+    assert rows("require") == rows("never") == [
+        (4, None), (4, None), (4, [3]), (6, [1, 2]),
+    ]
+
+    # bare scalar element schema: a mixed array must still yield one
+    # row per element (the off-type element is the documented
+    # cast-leniency delta: native NULL vs Jackson-lenient 0)
+    df2 = spark.createDataFrame(
+        [(1, '{"xs": [1, "mix", 2]}'), (2, '{"xs": [3, 4]}')],
+        "id long, j string",
+    )
+    nat = jq_explode(df2, "j", ".xs[]", "bigint", native="require")
+    assert sorted(
+        ((r.id, r.col1) for r in nat.select("id", "col1").collect()), key=repr
+    ) == [(1, 1), (1, 2), (1, None), (2, 3), (2, 4)]
+
+    # chained multi-iterate: from_json nulls only the DEEPEST
+    # mismatching node, so the inner level needs its own variant
+    # fallback; struct decls at the inner level must match exactly
+    df3 = spark.createDataFrame(
+        [
+            (1, '{"evs":[{"tags":[{"v":1},{"v":2}]}]}'),
+            (2, '{"evs":[{"tags":[{"v":3},"mix"]}]}'),
+        ],
+        "id long, j string",
+    )
+
+    def rows3(native):
+        out = jq_explode(df3, "j", ".evs[].tags[]", "v:int", native=native)
+        return sorted(((r.id, r.v) for r in out.select("id", "v").collect()), key=repr)
+
+    assert rows3("require") == rows3("never") == [
+        (1, 1), (1, 2), (2, 3), (2, None),
+    ]
+
+    # inner scalar decl: rows preserved, off-type element NULL (delta)
+    df4 = spark.createDataFrame(
+        [(1, '{"evs":[{"tags":[1,2]},{"tags":[3]}]}'), (2, '{"evs":[{"tags":[4,"x"]}]}')],
+        "id long, j string",
+    )
+    nat4 = jq_explode(df4, "j", ".evs[].tags[]", "bigint", native="require")
+    assert sorted(
+        ((r.id, r.col1) for r in nat4.select("id", "col1").collect()), key=repr
+    ) == [(1, 1), (1, 2), (1, 3), (2, 4), (2, None)]
+
+
 def test_native_ceil_matches_python_tier_and_log_stays_python(spark):
     # ceil is exactly portable and compiles natively; the
     # transcendentals must NOT compile (JVM libm is 1-ulp off Python's
