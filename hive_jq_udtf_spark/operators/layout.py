@@ -1,0 +1,95 @@
+"""Scale-safe layout primitives: exact global ranking / ntile without
+a single-task global sort.
+
+The naive ``ntile(k) OVER (ORDER BY ...)`` plans as
+``Exchange SinglePartition -> Window`` — every row of the table
+through ONE task, which is the scale-killer for exactly the queries
+whose purpose is layout-for-scale (zorder_layout, hilbert_layout).
+
+``global_ntile`` computes the *identical* bucket assignment with the
+standard two-phase distributed ranking:
+
+1. Split the key space into ``num_partitions`` ranges.  The split
+   points come from one ``percentile_approx`` aggregate collected to
+   the driver and re-embedded as literals — so the count job and the
+   rank job apply the *same* split by construction (physical
+   ``spark_partition_id`` or a re-sampled ``repartitionByRange``
+   would NOT give that guarantee across two jobs, and the split does
+   not need to be balanced to be correct, only consistent).
+2. Per-range counts (one O(num_partitions)-row collect) give each
+   range its global row offset.
+3. A *parallel* window (``partitionBy(range) orderBy(sort_cols)``)
+   assigns per-range row_number; + offset = the exact global rank;
+   the SQL-standard ntile split (``q = n div k``, ``r = n mod k``;
+   first ``r`` buckets get ``q + 1`` rows) converts rank → bucket
+   with pure integer codegen (``DIV``, exact at any row count).
+
+At 100 TB the only global coordination is two O(num_partitions)
+driver-side vectors; every data-touching stage is fully parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["global_ntile"]
+
+
+def global_ntile(
+    df: DataFrame,
+    sort_cols: list[str],
+    n_buckets: int,
+    num_partitions: int = 32,
+    out_col: str = "file_id",
+) -> DataFrame:
+    """Append ``out_col`` = exact ``ntile(n_buckets) OVER (ORDER BY
+    sort_cols)`` without ever collapsing the data to one task.
+
+    ``sort_cols[0]`` must be numeric (the range-split key) and the
+    full ``sort_cols`` list must be a total order (include a unique
+    tiebreaker) so the assignment is deterministic run-to-run.
+    """
+    key = sort_cols[0]
+    probs = [i / num_partitions for i in range(1, num_partitions)]
+    bounds = df.select(
+        F.percentile_approx(key, probs, 10_000).alias("b")
+    ).collect()[0]["b"]
+    if bounds is None:  # empty input
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    # range id = number of split points strictly below the key; rows
+    # with equal keys always land in the same range, so the in-range
+    # window sees every tie and the tiebreaker column settles them.
+    part_expr: Column = F.lit(0)
+    for b in bounds:
+        part_expr = part_expr + F.when(F.col(key) > F.lit(b), 1).otherwise(0)
+    parted = df.withColumn("_range", part_expr)
+    counts = sorted(
+        (r["_range"], r["cnt"])
+        for r in parted.groupBy("_range").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    total = sum(c for _, c in counts)
+    if total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for rid, cnt in counts:
+        offsets[rid] = acc
+        acc += cnt
+    off_expr: Column = F.lit(0).cast("long")
+    for rid, off in offsets.items():
+        off_expr = F.when(F.col("_range") == rid, F.lit(off)).otherwise(off_expr)
+    w = Window.partitionBy("_range").orderBy(*sort_cols)
+    ranked = parted.withColumn(
+        "_rn", F.row_number().over(w).cast("long") + off_expr
+    )
+    q, r = divmod(total, n_buckets)
+    big = (q + 1) * r
+    qe = max(q, 1)
+    # `DIV` is exact long integer division — no double rounding even
+    # at 100-TB row counts (> 2^53 would break floor(a / b)).
+    bucket = F.expr(
+        f"CAST(CASE WHEN _rn <= {big} THEN (_rn + {q}) DIV {q + 1} "
+        f"ELSE {r} + (_rn - {big} + {qe - 1}) DIV {qe} END AS INT)"
+    )
+    return ranked.withColumn(out_col, bucket).drop("_range", "_rn")

@@ -3247,7 +3247,15 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension's range full-width in every file).  The bit interleave
     is pure codegen arithmetic (shift/and/or), no UDF; at 100 TB this
     is the `CLUSTER BY` key computation before a partitioned write,
-    and the report is one groupBy over the sorted bucket id."""
+    and the report is one groupBy over the sorted bucket id.
+
+    File assignment uses ``global_ntile`` (operators/layout.py): the
+    exact ``ntile(16) OVER (ORDER BY z, event_id)`` result computed
+    via range-partition + per-partition offsets — never the
+    ``Exchange SinglePartition`` global sort that pulls the whole
+    table through one task (plan-asserted in test_plans.py)."""
+    from ..operators.layout import global_ntile
+
     ev = load_table(spark, sf_dir, "events")
     x = (F.col("user_id") % 256).cast("long")
     y = (F.floor("value").cast("long") % 256).cast("long")
@@ -3256,9 +3264,8 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
         z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
     zdf = ev.select("event_id", x.alias("x"), y.alias("y"), z.alias("z"))
-    wf = Window.orderBy("z", "event_id")
     return (
-        zdf.select("x", "y", F.ntile(16).over(wf).alias("file_id"))
+        global_ntile(zdf, ["z", "event_id"], 16)
         .groupBy("file_id")
         .agg(
             F.count("*").alias("n"),

@@ -1602,16 +1602,21 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid) into pure integer CASE/XOR codegen — no UDF — and the
     oracle replays the identical unroll in SQL.  Output: per-file
     min/max of both dimensions plus each file's bounding-box area, the
-    pruning-quality measure to compare against zorder_layout's."""
+    pruning-quality measure to compare against zorder_layout's.
+
+    File assignment via ``global_ntile`` (operators/layout.py) — the
+    range-partitioned two-phase ranking, not the SinglePartition
+    global-sort window (plan-asserted in test_plans.py)."""
+    from ..operators.layout import global_ntile
+
     order = 4
     ev = load_table(spark, sf_dir, "events")
     x = (F.col("user_id") % 16).cast("long")
     y = (F.floor("value").cast("long") % 16).cast("long")
     hd = _hilbert_cols(x, y, order)
     hdf = ev.select("event_id", x.alias("x"), y.alias("y"), hd.alias("h"))
-    wf = Window.orderBy("h", "event_id")
     return (
-        hdf.select("x", "y", F.ntile(16).over(wf).alias("file_id"))
+        global_ntile(hdf, ["h", "event_id"], 16)
         .groupBy("file_id")
         .agg(
             F.count(F.lit(1)).alias("n"),

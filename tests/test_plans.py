@@ -370,3 +370,14 @@ def test_waiting_suppliers_semi_anti_no_resubquery(spark):
     plan = formatted_plan(spark, "waiting_suppliers")
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_layout_queries_have_no_single_partition_sort(spark):
+    # zorder/hilbert file assignment must be the two-phase
+    # range-partitioned ranking (operators/layout.py) — never an
+    # `Exchange SinglePartition -> Window [ntile]` that pulls the
+    # whole table through one task
+    for name in ("zorder_layout", "hilbert_layout"):
+        plan = formatted_plan(spark, name)
+        assert "SinglePartition" not in plan, name
+        assert "ntile" not in plan, name  # bucket math is pure DIV codegen
