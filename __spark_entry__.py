@@ -65,7 +65,14 @@ _DRIVER_HEAD = [
     "hopping_counts",
     "dedup_keep_longest",
     "audience_overlap",
-    # -- (2) oldest-stale: last checked r02 (24) --
+    # -- (1b) new in r6, never driver-checked by construction (3) --
+    "dbscan_ivf",
+    "knn_eval_ivf",
+    "knn_recall_ivf",
+    # -- (2) oldest-stale: last checked r02 (21; the 3 slots the r6
+    #    additions take come off this cohort's tail, still-oldest
+    #    first — minhash_dedup_keep/cube_counts/salted_join_agg move
+    #    to the r7 head) --
     "dedup_exact",
     "dedup_fingerprint",
     "neardup_jaccard",
@@ -87,9 +94,6 @@ _DRIVER_HEAD = [
     "ann_srp_topk",
     "ann_ivf_topk",
     "session_windows",
-    "salted_join_agg",
-    "minhash_dedup_keep",
-    "cube_counts",
 ]
 
 

@@ -208,6 +208,48 @@ def srp_topk(
     )
 
 
+def ivf_cells_codegen(
+    df: DataFrame,
+    centroids,  # sequence of dim-length float sequences (small C)
+    n_assign: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse assignment as PURE whole-stage codegen — zero
+    Python in the plan: per-centroid squared L2 is the shared
+    ``dist2_col`` fold against an array *literal*, and cell ranking
+    is ``array_sort`` over (d2, cell) structs (ties break on cell
+    id, exactly like ``ivf_assign_cells`` / the SQL oracles).
+
+    Returns (id, cell, probe_rank) with probe_rank 1..n_assign.
+
+    Use when the centroid count is small enough to unroll into the
+    plan (each centroid becomes one literal array — fine for the
+    coarse quantizers that gate candidate generation); the
+    Arrow-batched ``ivf_assign_cells`` remains the path for large C.
+    The fold order matches the left-to-right ``(..)+(..)+...`` SQL
+    unroll term-for-term, so assignment is cross-engine exact."""
+    n_assign = min(n_assign, len(centroids))
+    vec_d = _to_double(F.col(vec_col))
+    structs = []
+    for ci, cent in enumerate(centroids):
+        lit_arr = F.array(*[F.lit(float(x)) for x in cent])
+        structs.append(
+            F.struct(
+                dist2_col(vec_d, lit_arr).alias("d"),
+                F.lit(ci).cast("bigint").alias("c"),
+            )
+        )
+    ranked = F.slice(F.array_sort(F.array(*structs)), 1, n_assign)
+    return df.select(
+        F.col(id_col), F.posexplode(ranked).alias("_pos", "_dc")
+    ).select(
+        id_col,
+        F.col("_dc.c").alias("cell"),
+        (F.col("_pos") + 1).cast("int").alias("probe_rank"),
+    )
+
+
 def ivf_assign_cells(
     df: DataFrame,
     centroids,  # numpy (C, dim) float64

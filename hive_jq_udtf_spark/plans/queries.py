@@ -3474,3 +3474,4 @@ from . import queries_r5e  # noqa: E402,F401  isort:skip
 from . import queries_r5f  # noqa: E402,F401  isort:skip
 from . import queries_r5g  # noqa: E402,F401  isort:skip
 from . import queries_r5h  # noqa: E402,F401  isort:skip
+from . import queries_r6  # noqa: E402,F401  isort:skip

@@ -381,3 +381,16 @@ def test_layout_queries_have_no_single_partition_sort(spark):
         plan = formatted_plan(spark, name)
         assert "SinglePartition" not in plan, name
         assert "ntile" not in plan, name  # bucket math is pure DIV codegen
+
+
+def test_ivf_candidate_queries_no_cartesian_no_python(spark):
+    # dbscan_ivf / knn_eval_ivf replace the all-pairs crossJoin with
+    # the IVF cell join: no cartesian/nested-loop node may appear,
+    # and cell assignment is pure codegen (ivf_cells_codegen), so no
+    # Python node either
+    for name in ("dbscan_ivf", "knn_eval_ivf"):
+        plan = formatted_plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        for node in PY_NODES:
+            assert node not in plan, name
