@@ -140,13 +140,17 @@ def main() -> None:
     # (impossible in steady state — warm has everything JIT'd).  Remeasure
     # just those anomalies once and keep the better number; bounded
     # extra work, and the steady-state metric stops lottery-drawing.
-    remeasured = 0
+    # Both draws are recorded in the output ("remeasured": {name:
+    # [orig, retry]}) so the best-of-two selection is auditable and
+    # rounds stay comparable.
+    remeasured: dict[str, list[float]] = {}
     for name, t in list(timings.items()):
         c = cold.get(name, -1.0)
-        if t >= 0 and c > 0 and t > max(1.0, 1.5 * c) and remeasured < 15:
+        if t >= 0 and c > 0 and t > max(1.0, 1.5 * c) and len(remeasured) < 15:
             try:
-                timings[name] = min(t, run_once(name, QUERIES[name]))
-                remeasured += 1
+                retry = run_once(name, QUERIES[name])
+                remeasured[name] = [t, retry]
+                timings[name] = min(t, retry)
             except Exception:
                 pass
 
@@ -242,11 +246,49 @@ def main() -> None:
         ),
     }
 
+    # Per-query DuckDB oracle timings on the SAME staged parquet
+    # (VERDICT r5 #5: the 2x bar is per-query, so the artifact must
+    # carry both columns — any query slower than 2x its own oracle is
+    # mechanically listable from bench_full.json alone).  Oracle-less
+    # queries (streaming-only checks etc.) are simply absent.
+    oracle_seconds: dict[str, float] = {}
+    try:
+        import duckdb
+
+        from hive_jq_udtf_spark.plans.queries import ORACLES
+        from hive_jq_udtf_spark.sources.tables import TABLES
+
+        ocon = duckdb.connect()
+        for t in TABLES:
+            ocon.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        for name, sql in ORACLES.items():
+            t0 = time.time()
+            try:
+                ocon.execute(sql).fetchall()
+                oracle_seconds[name] = round(time.time() - t0, 3)
+            except Exception as ex:
+                sys.stderr.write(f"bench oracle {name} failed: {ex}\n")
+                oracle_seconds[name] = -1.0
+    except Exception as ex:
+        sys.stderr.write(f"bench oracle pass skipped: {ex}\n")
+    oracle_total = round(sum(t for t in oracle_seconds.values() if t >= 0), 3)
+    over_2x = sorted(
+        n
+        for n, t in timings.items()
+        if t >= 0 and oracle_seconds.get(n, -1.0) > 0 and t > 2 * oracle_seconds[n]
+    )
+
     full = {
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "oracle_seconds": oracle_seconds,
+        "oracle_suite_seconds": oracle_total,
+        "n_over_2x_oracle": len(over_2x),
+        "over_2x_oracle": over_2x,
         "sf": sf,
         "cpus": int(cpus),
         "cold_suite_seconds": round(cold_total, 3),
@@ -254,6 +296,7 @@ def main() -> None:
         "concurrent_suite_seconds": conc_total,
         "concurrent_threads": 8,
         "concurrent_failures": conc_failures,
+        "remeasured": remeasured,
         "floor": floor,
     }
     # Full per-query detail on disk (BASELINE.md points here); the
@@ -266,26 +309,44 @@ def main() -> None:
         json.dump(full, fh, indent=1)
 
     budget = 1600
+    # stdout line: big per-query dicts shrink to the slowest queries
+    # (with their oracle column) + counts; bench_full.json keeps all
+    line_base = {
+        **full,
+        "over_2x_oracle": len(over_2x),
+        "remeasured": len(remeasured),
+    }
     # failures (negative sentinel) always make the line, then slowest-first
     ordered = sorted(timings.items(), key=lambda kv: (kv[1] >= 0, -abs(kv[1])))
     shown: dict[str, float] = {}
+    shown_oracle: dict[str, float] = {}
     base_len = len(
         json.dumps(
-            {**full, "queries": {}, "n_queries": len(timings), "other_sum": 0.0},
+            {
+                **line_base,
+                "queries": {},
+                "oracle_seconds": {},
+                "n_queries": len(timings),
+                "other_sum": 0.0,
+            },
             separators=(",", ":"),
         )
     )
     used = base_len
     for name, t in ordered:
-        entry = len(name) + len(f'"":{t:.2f},')
+        o = oracle_seconds.get(name)
+        entry = 2 * (len(name) + len(f'"":{t:.2f},'))
         if used + entry > budget:
             break
         shown[name] = round(t, 2)
+        if o is not None:
+            shown_oracle[name] = round(o, 2)
         used += entry
     rest = [t for n, t in timings.items() if n not in shown and t >= 0]
     line = {
-        **full,
+        **line_base,
         "queries": shown,
+        "oracle_seconds": shown_oracle,
         "n_queries": len(timings),
         "other_sum": round(sum(rest), 2),
     }

@@ -10,12 +10,13 @@ JsonQueryUDTFTest.java:22-33).
 [2, 3]
 """
 
-from .errors import JQError, JQSyntaxError
+from .errors import JQError, JQHalt, JQSyntaxError
 from .evaluator import JQProgram, jq_compile
 from .values import parse_json, tojson, tostring
 
 __all__ = [
     "JQError",
+    "JQHalt",
     "JQSyntaxError",
     "JQProgram",
     "jq_compile",

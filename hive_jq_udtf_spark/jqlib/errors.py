@@ -36,6 +36,31 @@ class JQError(Exception):
         return tojson(v)
 
 
+class JQHalt(Exception):
+    """``halt`` / ``halt_error`` — terminates the whole jq program.
+
+    Deliberately NOT a ``JQError`` subclass: real jq's halt family is
+    not catchable by ``try``/``catch``/``?`` (it exits the process),
+    so no jq-level handler may see it.  In an embedded engine the
+    'process' is the host query — the UDTF layer converts this to a
+    hard query abort carrying the exit code (the D8 channel), never
+    the per-row ``$error`` channel.
+    """
+
+    def __init__(self, value: Any, code: int):
+        self.value = value
+        self.code = code
+        if value is None:
+            msg = f"halted with exit code {code}"
+        elif isinstance(value, str):
+            msg = value
+        else:
+            from .values import tojson
+
+            msg = tojson(value)
+        super().__init__(msg)
+
+
 class JQBreak(Exception):
     """Internal control-flow for ``label $l | ... break $l``."""
 

@@ -19,7 +19,7 @@ import time
 import urllib.parse
 from typing import Any, Callable, Iterable, Iterator
 
-from .errors import JQBreak, JQError, JQSyntaxError
+from .errors import JQBreak, JQError, JQHalt, JQSyntaxError
 from .parser import AST, parse
 from .values import (
     SortKey,
@@ -3052,18 +3052,27 @@ def _n_random(v, e, a):
     return (_random.random(),)
 
 
+def _n_halt0(v, e, a):
+    # jq: halt — terminate with exit code 0, no error payload,
+    # uncatchable (JQHalt bypasses every jq-level handler)
+    raise JQHalt(None, 0)
+
+
 def _n_halt_error0(v, e, a):
-    raise JQError(v)
+    # jq: halt_error — the input value is the error payload, exit
+    # code 5 (jq's documented default), uncatchable
+    raise JQHalt(v, 5)
 
 
 def _n_halt_error1(v, e, a):
-    # jq: halt_error(exit_code) — in an embedded engine the exit code
-    # can't terminate the host process, so it surfaces as the same
-    # error channel as halt_error/0 (the code is carried in the
-    # message for the caller's $error payload)
-    for _code in a[0](v, e):
-        raise JQError(v)
-    raise JQError(v)
+    # jq: halt_error(exit_code) — uncatchable; the code must be a
+    # number (real jq errors otherwise), carried on the exception for
+    # the host layer's abort message
+    for code in a[0](v, e):
+        if not _is_num(code):
+            raise JQError("halt_error/1: number required")
+        raise JQHalt(v, int(code))
+    raise JQHalt(v, 5)
 
 
 def _n_strflocaltime(v, e, a):
@@ -3276,6 +3285,7 @@ NATIVE = {
     ("tostream", 0): _n_tostream,
     ("fromstream", 1): _n_fromstream,
     ("truncate_stream", 1): _n_truncate_stream,
+    ("halt", 0): _n_halt0,
     ("halt_error", 0): _n_halt_error0,
     ("halt_error", 1): _n_halt_error1,
     ("strflocaltime", 1): _n_strflocaltime,
@@ -3437,7 +3447,6 @@ def recurse_down: recurse;
 def ascii: [.] | implode;
 def tostream_compat: tostream;
 def getpath_or_null($p): getpath($p);
-def halt: error("halt");
 def splits_compat($re): splits($re);
 def ltrimstr_all($x): ltrimstr($x);
 def input_filename: null;

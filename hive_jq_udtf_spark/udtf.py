@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .jqlib import JQError, JQSyntaxError, jq_compile
+from .jqlib import JQError, JQHalt, JQSyntaxError, jq_compile
 from .jqlib.evaluator import JQProgram
 from .marshal import RowMarshaller
 from .schema import SchemaDeclarationError, parse_output_schema
@@ -95,6 +95,13 @@ def process_json(
     try:
         for result in prog.iter(doc, vars={"error": err}):
             yield marshaller.marshal(result)
+    except JQHalt as ex:
+        # halt/halt_error: uncatchable at the jq level (bypasses
+        # try/catch/?); the embedded-engine 'process exit' is a hard
+        # query abort carrying the exit code
+        raise JsonQueryError(
+            f"jq halt (exit code {ex.code}): {ex} (input: {json_str!r})"
+        ) from None
     except JQError as ex:
         raise JsonQueryError(
             f"jq error: {ex} (input: {json_str!r})"

@@ -313,7 +313,6 @@ CASES = [
     # strflocaltime: host-TZ-dependent by design — crash-check here,
     # value pinned under an explicit TZ in test_strflocaltime_utc
     ('strflocaltime("%Y-%m-%d")', 0, None),
-    ('try (halt_error(2)) catch .', "boom", ["boom"]),
 ]
 
 
@@ -345,6 +344,29 @@ ERROR_CASES = [
 def test_errors(program, value):
     with pytest.raises(JQError):
         list(jq_compile(program).iter(value))
+
+
+def test_halt_family_is_uncatchable_and_carries_exit_code():
+    # real jq: halt/halt_error terminate the program and CANNOT be
+    # caught by try/catch or `?` — JQHalt bypasses every jq handler
+    from hive_jq_udtf_spark.jqlib import JQHalt
+
+    for prog, code, msg in [
+        ("halt", 0, None),
+        ("halt_error", 5, "boom"),
+        ("halt_error(2)", 2, "boom"),
+        ("try (halt_error(2)) catch .", 2, "boom"),
+        ("halt_error(3)?", 3, "boom"),
+        ("try halt catch .", 0, None),
+    ]:
+        with pytest.raises(JQHalt) as exc:
+            list(jq_compile(prog).iter("boom"))
+        assert exc.value.code == code, prog
+        assert exc.value.value == msg, prog
+    # a non-numeric exit code is an ordinary (catchable) jq error
+    assert jq_compile('try (halt_error("x")) catch .')("in") == [
+        "halt_error/1: number required"
+    ]
 
 
 SYNTAX_ERRORS = ["", ".|", "if x then", "def f", "{a:}", "[1,", '"unterminated', "1 +"]
