@@ -1159,13 +1159,18 @@ def q_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # channel c = text byte positions p (1-based) with (p-1) % 3 == c,
-# zero-padded to 90 bytes -> exact integer channel sums
+# zero-padded to 90 bytes -> exact integer channel sums.  The Spark
+# side truncates UTF-8 BYTES (encode()[:90]), so the oracle must too:
+# bytes come from to_hex(encode(text)) (2 hex chars per byte), never
+# from character-based substr/ord/length, which only agree on a
+# pure-ASCII corpus (ADVICE r5).
 _ORACLE_BMP_STATS = """
-WITH base AS (SELECT doc_id, substr(text, 1, 90) AS t FROM documents
-              WHERE doc_id < 200),
-pos AS (SELECT doc_id, i, ord(substr(t, CAST(i AS INTEGER), 1)) AS b
+WITH base AS (SELECT doc_id, substr(to_hex(encode(text)), 1, 180) AS hx
+              FROM documents WHERE doc_id < 200),
+pos AS (SELECT doc_id, i,
+               ('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER), 2))::INTEGER AS b
         FROM base, unnest(range(1, 91)) AS r(i)
-        WHERE i <= length(t)),
+        WHERE 2 * i <= length(hx)),
 ch AS (SELECT doc_id, (i - 1) % 3 AS c, sum(b) AS s
        FROM pos GROUP BY 1, 2)
 SELECT b.doc_id AS media_id, TRUE AS decode_ok,
@@ -1245,13 +1250,16 @@ def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # sample i (0-based, 32 of them) = b(2i)*256 + b(2i+1) - 32768 with
-# text zero-padded to 64 bytes; sign change counted on the s<0 flag
+# text zero-padded to 64 BYTES (UTF-8, via to_hex(encode()) — same
+# byte-truncation rule as the Spark side, ASCII-independent); sign
+# change counted on the s<0 flag
 _ORACLE_WAV_STATS = """
-WITH base AS (SELECT doc_id, substr(text, 1, 64) AS t FROM documents
-              WHERE doc_id < 200),
+WITH base AS (SELECT doc_id, substr(to_hex(encode(text)), 1, 128) AS hx
+              FROM documents WHERE doc_id < 200),
 bytes AS (SELECT doc_id, i,
-                 CASE WHEN i <= length(t)
-                      THEN ord(substr(t, CAST(i AS INTEGER), 1)) ELSE 0 END AS b
+                 CASE WHEN 2 * i <= length(hx)
+                      THEN ('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER), 2))::INTEGER
+                      ELSE 0 END AS b
           FROM base, unnest(range(1, 65)) AS r(i)),
 samples AS (SELECT h.doc_id, (h.i - 1) / 2 AS si,
                    h.b * 256 + l.b - 32768 AS s

@@ -1223,3 +1223,41 @@ def test_dbscan_filament_is_one_cluster(spark):
     assert {r.cluster for r in out} == {1}
     core = {r.vec_id for r in out if r.is_core}
     assert core == set(range(1, 29))
+
+
+def test_bmp_wav_oracles_byte_exact_on_non_ascii(spark, tmp_path):
+    # ADVICE r5: the Spark side truncates UTF-8 BYTES while the old
+    # oracles indexed characters — they agreed only on ASCII text.
+    # Pin byte-exact agreement on a corpus with multibyte characters
+    # (including one truncated mid-character at the byte boundary).
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_jq_udtf_spark.plans.queries import ORACLES, QUERIES
+
+    texts = [
+        "héllo wörld " * 12,          # multibyte inside the window
+        "日本語テキスト" * 20,          # 3-byte chars, cut mid-char at 90/64
+        "plain ascii only " * 10,
+        "emoji 🎉 mix " * 12,          # 4-byte char
+        "",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["xx"] * len(texts), pa.string()),
+            "source": pa.array(["t"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    for name in ("bmp_decode_stats", "wav_decode_stats"):
+        got = [tuple(r) for r in QUERIES[name](spark, str(tmp_path)).collect()]
+        want = [tuple(r) for r in con.execute(ORACLES[name]).fetchall()]
+        assert got == want, name
