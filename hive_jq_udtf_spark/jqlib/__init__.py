@@ -11,7 +11,7 @@ JsonQueryUDTFTest.java:22-33).
 """
 
 from .errors import JQError, JQHalt, JQSyntaxError
-from .evaluator import JQProgram, jq_compile
+from .evaluator import JQProgram, jq_compile, set_env_access
 from .values import parse_json, tojson, tostring
 
 __all__ = [
@@ -20,6 +20,7 @@ __all__ = [
     "JQSyntaxError",
     "JQProgram",
     "jq_compile",
+    "set_env_access",
     "parse_json",
     "tojson",
     "tostring",

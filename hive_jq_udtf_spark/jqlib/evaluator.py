@@ -64,7 +64,7 @@ class Env:
         if name == "__loc__":
             return {"file": "<stdin>", "line": 1}
         if name == "ENV":
-            return {}
+            return _environ()
         raise JQError(f"${name} is not defined")
 
     def get_func(self, name: str, arity: int):
@@ -2925,8 +2925,32 @@ def _n_recurse2(v, e, a):
             yield from _n_recurse2(x, e, a)
 
 
+# $ENV / env return {} by default: oracle queries must be
+# deterministic, and an engine embedded in a distributed host must
+# not leak driver-local environment into results by accident (real
+# jq and jackson-jq-extra DO expose the environment — documented
+# conformance delta, docs/conformance_deltas.md).  Flip on real
+# environment access per-process with set_env_access(True); in a
+# Spark job that means the WORKER process (e.g. via a worker-setup
+# hook), not just the driver.
+_ENV_ACCESS = [False]
+
+
+def set_env_access(enabled: bool) -> None:
+    """Opt in to real ``$ENV``/``env`` values for this process."""
+    _ENV_ACCESS[0] = bool(enabled)
+
+
+def _environ() -> dict:
+    if _ENV_ACCESS[0]:
+        import os
+
+        return dict(os.environ)
+    return {}
+
+
 def _n_env(v, e, a):
-    return ({},)
+    return (_environ(),)
 
 
 def _n_builtins(v, e, a):

@@ -526,3 +526,21 @@ def test_trim_strips_vertical_tab():
     # jq 1.7's C trim is isspace()-based: vertical tab included
     assert jq_compile("trim")(" \u000bhi\u000b ") == ["hi"]
     assert jq_compile("ltrim")("\u000bx") == ["x"]
+
+
+def test_env_opt_in(monkeypatch):
+    # default: deterministic empty environment (conformance delta,
+    # docs/conformance_deltas.md); set_env_access(True) exposes the
+    # real per-process environment like jq / jackson-jq-extra
+    from hive_jq_udtf_spark.jqlib import set_env_access
+
+    monkeypatch.setenv("JQLIB_PROBE", "42")
+    assert jq_compile("$ENV.JQLIB_PROBE")(None) == [None]
+    assert jq_compile("env | length")(None) == [0]
+    set_env_access(True)
+    try:
+        assert jq_compile("$ENV.JQLIB_PROBE")(None) == ["42"]
+        assert jq_compile("env.JQLIB_PROBE")(None) == ["42"]
+    finally:
+        set_env_access(False)
+    assert jq_compile("$ENV.JQLIB_PROBE")(None) == [None]
