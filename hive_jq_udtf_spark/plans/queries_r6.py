@@ -355,6 +355,119 @@ SELECT count(*) AS n_queries,
 FROM hits
 """
 
+# ---------------------------------------------------------------------------
+# TPC-H Q5 / Q6 — the two remaining partsupp-free TPC-H shapes
+# (Q2/Q9/Q11/Q20 need the partsupp table, which the testdata lacks)
+# ---------------------------------------------------------------------------
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the SUPPLIER is in
+    the customer's own nation, scoped to one region and one order
+    year.  Fact-side joins (lineitem ⨝ orders) shuffle on orderkey
+    once; customer/supplier/nation/region are broadcast dims, and the
+    local-supplier predicate (c_nationkey = s_nationkey) rides the
+    supplier broadcast join — no extra exchange.  Revenue uses the
+    repo's decimal-sum rule (order-independent across engines).
+    Reference: TPC-H spec Q5; date window adapted to this corpus
+    (orders span 1995-2001)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(30,6)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_ORACLE_Q5 = """
+SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,6))), 4) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the would-be revenue gain from dropping
+    small-quantity discounts in one ship year — a pure
+    scan-filter-aggregate with every predicate pushed to the parquet
+    scan and a map-side-combined single-row decimal sum; the
+    simplest 100 TB query there is (no shuffle beyond the 1-row
+    final combine).  Reference: TPC-H spec Q6, window adapted to
+    this corpus."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(30,6)")),
+            4,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_ORACLE_Q6 = """
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                           AS DECIMAL(30,6))), 4) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+QUERIES["local_supplier_volume"] = q_local_supplier_volume
+ORACLES["local_supplier_volume"] = _ORACLE_Q5
+QUERIES["forecast_revenue_change"] = q_forecast_revenue_change
+ORACLES["forecast_revenue_change"] = _ORACLE_Q6
+
 QUERIES["dbscan_ivf"] = q_dbscan_ivf
 ORACLES["dbscan_ivf"] = _ORACLE_DBSCAN_IVF
 QUERIES["knn_eval_ivf"] = q_knn_eval_ivf
