@@ -1122,14 +1122,18 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def _stream_shuffle(spark: SparkSession, n: int = 8):
+def _stream_shuffle(spark: SparkSession, n: int = 4):
     """Scope a streaming-appropriate shuffle-partition count around a
     stream start: the state-store instance count (= shuffle
     partitions at first trigger) dominates micro-batch latency when
     state is small — 64 stores for kilobytes of state cost 5× the
-    trigger time of 8.  At real scale size this to state volume /
-    cluster, not the relational default.  Restored afterwards so the
-    post-sink batch aggregation keeps full parallelism."""
+    trigger time of 8.  Measured r6 (stream_stream_join, warm): 8
+    stores 2.9 s, 4 stores 2.1 s, 2 stores 1.7 s — per-store commit
+    overhead, not compute.  4 balances that against leaving the
+    toy-scale gates shaped like the real thing; at real scale size
+    this to state volume / cluster, not the relational default.
+    Restored afterwards so the post-sink batch aggregation keeps
+    full parallelism."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
