@@ -65,14 +65,17 @@ _DRIVER_HEAD = [
     "hopping_counts",
     "dedup_keep_longest",
     "audience_overlap",
-    # -- (1b) new in r6, never driver-checked by construction (3) --
+    # -- (1b) new in r6, never driver-checked by construction (5) --
     "dbscan_ivf",
     "knn_eval_ivf",
     "knn_recall_ivf",
-    # -- (2) oldest-stale: last checked r02 (21; the 3 slots the r6
-    #    additions take come off this cohort's tail, still-oldest
-    #    first — minhash_dedup_keep/cube_counts/salted_join_agg move
-    #    to the r7 head) --
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    # -- (2) oldest-stale: last checked r02 (19; the 5 slots the r6
+    #    additions take come off this cohort's tail — already covered
+    #    by green r02 artifacts, so coverage is unaffected;
+    #    ann_ivf_topk/session_windows/salted_join_agg/
+    #    minhash_dedup_keep/cube_counts move to the r7 head) --
     "dedup_exact",
     "dedup_fingerprint",
     "neardup_jaccard",
