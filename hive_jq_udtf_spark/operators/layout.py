@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_ntile"]
+__all__ = ["global_ntile", "global_cumsum"]
 
 
 def global_ntile(
@@ -93,3 +93,70 @@ def global_ntile(
         f"ELSE {r} + (_rn - {big} + {qe - 1}) DIV {qe} END AS INT)"
     )
     return ranked.withColumn(out_col, bucket).drop("_range", "_rn")
+
+
+def global_cumsum(
+    df: DataFrame,
+    sort_cols: list[str],
+    sum_cols: list[str],
+    num_partitions: int = 32,
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Append ``prefix + c`` = ``SUM(c) OVER (ORDER BY sort_cols ROWS
+    BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)`` for each ``c`` in
+    ``sum_cols`` — the ECDF / rank-prefix-sum shape — without the
+    ``Exchange SinglePartition -> Window`` global sort.
+
+    Same two-phase structure as :func:`global_ntile`: driver-collected
+    percentile split points (consistent literals across both jobs),
+    per-range totals give each range its running offset, and a
+    *parallel* window computes the in-range prefix; in-range prefix +
+    offset = the exact global prefix sum for integral columns (long
+    addition is associative).  For double columns the regrouped
+    summation order can drift from a sequential scan by a few ulps —
+    round outputs (the repo convention is 6 dp) before oracle
+    comparison.  Exclusive prefixes (``ROWS ... AND 1 PRECEDING``)
+    are ``cum_c - c``, exact for integers.
+
+    ``sort_cols[0]`` must be numeric and ``sort_cols`` a total order
+    when ties matter (ROWS frames over ties are order-sensitive);
+    ``sum_cols`` must be null-free (per-range SUM skips NULLs but the
+    running frame would not).  The input is evaluated three times
+    (percentiles, counts, ranking) — cache upstream if it is not a
+    cheap aggregate.
+    """
+    key = sort_cols[0]
+    probs = [i / num_partitions for i in range(1, num_partitions)]
+    bounds = df.select(
+        F.percentile_approx(key, probs, 10_000).alias("b")
+    ).collect()[0]["b"]
+    if bounds is None:  # empty input: a window over zero rows is free
+        w = Window.orderBy(*sort_cols).rowsBetween(Window.unboundedPreceding, 0)
+        return df.select(
+            "*", *[F.sum(c).over(w).alias(prefix + c) for c in sum_cols]
+        )
+    part_expr: Column = F.lit(0)
+    for b in bounds:
+        part_expr = part_expr + F.when(F.col(key) > F.lit(b), 1).otherwise(0)
+    parted = df.withColumn("_range", part_expr)
+    totals = sorted(
+        (r["_range"], tuple(r[f"_t_{c}"] for c in sum_cols))
+        for r in parted.groupBy("_range")
+        .agg(*[F.sum(c).alias(f"_t_{c}") for c in sum_cols])
+        .collect()
+    )
+    offsets: dict[int, tuple] = {}
+    acc = [0] * len(sum_cols)
+    for rid, tots in totals:
+        offsets[rid] = tuple(acc)
+        acc = [a + (t if t is not None else 0) for a, t in zip(acc, tots)]
+    w = Window.partitionBy("_range").orderBy(*sort_cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = parted
+    for i, c in enumerate(sum_cols):
+        off_expr: Column = F.lit(0)
+        for rid, offs in offsets.items():
+            off_expr = F.when(F.col("_range") == rid, F.lit(offs[i])).otherwise(off_expr)
+        out = out.withColumn(prefix + c, F.sum(c).over(w) + off_expr)
+    return out.drop("_range")

@@ -10,13 +10,19 @@ Scale discipline shared by the wave: every statistic is computed as
   (1) a fully parallel pre-aggregation that collapses the fact table
       to per-distinct-value or per-period counts (map-side combine,
       one shuffle), then
-  (2) an ordered window over that SMALL aggregated frame.
-Step (2) is a single-partition sort only over |distinct values| or
-|periods| rows — at 100 TB you bound it by binning (quantize values
-before step 1; the repo's t-digest/GK sketches are the fully-mergeable
-alternative when exactness isn't required).  Numeric determinism:
-final outputs are rounded after sequential prefix sums that both
-engines evaluate in the identical order, so value hashes are stable.
+  (2) prefix sums over that aggregated frame via
+      ``operators.layout.global_cumsum`` — the two-phase
+      range-partitioned ranking, so even the distinct-value frame
+      (millions of rows at 100 TB) never collapses to one task.
+      Integer prefix sums (ECDF counts, rank offsets, risk sets) are
+      EXACT under the two-phase regrouping; the one double prefix
+      (Kaplan–Meier's Σ log-survival) drifts by ulps, ≪ the 6-dp
+      output rounding.  Per-period frames (day/month keys) keep the
+      plain window — their cardinality is bounded by the calendar
+      span, not the data volume.
+Numeric determinism: final outputs are rounded after prefix sums
+whose regrouping error is orders of magnitude below the rounding
+grain, so value hashes are stable across engines.
 
 Registers into plans.queries.QUERIES/ORACLES on import.
 """
@@ -26,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.layout import global_cumsum
 from ..sources.tables import load_table
 from .queries import ORACLES, QUERIES
 
@@ -40,8 +47,10 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions of the BUILDING and MACHINERY market segments.
     Prices are pre-aggregated to (price → per-segment counts) —
     the only pass over the fact rows — then both empirical CDFs are
-    one cumulative window over the distinct-value frame (ties handled
-    exactly: the ECDF steps by the full tie count).  D = max |F1−F2|."""
+    two-phase parallel prefix sums over the distinct-value frame
+    (global_cumsum: exact integer counts, no single-task sort; ties
+    handled exactly — the ECDF steps by the full tie count).
+    D = max |F1−F2|."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     seg = (
@@ -56,10 +65,11 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0)).alias("b"),
         )
     )
-    w = Window.orderBy("o_totalprice").rowsBetween(Window.unboundedPreceding, 0)
     totals = seg.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
-    ecdf = seg.join(F.broadcast(totals)).select(
-        (F.sum("a").over(w) / F.col("na") - F.sum("b").over(w) / F.col("nb")).alias("d"),
+    ecdf = global_cumsum(seg, ["o_totalprice"], ["a", "b"]).join(
+        F.broadcast(totals)
+    ).select(
+        (F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb")).alias("d"),
         "na",
         "nb",
     )
@@ -97,9 +107,11 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann–Whitney U between the same two segments, computed WITHOUT
     materializing per-row ranks: after the per-value count aggregation,
     the average rank of a tied value block is
-    (rows strictly below) + (ties + 1) / 2 — one cumulative window
-    over distinct values.  U₁ = R₁ − n₁(n₁+1)/2; z uses the standard
-    tie-corrected variance  σ² = n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1))).
+    (rows strictly below) + (ties + 1) / 2 — an exclusive prefix sum
+    over distinct values (global_cumsum's inclusive integer prefix
+    minus the row's own count: exact, fully parallel).
+    U₁ = R₁ − n₁(n₁+1)/2; z uses the standard tie-corrected variance
+    σ² = n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1))).
     Everything after the first shuffle runs on |distinct prices| rows."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -116,11 +128,10 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("t", F.col("a") + F.col("b"))
     )
-    w = Window.orderBy("o_totalprice").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = seg.select(
+    ranked = global_cumsum(seg, ["o_totalprice"], ["t"]).select(
         "a",
         "t",
-        (F.coalesce(F.sum("t").over(w), F.lit(0)) + (F.col("t") + 1) / 2.0).alias("avg_rank"),
+        (F.col("cum_t") - F.col("t") + (F.col("t") + 1) / 2.0).alias("avg_rank"),
     )
     stats = ranked.agg(
         F.sum(F.col("a") * F.col("avg_rank")).alias("r1"),
@@ -306,13 +317,16 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier survival over customer lifetimes (days between
     first and last order), right-censored when the customer was still
     active in the final 180 days of the dataset.  The estimator
-    S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) is folded as exp(Σ ln(·)) — a prefix
-    sum over the per-duration event table, which after the
-    per-customer aggregate has at most |distinct durations| rows.
-    Risk set nᵢ = total − (events+censored strictly before tᵢ) comes
-    from the same cumulative window; both engines evaluate the
-    identical prefix order so ln/exp drift stays ~1 ulp ≪ 6 dp.
-    Output keeps only event times (the curve's step points)."""
+    S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) is folded as exp(Σ ln(·)) — a
+    two-phase parallel prefix sum (global_cumsum) over the
+    per-duration event table, which after the per-customer aggregate
+    has at most |distinct durations| rows (bounded by the calendar
+    span in days, though the prefix is scale-safe regardless).
+    Risk set nᵢ = total − (events+censored strictly before tᵢ) is the
+    exclusive integer prefix (exact); the double Σ ln prefix drifts
+    from a sequential scan by ulps under the two-phase regrouping,
+    ≪ the 6-dp rounding.  Output keeps only event times (the curve's
+    step points)."""
     orders = load_table(spark, sf_dir, "orders")
     span = orders.groupBy("o_custkey").agg(
         F.min("o_orderdate").alias("first_o"), F.max("o_orderdate").alias("last_o")
@@ -332,24 +346,17 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("all_t"),
     )
     total = per_t.agg(F.sum("all_t").alias("n_total"))
-    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
-    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
-    curve = (
-        per_t.join(F.broadcast(total))
-        .withColumn(
-            "n_risk", F.col("n_total") - F.coalesce(F.sum("all_t").over(wprev), F.lit(0))
-        )
-        .withColumn(
-            "surv",
-            F.exp(
-                F.sum(
-                    F.when(
-                        F.col("d") > 0,
-                        F.log(1.0 - F.col("d") / F.col("n_risk")),
-                    ).otherwise(0.0)
-                ).over(wcum)
-            ),
-        )
+    risk = global_cumsum(per_t, ["dur"], ["all_t"]).join(F.broadcast(total)).withColumn(
+        "n_risk", F.col("n_total") - (F.col("cum_all_t") - F.col("all_t"))
+    )
+    logged = risk.withColumn(
+        "logterm",
+        F.when(
+            F.col("d") > 0, F.log(1.0 - F.col("d") / F.col("n_risk"))
+        ).otherwise(0.0),
+    )
+    curve = global_cumsum(logged, ["dur"], ["logterm"]).withColumn(
+        "surv", F.exp(F.col("cum_logterm"))
     )
     return (
         curve.where(F.col("d") > 0)

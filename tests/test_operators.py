@@ -1261,3 +1261,47 @@ def test_bmp_wav_oracles_byte_exact_on_non_ascii(spark, tmp_path):
         got = [tuple(r) for r in QUERIES[name](spark, str(tmp_path)).collect()]
         want = [tuple(r) for r in con.execute(ORACLES[name]).fetchall()]
         assert got == want, name
+
+
+def test_global_ntile_and_cumsum_match_naive_window(spark):
+    # differential: the two-phase primitives must equal the naive
+    # single-partition window bit-for-bit on integers (and the ntile
+    # bucket split exactly), including heavy ties and tiny inputs
+    import random
+
+    from pyspark.sql import Window
+
+    from hive_jq_udtf_spark.operators.layout import global_cumsum, global_ntile
+
+    rng = random.Random(42)
+    rows = [(i, rng.randint(0, 19), rng.randint(1, 5), rng.random()) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, k long, c long, x double")
+
+    naive_w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = {
+        r["id"]: (r["nt"], r["cs"])
+        for r in df.select(
+            "id",
+            F.ntile(7).over(Window.orderBy("k", "id")).alias("nt"),
+            F.sum("c").over(naive_w).alias("cs"),
+        ).collect()
+    }
+    two_nt = global_ntile(df, ["k", "id"], 7, num_partitions=8, out_col="nt")
+    two_cs = global_cumsum(df, ["k", "id"], ["c"], num_partitions=8)
+    for r in two_nt.select("id", "nt").collect():
+        assert naive[r["id"]][0] == r["nt"], r
+    for r in two_cs.select("id", "cum_c").collect():
+        assert naive[r["id"]][1] == r["cum_c"], r
+
+    # double prefix: regrouped sum must agree to ~ulp relative error
+    naive_x = {
+        r["id"]: r["xs"]
+        for r in df.select("id", F.sum("x").over(naive_w).alias("xs")).collect()
+    }
+    for r in global_cumsum(df, ["k", "id"], ["x"], num_partitions=8).collect():
+        assert abs(r["cum_x"] - naive_x[r["id"]]) <= 1e-9 * max(1.0, abs(naive_x[r["id"]]))
+
+    # empty input: schema preserved, zero rows, no blow-up
+    empty = df.where(F.lit(False))
+    assert global_cumsum(empty, ["k", "id"], ["c"]).count() == 0
+    assert global_ntile(empty, ["k", "id"], 7).count() == 0

@@ -306,12 +306,29 @@ def test_volume_shipping_dims_broadcast_no_cartesian(spark):
 
 def test_ks_preaggregates_before_global_window(spark):
     # the fact pass must collapse to per-distinct-value counts (partial
-    # aggregation) BEFORE the single-partition ECDF window
+    # aggregation) BEFORE the ECDF prefix-sum windows
     plan = formatted_plan(spark, "ks_two_sample")
     assert "partial_sum" in plan
     assert plan.count("Window") >= 1
     # the segment filter reaches the customer scan
     assert "In(c_mktsegment" in plan
+
+
+def test_statistics_prefix_sums_are_range_partitioned(spark):
+    # ks/mwu/km prefix sums must run as the two-phase global_cumsum:
+    # every Window node partitions by the _range split, so no window
+    # ever sees an Exchange SinglePartition of the distinct-value
+    # frame (the 1-row totals aggregates still legitimately use one)
+    for name in ("ks_two_sample", "mannwhitney_u", "kaplan_meier"):
+        plan = formatted_plan(spark, name)
+        lines = plan.splitlines()
+        n_windows = 0
+        for i, l in enumerate(lines):
+            if l.startswith("(") and ") Window" in l:
+                n_windows += 1
+                args = lines[i + 2]
+                assert "windowspecdefinition(_range#" in args, (name, args)
+        assert n_windows >= 1, name
 
 
 def test_kaplan_meier_total_is_broadcast(spark):
