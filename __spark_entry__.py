@@ -65,16 +65,17 @@ _DRIVER_HEAD = [
     "hopping_counts",
     "dedup_keep_longest",
     "audience_overlap",
-    # -- (1b) new in r6, never driver-checked by construction (5) --
+    # -- (1b) new in r6, never driver-checked by construction (6) --
     "dbscan_ivf",
     "knn_eval_ivf",
     "knn_recall_ivf",
     "local_supplier_volume",
     "forecast_revenue_change",
-    # -- (2) oldest-stale: last checked r02 (19; the 5 slots the r6
+    "stream_cms_topk",
+    # -- (2) oldest-stale: last checked r02 (18; the 6 slots the r6
     #    additions take come off this cohort's tail — already covered
     #    by green r02 artifacts, so coverage is unaffected;
-    #    ann_ivf_topk/session_windows/salted_join_agg/
+    #    session_windows/ann_ivf_topk/salted_join_agg/
     #    minhash_dedup_keep/cube_counts move to the r7 head) --
     "dedup_exact",
     "dedup_fingerprint",
@@ -96,7 +97,6 @@ _DRIVER_HEAD = [
     "language_id",
     "ann_srp_topk",
     "ann_ivf_topk",
-    "session_windows",
 ]
 
 

@@ -474,3 +474,121 @@ QUERIES["knn_eval_ivf"] = q_knn_eval_ivf
 ORACLES["knn_eval_ivf"] = _ORACLE_KNN_IVF
 QUERIES["knn_recall_ivf"] = q_knn_recall_ivf
 ORACLES["knn_recall_ivf"] = _ORACLE_KNN_RECALL
+
+
+# ---------------------------------------------------------------------------
+# stream_cms_topk — streaming windowed count-min heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def q_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters under BOUNDED state: the stream
+    maintains a per-hour count-min sketch (depth 4 × width 256 counter
+    cells per window) instead of per-user counts — state is
+    O(windows × depth × width) REGARDLESS of user cardinality, which
+    is the whole point at 100 TB where per-key streaming state
+    (stream_topk_users' shape) grows with the key space.  Cells use
+    the repo's deterministic md5-bucket idiom, fanned out BEFORE the
+    watermarked window aggregation so the in-stream groupBy is the
+    sketch build itself (map-side combinable; the shuffle carries at
+    most depth × width rows per window per map partition).  The
+    batch-side probe then estimates each (window, user) candidate
+    from the materialized cells via a broadcast join (cells ≈ KBs),
+    ranks top-3 per window by estimate, and carries the exact count
+    plus the provably-nonnegative overestimate so the oracle gates
+    every sketch cell, the min-over-rows probe, AND the CMS error
+    structure.  Ties break on user_id; ranking runs on the tiny sink
+    (the lambda split of stream_topk_users)."""
+    from ..operators.sketch import _md5_bucket
+    from ..sources.tables import stream_events
+    from .queries import _STREAM_QUERY_SEQ, _stream_shuffle
+
+    depth, width = 4, 256
+    raw = stream_events(spark, sf_dir)
+    hot = F.concat(F.col("j").cast("string"), F.lit("|"), F.col("user_id").cast("string"))
+    cells = (
+        raw.withWatermark("ts", "2 hours")
+        .select("ts", "user_id")
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))))
+        .withColumn("bucket", _md5_bucket(hot, width))
+        .groupBy(F.window("ts", "1 hour"), "j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("win_start"), "j", "bucket", "cnt")
+    )
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stream_cms_{_STREAM_QUERY_SEQ[0]}"
+    with _stream_shuffle(spark):
+        q = (
+            cells.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming query did not finish within 300s")
+    sink = spark.table(name)
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .select(F.col("window.start").alias("win_start"), "user_id", "true_cnt")
+    )
+    lv = exact.withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    ).withColumn("bucket", _md5_bucket(hot, width))
+    probed = (
+        lv.join(F.broadcast(sink), ["win_start", "j", "bucket"])
+        .groupBy("win_start", "user_id", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    w = Window.partitionBy("win_start").orderBy(F.desc("est_cnt"), "user_id")
+    return (
+        probed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.unix_timestamp("win_start").alias("win_epoch"),
+            "rk",
+            "user_id",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overest"),
+        )
+        .orderBy("win_epoch", "rk")
+    )
+
+
+_ORACLE_STREAM_CMS = """
+WITH counts AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, user_id,
+         count(*) AS true_cnt
+  FROM events GROUP BY 1, 2),
+lv AS (
+  SELECT win_start, user_id, true_cnt, j,
+         ('0x' || substr(md5(j::VARCHAR || '|' || user_id::VARCHAR), 1, 15))::BIGINT % 256
+           AS bucket
+  FROM counts CROSS JOIN UNNEST(range(4)) AS t(j)),
+cells AS (
+  SELECT win_start, j, bucket, sum(true_cnt) AS cnt
+  FROM lv GROUP BY 1, 2, 3),
+probe AS (
+  SELECT l.win_start, l.user_id, l.true_cnt, min(c.cnt) AS est_cnt
+  FROM lv l
+  JOIN cells c ON c.win_start = l.win_start AND c.j = l.j AND c.bucket = l.bucket
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT win_start, user_id, true_cnt, est_cnt,
+         row_number() OVER (PARTITION BY win_start
+                            ORDER BY est_cnt DESC, user_id) AS rk
+  FROM probe)
+SELECT CAST(epoch(win_start) AS BIGINT) AS win_epoch, rk, user_id,
+       CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(est_cnt AS BIGINT) AS est_cnt,
+       CAST(est_cnt - true_cnt AS BIGINT) AS overest
+FROM ranked WHERE rk <= 3 ORDER BY win_epoch, rk
+"""
+
+QUERIES["stream_cms_topk"] = q_stream_cms_topk
+ORACLES["stream_cms_topk"] = _ORACLE_STREAM_CMS
