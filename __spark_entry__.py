@@ -32,11 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # "Next round #1"): (1) the 26 queries that have NEVER appeared in
 # any driver CORRECTNESS artifact r1-r5 (registration order —
 # recomputed this round from the r1-r5 artifacts vs the registry,
-# matches PLAN_r6.md §1 exactly), then (2) the 24 oldest-stale
+# matches PLAN_r6.md §1 exactly), then (1b) the 8 queries added this
+# round (never checked by construction), then (2) the oldest-stale
 # queries — last driver check r02, registration order.  With this
-# head, CORRECTNESS_r06 completes full driver coverage: every one of
-# the 200 registered queries will have at least one green driver
-# artifact in r1 ∪ ... ∪ r6.
+# head, CORRECTNESS_r06 completes full driver coverage: every query
+# registered before r6 will have at least one green driver artifact
+# in r1 ∪ ... ∪ r6, and the r6 additions are checked immediately.
 _DRIVER_HEAD = [
     # -- (1) never driver-checked (26) --
     "top_supplier_revenue",
@@ -65,18 +66,21 @@ _DRIVER_HEAD = [
     "hopping_counts",
     "dedup_keep_longest",
     "audience_overlap",
-    # -- (1b) new in r6, never driver-checked by construction (6) --
+    # -- (1b) new in r6, never driver-checked by construction (8) --
     "dbscan_ivf",
     "knn_eval_ivf",
     "knn_recall_ivf",
     "local_supplier_volume",
     "forecast_revenue_change",
     "stream_cms_topk",
-    # -- (2) oldest-stale: last checked r02 (18; the 6 slots the r6
+    "bmp_transform_stats",
+    "wav_resample_stats",
+    # -- (2) oldest-stale: last checked r02 (16; the 8 slots the r6
     #    additions take come off this cohort's tail — already covered
     #    by green r02 artifacts, so coverage is unaffected;
-    #    session_windows/ann_ivf_topk/salted_join_agg/
-    #    minhash_dedup_keep/cube_counts move to the r7 head) --
+    #    language_id/ann_srp_topk/ann_ivf_topk/session_windows/
+    #    salted_join_agg/minhash_dedup_keep/cube_counts move to the
+    #    r7 head) --
     "dedup_exact",
     "dedup_fingerprint",
     "neardup_jaccard",
@@ -94,9 +98,6 @@ _DRIVER_HEAD = [
     "token_counts",
     "multimodal_stats",
     "simhash_neardup",
-    "language_id",
-    "ann_srp_topk",
-    "ann_ivf_topk",
 ]
 
 

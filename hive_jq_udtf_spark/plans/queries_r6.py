@@ -592,3 +592,189 @@ FROM ranked WHERE rk <= 3 ORDER BY win_epoch, rk
 
 QUERIES["stream_cms_topk"] = q_stream_cms_topk
 ORACLES["stream_cms_topk"] = _ORACLE_STREAM_CMS
+
+
+# ---------------------------------------------------------------------------
+# bmp_transform_stats — real crop + letterbox under the value gate
+# ---------------------------------------------------------------------------
+
+
+def q_bmp_transform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real image-TRANSFORM path under the driver gate: the same
+    deterministic 6×5 RGB BMPs as bmp_decode_stats (synthesized from
+    each document's first 90 UTF-8 bytes) run through the REAL
+    geometry codecs (operators/codecs.py) — crop_rgb(x=1, y=2, 3×3)
+    and letterbox_rgb into an 8×8 canvas (aspect-preserving
+    nearest-neighbor resize to 6×8 + centering on a zero canvas) —
+    inside Arrow mapInPandas, reduced to per-channel integer sums.
+    The oracle never sees a pixel buffer: crop sums re-read the
+    selected byte window directly, and letterbox sums apply the
+    resize's source-pixel multiplicities (row [1,2,1,1,2,1] × col
+    [1,1,2,1,1], from floor((i+0.5)·src/dst) nearest indexing) as
+    closed-form weights — so any geometry/stride/centering bug in
+    the transforms is a value mismatch, not a plumbing error."""
+    import numpy as np
+
+    from ..operators import codecs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    out_schema = (
+        "doc_id long, crop_r long, crop_g long, crop_b long, "
+        "lb_r long, lb_g long, lb_b long"
+    )
+
+    def transform(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "crop_r", "crop_g", "crop_b", "lb_r", "lb_g", "lb_b"
+            )}
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")[:90]
+                buf = np.zeros(90, dtype=np.uint8)
+                buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                pixels = codecs.decode_bmp(codecs.encode_bmp(buf.reshape(6, 5, 3)))
+                crop = codecs.crop_rgb(pixels, 1, 2, 3, 3).astype(np.int64)
+                lb = codecs.letterbox_rgb(pixels, 8, 8).astype(np.int64)
+                rows["doc_id"].append(mid)
+                for i, ch in enumerate("rgb"):
+                    rows[f"crop_{ch}"].append(int(crop[:, :, i].sum()))
+                    rows[f"lb_{ch}"].append(int(lb[:, :, i].sum()))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(transform, schema=out_schema).orderBy("doc_id")
+
+
+# byte i (1-based, 90 of them, text zero-padded): row=(i-1) DIV 15,
+# col=((i-1)%15) DIV 3, ch=(i-1)%3.  Crop window rows 2..4 × cols
+# 1..3; letterbox weight = rowmult(row)·colmult(col) from the
+# nearest-resize index map (yi=[0,1,1,2,3,4,4,5], xi=[0,1,2,2,3,4]).
+_ORACLE_BMP_TRANSFORM = """
+WITH base AS (SELECT doc_id, substr(to_hex(encode(text)), 1, 180) AS hx
+              FROM documents WHERE doc_id < 200),
+bytes AS (SELECT doc_id, i,
+                 CASE WHEN 2 * i <= length(hx)
+                      THEN ('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER), 2))::INTEGER
+                      ELSE 0 END AS b,
+                 (i - 1) // 15 AS row, ((i - 1) % 15) // 3 AS col,
+                 (i - 1) % 3 AS ch
+          FROM base, unnest(range(1, 91)) AS r(i)),
+wtd AS (SELECT doc_id, b, ch,
+               CASE WHEN row BETWEEN 2 AND 4 AND col BETWEEN 1 AND 3
+                    THEN 1 ELSE 0 END AS cw,
+               (CASE WHEN row IN (1, 4) THEN 2 ELSE 1 END)
+             * (CASE WHEN col = 2 THEN 2 ELSE 1 END) AS lw
+        FROM bytes)
+SELECT doc_id,
+       CAST(sum(CASE WHEN ch = 0 THEN b * cw ELSE 0 END) AS BIGINT) AS crop_r,
+       CAST(sum(CASE WHEN ch = 1 THEN b * cw ELSE 0 END) AS BIGINT) AS crop_g,
+       CAST(sum(CASE WHEN ch = 2 THEN b * cw ELSE 0 END) AS BIGINT) AS crop_b,
+       CAST(sum(CASE WHEN ch = 0 THEN b * lw ELSE 0 END) AS BIGINT) AS lb_r,
+       CAST(sum(CASE WHEN ch = 1 THEN b * lw ELSE 0 END) AS BIGINT) AS lb_g,
+       CAST(sum(CASE WHEN ch = 2 THEN b * lw ELSE 0 END) AS BIGINT) AS lb_b
+FROM wtd GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["bmp_transform_stats"] = q_bmp_transform_stats
+ORACLES["bmp_transform_stats"] = _ORACLE_BMP_TRANSFORM
+
+
+# ---------------------------------------------------------------------------
+# wav_resample_stats — real linear-interpolation resample, value-gated
+# ---------------------------------------------------------------------------
+
+
+def q_wav_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real audio-RESAMPLE path under the driver gate: the same
+    32-sample int16 signals as wav_decode_stats (big-endian byte
+    pairs of each document's first 64 UTF-8 bytes) round-trip through
+    the REAL RIFF codec, then resample_pcm 16 kHz → 12 kHz (linear
+    interpolation, 24 output samples, fracs ≈ 1/3 and 2/3) inside
+    Arrow mapInPandas.  The oracle recomputes the interpolation from
+    the text bytes with the IDENTICAL double expression
+    (s0·(1−frac)+s1·frac, pos = t·16000.0/12000.0 — IEEE-bit-equal
+    across engines) and a half-to-even final round matching np.rint,
+    so every interpolated value is integer-exact — a real gate on the
+    resampler's index map, fractional weights, and rounding."""
+    import numpy as np
+
+    from ..operators import codecs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    out_schema = "doc_id long, n_out int, sum_rs long, peak_rs long"
+
+    def resample(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_out": [], "sum_rs": [], "peak_rs": []}
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")[:64]
+                buf = np.zeros(64, dtype=np.uint8)
+                buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                samples = (
+                    buf[0::2].astype(np.int64) * 256 + buf[1::2].astype(np.int64)
+                ) - 32768
+                decoded, rate = codecs.decode_wav(
+                    codecs.encode_wav(samples.astype(np.int16), 16000)
+                )
+                rs = codecs.resample_pcm(decoded, rate, 12000).astype(np.int64)
+                rows["doc_id"].append(mid)
+                rows["n_out"].append(len(rs))
+                rows["sum_rs"].append(int(rs.sum()))
+                rows["peak_rs"].append(int(np.abs(rs).max()) if len(rs) else 0)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(resample, schema=out_schema).orderBy("doc_id")
+
+
+# resampled sample t (0..23): pos = t*16000.0/12000.0 (double, same
+# op order as numpy), i0 = least(trunc(pos), 31), i1 = least(i0+1,31),
+# v = s[i0]*(1-frac) + s[i1]*frac; np.rint's half-to-even is spelled
+# out (exact .5 cases pick the even neighbor) so the gate cannot
+# depend on round-half luck.
+_ORACLE_WAV_RESAMPLE = """
+WITH base AS (SELECT doc_id, substr(to_hex(encode(text)), 1, 128) AS hx
+              FROM documents WHERE doc_id < 200),
+bytes AS (SELECT doc_id, i,
+                 CASE WHEN 2 * i <= length(hx)
+                      THEN ('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER), 2))::INTEGER
+                      ELSE 0 END AS b
+          FROM base, unnest(range(1, 65)) AS r(i)),
+samples AS (SELECT h.doc_id, (h.i - 1) // 2 AS si,
+                   h.b * 256 + l.b - 32768 AS s
+            FROM bytes h JOIN bytes l
+              ON h.doc_id = l.doc_id AND l.i = h.i + 1
+            WHERE h.i % 2 = 1),
+grid AS (SELECT t, t * 16000.0 / 12000.0 AS pos,
+                least(CAST(trunc(t * 16000.0 / 12000.0) AS BIGINT), 31) AS i0
+         FROM unnest(range(24)) AS g(t)),
+interp AS (
+  SELECT s0.doc_id, g.t,
+         s0.s * (1.0 - (g.pos - g.i0)) + s1.s * (g.pos - g.i0) AS v
+  FROM grid g
+  JOIN samples s0 ON s0.si = g.i0
+  JOIN samples s1 ON s1.doc_id = s0.doc_id AND s1.si = least(g.i0 + 1, 31)),
+rs AS (
+  SELECT doc_id, t,
+         CAST(CASE WHEN v - floor(v) = 0.5
+                   THEN floor(v) + (CAST(floor(v) AS BIGINT) % 2 + 2) % 2
+                   ELSE round(v) END AS BIGINT) AS r
+  FROM interp)
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n_out,
+       CAST(sum(r) AS BIGINT) AS sum_rs,
+       CAST(max(abs(r)) AS BIGINT) AS peak_rs
+FROM rs GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["wav_resample_stats"] = q_wav_resample_stats
+ORACLES["wav_resample_stats"] = _ORACLE_WAV_RESAMPLE
