@@ -39,9 +39,14 @@ DEFAULT = [
     "dup_ngram_spans",      # token-explode + gram shuffle
     "hll_join_cardinality", # sketch stats + verification join
     "volume_shipping",      # TPC-H multi-join + broadcast dims
-    "ks_two_sample",        # pre-agg + single-partition ECDF window
+    "ks_two_sample",        # pre-agg + two-phase parallel ECDF prefix sums
     "containment_neardup",  # df-capped shingle index self-join
-    "knn_label_eval",       # crossJoin cosine + WindowGroupLimit
+    "knn_label_eval",       # crossJoin cosine + WindowGroupLimit (exact recall baseline)
+    "dbscan_ivf",           # IVF-cell candidate join (the de-quadratic path)
+    "knn_eval_ivf",         # IVF-candidate kNN (vs knn_label_eval above)
+    "zorder_layout",        # two-phase global ntile file assignment
+    "stream_cms_topk",      # streaming CMS build + broadcast probe
+    "bmp_transform_stats",  # Arrow mapInPandas real-codec transform
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
