@@ -3091,12 +3091,14 @@ def _n_halt_error0(v, e, a):
 def _n_halt_error1(v, e, a):
     # jq: halt_error(exit_code) — uncatchable; the code must be a
     # number (real jq errors otherwise), carried on the exception for
-    # the host layer's abort message
+    # the host layer's abort message.  If the argument filter yields
+    # NO values (`halt_error(empty)`), real jq produces empty output
+    # and does not halt — return an empty stream, not a default code.
     for code in a[0](v, e):
         if not _is_num(code):
             raise JQError("halt_error/1: number required")
         raise JQHalt(v, int(code))
-    raise JQHalt(v, 5)
+    return ()
 
 
 def _n_strflocaltime(v, e, a):

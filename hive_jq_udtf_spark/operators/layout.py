@@ -49,6 +49,16 @@ def global_ntile(
     ``sort_cols[0]`` must be numeric (the range-split key) and the
     full ``sort_cols`` list must be a total order (include a unique
     tiebreaker) so the assignment is deterministic run-to-run.
+
+    .. warning:: the input is evaluated in THREE separate jobs
+       (approx percentiles, per-range counts, ranking window) — a
+       nondeterministic or cache-unstable upstream would produce
+       inconsistent offsets and silently wrong global ranks.
+       ``cache()``/``localCheckpoint()`` the input first if its
+       lineage is not deterministic.  The split key must be numeric
+       and non-NULL: rows whose key is NULL fall outside every range
+       comparison and get a NULL bucket (unlike naive ``ntile``,
+       which would still assign them via NULLS FIRST ordering).
     """
     key = sort_cols[0]
     probs = [i / num_partitions for i in range(1, num_partitions)]

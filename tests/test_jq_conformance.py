@@ -367,6 +367,10 @@ def test_halt_family_is_uncatchable_and_carries_exit_code():
     assert jq_compile('try (halt_error("x")) catch .')("in") == [
         "halt_error/1: number required"
     ]
+    # halt_error(empty): the argument filter yields no values, so real
+    # jq produces EMPTY output and does not halt (ADVICE r6)
+    assert jq_compile("halt_error(empty), 99")("in") == [99]
+    assert jq_compile("try halt_error(empty) catch .")("in") == []
 
 
 SYNTAX_ERRORS = ["", ".|", "if x then", "def f", "{a:}", "[1,", '"unterminated', "1 +"]
