@@ -3479,3 +3479,4 @@ from . import queries_r5f  # noqa: E402,F401  isort:skip
 from . import queries_r5g  # noqa: E402,F401  isort:skip
 from . import queries_r5h  # noqa: E402,F401  isort:skip
 from . import queries_r6  # noqa: E402,F401  isort:skip
+from . import queries_r7  # noqa: E402,F401  isort:skip

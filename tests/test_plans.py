@@ -411,3 +411,28 @@ def test_ivf_candidate_queries_no_cartesian_no_python(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
         for node in PY_NODES:
             assert node not in plan, name
+
+
+def test_r7_queries_plan_shapes(spark):
+    # round-7 additions: all four are pure-codegen plans (no Python
+    # node) with no cartesian/nested-loop anywhere
+    for name in (
+        "embedding_quantize_int8",
+        "supplier_affinity_cn",
+        "ngram_novelty",
+        "pareto_frontier",
+    ):
+        plan = formatted_plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        for node in PY_NODES:
+            assert node not in plan, name
+    # quantize: the 64x posexplode fanout must reduce map-side —
+    # partial aggregation before its single exchange
+    plan = formatted_plan(spark, "embedding_quantize_int8")
+    assert "partial_count" in plan or "partial" in plan.lower()
+    # pareto: the data-side pass is one broadcast join; the only
+    # window runs over the tiny size-class frame, and the big table
+    # is never exchanged into a single partition before that window
+    plan = formatted_plan(spark, "pareto_frontier")
+    assert "BroadcastHashJoin" in plan
