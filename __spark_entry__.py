@@ -24,80 +24,86 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness harness compares the FIRST 50 queries() entries
-# (observed: CORRECTNESS_r01-r05 are exactly list(queries())[:50]).
+# (observed: CORRECTNESS_r01-r06 are exactly list(queries())[:50]).
 # The repo has grown past 50, so the head below rotates coverage so
 # every query appears in a driver artifact within a bounded number of
 # rounds (see README "Correctness coverage rotation" and COVERAGE.md
-# for the per-round union table).  Round 6 priority (VERDICT.md r5
-# "Next round #1"): (1) the 26 queries that have NEVER appeared in
-# any driver CORRECTNESS artifact r1-r5 (registration order —
-# recomputed this round from the r1-r5 artifacts vs the registry,
-# matches PLAN_r6.md §1 exactly), then (1b) the 8 queries added this
-# round (never checked by construction), then (2) the oldest-stale
-# queries — last driver check r02, registration order.  With this
-# head, CORRECTNESS_r06 completes full driver coverage: every query
-# registered before r6 will have at least one green driver artifact
-# in r1 ∪ ... ∪ r6, and the r6 additions are checked immediately.
+# for the per-round staleness table).  Full driver coverage was
+# reached in r6 (every registered query has >= 1 green artifact in
+# r1 ∪ ... ∪ r6); the bar now is bounded STALENESS (VERDICT r6
+# "Next round #1").  Round 7 head, exactly 50 entries:
+# (1) the 17-query cohort last driver-checked in r02 (oldest stale,
+#     registration order — includes simhash_neardup, which sat at
+#     position 51 of the r6 head and was listed but never compared),
+# (2) the 4 queries added in r7 (never checked by construction),
+# (3) the 2 queries whose OUTPUT or plan changed in r7
+#     (knn_recall_ivf probe is now fixed-count; knn_eval_ivf
+#     broadcast hints are now gated), so their green status is
+#     re-established on the new definitions,
+# (4) the first 27 of the 42-query r03 cohort (registration order).
+# The remaining 15 r03 queries lead the r8 head; max staleness after
+# r7 is 4 rounds (r03-checked queries in a r7 artifact world).
 _DRIVER_HEAD = [
-    # -- (1) never driver-checked (26) --
-    "top_supplier_revenue",
-    "small_quantity_revenue",
-    "bracketed_revenue",
-    "waiting_suppliers",
-    "containment_neardup",
-    "bigram_ppl",
-    "embedding_covariance",
-    "bigram_pmi",
-    "jq_datetime_ops",
-    "mad_outliers",
-    "benford_deviation",
-    "theil_sen_trend",
-    "jq_sql_helpers",
-    "zipf_fit",
-    "source_dup_ratio",
-    "knn_label_eval",
-    "dbscan_clusters",
-    "seasonality_index",
-    "ntile_deciles",
-    "stream_chained_windows",
-    "stream_session_windows",
-    "rfm_segmentation",
-    "basket_lift",
-    "hopping_counts",
-    "dedup_keep_longest",
-    "audience_overlap",
-    # -- (1b) new in r6, never driver-checked by construction (8) --
-    "dbscan_ivf",
-    "knn_eval_ivf",
-    "knn_recall_ivf",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-    "stream_cms_topk",
-    "bmp_transform_stats",
-    "wav_resample_stats",
-    # -- (2) oldest-stale: last checked r02 (16; the 8 slots the r6
-    #    additions take come off this cohort's tail — already covered
-    #    by green r02 artifacts, so coverage is unaffected;
-    #    language_id/ann_srp_topk/ann_ivf_topk/session_windows/
-    #    salted_join_agg/minhash_dedup_keep/cube_counts move to the
-    #    r7 head) --
-    "dedup_exact",
-    "dedup_fingerprint",
-    "neardup_jaccard",
-    "simsearch_topk",
-    "text_stats",
-    "quality_score",
-    "doc_fingerprints",
-    "jq_assignment",
-    "jq_reduce",
-    "jq_regex",
-    "minhash_neardup",
-    "embedding_neardup",
-    "dedup_components",
-    "dedup_components_lsss",
-    "token_counts",
-    "multimodal_stats",
+    # -- (1) last driver-checked r02 (17) --
     "simhash_neardup",
+    "language_id",
+    "ann_srp_topk",
+    "ann_ivf_topk",
+    "session_windows",
+    "salted_join_agg",
+    "minhash_dedup_keep",
+    "cube_counts",
+    "distinct_agg",
+    "pivot_counts",
+    "asof_attribution",
+    "range_attribution",
+    "jq_sql_lateral",
+    "stateful_running_totals",
+    "train_test_split",
+    "pack_documents",
+    "percentiles",
+    # -- (2) new in r7, never driver-checked by construction (4) --
+    "embedding_quantize_int8",
+    "supplier_affinity_cn",
+    "ngram_novelty",
+    "pareto_frontier",
+    # -- (3) definitions changed in r7 (2) --
+    "knn_recall_ivf",
+    "knn_eval_ivf",
+    # -- (4) last driver-checked r03, first 27 of 42 in registration
+    #    order (zorder_layout, hll_distinct, importance_resample,
+    #    order_priority_exists, small_qty_revenue, supplier_parts_in,
+    #    bloom_semi_join, stream_static_enrich, unigram_ppl,
+    #    hybrid_rrf, pagerank_bipartite, grouped_regression,
+    #    funnel_conversion, retention_cohorts, time_weighted_avg
+    #    lead the r8 head) --
+    "stream_windowed",
+    "approx_percentiles",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "stream_dedup",
+    "jq_scalar_functions",
+    "jq_native_multicol",
+    "jq_native_select",
+    "jq_native_expr_filter",
+    "token_heavy_hitters",
+    "stratified_sample",
+    "jq_native_strings",
+    "jq_native_alternative",
+    "jq_native_length",
+    "jq_native_map_preds",
+    "chunk_dedup",
+    "pii_redaction",
+    "decontaminate",
+    "mixture_sample",
+    "quality_classifier",
+    "grouping_sets",
+    "window_range_frame",
+    "jq_native_has_not",
+    "bm25_topk",
+    "importance_weights",
+    "cdc_latest",
+    "scd2_history",
 ]
 
 
