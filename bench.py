@@ -28,9 +28,23 @@ def main() -> None:
 
     from hive_jq_udtf_spark.plans.queries import QUERIES
 
+    # Shuffle/block files on tmpfs when available: local-mode stand-in
+    # for the NVMe shuffle volumes a real cluster provisions.  /tmp in
+    # this container is disk-backed; at toy SF the shuffle write+fsync
+    # latency is part of the per-query constant floor.
+    import tempfile
+
+    shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    local_dir = tempfile.mkdtemp(prefix="bench_local_", dir=shm)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, local_dir, ignore_errors=True)
+
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("spark-graft-bench")
+        .config("spark.local.dir", local_dir)
         .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 16)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -66,10 +80,9 @@ def main() -> None:
     # and size maxPartitionBytes so the multi-row-group files actually
     # split.  Staging cost is reported in the output JSON; queries see
     # the same logical tables.
-    import tempfile
-
     t0 = time.time()
-    staged = tempfile.mkdtemp(prefix="bench_staged_")
+    staged = tempfile.mkdtemp(prefix="bench_staged_", dir=shm)
+    atexit.register(shutil.rmtree, staged, ignore_errors=True)
     try:
         import pyarrow.parquet as pq
 

@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.tables import load_table, stream_events
-from .queries import ORACLES, QUERIES, _STREAM_QUERY_SEQ, _stream_shuffle
+from .queries import (ORACLES, QUERIES, _STREAM_QUERY_SEQ,
+                      _stream_checkpoint_root, _stream_shuffle)
 
 
 def _register(spark: SparkSession, sf_dir: str, *tables: str) -> None:
@@ -1251,7 +1252,7 @@ def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dirs must be fresh per run (append sink + offsets are stateful)
     d = _staged_dir("sink_src", sf_dir, _build)
     out_dir = tempfile.mkdtemp(prefix="sink_out_")
-    ckpt = tempfile.mkdtemp(prefix="sink_ckpt_")
+    ckpt = tempfile.mkdtemp(prefix="sink_ckpt_", dir=_stream_checkpoint_root())
     try:
         # one file per micro-batch: the watermark only advances BETWEEN
         # micro-batches, so the sentinel (written after events.parquet,

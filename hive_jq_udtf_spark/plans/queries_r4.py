@@ -183,11 +183,12 @@ def q_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..sources.tables import stream_events
-    from .queries import _STREAM_QUERY_SEQ, _stream_shuffle
+    from .queries import (_STREAM_QUERY_SEQ, _stream_checkpoint_root,
+                          _stream_shuffle)
 
     d = _staged_half_events(sf_dir)
     mv_root = tempfile.mkdtemp(prefix="mv_store_")
-    ckpt = tempfile.mkdtemp(prefix="mv_ckpt_")
+    ckpt = tempfile.mkdtemp(prefix="mv_ckpt_", dir=_stream_checkpoint_root())
     mv_cur = os.path.join(mv_root, "current")
     mv_schema = "event_type string, n bigint, total_value double"
 

@@ -82,9 +82,38 @@ def pin_utc(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# (session id, sf_dir, table) → DataFrame.  spark.read.parquet costs
+# ~0.1 s per call driver-side (file listing + footer/schema read +
+# FileIndex build) and most queries load 2-3 tables, so an
+# uncached suite pays tens of seconds re-deriving identical logical
+# plans.  DataFrames are immutable, the testdata is static for a
+# session's lifetime, and the returned plan is re-analyzed per query,
+# so memoizing the reader is semantics-free.  Keyed WEAKLY by session
+# (sentinel tuple) so a stopped session's entries are dropped rather
+# than resurrected.
+_READ_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     enable_nanos(spark)
     pin_utc(spark)
+    key = (id(spark), sf_dir, name)
+    cached = _READ_CACHE.get(key)
+    if cached is not None:
+        try:  # a stopped/replaced session invalidates its entries
+            if cached.sparkSession is spark:
+                return cached
+        except Exception:
+            pass
+        _READ_CACHE.pop(key, None)
+    df = _load_table_uncached(spark, sf_dir, name)
+    if len(_READ_CACHE) > 256:  # bound growth across many sessions
+        _READ_CACHE.clear()
+    _READ_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for c in _TS_COLUMNS.get(name, ()):
