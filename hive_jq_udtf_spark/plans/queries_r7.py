@@ -313,3 +313,75 @@ QUERIES["ngram_novelty"] = q_ngram_novelty
 ORACLES["ngram_novelty"] = _ORACLE_NOVELTY
 QUERIES["pareto_frontier"] = q_pareto_frontier
 ORACLES["pareto_frontier"] = _ORACLE_PARETO
+
+
+# ---------------------------------------------------------------------------
+# lpa_communities — synchronous label propagation on the part–supplier graph
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 4
+
+
+def _lpa_oracle_iteration(i: int) -> str:
+    """One unrolled sync-LPA step: neighbor labels + own label,
+    mode per node with smallest-label tie-break."""
+    return f"""
+s{i} AS (SELECT e.dst AS node, l.lab FROM edges e JOIN l{i - 1} l ON e.src = l.node
+         UNION ALL SELECT node, lab FROM l{i - 1}),
+c{i} AS (SELECT node, lab, count(*) AS cnt FROM s{i} GROUP BY 1, 2),
+l{i} AS (SELECT node, lab FROM (
+   SELECT node, lab, row_number() OVER (PARTITION BY node
+                                        ORDER BY cnt DESC, lab) AS rn
+   FROM c{i}) WHERE rn = 1)"""
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the undirected supplier↔part graph
+    (pagerank_bipartite's edge set) via 4 synchronous label-propagation
+    steps — the third iterative-graph family next to PageRank and the
+    LSSS connected components, and a different fixed point: LPA finds
+    densely-connected CLUSTERS (catalog segments), components find
+    reachability.  Each node's own label rides the neighbor stream, so
+    the bipartite 2-cycle oscillation is damped and the step stays
+    deterministic (mode, ties to the smallest label).  Output: the 20
+    largest communities as exact integer sizes.
+
+    Scale shape (operators/communities.py): edges are partitioned on
+    src once and checkpointed; each step is one |E|-row join + two
+    map-side-combinable integer aggregations at graph-scoped shuffle
+    width; lineage truncated every 2 steps."""
+    from ..operators.communities import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    ).distinct()
+    edges = sp.union(sp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labs = label_propagation(
+        edges, iterations=_LPA_ITERS, shuffle_partitions=8
+    )
+    return (
+        labs.groupBy(F.col("community"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), "community")
+        .limit(20)
+    )
+
+
+_ORACLE_LPA = (
+    """
+WITH sp AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+            FROM lineitem),
+edges AS (SELECT src, dst FROM sp UNION ALL SELECT dst, src FROM sp),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+l0 AS (SELECT node, node AS lab FROM nodes),"""
+    + ",".join(_lpa_oracle_iteration(i) for i in range(1, _LPA_ITERS + 1))
+    + f"""
+SELECT lab AS community, count(*) AS size
+FROM l{_LPA_ITERS} GROUP BY 1 ORDER BY size DESC, community LIMIT 20
+"""
+)
+
+QUERIES["lpa_communities"] = q_lpa_communities
+ORACLES["lpa_communities"] = _ORACLE_LPA

@@ -436,3 +436,11 @@ def test_r7_queries_plan_shapes(spark):
     # is never exchanged into a single partition before that window
     plan = formatted_plan(spark, "pareto_frontier")
     assert "BroadcastHashJoin" in plan
+
+
+def test_lpa_communities_no_cartesian_no_python(spark):
+    plan = formatted_plan(spark, "lpa_communities")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in PY_NODES:
+        assert node not in plan
