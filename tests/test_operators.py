@@ -1305,3 +1305,37 @@ def test_global_ntile_and_cumsum_match_naive_window(spark):
     empty = df.where(F.lit(False))
     assert global_cumsum(empty, ["k", "id"], ["c"]).count() == 0
     assert global_ntile(empty, ["k", "id"], 7).count() == 0
+
+
+def test_label_propagation_two_cliques_converge(spark):
+    # two triangles bridged by nothing: each converges to its smallest
+    # node id as the community label
+    from hive_jq_udtf_spark.operators.communities import label_propagation
+
+    tri = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in tri] + [(b, a) for a, b in tri], "src long, dst long"
+    )
+    out = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iterations=4).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_deterministic_ties_and_isolated(spark):
+    from hive_jq_udtf_spark.operators.communities import label_propagation
+
+    # a single undirected edge: both nodes see multiset {own, other};
+    # the tie always breaks to the SMALLEST label, both runs identical
+    edges = spark.createDataFrame([(5, 9), (9, 5)], "src long, dst long")
+    a = sorted(map(tuple, label_propagation(edges, iterations=3).collect()))
+    b = sorted(map(tuple, label_propagation(edges, iterations=3).collect()))
+    assert a == b == [(5, 5), (9, 5)]
+
+
+def test_label_propagation_empty_edges(spark):
+    from hive_jq_udtf_spark.operators.communities import label_propagation
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert label_propagation(edges, iterations=2).collect() == []
