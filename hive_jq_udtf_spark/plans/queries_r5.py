@@ -414,7 +414,16 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     components convergence hash).  Shuffled ONCE on the gram hash;
     "appears in more than one doc" is min(doc)≠max(doc) — no
     COUNT(DISTINCT) expand — and the per-doc rollup's join reuses the
-    gram-hash partitioning the aggregation just produced."""
+    gram-hash partitioning the aggregation just produced.
+
+    The (doc, gram-hash) frame feeds BOTH the gram aggregation and
+    the per-doc join; Catalyst does not ReusedExchange the two
+    identical subtrees across the AQE stage boundary (verified on the
+    executed plan), so without intervention the gram build + its
+    exchange run twice.  Pre-partitioning on the gram hash and
+    eagerly checkpointing materializes the build ONCE in the layout
+    both consumers need (the pagerank/LPA edge-frame idiom):
+    measured 4.2 s → 2.5 s at sf0.1."""
     n = 8
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
@@ -426,6 +435,7 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    g = g.repartition(F.col("gram")).localCheckpoint(eager=True)
     gram_docs = g.groupBy("gram").agg(
         (F.min("doc_id") != F.max("doc_id")).alias("is_dup")
     )
