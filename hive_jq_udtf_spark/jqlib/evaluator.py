@@ -3157,13 +3157,17 @@ def _n_fromstream(v, e, a):
 
 
 def _n_truncate_stream(v, e, a):
-    # input: depth; arg: stream expr — jq signature: truncate_stream(stream)
-    # with `.` being [depth, stream-input]? Actual jq: `n | truncate_stream(f)`
+    # jq builtin.jq: `def truncate_stream(stream): . as $n | null |
+    # stream | . as $input | if (.[0]|length) > $n then
+    # setpath([0];.[0][$n:]) else empty end;`
+    # — the input is the DEPTH, and the stream expression runs with
+    # input NULL (callers pass event literals or `$doc|tostream`),
+    # not with the depth as input.
     depth = v
     if not _is_num(depth):
         raise JQError("truncate_stream requires a number input")
     d = math.floor(depth)
-    for ev in a[0](v, e):
+    for ev in a[0](None, e):
         if not isinstance(ev, list) or not isinstance(ev[0], list):
             raise JQError("Invalid streaming format")
         if len(ev[0]) > d:

@@ -281,6 +281,16 @@ CASES = [
     ("[.[] | values]", [1, None, 2], [[1, 2]]),
     ('[tostream]', {"a": 1}, [[[["a"], 1], [["a"]]]]),
     ('fromstream(tostream)', [[1, {"b": 2}], "x"], [[[1, {"b": 2}], "x"]]),
+    # truncate_stream: the stream expr runs with input NULL (jq
+    # builtin.jq `. as $n | null | stream | ...`) and the jq-manual
+    # example drops the first $n path components
+    (
+        "[1|truncate_stream([[0],1],([[1,0],2]),([[1,0]]),([[1]]))]",
+        None,
+        [[[[0], 2], [[0]]]],
+    ),
+    ('fromstream(1|truncate_stream({"a":[1,2]}|tostream))', None, [[1, 2]]),
+    ("[1|truncate_stream([[0,1], .])]", None, [[[[1], None]]]),
     ("tojson | fromjson", {"a": [1, 2.5, None]}, [{"a": [1, 2.5, None]}]),
     ('{} | .a.b.c = 1', None, [{"a": {"b": {"c": 1}}}]),
     # jq-1.7 additions (public builtin.jq definitions)
