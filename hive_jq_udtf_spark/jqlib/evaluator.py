@@ -2164,6 +2164,49 @@ _PATH_COMPILERS = {
     "break": _p_break,
 }
 
+def _np_recurse0(v, path, e, arg_fns, arg_asts):
+    # path-tracked `..` / recurse == recurse(.[]?): preorder walk,
+    # yielding (path, value) for the node then its children (object
+    # keys in insertion order, array indices) — scalars have none
+    # (the `?` of the default argument)
+    yield path, v
+    if isinstance(v, dict):
+        for k, cv in v.items():
+            yield from _np_recurse0(cv, path + [k], e, arg_fns, arg_asts)
+    elif isinstance(v, list):
+        for i, cv in enumerate(v):
+            yield from _np_recurse0(cv, path + [i], e, arg_fns, arg_asts)
+
+
+def _np_recurse1(v, path, e, arg_fns, arg_asts):
+    # jq builtin.jq: def recurse(f): def r: ., (f | r); r — with f
+    # itself evaluated as a path expression so every yielded node
+    # carries its real path
+    pf = compile_path_node(arg_asts[0])
+
+    def rec(val, p):
+        yield p, val
+        for cp, cv in pf(val, p, e):
+            yield from rec(cv, cp)
+
+    yield from rec(v, path)
+
+
+def _np_recurse2(v, path, e, arg_fns, arg_asts):
+    # def recurse(f; cond): def r: ., (f | select(cond) | r); r
+    pf = compile_path_node(arg_asts[0])
+    cond = arg_fns[1]
+
+    def rec(val, p):
+        yield p, val
+        for cp, cv in pf(val, p, e):
+            for t in cond(cv, e):
+                if is_truthy(t):
+                    yield from rec(cv, cp)
+
+    yield from rec(v, path)
+
+
 NATIVE_PATH = {
     ("empty", 0): _np_empty,
     ("error", 0): _np_error,
@@ -2173,6 +2216,9 @@ NATIVE_PATH = {
     ("first", 1): _np_first,
     ("last", 1): _np_last,
     ("select", 1): _np_select,
+    ("recurse", 0): _np_recurse0,
+    ("recurse", 1): _np_recurse1,
+    ("recurse", 2): _np_recurse2,
 }
 
 

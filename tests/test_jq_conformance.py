@@ -558,3 +558,18 @@ def test_env_opt_in(monkeypatch):
     finally:
         set_env_access(False)
     assert jq_compile("$ENV.JQLIB_PROBE")(None) == [None]
+
+
+def test_recurse_is_path_trackable():
+    # path(..) / recursive updates — NATIVE_PATH recurse family (r7)
+    assert jq_compile("[path(..)]")({"a": [1]}) == [[[], ["a"], ["a", 0]]]
+    assert jq_compile("[path(recurse(.a?))]")({"a": {"a": 2}}) == [
+        [[], ["a"], ["a", "a"]]
+    ]
+    assert jq_compile("[path(recurse(.[]?; . != null))]")([1, None]) == [[[], [0]]]
+    assert jq_compile("(.. | numbers) |= . + 1")({"a": [1, {"b": 2}]}) == [
+        {"a": [2, {"b": 3}]}
+    ]
+    assert jq_compile("del(.. | select(. == 2))")({"a": 2, "b": [2, 3]}) == [
+        {"b": [3]}
+    ]
