@@ -385,3 +385,53 @@ FROM l{_LPA_ITERS} GROUP BY 1 ORDER BY size DESC, community LIMIT 20
 
 QUERIES["lpa_communities"] = q_lpa_communities
 ORACLES["lpa_communities"] = _ORACLE_LPA
+
+
+# ---------------------------------------------------------------------------
+# jq_recursive_update — path-tracked `..` update through the UDTF tier
+# ---------------------------------------------------------------------------
+
+
+def q_jq_recursive_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive path update end-to-end: the jq program
+    ``(.. | numbers) |= . * 2 + 1`` rewrites every number anywhere in
+    the document via path-tracked ``recurse`` (the r7 NATIVE_PATH
+    family — jq's `walk`-free idiom for deep numeric edits), then
+    projects the updated field.  Runs on the Python UDTF tier
+    (`native="never"` — this is an ENGINE correctness probe, like the
+    flagship) and aggregates per event_type.  Corrupt props rows ride
+    the `$error` substitution channel and surface as NULLs, exactly
+    like the oracle's failed json_extract casts."""
+    from ..udtf import jq_explode
+
+    events = load_table(spark, sf_dir, "events")
+    x = jq_explode(
+        events,
+        "props",
+        "(.. | numbers) |= . * 2 + 1 | {k2: .k}",
+        "k2:int",
+        native="never",
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k2").alias("sum_k2"),
+            F.min("k2").alias("min_k2"),
+            F.max("k2").alias("max_k2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_JQ_RECURSIVE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 + 1) AS BIGINT) AS sum_k2,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 + 1) AS INTEGER) AS min_k2,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 + 1) AS INTEGER) AS max_k2
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["jq_recursive_update"] = q_jq_recursive_update
+ORACLES["jq_recursive_update"] = _ORACLE_JQ_RECURSIVE
