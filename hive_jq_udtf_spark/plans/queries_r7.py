@@ -131,6 +131,13 @@ def q_supplier_affinity_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = li.select("l_partkey", "l_suppkey").distinct()
     deg = edges.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
     kept = edges.join(deg.where(F.col("deg") <= _CN_DEG_CAP), "l_partkey")
+    # Materialize the capped edge list ONCE in part-key layout: it
+    # feeds both sides of the self-join, and across AQE stage
+    # boundaries Catalyst does not ReusedExchange the two identical
+    # subtrees (same failure mode as dup_ngram_spans) — without this
+    # the distinct+degree-join pipeline runs twice.  The checkpointed
+    # layout also makes the self-join exchange-free.
+    kept = kept.repartition(F.col("l_partkey")).localCheckpoint(eager=True)
     a = kept.select("l_partkey", F.col("l_suppkey").alias("s1"))
     b = kept.select("l_partkey", F.col("l_suppkey").alias("s2"))
     pairs = a.join(b, "l_partkey").where(F.col("s1") < F.col("s2"))
