@@ -35,15 +35,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # (1) the 17-query cohort last driver-checked in r02 (oldest stale,
 #     registration order — includes simhash_neardup, which sat at
 #     position 51 of the r6 head and was listed but never compared),
-# (2) the 6 queries added in r7 (never checked by construction),
+# (2) the 8 queries added in r7 (never checked by construction),
 # (3) the 2 queries whose OUTPUT or plan changed in r7
 #     (knn_recall_ivf probe is now fixed-count; knn_eval_ivf
 #     broadcast hints are now gated), so their green status is
 #     re-established on the new definitions,
-# (4) the first 25 of the 42-query r03 cohort (registration order).
-# The remaining 17 r03 queries (zorder_layout ... time_weighted_avg,
-# plus cdc_latest and scd2_history) lead the r8 head; max staleness
-# after r7 is 4 rounds.
+# (4) the first 23 of the 42-query r03 cohort (registration order).
+# The remaining 19 r03 queries (bm25_topk, importance_weights,
+# zorder_layout ... time_weighted_avg, plus cdc_latest and
+# scd2_history) lead the r8 head (bm25_topk and importance_weights
+# were judge-reverified typed-equal in r6, so their effective
+# staleness is bounded); max staleness after r7 is 4 rounds.
 _DRIVER_HEAD = [
     # -- (1) last driver-checked r02 (17) --
     "simhash_neardup",
@@ -63,23 +65,26 @@ _DRIVER_HEAD = [
     "train_test_split",
     "pack_documents",
     "percentiles",
-    # -- (2) new in r7, never driver-checked by construction (6) --
+    # -- (2) new in r7, never driver-checked by construction (8) --
     "embedding_quantize_int8",
     "supplier_affinity_cn",
     "ngram_novelty",
     "pareto_frontier",
     "lpa_communities",
     "jq_recursive_update",
+    "setsim_neardup",
+    "embedding_pca_power",
     # -- (3) definitions changed in r7 (2) --
     "knn_recall_ivf",
     "knn_eval_ivf",
-    # -- (4) last driver-checked r03, first 25 of 42 in registration
-    #    order (zorder_layout, hll_distinct, importance_resample,
-    #    order_priority_exists, small_qty_revenue, supplier_parts_in,
-    #    bloom_semi_join, stream_static_enrich, unigram_ppl,
-    #    hybrid_rrf, pagerank_bipartite, grouped_regression,
-    #    funnel_conversion, retention_cohorts, time_weighted_avg,
-    #    cdc_latest and scd2_history lead the r8 head) --
+    # -- (4) last driver-checked r03, first 23 of 42 in registration
+    #    order (bm25_topk, importance_weights, zorder_layout,
+    #    hll_distinct, importance_resample, order_priority_exists,
+    #    small_qty_revenue, supplier_parts_in, bloom_semi_join,
+    #    stream_static_enrich, unigram_ppl, hybrid_rrf,
+    #    pagerank_bipartite, grouped_regression, funnel_conversion,
+    #    retention_cohorts, time_weighted_avg, cdc_latest and
+    #    scd2_history lead the r8 head) --
     "stream_windowed",
     "approx_percentiles",
     "stream_stream_join",
@@ -103,8 +108,6 @@ _DRIVER_HEAD = [
     "grouping_sets",
     "window_range_frame",
     "jq_native_has_not",
-    "bm25_topk",
-    "importance_weights",
 ]
 
 

@@ -1,0 +1,110 @@
+"""Top principal component of an embedding corpus via power iteration.
+
+Architecture (the kmeans.py convention — distribute the O(n) pass,
+keep the O(d^2) core driver-side):
+
+* The DISTRIBUTED part is the only part that scales with the corpus:
+  per-dimension means and the upper-triangle second-moment matrix
+  E[x_i * x_j] — n*d^2/2 products executed in whole-stage codegen
+  with map-side partial aggregation, one tiny d^2-row shuffle.
+* The covariance matrix is rounded to 6 dp (the proven cross-engine
+  equality contract for avg-of-doubles, docs/oracle_determinism.md)
+  and collected: O(d^2) rows, INDEPENDENT of corpus size — at 100 TB
+  this collect is the same ~2080 rows it is at sf0.001.
+* Power iteration runs driver-side on the rounded matrix with plain
+  sequential Python float arithmetic (ascending-j sums), so a SQL
+  oracle that unrolls the same K steps reproduces the arithmetic to
+  ~1e-14 — far inside the 6-dp output round.  numpy is deliberately
+  NOT used: its pairwise/SIMD summation orders differ from SQL's.
+
+Sign convention: the eigenvector is flipped so the largest-|loading|
+component (smallest dimension index on ties) is positive.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def covariance_matrix_rounded(emb: DataFrame, vec_col: str = "embedding"):
+    """Population covariance of the vector column, each entry
+    round(E[xi*xj] - E[xi]*E[xj], 6), as a driver-side dict
+    {(i, j): c} over the full symmetric matrix, plus the dimension."""
+    flat = emb.select(
+        "vec_id", F.posexplode(F.col(vec_col).cast("array<double>"))
+    ).withColumnsRenamed({"pos": "i", "col": "x"})
+    flat = flat.localCheckpoint(eager=True)  # feeds means + both join sides
+    means = flat.groupBy("i").agg(F.avg("x").alias("mu"))
+    a, b = flat.alias("a"), flat.alias("b")
+    prods = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.i") <= F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.avg(F.col("a.x") * F.col("b.x")).alias("exy"))
+    )
+    cov_rows = (
+        prods.join(F.broadcast(means.withColumnsRenamed({"mu": "mu_i"})), "i")
+        .join(
+            F.broadcast(
+                means.withColumnsRenamed({"i": "j", "mu": "mu_j"})
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            F.round(F.col("exy") - F.col("mu_i") * F.col("mu_j"), 6).alias("c"),
+        )
+        .collect()
+    )
+    cov: dict[tuple[int, int], float] = {}
+    d = 0
+    for r in cov_rows:
+        cov[(r["i"], r["j"])] = r["c"]
+        cov[(r["j"], r["i"])] = r["c"]
+        d = max(d, r["j"] + 1)
+    return cov, d
+
+
+def power_iteration_top_eig(
+    emb: DataFrame, vec_col: str = "embedding", iters: int = 12
+):
+    """Returns (loadings, eigval, d): the dominant eigenvector of the
+    rounded covariance matrix after ``iters`` power steps from the
+    uniform unit vector, sign-pinned, plus the Rayleigh-quotient
+    eigenvalue.  Pure sequential float arithmetic — see module doc."""
+    cov, d = covariance_matrix_rounded(emb, vec_col)
+    v = [1.0 / math.sqrt(d)] * d
+    for _ in range(iters):
+        w = []
+        for i in range(d):
+            s = 0.0
+            for j in range(d):
+                s += cov[(i, j)] * v[j]
+            w.append(s)
+        n = 0.0
+        for x in w:
+            n += x * x
+        n = math.sqrt(n)
+        v = [x / n for x in w]
+    # Rayleigh quotient on the final normalized vector
+    lam = 0.0
+    for i in range(d):
+        s = 0.0
+        for j in range(d):
+            s += cov[(i, j)] * v[j]
+        lam += v[i] * s
+    # sign pin: largest |loading| positive, smallest index on ties
+    m = 0
+    for i in range(1, d):
+        if abs(v[i]) > abs(v[m]):
+            m = i
+    if v[m] < 0:
+        v = [-x for x in v]
+    return v, lam, d

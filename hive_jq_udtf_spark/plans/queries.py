@@ -3530,3 +3530,4 @@ from . import queries_r5g  # noqa: E402,F401  isort:skip
 from . import queries_r5h  # noqa: E402,F401  isort:skip
 from . import queries_r6  # noqa: E402,F401  isort:skip
 from . import queries_r7  # noqa: E402,F401  isort:skip
+from . import queries_r7b  # noqa: E402,F401  isort:skip

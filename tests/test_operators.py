@@ -1339,3 +1339,156 @@ def test_label_propagation_empty_edges(spark):
 
     edges = spark.createDataFrame([], "src long, dst long")
     assert label_propagation(edges, iterations=2).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# setsim_join_prefix (operators/setsim.py)
+# ---------------------------------------------------------------------------
+
+
+def _brute_jaccard_pairs(rows, tau_num, tau_den):
+    """Reference: all (id_a < id_b) with exact Jaccard >= tau."""
+    out = {}
+    ids = sorted(rows)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            sa, sb = set(rows[a]), set(rows[b])
+            i = len(sa & sb)
+            u = len(sa | sb)
+            if u and tau_den * i >= tau_num * u:
+                out[(a, b)] = (i, u, (10000 * i) // u)
+    return out
+
+
+def test_setsim_prefix_join_completeness_vs_bruteforce(spark):
+    # adversarial corpus for the prefix + positional filters: exact
+    # dups, near-subset pairs at the 9/10 boundary (9/10 and 18/20
+    # qualify, 8/10 must not), hot tokens everywhere, a singleton
+    # token doc, and docs whose ONLY shared tokens sit late in the
+    # frequency order
+    import random
+
+    from hive_jq_udtf_spark.operators.setsim import setsim_join_prefix
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(24)]
+    rows = {}
+    did = 0
+    base = vocab[:10]
+    for _ in range(6):  # exact-dup cluster of 6
+        rows[did] = list(base)
+        did += 1
+    rows[did] = base[:9]  # subset 9/10 -> J = 0.9, qualifies
+    did += 1
+    rows[did] = base[:8]  # subset 8/10 -> J = 0.8, must NOT qualify
+    did += 1
+    big = vocab[:20]
+    rows[did] = list(big)
+    did += 1
+    rows[did] = big[:18]  # 18/20 -> J = 0.9, qualifies
+    did += 1
+    rows[did] = ["solo"]
+    did += 1
+    for _ in range(20):  # random background docs
+        k = rng.randint(3, 16)
+        rows[did] = rng.sample(vocab, k)
+        did += 1
+
+    expect = _brute_jaccard_pairs(rows, 9, 10)
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in rows.items()],
+        "doc_id long, tokens array<string>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter_sz"], r["union_sz"], r["jacc_bp"])
+        for r in setsim_join_prefix(df, tau_num=9, tau_den=10).collect()
+    }
+    assert got == expect  # completeness AND no false positives
+    # the boundary rows did their job
+    assert any(v[2] == 9000 for v in expect.values())
+    assert len(expect) >= 16  # C(6,2) dups + the two boundary pairs
+
+
+def test_setsim_prefix_join_lower_tau_and_payload(spark):
+    from hive_jq_udtf_spark.operators.setsim import setsim_join_prefix
+
+    rows = {
+        1: (["a", "b", "c", "d"], "s1"),
+        2: (["a", "b", "c", "e"], "s2"),  # J = 3/5 = 0.6 with 1
+        3: (["a", "b"], "s1"),  # J = 1/2 with 1 -> only at tau <= 0.5
+        4: (["x"], "s2"),
+    }
+    df = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in rows.items()],
+        "doc_id long, tokens array<string>, source string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["jacc_bp"], r["source_a"], r["source_b"])
+        for r in setsim_join_prefix(
+            df, tau_num=1, tau_den=2, payload=("source",)
+        ).collect()
+    }
+    brute = _brute_jaccard_pairs({k: v[0] for k, v in rows.items()}, 1, 2)
+    assert set(got) == set(brute)
+    assert got[(1, 2)] == (6000, "s1", "s2")
+    assert got[(1, 3)] == (5000, "s1", "s1")
+
+
+def test_setsim_prefix_join_duplicate_tokens_and_bad_tau(spark):
+    import pytest as _pytest
+
+    from hive_jq_udtf_spark.operators.setsim import setsim_join_prefix
+
+    # duplicate tokens collapse via array_distinct before sizing
+    df = spark.createDataFrame(
+        [(1, ["a", "a", "b"]), (2, ["b", "a"])],
+        "doc_id long, tokens array<string>",
+    )
+    out = setsim_join_prefix(df, tau_num=9, tau_den=10).collect()
+    assert [(r["id_a"], r["id_b"], r["jacc_bp"]) for r in out] == [(1, 2, 10000)]
+    with _pytest.raises(ValueError):
+        setsim_join_prefix(df, tau_num=0, tau_den=10)
+    with _pytest.raises(ValueError):
+        setsim_join_prefix(df, tau_num=11, tau_den=10)
+
+
+# ---------------------------------------------------------------------------
+# power_iteration_top_eig (operators/pca.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pca_power_iteration_matches_numpy_eigh(spark):
+    import numpy as np
+
+    from hive_jq_udtf_spark.operators.pca import power_iteration_top_eig
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: dominant axis along (1,1,0)/sqrt(2)
+    n, d = 400, 4
+    base = rng.normal(size=(n, 1)) * 3.0
+    x = np.hstack(
+        [
+            base + rng.normal(size=(n, 1)) * 0.1,
+            base + rng.normal(size=(n, 1)) * 0.1,
+            rng.normal(size=(n, 1)) * 0.5,
+            rng.normal(size=(n, 1)) * 0.2,
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    v, lam, dim = power_iteration_top_eig(df, iters=30)
+    assert dim == d
+    cov = np.cov(x.T, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    ref = vecs[:, -1]
+    if ref[int(np.argmax(np.abs(ref)))] < 0:
+        ref = -ref
+    assert np.allclose(v, ref, atol=1e-3)
+    assert abs(lam - w[-1]) < 1e-3
+    # unit norm + sign pin
+    assert abs(sum(c * c for c in v) - 1.0) < 1e-9
+    m = max(range(d), key=lambda i: abs(v[i]))
+    assert v[m] > 0

@@ -444,3 +444,15 @@ def test_lpa_communities_no_cartesian_no_python(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for node in PY_NODES:
         assert node not in plan
+
+
+def test_setsim_neardup_no_cartesian_no_python_no_doc_pairs(spark):
+    # the exact Jaccard audit must stay combinatorial: candidate
+    # generation is the token-bucket equi-join over DISTINCT-set
+    # prefixes (never a cartesian / nested-loop), verification and
+    # histogram math are pure codegen (no Python node anywhere)
+    plan = formatted_plan(spark, "setsim_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in PY_NODES:
+        assert node not in plan
