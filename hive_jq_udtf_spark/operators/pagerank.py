@@ -1,12 +1,18 @@
 """PageRank over an edge DataFrame — fixed-iteration, deterministic.
 
 Spark-first iterative dataflow: each iteration is ONE join (ranks to
-edges on src) + ONE aggregation (sum contributions by dst), both
-shuffling on the node id, so a 1000-executor run re-uses the same
-hash partitioning every iteration.  Ranks are localCheckpoint()-ed
-every few iterations to truncate the growing lineage (the classic
-iterative-Spark pitfall: an un-truncated 10-join plan recompiles and
-reoptimizes the whole history each step).
+edges on src) + ONE aggregation (sum contributions by dst).  The
+edge set is laid out ONCE in a partitioning-preserving cache
+(``persist`` — under AQE a ``localCheckpoint``'s LogicalRDD loses
+its outputPartitioning and every iteration re-exchanges |E| rows;
+verified on the final AdaptiveSparkPlan).  Below a 5M-node gate the
+rank frame rides a broadcast and the layout is hash(dst), making
+every iteration exchange-free; above it the layout is hash(src) and
+each step pays the honest |V| + |E| shuffle.  Ranks are
+localCheckpoint()-ed every few iterations to truncate the growing
+lineage (the classic iterative-Spark pitfall: an un-truncated
+10-join plan recompiles and reoptimizes the whole history each
+step).
 
 Fixed iteration count (no convergence collect) keeps the whole run
 lazy-plannable and makes the result exactly reproducible by an
@@ -27,6 +33,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_BROADCAST_MAX_NODES = 5_000_000
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,
@@ -35,6 +44,7 @@ def pagerank(
     dst: str = "dst",
     checkpoint_every: int = 3,
     shuffle_partitions: int | None = None,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """edges: one row per directed edge. Returns (node, rank).
 
@@ -63,7 +73,8 @@ def pagerank(
 
     with _scoped():
         return _pagerank_run(
-            edges, iterations, damping, src, dst, checkpoint_every
+            edges, iterations, damping, src, dst, checkpoint_every,
+            broadcast_ranks,
         )
 
 
@@ -74,7 +85,10 @@ def _pagerank_run(
     src: str,
     dst: str,
     checkpoint_every: int,
+    broadcast_ranks: bool | None,
 ) -> DataFrame:
+    spark = edges.sparkSession
+    par = spark.sparkContext.defaultParallelism
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -85,50 +99,74 @@ def _pagerank_run(
     n = nodes.count()  # one scalar to the driver; O(1) result
     if n == 0:
         return nodes.select("node", F.lit(1.0).alias("rank"))  # empty
+    if broadcast_ranks is None:
+        # ~80 MB of (long, double) with overhead — above it, the rank
+        # frame must shuffle, not broadcast
+        broadcast_ranks = n <= _BROADCAST_MAX_NODES
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # pre-join degree once; contribution edges carry 1/outdeg
-    contrib_edges = e.join(deg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    # pre-join degree once; contribution edges carry 1/outdeg.  The
+    # w=0.0 SELF-edges replace the former per-iteration anchor union:
+    # every node emits rank*0.0 = +0.0 to itself through the SAME
+    # join, so nodes without inbound edges stay in the frame at base
+    # rank — and no union is left to destroy the cached layout proof
+    # (x + 0.0 == x for every finite IEEE double; ranks are finite
+    # and non-negative by construction)
+    contrib_edges = (
+        e.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(0.0).alias("w"),
+            )
+        )
     )
-    # HASH-PARTITION ON src BEFORE the eager checkpoint: LogicalRDD
-    # preserves the physical outputPartitioning, so every iteration's
-    # join consumes the edge set WITHOUT re-exchanging it — the only
-    # per-iteration shuffle left is the (nodes-sized) rank side.
-    # Measured at sf0.1 (1.18 M edges, 10 iters): 14-16 s → 6-8 s.
-    contrib_edges = contrib_edges.repartition(F.col("src")).localCheckpoint(
-        eager=True
-    )
+    # LAY OUT ONCE in an InMemoryRelation: persist() PRESERVES the
+    # hash partitioning under AQE, where a localCheckpoint's
+    # LogicalRDD silently loses it and every iteration re-exchanges
+    # the |E|-row edge set (verified on the final AdaptiveSparkPlan —
+    # ENSURE_REQUIREMENTS reappears over a checkpointed scan).
+    # broadcast regime: layout hash(dst) → join is map-side (ranks
+    # broadcast) and the sum-by-dst aggregation reuses the layout —
+    # ZERO per-iteration shuffles.  shuffle regime (|V| > gate):
+    # layout hash(src) co-locates the join; ranks (|V|) + join output
+    # (|E|) exchange once each per iteration — the honest minimum.
+    key = "dst" if broadcast_ranks else "src"
+    contrib_edges = contrib_edges.repartition(par, F.col(key)).persist()
+    contrib_edges.count()  # materialize the layout once
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    base = (1.0 - damping) / n
-    # zero-contribution anchor rows: unioned into every iteration's
-    # aggregation so nodes with no inbound edges stay in the frame
-    # (rank = base) and keep contributing — WITHOUT adding a join or a
-    # second shuffle per iteration (the zeros ride the same exchange
-    # as the contributions; x + 0.0 == x for every IEEE double)
-    anchor = nodes.select(F.col("node").alias("dst"), F.lit(0.0).alias("c"))
-    for i in range(iterations):
-        sums = (
-            contrib_edges.join(ranks, contrib_edges["src"] == ranks["node"])
-            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
-            .unionByName(anchor)
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = sums.select(
-            F.col("dst").alias("node"),
-            (F.lit(base) + F.lit(damping) * F.col("s")).alias("rank"),
-        )
-        if (i + 1) % checkpoint_every == 0:
-            # EAGER: executes the last few iterations' shuffles NOW,
-            # inside the scoped shuffle width (a lazy checkpoint would
-            # defer them to the caller's collect, after the conf is
-            # restored); the materialized frame is |V| rows — trivial
+    try:
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+        base = (1.0 - damping) / n
+        for i in range(iterations):
+            r_in = F.broadcast(ranks) if broadcast_ranks else ranks
+            sums = (
+                contrib_edges.join(
+                    r_in, contrib_edges["src"] == r_in["node"]
+                )
+                .select("dst", (F.col("rank") * F.col("w")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = sums.select(
+                F.col("dst").alias("node"),
+                (F.lit(base) + F.lit(damping) * F.col("s")).alias("rank"),
+            )
+            if (i + 1) % checkpoint_every == 0:
+                # EAGER: executes the last few iterations' work NOW,
+                # inside the scoped shuffle width (a lazy checkpoint
+                # would defer it to the caller's collect, after the
+                # conf is restored); the frame is |V| rows — trivial
+                ranks = ranks.localCheckpoint(eager=True)
+        if iterations % checkpoint_every != 0:
+            # trailing iterations after the last in-loop checkpoint
+            # would otherwise execute lazily at the CALLER's action —
+            # outside the scoped conf (ADVICE r4) and after the cache
+            # below is released; materialize them here
             ranks = ranks.localCheckpoint(eager=True)
-    if iterations % checkpoint_every != 0:
-        # trailing iterations after the last in-loop checkpoint would
-        # otherwise execute lazily at the CALLER's action — outside the
-        # scoped shuffle-partitions conf (ADVICE r4); materialize them
-        # here so every iteration's shuffle runs inside the scope
-        ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+        return ranks
+    finally:
+        # the returned frame is RDD-backed (checkpointed) and never
+        # re-reads the cache
+        contrib_edges.unpersist()

@@ -353,10 +353,12 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (mode, ties to the smallest label).  Output: the 20
     largest communities as exact integer sizes.
 
-    Scale shape (operators/communities.py): edges are partitioned on
-    src once and checkpointed; each step is one |E|-row join + two
-    map-side-combinable integer aggregations at graph-scoped shuffle
-    width; lineage truncated every 2 steps."""
+    Scale shape (operators/communities.py): edges are laid out ONCE
+    in a partitioning-preserving cache; at this |V| the label frame
+    rides a broadcast (gated at 5M nodes), so each step is a
+    map-side join + two layout-reusing aggregations with ZERO
+    per-step shuffles; past the gate it degrades to the honest
+    |V|+|E| per-step exchange.  Lineage truncated every 2 steps."""
     from ..operators.communities import label_propagation
 
     li = load_table(spark, sf_dir, "lineitem")
