@@ -513,11 +513,14 @@ def q_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells per window) instead of per-user counts — state is
     O(windows × depth × width) REGARDLESS of user cardinality, which
     is the whole point at 100 TB where per-key streaming state
-    (stream_topk_users' shape) grows with the key space.  Cells use
-    the repo's deterministic md5-bucket idiom, fanned out BEFORE the
-    watermarked window aggregation so the in-stream groupBy is the
-    sketch build itself (map-side combinable; the shuffle carries at
-    most depth × width rows per window per map partition).  The
+    (stream_topk_users' shape) grows with the key space.  All depth
+    hash rows derive from ONE md5 digest per key (four 32-bit words
+    of the hex digest mod width — the classic CMS construction, and
+    4× fewer digests than hashing (j, key) pairs), fanned out BEFORE
+    the watermarked window aggregation so the in-stream groupBy is
+    the sketch build itself (map-side combinable; the shuffle
+    carries at most depth × width rows per window per map
+    partition).  The
     batch-side probe then estimates each (window, user) candidate
     from the materialized cells via a broadcast join (cells ≈ KBs),
     ranks top-3 per window by estimate, and carries the exact count
@@ -536,18 +539,24 @@ def q_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
        ``update``/``append`` mode on time-ordered arrivals so the
        watermark evicts closed windows and total state stays
        O(open_windows × depth × width)."""
-    from ..operators.sketch import _md5_bucket
     from ..sources.tables import stream_events
     from .queries import _STREAM_QUERY_SEQ, _stream_shuffle
 
     depth, width = 4, 256
+    # all `depth` hash rows come from ONE md5 digest per key (the
+    # classic CMS construction): 32 hex chars split into four 32-bit
+    # words, each reduced mod width — one digest instead of four per
+    # event, and bit-reproducible in ANSI SQL via substr(md5(..))
+    buckets = F.expr(
+        f"transform(sequence(0, {depth - 1}), j ->"
+        f" CAST(conv(substr(md5(CAST(user_id AS STRING)), j*8 + 1, 8),"
+        f" 16, 10) AS BIGINT) % {width})"
+    )
     raw = stream_events(spark, sf_dir)
-    hot = F.concat(F.col("j").cast("string"), F.lit("|"), F.col("user_id").cast("string"))
     cells = (
         raw.withWatermark("ts", "2 hours")
         .select("ts", "user_id")
-        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))))
-        .withColumn("bucket", _md5_bucket(hot, width))
+        .select("ts", F.posexplode(buckets).alias("j", "bucket"))
         .groupBy(F.window("ts", "1 hour"), "j", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("window.start").alias("win_start"), "j", "bucket", "cnt")
@@ -573,9 +582,12 @@ def q_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("true_cnt"))
         .select(F.col("window.start").alias("win_start"), "user_id", "true_cnt")
     )
-    lv = exact.withColumn(
-        "j", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
-    ).withColumn("bucket", _md5_bucket(hot, width))
+    lv = exact.select(
+        "win_start",
+        "user_id",
+        "true_cnt",
+        F.posexplode(buckets).alias("j", "bucket"),
+    )
     probed = (
         lv.join(F.broadcast(sink), ["win_start", "j", "bucket"])
         .groupBy("win_start", "user_id", "true_cnt")
@@ -604,7 +616,7 @@ WITH counts AS (
   FROM events GROUP BY 1, 2),
 lv AS (
   SELECT win_start, user_id, true_cnt, j,
-         ('0x' || substr(md5(j::VARCHAR || '|' || user_id::VARCHAR), 1, 15))::BIGINT % 256
+         ('0x' || substr(md5(user_id::VARCHAR), CAST(j*8 + 1 AS INT), 8))::BIGINT % 256
            AS bucket
   FROM counts CROSS JOIN UNNEST(range(4)) AS t(j)),
 cells AS (
