@@ -154,11 +154,18 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             raise TimeoutError("streaming query did not finish within 300s")
     # the sentinel row's own singleton session belongs to the injected
-    # user at +10 days — drop it by event_id-range construction: its
-    # session starts 10 days after the corpus max, so filter on epoch
+    # user at +10 days — drop it by ts-range: its session starts 10
+    # days after the corpus max.  The filter must key on the CORPUS
+    # max, not the sink max: the sentinel session itself is normally
+    # absent (the watermark stops 1h short of it, so append mode
+    # never finalizes it) and dropping the sink's max-start row would
+    # drop the last LEGITIMATE session instead (caught by the 3-SF
+    # strictcheck sweep).  load_table memoizes the reader.
+    from ..sources.tables import load_table
+
     corpus_end = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .agg(F.max(F.unix_timestamp(F.col("ts").cast("timestamp"))))
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_timestamp(F.col("ts"))))
         .collect()[0][0]
     )
     return (
