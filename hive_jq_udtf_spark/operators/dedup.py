@@ -659,7 +659,13 @@ def simhash60_neardup_pairs(
     bit_count(xor)."""
     if max_hamming > 3:
         raise ValueError("4x15-bit blocking is only exact for max_hamming <= 3")
-    sh = simhash60_portable(docs, text_col=text_col, id_col=id_col)
+    # materialize the signature once: the 60-conditional-sum vote over
+    # the exploded token stream is the expensive pass, and it feeds
+    # BOTH sides of the chunk self-join (measured 3.1 -> ~1.9 s at
+    # sf0.1); the frame is |docs| rows of (id, long)
+    sh = simhash60_portable(docs, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=True
+    )
     chunks = F.array(
         *[
             F.struct(
