@@ -3531,3 +3531,4 @@ from . import queries_r5h  # noqa: E402,F401  isort:skip
 from . import queries_r6  # noqa: E402,F401  isort:skip
 from . import queries_r7  # noqa: E402,F401  isort:skip
 from . import queries_r7b  # noqa: E402,F401  isort:skip
+from . import queries_r7c  # noqa: E402,F401  isort:skip

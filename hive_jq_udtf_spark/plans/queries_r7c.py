@@ -1,0 +1,309 @@
+"""Round-7 wave 3 — scaled experimentation analytics:
+
+- ``cuped_adjusted_lift`` — CUPED variance-reduced A/B readout
+  (Deng, Xu, Kohavi & Walker, WSDM'13): the pre-period covariate
+  regression that modern experimentation platforms run on every
+  metric, as two aggregation passes over a per-user frame.
+- ``bootstrap_ci_poisson`` — cluster (user-level) Poisson-bootstrap
+  confidence interval for the mean event value: the corpus collapses
+  to one row per sampling UNIT first, then every (unit, replicate)
+  pair draws its multiplicity Poisson(1) from a deterministic hash,
+  so ALL B resamples ride ONE pass (explode × map-side-combinable
+  aggregate) over the unit frame instead of B shuffled samples —
+  the only bootstrap shape that works at 100 TB.
+
+Both follow docs/oracle_determinism.md: money sums go through
+DECIMAL(18,2) (events.value carries exactly 2 decimals), ratios of
+unordered double moments round at 4 dp (relative add-order drift
+~1e-13 cannot reach it), and rank selections carry full tie-broken
+orders.  Registers into plans.queries.QUERIES/ORACLES on import.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .queries import ORACLES, QUERIES
+
+# ---------------------------------------------------------------------------
+# cuped_adjusted_lift — variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+
+def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted lift for the md5-parity experiment arms over
+    per-user event value: the corpus midpoint splits each user's
+    activity into a PRE-period covariate x and a POST-period metric
+    y; theta = cov(x, y) / var(x) (pooled across arms, the standard
+    estimator), y' = y - theta * (x - mean(x)); the readout reports
+    the raw and adjusted lifts plus the realized variance reduction.
+
+    Scale shape: one groupBy(user) pass builds the per-user frame
+    (DECIMAL-exact period sums), one 1-row moment aggregate yields
+    theta (broadcast back — never a collect), one final aggregate
+    computes both arms' means and variances.  Everything is
+    map-side-combinable codegen; the per-user frame is the only
+    shuffle that scales with data."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    bounds = ev.agg(
+        (
+            (
+                F.floor(F.unix_timestamp(F.min("ts")))
+                + F.floor(F.unix_timestamp(F.max("ts")))
+            )
+            / 2
+        )
+        .cast("long")
+        .alias("mid")
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.unix_timestamp("ts") < F.col("mid"), dec)),
+                F.lit(0).cast("decimal(18,2)"),
+            )
+            .cast("double")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.unix_timestamp("ts") >= F.col("mid"), dec)),
+                F.lit(0).cast("decimal(18,2)"),
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .withColumn(
+            "arm",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+            .cast("bigint")
+            % 2,
+        )
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("theta"),
+    )
+    adj = per_user.crossJoin(F.broadcast(mom)).withColumn(
+        "ya", F.col("y") - F.col("theta") * (F.col("x") - F.col("mx"))
+    )
+    g = adj.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.first("theta").alias("theta"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y"))).alias("sy_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y"))).alias("sy_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("ya"))).alias("sa_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("ya"))).alias("sa_b"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("ya") * F.col("ya")).alias("saa"),
+        F.sum("ya").alias("sa"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    var_a = (F.col("saa") - F.col("sa") * F.col("sa") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return g.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("theta", 4).alias("theta"),
+        F.round(
+            F.col("sy_b") / F.col("n_b") - F.col("sy_a") / F.col("n_a"), 4
+        ).alias("lift_raw"),
+        F.round(
+            F.col("sa_b") / F.col("n_b") - F.col("sa_a") / F.col("n_a"), 4
+        ).alias("lift_cuped"),
+        F.round(F.lit(1.0) - var_a / var_y, 4).alias("var_reduction"),
+    )
+
+
+_ORACLE_CUPED = """
+WITH bounds AS (
+  SELECT CAST((floor(epoch(min(ts))) + floor(epoch(max(ts)))) / 2 AS BIGINT) AS mid
+  FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CASE WHEN floor(epoch(ts)) < mid
+                  THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS x,
+         CAST(coalesce(sum(CASE WHEN floor(epoch(ts)) >= mid
+                  THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS y,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 2 AS arm
+  FROM events CROSS JOIN bounds GROUP BY user_id, mid),
+mom AS (
+  SELECT count(*) AS n, sum(x) / count(*) AS mx,
+         (sum(x*y) - sum(x) * sum(y) / count(*))
+           / (sum(x*x) - sum(x) * sum(x) / count(*)) AS theta
+  FROM per_user),
+adj AS (
+  SELECT p.*, mom.theta, mom.mx, p.y - mom.theta * (p.x - mom.mx) AS ya
+  FROM per_user p CROSS JOIN mom),
+g AS (
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+         first(theta) AS theta,
+         sum(CASE WHEN arm = 0 THEN y END) AS sy_a,
+         sum(CASE WHEN arm = 1 THEN y END) AS sy_b,
+         sum(CASE WHEN arm = 0 THEN ya END) AS sa_a,
+         sum(CASE WHEN arm = 1 THEN ya END) AS sa_b,
+         sum(y*y) AS syy, sum(y) AS sy, sum(ya*ya) AS saa, sum(ya) AS sa,
+         count(*) AS n
+  FROM adj)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(theta, 4) AS theta,
+       round(sy_b / n_b - sy_a / n_a, 4) AS lift_raw,
+       round(sa_b / n_b - sa_a / n_a, 4) AS lift_cuped,
+       round(1.0 - ((saa - sa * sa / n) / (n - 1))
+                   / ((syy - sy * sy / n) / (n - 1)), 4) AS var_reduction
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_ci_poisson — one-pass bootstrap for the mean event value
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 200
+# Poisson(1) inverse CDF breakpoints: cumulative e^-1 * sum 1/k!,
+# fixed decimal literals so both engines compare the SAME doubles
+_POIS_CUM = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+
+def _poisson_case(u_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {u_expr} < {c} THEN {k}" for k, c in enumerate(_POIS_CUM)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+def q_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER (user-level) Poisson-bootstrap CI for the mean event
+    value: users are the i.i.d. sampling units (events within a user
+    are correlated — event-level resampling would understate the
+    variance), so the corpus first collapses to one DECIMAL-exact
+    (sum, count) row per user, and every (user, replicate) pair
+    draws a Poisson(1) multiplicity from a 52-bit md5 uniform (fixed
+    inverse-CDF breakpoints, capped at 6).  All {B} replicates ride
+    ONE exploded pass over the per-user frame reduced by a
+    map-side-combinable aggregate — no per-replicate resampling
+    scan, and the B-fanout scales with |users|, not |events|: the
+    only bootstrap shape feasible on a 100 TB fact table.  Each
+    replicate mean is the ratio Σw·sv / Σw·n; the interval is
+    rank-based (5th / 100th / 196th of {B}=200 sorted means, full
+    (mean, b) tie order) — no percentile interpolation to diverge
+    between engines.""".replace("{B}", str(_BOOT_B))
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    dec = F.col("value").cast("decimal(18,2)")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(dec).alias("sv"), F.count(F.lit(1)).alias("nv")
+    )
+    u = (
+        f"CAST(conv(substr(md5(concat(CAST(user_id AS STRING), '|',"
+        f" CAST(b AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+        f" / 4503599627370496.0"
+    )
+    w = F.expr(_poisson_case(u))
+    reps = (
+        per_user.select(
+            "user_id",
+            "sv",
+            "nv",
+            F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+        )
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("nv")).alias("nw"),
+            F.sum(F.col("w") * F.col("sv")).alias("svw"),
+        )
+        .select(
+            "b",
+            F.round(F.col("svw").cast("double") / F.col("nw"), 6).alias("m"),
+        )
+    )
+    ranked = reps.withColumn(
+        "rn", F.row_number().over(Window.orderBy("m", "b"))
+    )
+    pick = ranked.where(F.col("rn").isin(5, 100, 196)).groupBy().agg(
+        F.max(F.when(F.col("rn") == 5, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == 100, F.col("m"))).alias("boot_med"),
+        F.max(F.when(F.col("rn") == 196, F.col("m"))).alias("ci_hi"),
+    )
+    se = reps.agg(F.round(F.stddev_samp("m"), 4).alias("se_boot"))
+    est = per_user.agg(
+        F.round(
+            F.sum("sv").cast("double") / F.sum("nv"), 6
+        ).alias("est")
+    )
+    return (
+        est.crossJoin(F.broadcast(pick))
+        .crossJoin(F.broadcast(se))
+        .select(
+            F.lit(_BOOT_B).cast("int").alias("n_reps"),
+            "est",
+            "ci_lo",
+            "boot_med",
+            "ci_hi",
+            "se_boot",
+        )
+    )
+
+
+_U_SQL = (
+    "('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' || CAST(b AS VARCHAR)),"
+    " 1, 13))::BIGINT / 4503599627370496.0"
+)
+
+_ORACLE_BOOT = f"""
+WITH per_user AS (
+  SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS sv, count(*) AS nv
+  FROM events GROUP BY user_id),
+fan AS (
+  SELECT user_id, sv, nv, b, {_poisson_case(_U_SQL)} AS w
+  FROM per_user CROSS JOIN (SELECT unnest(range(1, {_BOOT_B + 1})) AS b)),
+reps AS (
+  SELECT b, round(CAST(sum(w * sv) AS DOUBLE) / sum(w * nv), 6) AS m
+  FROM fan GROUP BY b),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM reps),
+pick AS (
+  SELECT max(CASE WHEN rn = 5 THEN m END) AS ci_lo,
+         max(CASE WHEN rn = 100 THEN m END) AS boot_med,
+         max(CASE WHEN rn = 196 THEN m END) AS ci_hi
+  FROM ranked),
+se AS (SELECT round(stddev_samp(m), 4) AS se_boot FROM reps),
+est AS (SELECT round(CAST(sum(sv) AS DOUBLE) / sum(nv), 6) AS est
+        FROM per_user)
+SELECT {_BOOT_B} AS n_reps, est, ci_lo, boot_med, ci_hi, se_boot
+FROM est CROSS JOIN pick CROSS JOIN se
+"""
+
+
+QUERIES["cuped_adjusted_lift"] = q_cuped_adjusted_lift
+ORACLES["cuped_adjusted_lift"] = _ORACLE_CUPED
+QUERIES["bootstrap_ci_poisson"] = q_bootstrap_ci_poisson
+ORACLES["bootstrap_ci_poisson"] = _ORACLE_BOOT

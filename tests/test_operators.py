@@ -1492,3 +1492,33 @@ def test_pca_power_iteration_matches_numpy_eigh(spark):
     assert abs(sum(c * c for c in v) - 1.0) < 1e-9
     m = max(range(d), key=lambda i: abs(v[i]))
     assert v[m] > 0
+
+
+# ---------------------------------------------------------------------------
+# experimentation analytics (plans/queries_r7c.py)
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_reduces_variance_and_preserves_truth(spark, sf_dir):
+    # structural gates on the real frame: CUPED must not blow up the
+    # estimate, must report the pooled theta, and the adjusted metric
+    # variance can never exceed the raw variance (OLS projection)
+    from hive_jq_udtf_spark.plans.queries_r7c import q_cuped_adjusted_lift
+
+    r = q_cuped_adjusted_lift(spark, sf_dir).collect()[0]
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert r["var_reduction"] >= 0.0  # theta is the variance-minimizer
+    assert abs(r["lift_cuped"]) < 1e6 and r["theta"] == r["theta"]
+
+
+def test_bootstrap_ci_brackets_estimate(spark, sf_dir):
+    from hive_jq_udtf_spark.plans.queries_r7c import q_bootstrap_ci_poisson
+
+    r = q_bootstrap_ci_poisson(spark, sf_dir).collect()[0]
+    assert r["n_reps"] == 200
+    # rank-based CI must be ordered and bracket the point estimate
+    assert r["ci_lo"] <= r["boot_med"] <= r["ci_hi"]
+    assert r["ci_lo"] <= r["est"] <= r["ci_hi"]
+    assert r["se_boot"] > 0.0
+    # Poisson(1) resampling noise at ~1500 users stays in percent range
+    assert (r["ci_hi"] - r["ci_lo"]) / r["est"] < 0.5
