@@ -35,19 +35,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # (1) the 17-query cohort last driver-checked in r02 (oldest stale,
 #     registration order — includes simhash_neardup, which sat at
 #     position 51 of the r6 head and was listed but never compared),
-# (2) the 10 queries added in r7 (never checked by construction),
+# (2) the 12 queries added in r7 (never checked by construction),
 # (3) the 3 queries whose OUTPUT or plan changed in r7
 #     (knn_recall_ivf probe is now fixed-count; knn_eval_ivf
 #     broadcast hints are now gated; stream_cms_topk now derives all
 #     depth hash rows from ONE md5 digest), so their green status is
 #     re-established on the new definitions,
-# (4) the first 20 of the 42-query r03 cohort (registration order).
-# The remaining 22 r03 queries (grouping_sets, window_range_frame,
-# jq_native_has_not, bm25_topk, importance_weights, zorder_layout
-# ... time_weighted_avg, plus cdc_latest and scd2_history) lead the
-# r8 head (bm25_topk and importance_weights were judge-reverified
-# typed-equal in r6, so their effective staleness is bounded); max
-# staleness after r7 is 4 rounds.
+# (4) the first 18 of the 42-query r03 cohort (registration order).
+# The remaining 24 r03 queries (mixture_sample, quality_classifier,
+# grouping_sets, window_range_frame, jq_native_has_not, bm25_topk,
+# importance_weights, zorder_layout ... time_weighted_avg, plus
+# cdc_latest and scd2_history) lead the r8 head (bm25_topk and
+# importance_weights were judge-reverified typed-equal in r6, so
+# their effective staleness is bounded); max staleness after r7 is
+# 4 rounds.
 _DRIVER_HEAD = [
     # -- (1) last driver-checked r02 (17) --
     "simhash_neardup",
@@ -67,7 +68,7 @@ _DRIVER_HEAD = [
     "train_test_split",
     "pack_documents",
     "percentiles",
-    # -- (2) new in r7, never driver-checked by construction (10) --
+    # -- (2) new in r7, never driver-checked by construction (12) --
     "embedding_quantize_int8",
     "supplier_affinity_cn",
     "ngram_novelty",
@@ -78,6 +79,8 @@ _DRIVER_HEAD = [
     "embedding_pca_power",
     "cuped_adjusted_lift",
     "bootstrap_ci_poisson",
+    "calibration_ece",
+    "k_anonymity_audit",
     # -- (3) definitions changed in r7 (3) --
     "knn_recall_ivf",
     "knn_eval_ivf",
@@ -108,8 +111,6 @@ _DRIVER_HEAD = [
     "chunk_dedup",
     "pii_redaction",
     "decontaminate",
-    "mixture_sample",
-    "quality_classifier",
 ]
 
 

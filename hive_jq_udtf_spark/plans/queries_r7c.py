@@ -307,3 +307,141 @@ QUERIES["cuped_adjusted_lift"] = q_cuped_adjusted_lift
 ORACLES["cuped_adjusted_lift"] = _ORACLE_CUPED
 QUERIES["bootstrap_ci_poisson"] = q_bootstrap_ci_poisson
 ORACLES["bootstrap_ci_poisson"] = _ORACLE_BOOT
+
+
+# ---------------------------------------------------------------------------
+# calibration_ece — reliability bins + expected calibration error
+# ---------------------------------------------------------------------------
+
+
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration audit (reliability diagram + ECE) for a
+    deterministic document-quality predictor: p = tok / (tok + 60)
+    (a rational logistic surrogate — no libm exp, whose JVM/libc
+    1-ulp skew would make bin edges engine-dependent) scored against
+    the outcome n_chars > 900.  Ten equal-width probability bins
+    report count, mean confidence, observed rate and |gap|; ECE is
+    the row-weighted mean |gap| — the standard eval every
+    classifier-driven curation filter (quality/PII/decontamination
+    gates) should ship with.
+
+    Scale shape: one codegen projection + one 10-key aggregation; the
+    ECE join is a broadcast of the 1-row total.  All ratios round at
+    4 dp per the determinism contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
+    scored = docs.select(
+        (tok.cast("double") / (tok + F.lit(60)).cast("double")).alias("p"),
+        F.when(F.col("n_chars") > 900, 1).otherwise(0).alias("y"),
+    ).withColumn("bin", F.least(F.lit(9), F.floor(F.col("p") * 10)).cast("int"))
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").alias("sp"),
+        F.sum("y").alias("sy"),
+    )
+    tot = bins.agg(
+        F.sum("n").alias("nt"),
+        F.sum(
+            F.abs(F.col("sp") / F.col("n") - F.col("sy") / F.col("n"))
+            * F.col("n")
+        ).alias("gap_mass"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("sp") / F.col("n"), 4).alias("conf"),
+            F.round(F.col("sy") / F.col("n"), 4).alias("obs"),
+            F.round(
+                F.abs(F.col("sp") / F.col("n") - F.col("sy") / F.col("n")), 4
+            ).alias("gap"),
+            F.round(F.col("gap_mass") / F.col("nt"), 4).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
+_ORACLE_ECE = """
+WITH scored AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE)
+           / (len(list_filter(string_split(text, ' '), x -> x <> '')) + 60) AS p,
+         CASE WHEN n_chars > 900 THEN 1 ELSE 0 END AS y
+  FROM documents),
+b AS (SELECT least(9, CAST(floor(p * 10) AS INT)) AS bin, p, y FROM scored),
+bins AS (SELECT bin, count(*) AS n, sum(p) AS sp, sum(y) AS sy
+         FROM b GROUP BY bin),
+tot AS (SELECT sum(n) AS nt,
+               sum(abs(sp / n - CAST(sy AS DOUBLE) / n) * n) AS gap_mass
+        FROM bins)
+SELECT bin, CAST(n AS BIGINT) AS n,
+       round(sp / n, 4) AS conf,
+       round(CAST(sy AS DOUBLE) / n, 4) AS obs,
+       round(abs(sp / n - CAST(sy AS DOUBLE) / n), 4) AS gap,
+       round(gap_mass / nt, 4) AS ece
+FROM bins CROSS JOIN tot ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_audit — quasi-identifier equivalence-class risk profile
+# ---------------------------------------------------------------------------
+
+_K_THRESHOLD = 5
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the events table: the quasi-identifier
+    is (event_type, calendar date, value band of 50) — the release
+    shape of an "anonymized" activity log — and every equivalence
+    class smaller than k=5 is a re-identification risk.  Per
+    event_type: class count, small-class count, rows at risk and the
+    minimum k.  The governance pass a 100 TB data release needs
+    before the privacy review, and it is two integer aggregations:
+    one shuffle on the QI, one rollup on its first component —
+    all-integer output, zero float surface."""
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.floor(F.col("value") / 50).cast("long").alias("band"),
+    )
+    classes = qi.groupBy("event_type", "d", "band").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        classes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("k") < _K_THRESHOLD, 1).otherwise(0)).alias(
+                "n_small_classes"
+            ),
+            F.sum(
+                F.when(F.col("k") < _K_THRESHOLD, F.col("k")).otherwise(0)
+            ).alias("rows_at_risk"),
+            F.min("k").alias("min_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_KANON = f"""
+WITH classes AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(floor(value / 50) AS BIGINT) AS band, count(*) AS k
+  FROM events GROUP BY 1, 2, 3)
+SELECT event_type,
+       count(*) AS n_classes,
+       CAST(sum(CASE WHEN k < {_K_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_classes,
+       CAST(sum(CASE WHEN k < {_K_THRESHOLD} THEN k ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(min(k) AS BIGINT) AS min_k
+FROM classes GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["calibration_ece"] = q_calibration_ece
+ORACLES["calibration_ece"] = _ORACLE_ECE
+QUERIES["k_anonymity_audit"] = q_k_anonymity_audit
+ORACLES["k_anonymity_audit"] = _ORACLE_KANON

@@ -1522,3 +1522,28 @@ def test_bootstrap_ci_brackets_estimate(spark, sf_dir):
     assert r["se_boot"] > 0.0
     # Poisson(1) resampling noise at ~1500 users stays in percent range
     assert (r["ci_hi"] - r["ci_lo"]) / r["est"] < 0.5
+
+
+def test_calibration_ece_is_weighted_gap_mean(spark, sf_dir):
+    from hive_jq_udtf_spark.plans.queries_r7c import q_calibration_ece
+
+    rows = q_calibration_ece(spark, sf_dir).collect()
+    assert all(0 <= r["bin"] <= 9 for r in rows)
+    assert all(0.0 <= r["conf"] <= 1.0 and 0.0 <= r["obs"] <= 1.0 for r in rows)
+    n_tot = sum(r["n"] for r in rows)
+    ece = sum(r["n"] * abs(r["conf"] - r["obs"]) for r in rows) / n_tot
+    # the reported ece re-derives (up to the 4-dp rounds) from the bins
+    assert abs(rows[0]["ece"] - ece) < 5e-3
+    assert len({r["ece"] for r in rows}) == 1  # same global value each row
+
+
+def test_k_anonymity_flags_singletons(spark):
+    from hive_jq_udtf_spark.plans.queries_r7c import q_k_anonymity_audit
+
+    out = q_k_anonymity_audit(spark, "/root/testdata/sf0.001").collect()
+    for r in out:
+        assert r["n_small_classes"] <= r["n_classes"]
+        assert r["rows_at_risk"] < 5 * max(r["n_small_classes"], 1) or (
+            r["n_small_classes"] == 0 and r["rows_at_risk"] == 0
+        )
+        assert r["min_k"] >= 1
