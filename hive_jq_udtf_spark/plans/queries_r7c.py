@@ -445,3 +445,84 @@ QUERIES["calibration_ece"] = q_calibration_ece
 ORACLES["calibration_ece"] = _ORACLE_ECE
 QUERIES["k_anonymity_audit"] = q_k_anonymity_audit
 ORACLES["k_anonymity_audit"] = _ORACLE_KANON
+
+
+# ---------------------------------------------------------------------------
+# bfs_hop_histogram — multi-source shortest hops on the supplier↔part graph
+# ---------------------------------------------------------------------------
+
+_BFS_HOPS = 4
+
+
+def _bfs_oracle_round(r: int) -> str:
+    return (
+        f"d{r} AS (SELECT ea.dst AS node, min(d{r-1}.d + ea.w) AS d\n"
+        f"  FROM ea JOIN d{r-1} ON ea.src = d{r-1}.node GROUP BY 1)"
+    )
+
+
+def q_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance histogram from suppliers 1-3 over the undirected
+    supplier↔part graph (pagerank_bipartite's edge set): how much of
+    the catalog is within 4 hops of the seed suppliers, split by node
+    type — the reachability profile supply-chain blast-radius and
+    recommendation-coverage analyses start from, and the fourth
+    iterative-graph family (operators/graph_paths.py).
+
+    Scale shape: edges persist ONCE in the regime-appropriate layout;
+    at this |V| the distance frame rides a broadcast, so each of the
+    4 Bellman-Ford rounds is a map-side join + one layout-reusing
+    min-aggregate with zero shuffles (weight-0 self-edges carry the
+    keep-current-distance term through the SAME join).  All-integer
+    output."""
+    from ..operators.graph_paths import multi_source_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    ).distinct()
+    edges = sp.union(sp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sources = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 3)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    hops = multi_source_hops(edges, sources, max_hops=_BFS_HOPS)
+    return (
+        hops.select(
+            "hops",
+            F.when(F.col("node") > 1000000, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+        )
+        .groupBy("hops", "node_type")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("hops", "node_type")
+    )
+
+
+_ORACLE_BFS = (
+    """
+WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p FROM lineitem),
+e AS (SELECT s AS src, p AS dst, 1 AS w FROM sp
+      UNION ALL SELECT p AS src, s AS dst, 1 AS w FROM sp),
+srcs AS (SELECT s_suppkey AS node FROM supplier WHERE s_suppkey <= 3),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT node FROM srcs),
+ea AS (SELECT src, dst, w FROM e
+       UNION ALL SELECT node AS src, node AS dst, 0 AS w FROM nodes),
+d0 AS (SELECT node, 0 AS d FROM srcs),
+"""
+    + ",\n".join(_bfs_oracle_round(r) for r in range(1, _BFS_HOPS + 1))
+    + f"""
+SELECT d AS hops,
+       CASE WHEN node > 1000000 THEN 'part' ELSE 'supplier' END AS node_type,
+       count(*) AS n_nodes
+FROM d{_BFS_HOPS} GROUP BY 1, 2 ORDER BY 1, 2
+"""
+)
+
+
+QUERIES["bfs_hop_histogram"] = q_bfs_hop_histogram
+ORACLES["bfs_hop_histogram"] = _ORACLE_BFS

@@ -1547,3 +1547,57 @@ def test_k_anonymity_flags_singletons(spark):
             r["n_small_classes"] == 0 and r["rows_at_risk"] == 0
         )
         assert r["min_k"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# multi_source_hops (operators/graph_paths.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_hops_path_graph(spark):
+    from hive_jq_udtf_spark.operators.graph_paths import multi_source_hops
+
+    # path 1-2-3-4-5-6, source {1}: exact hop distances, bounded at 3
+    path = [(i, i + 1) for i in range(1, 6)]
+    edges = spark.createDataFrame(
+        path + [(b, a) for a, b in path], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["hops"]
+        for r in multi_source_hops(edges, srcs, max_hops=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 and 6 are beyond 3 hops
+
+
+def test_bfs_hops_multi_source_min_and_isolated_source(spark):
+    from hive_jq_udtf_spark.operators.graph_paths import multi_source_hops
+
+    # two sources; node 3 is 1 hop from source 4 (not 2 from source 1);
+    # source 99 touches no edge but still reports distance 0
+    path = [(1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        path + [(b, a) for a, b in path], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(1,), (4,), (99,)], "node long")
+    got = {
+        r["node"]: r["hops"]
+        for r in multi_source_hops(edges, srcs, max_hops=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 0, 99: 0}
+
+
+def test_bfs_hops_self_loops_ignored_and_empty(spark):
+    from hive_jq_udtf_spark.operators.graph_paths import multi_source_hops
+
+    edges = spark.createDataFrame([(7, 7), (7, 8), (8, 7)], "src long, dst long")
+    srcs = spark.createDataFrame([(7,)], "node long")
+    got = {
+        r["node"]: r["hops"]
+        for r in multi_source_hops(edges, srcs, max_hops=2).collect()
+    }
+    assert got == {7: 0, 8: 1}
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert (
+        multi_source_hops(empty, srcs, max_hops=2).collect()[0]["hops"] == 0
+    )
