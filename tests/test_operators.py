@@ -1601,3 +1601,69 @@ def test_bfs_hops_self_loops_ignored_and_empty(spark):
     assert (
         multi_source_hops(empty, srcs, max_hops=2).collect()[0]["hops"] == 0
     )
+
+
+def test_setsim_prefix_join_randomized_differential(spark):
+    # seeded random corpus over a small vocabulary (the worst case for
+    # prefix filtering: every token is hot) at two thresholds — the
+    # operator must match brute force pair-for-pair
+    import random
+
+    from hive_jq_udtf_spark.operators.setsim import setsim_join_prefix
+
+    rng = random.Random(42)
+    vocab = [f"v{i}" for i in range(12)]
+    rows = {
+        i: rng.sample(vocab, rng.randint(1, 10)) for i in range(40)
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in rows.items()], "doc_id long, tokens array<string>"
+    )
+    for tn, td in ((1, 2), (4, 5)):
+        expect = _brute_jaccard_pairs(rows, tn, td)
+        got = {
+            (r["id_a"], r["id_b"]): (r["inter_sz"], r["union_sz"], r["jacc_bp"])
+            for r in setsim_join_prefix(df, tau_num=tn, tau_den=td).collect()
+        }
+        assert got == expect, f"tau={tn}/{td}"
+
+
+def test_bfs_hops_randomized_differential(spark):
+    # seeded random digraph vs a pure-Python BFS reference
+    import random
+    from collections import deque
+
+    from hive_jq_udtf_spark.operators.graph_paths import multi_source_hops
+
+    rng = random.Random(7)
+    n = 30
+    edges = set()
+    for _ in range(80):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((a, b))
+    sources = {0, 13}
+    max_hops = 5
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    dist = {s: 0 for s in sources}
+    dq = deque(sources)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    expect = {k: v for k, v in dist.items() if v <= max_hops}
+
+    edf = spark.createDataFrame(sorted(edges), "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in sorted(sources)], "node long")
+    got = {
+        r["node"]: r["hops"]
+        for r in multi_source_hops(edf, sdf, max_hops=max_hops).collect()
+    }
+    assert got == expect
