@@ -47,6 +47,14 @@ DEFAULT = [
     "zorder_layout",        # two-phase global ntile file assignment
     "stream_cms_topk",      # streaming CMS build + broadcast probe
     "bmp_transform_stats",  # Arrow mapInPandas real-codec transform
+    # round-7 families
+    "setsim_neardup",       # exact Jaccard: set collapse + prefix join
+    "embedding_pca_power",  # n*d^2 moment agg + O(d^2) driver iteration
+    "lpa_communities",      # broadcast-regime iterative LPA (persist layout)
+    "pagerank_bipartite",   # broadcast-regime iterative PageRank
+    "bfs_hop_histogram",    # multi-source Bellman-Ford hops
+    "bootstrap_ci_poisson", # B x |users| one-pass cluster bootstrap
+    "cuped_adjusted_lift",  # per-user frame + 1-row moment broadcast
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
