@@ -35,14 +35,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (1) the 17-query cohort last driver-checked in r02 (oldest stale,
 #     registration order — includes simhash_neardup, which sat at
 #     position 51 of the r6 head and was listed but never compared),
-# (2) the 13 queries added in r7 (never checked by construction),
+# (2) the 14 queries added in r7 (never checked by construction),
 # (3) the 3 queries whose OUTPUT or plan changed in r7
 #     (knn_recall_ivf probe is now fixed-count; knn_eval_ivf
 #     broadcast hints are now gated; stream_cms_topk now derives all
 #     depth hash rows from ONE md5 digest), so their green status is
 #     re-established on the new definitions,
-# (4) the first 17 of the 42-query r03 cohort (registration order).
-# The remaining 25 r03 queries (decontaminate, mixture_sample, quality_classifier,
+# (4) the first 16 of the 42-query r03 cohort (registration order).
+# The remaining 26 r03 queries (pii_redaction, decontaminate, mixture_sample, quality_classifier,
 # grouping_sets, window_range_frame, jq_native_has_not, bm25_topk,
 # importance_weights, zorder_layout ... time_weighted_avg, plus
 # cdc_latest and scd2_history) lead the r8 head (bm25_topk and
@@ -68,7 +68,7 @@ _DRIVER_HEAD = [
     "train_test_split",
     "pack_documents",
     "percentiles",
-    # -- (2) new in r7, never driver-checked by construction (13) --
+    # -- (2) new in r7, never driver-checked by construction (14) --
     "embedding_quantize_int8",
     "supplier_affinity_cn",
     "ngram_novelty",
@@ -82,12 +82,13 @@ _DRIVER_HEAD = [
     "calibration_ece",
     "k_anonymity_audit",
     "bfs_hop_histogram",
+    "conformal_interval",
     # -- (3) definitions changed in r7 (3) --
     "knn_recall_ivf",
     "knn_eval_ivf",
     "stream_cms_topk",
-    # -- (4) last driver-checked r03, first 17 of 42 in registration
-    #    order (the remaining 25 lead the r8 head — see the list in
+    # -- (4) last driver-checked r03, first 16 of 42 in registration
+    #    order (the remaining 26 lead the r8 head — see the list in
     #    the header comment above and COVERAGE.md) --
     "stream_windowed",
     "approx_percentiles",
@@ -105,7 +106,6 @@ _DRIVER_HEAD = [
     "jq_native_length",
     "jq_native_map_preds",
     "chunk_dedup",
-    "pii_redaction",
 ]
 
 

@@ -526,3 +526,104 @@ FROM d{_BFS_HOPS} GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["bfs_hop_histogram"] = q_bfs_hop_histogram
 ORACLES["bfs_hop_histogram"] = _ORACLE_BFS
+
+
+# ---------------------------------------------------------------------------
+# conformal_interval — split-conformal coverage audit, all-integer
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 1, 10  # alpha = 0.1 -> 90% target
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction audit (Vovk et al.; Angelopoulos &
+    Bates 2021 tutorial — public literature) for the fixed heuristic
+    token-count predictor yhat = n_chars DIV 6: documents split into
+    calibration/test folds by md5 parity, the conformal quantile q is
+    the ceil((n_cal+1)*(1-alpha))-th smallest ABSOLUTE residual on
+    the calibration fold (rank-based — finite-sample-valid and
+    integer-exact here, since both y and yhat are integers), and the
+    audit reports the realized test coverage of |y - yhat| <= q in
+    integer basis points.  The distribution-free interval audit any
+    learned curation scorer needs before its threshold ships.
+
+    Scale shape: one codegen projection, one calibration sort bounded
+    by ONE rank filter (window over the calibration fold only), one
+    broadcast of the 1-row q, one test-fold aggregate.  All-integer
+    output: zero float surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
+    base = docs.select(
+        tok.cast("long").alias("y"),
+        (F.col("n_chars") / 6).cast("long").alias("yhat"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+            .cast("bigint")
+            % 2
+        ).alias("fold"),  # 0 = calibration, 1 = test
+    ).withColumn("r", F.abs(F.col("y") - F.col("yhat")))
+    cal = base.where(F.col("fold") == 0)
+    n_cal = cal.groupBy().agg(F.count(F.lit(1)).alias("n_cal"))
+    # rank = ceil((n_cal+1)*(1-alpha)) clamped to n_cal
+    k = F.least(
+        F.col("n_cal"),
+        F.ceil(
+            (F.col("n_cal") + 1)
+            * F.lit(_CONF_ALPHA_DEN - _CONF_ALPHA_NUM)
+            / F.lit(_CONF_ALPHA_DEN)
+        ).cast("long"),
+    ).alias("k")
+    ranked = (
+        cal.select("r")
+        .withColumn("rn", F.row_number().over(Window.orderBy("r")))
+        .crossJoin(F.broadcast(n_cal.select("n_cal", k)))
+        .where(F.col("rn") == F.col("k"))
+        .select("n_cal", F.col("r").alias("q"))
+    )
+    test = base.where(F.col("fold") == 1)
+    return (
+        test.crossJoin(F.broadcast(ranked))
+        .groupBy("n_cal", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(F.col("r") <= F.col("q"), 1).otherwise(0)).alias(
+                "n_covered"
+            ),
+        )
+        .select(
+            "n_cal",
+            "n_test",
+            "q",
+            "n_covered",
+            F.expr("CAST((10000 * n_covered) DIV n_test AS BIGINT)").alias(
+                "coverage_bp"
+            ),
+        )
+    )
+
+
+_ORACLE_CONFORMAL = f"""
+WITH base AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS y,
+         CAST(floor(n_chars / 6) AS BIGINT) AS yhat,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 2 AS fold
+  FROM documents),
+r AS (SELECT fold, abs(y - yhat) AS r FROM base),
+cal AS (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM r WHERE fold = 0),
+nc AS (SELECT count(*) AS n_cal FROM cal),
+qq AS (SELECT n_cal, r AS q FROM cal CROSS JOIN nc
+       WHERE rn = least(n_cal, CAST(ceil((n_cal + 1)
+             * {_CONF_ALPHA_DEN - _CONF_ALPHA_NUM}.0 / {_CONF_ALPHA_DEN}) AS BIGINT))),
+t AS (SELECT count(*) AS n_test,
+             sum(CASE WHEN r.r <= qq.q THEN 1 ELSE 0 END) AS n_covered,
+             first(qq.n_cal) AS n_cal, first(qq.q) AS q
+      FROM r CROSS JOIN qq WHERE fold = 1)
+SELECT n_cal, CAST(n_test AS BIGINT) AS n_test, q,
+       CAST(n_covered AS BIGINT) AS n_covered,
+       CAST((10000 * n_covered) // n_test AS BIGINT) AS coverage_bp
+FROM t
+"""
+
+
+QUERIES["conformal_interval"] = q_conformal_interval
+ORACLES["conformal_interval"] = _ORACLE_CONFORMAL
