@@ -1254,13 +1254,14 @@ def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="sink_out_")
     ckpt = tempfile.mkdtemp(prefix="sink_ckpt_", dir=_stream_checkpoint_root())
     try:
-        # one file per micro-batch: the watermark only advances BETWEEN
-        # micro-batches, so the sentinel (written after events.parquet,
-        # hence newer mtime → second batch) closes the real windows in
-        # the final no-data batch
-        raw = stream_events(
-            spark, d, glob=None, reader_options={"maxFilesPerTrigger": "1"}
-        )
+        # the corpus + sentinel ride ONE data micro-batch: the
+        # watermark only advances BETWEEN micro-batches (from the
+        # batch max event time), so the trailing NO-DATA batch closes
+        # every real window — one fewer micro-batch of state/WAL cost
+        # than a maxFilesPerTrigger=1 split, identical emission
+        # (docs/aqe_partitioning.md's sibling finding; queries_r5g
+        # module docstring)
+        raw = stream_events(spark, d, glob=None)
         agg = (
             raw.withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
