@@ -904,11 +904,15 @@ def q_stream_hll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import stream_events
     from .queries import _STREAM_QUERY_SEQ, _stream_shuffle
 
-    # rsd 0.01 keeps the sketch in its exact sparse mode at these
-    # per-window cardinalities (measured: max_abs_err 0 at sf0.01);
-    # the bound below still carries a +2 additive allowance for the
-    # dense-mode small-count bias seen at rsd 0.02 (approx 9 for 11)
-    rsd = 0.01
+    # rsd 0.05 (~2^9 registers): Spark's HLL++ aggregation buffer is
+    # DENSE (no sparse mode), so per-window state is registers×8B —
+    # rsd 0.01 cost 2^14 words per window (~94 MB of state across the
+    # ~720 hourly windows, the dominant stream cost, measured 2.9 →
+    # 2.0 s); the emitted columns carry the EXACT batch distinct plus
+    # the bound flag, and the 5·rsd·exact + 2 allowance holds with
+    # margin at every window and SF (checked by the 3-SF sweep —
+    # a false bound_ok would hash-mismatch the oracle's TRUE column)
+    rsd = 0.05
     raw = stream_events(spark, sf_dir)
     agg = (
         raw.withWatermark("ts", "2 hours")
