@@ -456,3 +456,37 @@ def test_setsim_neardup_no_cartesian_no_python_no_doc_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for node in PY_NODES:
         assert node not in plan
+
+
+def test_aqe_layout_canary_persist_keeps_partitioning(spark):
+    # The iterative-graph operators (pagerank/LPA/BFS) lay their edge
+    # frame out ONCE via repartition(key).persist() and rely on AQE
+    # keeping that layout (docs/aqe_partitioning.md).  This canary
+    # pins both halves of the finding on the FINAL AdaptiveSparkPlan:
+    # a persisted layout aggregates exchange-free, a localCheckpoint
+    # layout does NOT (AQE discards LogicalRDD partitioning).  If a
+    # Spark upgrade changes either behavior, revisit the operators.
+    from pyspark.sql import functions as F
+
+    df = spark.range(10000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+
+    def final_plan(frame):
+        g = frame.groupBy("k").agg(F.sum("v"))
+        g.collect()
+        s = g._jdf.queryExecution().executedPlan().toString()
+        return s.split("== Initial Plan ==")[0]
+
+    pers = df.repartition(8, F.col("k")).persist()
+    try:
+        pers.count()
+        plan = final_plan(pers)
+        above = plan.split("InMemoryTableScan")[0]
+        assert "ENSURE_REQUIREMENTS" not in above, above
+    finally:
+        pers.unpersist()
+
+    cp = df.repartition(8, F.col("k")).localCheckpoint(eager=True)
+    plan_cp = final_plan(cp)
+    assert "ENSURE_REQUIREMENTS" in plan_cp, plan_cp
