@@ -490,3 +490,26 @@ def test_aqe_layout_canary_persist_keeps_partitioning(spark):
     cp = df.repartition(8, F.col("k")).localCheckpoint(eager=True)
     plan_cp = final_plan(cp)
     assert "ENSURE_REQUIREMENTS" in plan_cp, plan_cp
+
+
+def test_r7c_analytics_plan_shapes(spark):
+    # experimentation/governance wave: pure-codegen plans — no Python
+    # node anywhere, and no nested-loop join EXCEPT the documented
+    # 1-row broadcast moments/bounds crosses (BroadcastNestedLoopJoin
+    # over a single-row side is the intended shape for scalar
+    # parameters; a CartesianProduct over data-sized sides is not)
+    for name in (
+        "cuped_adjusted_lift",
+        "bootstrap_ci_poisson",
+        "calibration_ece",
+        "k_anonymity_audit",
+        "conformal_interval",
+    ):
+        plan = formatted_plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        for node in PY_NODES:
+            assert node not in plan, name
+    # the bootstrap's B-fanout must reduce map-side before its one
+    # exchange (partial aggregation on the exploded replicate stream)
+    plan = formatted_plan(spark, "bootstrap_ci_poisson")
+    assert "partial" in plan.lower()
