@@ -31,10 +31,28 @@ def main() -> None:
     # Shuffle/block files on tmpfs when available: local-mode stand-in
     # for the NVMe shuffle volumes a real cluster provisions.  /tmp in
     # this container is disk-backed; at toy SF the shuffle write+fsync
-    # latency is part of the per-query constant floor.
+    # latency is part of the per-query constant floor.  Gated on
+    # capacity (ADVICE r7): containers often cap /dev/shm at 64 MB,
+    # and ENOSPC mid-suite is worse than a slower floor — require
+    # comfortable headroom over the staged input + shuffle volume
+    # (staged parquet is ~2x the input; suite-wide shuffle spill at
+    # bench SFs stays well under 16x input) before leaving disk.
+    import shutil as _sh
     import tempfile
 
-    shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    shm = None
+    if os.access("/dev/shm", os.W_OK):
+        try:
+            input_bytes = sum(
+                os.path.getsize(os.path.join(sf_dir, f))
+                for f in os.listdir(sf_dir)
+                if f.endswith(".parquet")
+            )
+            need = max(4 << 30, 32 * input_bytes)
+            if _sh.disk_usage("/dev/shm").free >= need:
+                shm = "/dev/shm"
+        except OSError:
+            shm = None
     local_dir = tempfile.mkdtemp(prefix="bench_local_", dir=shm)
     import atexit
     import shutil
@@ -287,6 +305,20 @@ def main() -> None:
     except Exception as ex:
         sys.stderr.write(f"bench oracle pass skipped: {ex}\n")
     oracle_total = round(sum(t for t in oracle_seconds.values() if t >= 0), 3)
+    # Oracles that are DELIBERATELY brute-force audits of a smarter
+    # Spark plan (the oracle materializes all pairs / exact top-k so
+    # the bucketed plan has something exact to match).  Their cost
+    # says nothing about engine throughput, so the suite-ratio is also
+    # reported with them excluded (VERDICT r7 noise protocol).
+    audit_oracles = {"setsim_neardup", "ann_pq_topk", "dbscan_ivf"}
+    oracle_total_ex_audit = round(
+        sum(
+            t
+            for n, t in oracle_seconds.items()
+            if t >= 0 and n not in audit_oracles
+        ),
+        3,
+    )
     over_2x = sorted(
         n
         for n, t in timings.items()
@@ -300,6 +332,8 @@ def main() -> None:
         "queries": timings,
         "oracle_seconds": oracle_seconds,
         "oracle_suite_seconds": oracle_total,
+        "oracle_suite_seconds_ex_audit": oracle_total_ex_audit,
+        "local_dir_fs": "tmpfs" if shm else "disk",
         "n_over_2x_oracle": len(over_2x),
         "over_2x_oracle": over_2x,
         "sf": sf,

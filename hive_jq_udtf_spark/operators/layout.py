@@ -60,13 +60,20 @@ def global_ntile(
        three times (VERDICT r6 "What's wrong" #4); pass ``False``
        only when the input is a huge raw scan you'd rather re-read
        than spill (then you must guarantee deterministic lineage
-       yourself).  The split key must be numeric and non-NULL: rows
+       yourself).  Materialization uses ``localCheckpoint`` rather
+       than ``persist``: the input's layout is irrelevant (the
+       ranking window re-shuffles on ``_range`` regardless), and
+       checkpoint blocks are reference-tracked by the
+       ContextCleaner — freed when the result frame is released —
+       whereas ``persist`` entries sit in the CacheManager until an
+       explicit unpersist, accumulating across a multi-hundred-query
+       suite (ADVICE r7).  The split key must be numeric and non-NULL: rows
        whose key is NULL fall outside every range comparison and get
        a NULL bucket (unlike naive ``ntile``, which would still
        assign them via NULLS FIRST ordering).
     """
     if cache_input:
-        df = df.persist()
+        df = df.localCheckpoint(eager=True)
     key = sort_cols[0]
     probs = [i / num_partitions for i in range(1, num_partitions)]
     bounds = df.select(
@@ -145,10 +152,14 @@ def global_cumsum(
     once and all three jobs agree even under nondeterministic
     upstreams; chained calls (kaplan_meier's double prefix) stop
     re-running the whole chain.  Pass ``False`` for huge raw inputs
-    you'd rather re-scan than spill.
+    you'd rather re-scan than spill.  Materialized via
+    ``localCheckpoint`` (not ``persist``) so the blocks are
+    ContextCleaner-managed instead of living in the CacheManager
+    forever — the input's layout is irrelevant here because the
+    prefix window re-partitions on ``_range`` anyway (ADVICE r7).
     """
     if cache_input:
-        df = df.persist()
+        df = df.localCheckpoint(eager=True)
     key = sort_cols[0]
     probs = [i / num_partitions for i in range(1, num_partitions)]
     bounds = df.select(

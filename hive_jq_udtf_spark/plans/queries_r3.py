@@ -700,7 +700,7 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sp = li.select(
         F.col("l_suppkey").alias("src"),
-        (F.col("l_partkey") + 1000000).alias("dst"),
+        (F.col("l_partkey") + 1000000000000).alias("dst"),
     ).distinct()
     edges = sp.union(sp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # shuffle width scoped to the NODE set (21k at sf0.1) — the rank
@@ -723,7 +723,7 @@ def _pagerank_oracle(iterations: int = 10) -> str:
         )
     unrolled = ",\n".join(steps)
     return f"""
-WITH sp AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+WITH sp AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000000000 AS dst
             FROM lineitem),
 edges AS (SELECT src, dst FROM sp UNION ALL SELECT dst, src FROM sp),
 nodes AS (SELECT DISTINCT src AS node FROM edges),

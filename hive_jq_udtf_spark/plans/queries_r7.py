@@ -364,7 +364,7 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sp = li.select(
         F.col("l_suppkey").alias("src"),
-        (F.col("l_partkey") + 1000000).alias("dst"),
+        (F.col("l_partkey") + 1000000000000).alias("dst"),
     ).distinct()
     edges = sp.union(sp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labs = label_propagation(
@@ -380,7 +380,7 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_LPA = (
     """
-WITH sp AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+WITH sp AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000000000 AS dst
             FROM lineitem),
 edges AS (SELECT src, dst FROM sp UNION ALL SELECT dst, src FROM sp),
 nodes AS (SELECT DISTINCT src AS node FROM edges),

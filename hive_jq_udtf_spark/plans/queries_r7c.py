@@ -48,16 +48,15 @@ def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable codegen; the per-user frame is the only
     shuffle that scales with data."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # Integer midpoint: DIV keeps both engines on exact integer
+    # arithmetic.  (a + b) / 2 with a float cast diverged cross-engine
+    # on odd sums — Spark CAST(double AS LONG) truncates 7.5 -> 7 while
+    # DuckDB CAST(... AS BIGINT) rounds 7.5 -> 8, flipping the pre/post
+    # classification of any event on the boundary second (ADVICE r7).
     bounds = ev.agg(
-        (
-            (
-                F.floor(F.unix_timestamp(F.min("ts")))
-                + F.floor(F.unix_timestamp(F.max("ts")))
-            )
-            / 2
-        )
-        .cast("long")
-        .alias("mid")
+        F.expr(
+            "(unix_timestamp(min(ts)) + unix_timestamp(max(ts))) DIV 2"
+        ).alias("mid")
     )
     dec = F.col("value").cast("decimal(18,2)")
     per_user = (
@@ -137,7 +136,8 @@ def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_CUPED = """
 WITH bounds AS (
-  SELECT CAST((floor(epoch(min(ts))) + floor(epoch(max(ts)))) / 2 AS BIGINT) AS mid
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
   FROM events),
 per_user AS (
   SELECT user_id,
@@ -480,7 +480,7 @@ def q_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sp = li.select(
         F.col("l_suppkey").alias("src"),
-        (F.col("l_partkey") + 1000000).alias("dst"),
+        (F.col("l_partkey") + 1000000000000).alias("dst"),
     ).distinct()
     edges = sp.union(sp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sources = (
@@ -492,7 +492,7 @@ def q_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hops.select(
             "hops",
-            F.when(F.col("node") > 1000000, F.lit("part"))
+            F.when(F.col("node") > 1000000000000, F.lit("part"))
             .otherwise(F.lit("supplier"))
             .alias("node_type"),
         )
@@ -504,7 +504,7 @@ def q_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_BFS = (
     """
-WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p FROM lineitem),
+WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000000000 AS p FROM lineitem),
 e AS (SELECT s AS src, p AS dst, 1 AS w FROM sp
       UNION ALL SELECT p AS src, s AS dst, 1 AS w FROM sp),
 srcs AS (SELECT s_suppkey AS node FROM supplier WHERE s_suppkey <= 3),
@@ -517,7 +517,7 @@ d0 AS (SELECT node, 0 AS d FROM srcs),
     + ",\n".join(_bfs_oracle_round(r) for r in range(1, _BFS_HOPS + 1))
     + f"""
 SELECT d AS hops,
-       CASE WHEN node > 1000000 THEN 'part' ELSE 'supplier' END AS node_type,
+       CASE WHEN node > 1000000000000 THEN 'part' ELSE 'supplier' END AS node_type,
        count(*) AS n_nodes
 FROM d{_BFS_HOPS} GROUP BY 1, 2 ORDER BY 1, 2
 """
