@@ -60,6 +60,7 @@ def label_propagation(
     checkpoint_every: int = 2,
     shuffle_partitions: int | None = None,
     broadcast_labels: bool | None = None,
+    plan_probe: list | None = None,
 ) -> DataFrame:
     """edges: one row per DIRECTED edge (emit both directions for an
     undirected graph; self-loops are ignored).  Returns
@@ -68,6 +69,11 @@ def label_propagation(
 
     broadcast_labels: None (default) gates on the measured node
     count; True/False force the regime.
+
+    plan_probe: test hook — when a list is passed, each iteration's
+    PRE-checkpoint label frame is appended so plan-shape tests can
+    inspect the per-step join/aggregation physical plan (the returned
+    frame is checkpoint-backed, its lineage deliberately truncated).
 
     shuffle_partitions: scope a graph-sized shuffle width around the
     iterations (the pagerank convention) — only meaningful in the
@@ -90,7 +96,8 @@ def label_propagation(
 
     with _scoped():
         return _lpa_run(
-            edges, iterations, src, dst, checkpoint_every, broadcast_labels
+            edges, iterations, src, dst, checkpoint_every, broadcast_labels,
+            plan_probe,
         )
 
 
@@ -101,6 +108,7 @@ def _lpa_run(
     dst: str,
     checkpoint_every: int,
     broadcast_labels: bool | None,
+    plan_probe: list | None = None,
 ) -> DataFrame:
     spark = edges.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -150,6 +158,8 @@ def _lpa_run(
                 )
                 .select("node", (-F.col("m.nl")).alias("lab"))
             )
+            if plan_probe is not None:
+                plan_probe.append(labels)
             if (i + 1) % checkpoint_every == 0:
                 labels = labels.localCheckpoint(eager=True)
         if iterations % checkpoint_every != 0:

@@ -46,6 +46,7 @@ def multi_source_hops(
     node: str = "node",
     checkpoint_every: int = 2,
     broadcast_dist: bool | None = None,
+    plan_probe: list | None = None,
 ) -> DataFrame:
     """edges: one row per DIRECTED edge (emit both directions for an
     undirected graph; self-loops ignored).  sources: one row per
@@ -53,7 +54,12 @@ def multi_source_hops(
     node within ``max_hops`` of ANY source (sources themselves at 0).
 
     Source nodes that do not appear in the edge set still return
-    (node, 0) — an isolated source is at distance 0 from itself."""
+    (node, 0) — an isolated source is at distance 0 from itself.
+
+    plan_probe: test hook — when a list is passed, each round's
+    PRE-checkpoint distance frame is appended so plan-shape tests can
+    inspect the per-round join/min physical plan (the returned frame
+    is checkpoint-backed, its lineage deliberately truncated)."""
     spark = edges.sparkSession
     par = spark.sparkContext.defaultParallelism
     eraw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
@@ -95,6 +101,8 @@ def multi_source_hops(
                 .agg(F.min("nd").alias("d"))
                 .select(F.col("dst").alias("node"), "d")
             )
+            if plan_probe is not None:
+                plan_probe.append(dist)
             if (i + 1) % checkpoint_every == 0 or i == max_hops - 1:
                 dist = dist.localCheckpoint(eager=True)
         return dist.select("node", F.col("d").alias("hops"))

@@ -1098,8 +1098,13 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = stream_events(
         spark, d, glob=None, reader_options={"maxFilesPerTrigger": "1"}
     )
-    dd = raw.withWatermark("ts", "365 days").dropDuplicatesWithinWatermark(
-        ["event_id"]
+    # project BEFORE the dedup: only the key, the watermark column and
+    # the output column ride the shuffle into keyed state — props (the
+    # fat JSON string) never leaves the scan
+    dd = (
+        raw.select("ts", "event_id", "event_type")
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
     )
     _STREAM_QUERY_SEQ[0] += 1
     name = f"dedup_wm_{_STREAM_QUERY_SEQ[0]}"
@@ -1251,7 +1256,11 @@ def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SOURCE staging is reused across runs; the sink/checkpoint
     # dirs must be fresh per run (append sink + offsets are stateful)
     d = _staged_dir("sink_src", sf_dir, _build)
-    out_dir = tempfile.mkdtemp(prefix="sink_out_")
+    # sink directory on the same tmpfs root as the checkpoint: the
+    # parquet sink commits data files + the _spark_metadata WAL with
+    # fsyncs, which on the disk-backed /tmp is pure floor at toy SF
+    # (at scale this path is object storage, not a local disk)
+    out_dir = tempfile.mkdtemp(prefix="sink_out_", dir=_stream_checkpoint_root())
     ckpt = tempfile.mkdtemp(prefix="sink_ckpt_", dir=_stream_checkpoint_root())
     try:
         # the corpus + sentinel ride ONE data micro-batch: the

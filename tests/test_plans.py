@@ -513,3 +513,150 @@ def test_r7c_analytics_plan_shapes(spark):
     # exchange (partial aggregation on the exploded replicate stream)
     plan = formatted_plan(spark, "bootstrap_ci_poisson")
     assert "partial" in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# Forced shuffle-regime tests for the |V|-gated broadcast operators
+# (VERDICT r7 #4): at test SFs the gates always pick broadcast, so the
+# 100x shuffle path was written but never executed.  These force it
+# (regime flag + autoBroadcastJoinThreshold=-1 so AQE cannot sneak the
+# broadcast back) and assert BOTH correctness and the exchange shape.
+# ---------------------------------------------------------------------------
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _no_auto_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _final_plan_of(df) -> str:
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.split("== Initial Plan ==")[0]
+
+
+def _two_clique_edges(spark):
+    from pyspark.sql import functions as F
+
+    # two 5-cliques bridged by one edge — unambiguous communities
+    pairs = [
+        (a, b)
+        for grp in (range(5), range(10, 15))
+        for a in grp
+        for b in grp
+        if a != b
+    ] + [(4, 10), (10, 4)]
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_lpa_forced_shuffle_regime_matches_broadcast_and_shuffles(spark):
+    from hive_jq_udtf_spark.operators.communities import label_propagation
+
+    edges = _two_clique_edges(spark)
+    want = sorted(
+        map(tuple, label_propagation(edges, iterations=3,
+                                     broadcast_labels=True).collect())
+    )
+    probe: list = []
+    with _no_auto_broadcast(spark):
+        got_df = label_propagation(
+            edges, iterations=3, broadcast_labels=False, plan_probe=probe
+        )
+        got = sorted(map(tuple, got_df.collect()))
+        plan = _final_plan_of(probe[0])
+    assert got == want
+    # the per-step plan really runs the shuffle regime: a non-broadcast
+    # join plus at least one hash exchange (the label frame moving to
+    # the edges' hash(src) layout / the mode aggregation)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    assert "Exchange hashpartitioning" in plan, plan
+
+
+def test_lpa_broadcast_regime_step_is_exchange_free(spark):
+    from hive_jq_udtf_spark.operators.communities import label_propagation
+
+    edges = _two_clique_edges(spark)
+    probe: list = []
+    label_propagation(
+        edges, iterations=3, broadcast_labels=True, plan_probe=probe
+    ).collect()
+    plan = _final_plan_of(probe[0])
+    # broadcast join + both aggregations riding the hash(dst) layout:
+    # no Catalyst-INSERTED exchange anywhere in the step (the probe
+    # re-executes after the operator unpersisted its edge cache, so
+    # the one-time REPARTITION_BY_NUM layout exchange shows up inline
+    # here — in production it sits inside the persisted frame; what
+    # must never appear is an ENSURE_REQUIREMENTS re-shuffle)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ENSURE_REQUIREMENTS" not in plan, plan
+
+
+def test_bfs_forced_shuffle_regime_matches_broadcast_and_shuffles(spark):
+    from hive_jq_udtf_spark.operators.graph_paths import multi_source_hops
+
+    edges = _two_clique_edges(spark)
+    srcs = spark.createDataFrame([(0,)], "node long")
+    want = sorted(
+        map(tuple, multi_source_hops(edges, srcs, max_hops=3,
+                                     broadcast_dist=True).collect())
+    )
+    probe: list = []
+    with _no_auto_broadcast(spark):
+        got_df = multi_source_hops(
+            edges, srcs, max_hops=3, broadcast_dist=False, plan_probe=probe
+        )
+        got = sorted(map(tuple, got_df.collect()))
+        plan = _final_plan_of(probe[0])
+    assert got == want
+    assert "BroadcastHashJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    assert "Exchange hashpartitioning" in plan, plan
+
+
+def test_bfs_broadcast_regime_round_is_exchange_free(spark):
+    from hive_jq_udtf_spark.operators.graph_paths import multi_source_hops
+
+    edges = _two_clique_edges(spark)
+    srcs = spark.createDataFrame([(0,)], "node long")
+    probe: list = []
+    multi_source_hops(
+        edges, srcs, max_hops=3, broadcast_dist=True, plan_probe=probe
+    ).collect()
+    plan = _final_plan_of(probe[0])
+    # same reasoning as the LPA broadcast-regime test: the one-time
+    # REPARTITION_BY_NUM layout exchange is expected inline (cache
+    # already unpersisted); an ENSURE_REQUIREMENTS re-shuffle is not
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ENSURE_REQUIREMENTS" not in plan, plan
+
+
+def test_knn_eval_ivf_past_gate_degrades_to_shuffle_joins(spark):
+    # force the probe-size gate shut AND kill auto-broadcast: the
+    # hinted plan must degrade to shuffle joins on (cell)/(qid) with
+    # identical output — the documented 100x path actually executed
+    from hive_jq_udtf_spark.plans import queries_r6 as r6
+
+    name = "knn_eval_ivf"
+    want = sorted(map(tuple, QUERIES[name](spark, SF_DIR).collect()))
+    old_gate = r6._BROADCAST_MAX_PROBE
+    r6._BROADCAST_MAX_PROBE = 0
+    try:
+        with _no_auto_broadcast(spark):
+            df = QUERIES[name](spark, SF_DIR)
+            got = sorted(map(tuple, df.collect()))
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            plan = plan.split("== Initial Plan ==")[0]
+    finally:
+        r6._BROADCAST_MAX_PROBE = old_gate
+    assert got == want
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan

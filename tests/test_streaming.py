@@ -117,3 +117,83 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     assert q.awaitTermination(120)
     back = spark.read.parquet(f"{out_dir}/batch=*")
     assert sorted(r.k for r in back.collect()) == list(range(10))
+
+
+def test_cms_append_mode_evicts_state(spark):
+    """stream_cms_topk's bounded-state claim, pinned on window COUNT
+    (VERDICT r7 #2): in append mode the watermark must EVICT closed
+    windows from the state store, not just stop them growing.  Runs
+    the query's exact streaming stage (sentinel-staged source, 2h
+    watermark, hourly CMS cells) and asserts from the progress events
+    that (a) rows were removed from state, (b) the final resident
+    state is only the OPEN sentinel window's cells — orders of
+    magnitude below the emitted-window total a complete-mode sink
+    would keep forever."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from hive_jq_udtf_spark.plans.queries import (
+        _stage_ss_outer_source,
+        _stream_shuffle,
+    )
+    from hive_jq_udtf_spark.sources.tables import stream_events
+
+    depth, width = 4, 256
+    buckets = F.expr(
+        f"transform(sequence(0, {depth - 1}), j ->"
+        f" CAST(conv(substr(md5(CAST(user_id AS STRING)), j*8 + 1, 8),"
+        f" 16, 10) AS BIGINT) % {width})"
+    )
+    raw = stream_events(
+        spark, _stage_ss_outer_source("/root/testdata/sf0.001"), glob=None
+    )
+    cells = (
+        raw.withWatermark("ts", "2 hours")
+        .select("ts", "user_id")
+        .select("ts", F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sketches = cells.groupBy(
+        F.window(F.window_time("w"), "1 hour").alias("w2")
+    ).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("j").cast("long") * width + F.col("bucket")).alias(
+                        "k"
+                    ),
+                    F.col("cnt").alias("v"),
+                )
+            )
+        ).alias("m")
+    )
+    with _stream_shuffle(spark):
+        q = (
+            sketches.writeStream.format("memory")
+            .queryName("cms_evict_probe")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+    batches = [
+        p["stateOperators"]
+        for p in (_json.loads(x.json) for x in q.recentProgress)
+        if p.get("stateOperators")
+    ]
+    assert batches, "no stateful progress events recorded"
+    removed = sum(o.get("numRowsRemoved", 0) for b in batches for o in b)
+    final_total = sum(o["numRowsTotal"] for o in batches[-1])
+    emitted = spark.table("cms_evict_probe").count()
+    # every real window was emitted as one packed sketch row ...
+    assert emitted > 100
+    # ... the cell-level state (hundreds of rows per window at this
+    # SF) was evicted on window close, not retained
+    assert removed > emitted
+    # only the open (far-future sentinel) windows may stay resident
+    # across BOTH stateful operators: the sentinel user's `depth`
+    # cells in op1 plus its partial sketch row in op2, cushion 2x —
+    # versus the >100 windows x cells a complete-mode sink keeps
+    assert final_total <= 2 * (depth + 1)
