@@ -25,6 +25,16 @@ error — same class.  On clean data the tiers agree BIT-FOR-BIT —
 pinned by the property tests in tests/test_native.py; transcendental
 math fns stay Python-tier because JVM libm is not correctly rounded
 (see _NUM_FNS note).
+
+Iteration deltas: ``.[]``/``.path[]`` iterates BOTH arrays and
+objects at the first iterate level (object values in document key
+order, matching the Python tier, r8).  At INNER iterate levels of a
+multi-iterate program (``.a[].b[]``) elements ride Spark variants,
+which sort object keys — object values there are skipped rather than
+emitted out of order; programs needing object-of-object iteration
+should pass ``native="never"``.  ``.[]`` on scalars/null yields no
+rows where jq raises (the documented error-channel delta shared with
+missing paths).
 """
 
 from __future__ import annotations
@@ -92,6 +102,11 @@ class NativeIR:
     # single-iterate case.  Filters/projections are always relative
     # to the LAST iterated element.
     mid_paths: list = field(default_factory=list)
+    # per-iterate output cap from limit(n; ...)/first(...): entry k
+    # caps the k-th iterate (None = unlimited).  jq's generator
+    # laziness maps to a pre-explode array slice — the explode never
+    # materializes the elements limit() would not have pulled.
+    iter_limits: list = field(default_factory=list)
     pre_filters: list[Filter] = field(default_factory=list)
     post_filters: list[Filter] = field(default_factory=list)
     # projection: None = identity; {name: Path|("lit", v)} = object construct
@@ -127,6 +142,55 @@ def _flatten(ast: AST, out: list) -> bool:
         if f is None:
             return False
         out.append(("select", f))
+        return True
+    if tag == "call" and ast[1] == "first" and len(ast[2]) == 0:
+        # jq: `first` == `.[0]`
+        out.append(("step", 0))
+        return True
+    if tag == "call" and ast[1] in ("limit", "first") and len(ast[2]) in (1, 2):
+        # limit(n; <path chain with one iterate>) / first(<same>):
+        # the first n stream outputs of a pure path chain are the
+        # first n array elements — a pre-explode slice.  Bodies with
+        # select() stay Python-tier (their per-element output count
+        # is data-dependent, not slice-able).
+        if ast[1] == "limit":
+            if len(ast[2]) != 2:
+                return False
+            n_ast, body = ast[2]
+            if n_ast[0] == "neg" and n_ast[1][0] == "literal":
+                n_ast = ("literal", -n_ast[1][1]) if isinstance(
+                    n_ast[1][1], int
+                ) and not isinstance(n_ast[1][1], bool) else n_ast
+            if (
+                n_ast[0] != "literal"
+                or not isinstance(n_ast[1], int)
+                or isinstance(n_ast[1], bool)
+            ):
+                return False
+            # jqlib pins limit(n <= 0; f) -> empty
+            n = max(n_ast[1], 0)
+        else:
+            if len(ast[2]) != 1:
+                return False
+            body = ast[2][0]
+            n = 1
+        sub: list = []
+        if not _flatten(body, sub):
+            return False
+        if any(s[0] not in ("step", "iterate") for s in sub):
+            return False
+        iters = [i for i, s in enumerate(sub) if s[0] == "iterate"]
+        if len(iters) == 0:
+            # body is a bare path: one output, so limit(n>=1) is the
+            # identity on it; n == 0 (empty) is not expressible here
+            if n < 1:
+                return False
+            out.extend(sub)
+            return True
+        if len(iters) != 1:
+            return False
+        sub[iters[0]] = ("iterate", n)
+        out.extend(sub)
         return True
     if tag == "object":
         proj = {}
@@ -778,6 +842,7 @@ def analyze_program(program: str) -> Optional[NativeIR]:
             else:
                 ir.pre_path = ir.pre_path + (st[1],)
         elif kind == "iterate":
+            lim = st[1] if len(st) > 1 else None
             if seen_iterate:
                 if ir.post_filters:
                     # select BETWEEN iterates — not expressible as a
@@ -787,6 +852,7 @@ def analyze_program(program: str) -> Optional[NativeIR]:
                 post_steps = []
             else:
                 seen_iterate = True
+            ir.iter_limits.append(lim)
         elif kind == "select":
             fl = st[1]
 
@@ -1758,7 +1824,36 @@ class NativePlan:
             F.from_json(src, T.ArrayType(T.VariantType())),
             lambda e: _rebuild(e),
         )
-        nav = F.coalesce(nav, F.when(is_array, fallback))
+        # `.[]` over an OBJECT iterates its VALUES (jq semantics; the
+        # Python tier has always done this — the native tier used to
+        # silently drop such rows).  The values come from a from_json
+        # map parse, which preserves the document's key insertion
+        # order exactly like the Python tier; the variant route would
+        # NOT (variant objects sort their keys), so it is only used
+        # for the is-object gate.  Mid-level iterates thread element
+        # variants and therefore still skip object values — see the
+        # module-docstring delta note.
+        is_object = F.schema_of_variant(
+            F.try_variant_get(F.try_parse_json(col), jsonpath, "variant")
+        ).startswith("OBJECT")
+        obj_vals = F.map_values(
+            F.from_json(src, T.MapType(T.StringType(), T.VariantType()))
+        )
+        obj_fallback = F.transform(obj_vals, lambda e: _rebuild(e))
+        # the is_object branch must PRE-empt the typed parse: Jackson
+        # reads a JSON object where array<struct> is declared as a
+        # single-element array (its lenient convenience), which would
+        # emit the object itself as one row instead of iterating its
+        # values.  A null/false is_object (array, scalar, corrupt)
+        # keeps the pre-r8 behavior bit-for-bit.
+        nav = F.when(is_object, obj_fallback).otherwise(
+            F.coalesce(nav, F.when(is_array, fallback))
+        )
+        lims = ir.iter_limits or []
+        if lims and lims[0] is not None:
+            # limit(n; .[]) — jq's lazy "first n outputs" is a slice
+            # BEFORE the explode: the dropped elements never become rows
+            nav = F.slice(nav, F.lit(1), F.lit(lims[0]))
         gen = F.explode_outer if outer else F.explode
         if ir.mid_paths:
             # chained explode for multi-iterate programs (.a[].b[]).
@@ -1777,7 +1872,17 @@ class NativePlan:
             var0 = F.try_variant_get(
                 F.try_parse_json(col), jsonpath, "array<variant>"
             )
-            var0 = F.coalesce(var0, F.array_repeat(null_var, F.size(nav)))
+            # object-iterated level 0: the variant twin must come from
+            # the SAME from_json parse as nav so the zip stays
+            # index-aligned (variant object access would re-order)
+            var0 = F.coalesce(
+                var0,
+                F.when(is_object, obj_vals),
+                F.array_repeat(null_var, F.size(nav)),
+            )
+            if lims and lims[0] is not None:
+                # keep the twin aligned with the sliced nav
+                var0 = F.slice(var0, F.lit(1), F.lit(lims[0]))
             zipped = F.when(
                 nav.isNotNull(), F.arrays_zip(nav.alias("t"), var0.alias("v"))
             )
@@ -1800,6 +1905,10 @@ class NativePlan:
                     ),
                 )
                 v2 = F.coalesce(v2, F.array_repeat(null_var, F.size(c2)))
+                limn = lims[lvl] if lvl < len(lims) else None
+                if limn is not None:
+                    c2 = F.slice(c2, F.lit(1), F.lit(limn))
+                    v2 = F.slice(v2, F.lit(1), F.lit(limn))
                 zipped = F.when(
                     c2.isNotNull(), F.arrays_zip(c2.alias("t"), v2.alias("v"))
                 )

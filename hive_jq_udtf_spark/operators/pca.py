@@ -108,3 +108,70 @@ def power_iteration_top_eig(
     if v[m] < 0:
         v = [-x for x in v]
     return v, lam, d
+
+
+def _power_once(cov: dict, d: int, iters: int):
+    """One power-iteration run on a driver-side matrix: returns the
+    UNPINNED final vector and its Rayleigh eigenvalue.  Sequential
+    float arithmetic (see module doc)."""
+    v = [1.0 / math.sqrt(d)] * d
+    for _ in range(iters):
+        w = []
+        for i in range(d):
+            s = 0.0
+            for j in range(d):
+                s += cov[(i, j)] * v[j]
+            w.append(s)
+        n = 0.0
+        for x in w:
+            n += x * x
+        n = math.sqrt(n)
+        v = [x / n for x in w]
+    lam = 0.0
+    for i in range(d):
+        s = 0.0
+        for j in range(d):
+            s += cov[(i, j)] * v[j]
+        lam += v[i] * s
+    return v, lam
+
+
+def power_iteration_topk(
+    emb: DataFrame, k: int = 4, vec_col: str = "embedding", iters: int = 12
+):
+    """Top-``k`` principal components by DEFLATED power iteration
+    (VERDICT r7 #7): the distributed work is still the single n*d^2/2
+    moment aggregation of :func:`covariance_matrix_rounded`; every
+    component after the first costs only a driver-side d^2 deflation
+    ``cov[i][j] -= lam * v[i] * v[j]`` on the collected matrix —
+    corpus-size-independent, like the collect itself.
+
+    Deflation uses the UNPINNED vector (v v^T is sign-invariant, and
+    an exact-arithmetic SQL replay must subtract the identical
+    products); the RETURNED loadings are sign-pinned per component.
+    Fixed ``iters`` per component means the result is a deterministic
+    function of the rounded matrix — components whose eigenvalues are
+    nearly tied are a fixed, replayable mixture rather than a
+    converged eigenbasis (the standard power-iteration caveat; at 12
+    iterations the top components of a real spectrum separate fine).
+
+    Returns (components, d) where components is a list of k
+    (loadings, eigval) pairs in decreasing-eigenvalue order.
+    """
+    cov, d = covariance_matrix_rounded(emb, vec_col)
+    cov = dict(cov)
+    comps = []
+    for _ in range(k):
+        v, lam = _power_once(cov, d, iters)
+        # deflate BEFORE pinning; (lam * v[i]) * v[j] ordering is the
+        # replay contract with the SQL oracle
+        for i in range(d):
+            for j in range(d):
+                cov[(i, j)] = cov[(i, j)] - lam * v[i] * v[j]
+        m = 0
+        for i in range(1, d):
+            if abs(v[i]) > abs(v[m]):
+                m = i
+        out = [-x for x in v] if v[m] < 0 else list(v)
+        comps.append((out, lam))
+    return comps, d

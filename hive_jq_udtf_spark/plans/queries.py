@@ -3532,3 +3532,4 @@ from . import queries_r6  # noqa: E402,F401  isort:skip
 from . import queries_r7  # noqa: E402,F401  isort:skip
 from . import queries_r7b  # noqa: E402,F401  isort:skip
 from . import queries_r7c  # noqa: E402,F401  isort:skip
+from . import queries_r8  # noqa: E402,F401  isort:skip

@@ -533,6 +533,15 @@ GROWTH_CASES = [
     ('{t: (.name | test("^T")), c: (.name | contains("or"))}', ("t:boolean", "c:boolean")),
     ('{p: (.name | split("o")[0])}', ("p:string",)),
     ('{p: (.name | split("o")[2])}', ("p:string",)),
+    # round-8 growth: limit/first generator laziness -> pre-explode
+    # slice (SURVEY §4.2 item 4)
+    ("limit(2; .orders[]) | {oid: .oid}", ("oid:int",)),
+    ("limit(3; .nums[])", ("double",)),
+    ("limit(0; .nums[])", ("double",)),
+    (".orders[] | limit(2; .lines[]) | {sku: .sku, qty: .qty}",
+     ("sku:string", "qty:int")),
+    ("first(.nums[])", ("double",)),
+    ("limit(2; .name)", ("string",)),
 ]
 
 
@@ -911,3 +920,42 @@ def test_native_ceil_matches_python_tier_and_log_stays_python(spark):
     assert sorted(nat) == sorted(py)
     assert compile_native('{l: (.k | log2)}', ("l:double",)) is None
     assert compile_native('{e: (.k | exp)}', ("e:double",)) is None
+
+
+def test_native_object_iteration_matches_python_tier(spark):
+    # `.[]` over OBJECTS iterates values (r8): before this the native
+    # tier silently dropped object rows the Python tier iterates.
+    # Order matters: jq emits object values in document key order, so
+    # compare UNSORTED sequences on single-row frames.
+    for doc, decls, prog in (
+        ('{"b": 2, "a": 1, "c": 3}', ("int",), ".[]"),
+        ('{"b": 2, "a": 1, "c": 3}', ("int",), "limit(2; .[])"),
+        ('{"x": {"n": 1}, "y": {"n": 2}}', ("n:int",), ".[] | {n: .n}"),
+        ('{"items": {"k2": 10, "k1": 9}}', ("int",), ".items[]"),
+        ("{}", ("int",), ".[]"),
+    ):
+        df = spark.createDataFrame([(doc,)], "j string")
+        plan = compile_native(prog, decls)
+        assert plan is not None, prog
+        nat = jq_explode(df, "j", prog, *decls, native="require")
+        py = jq_explode(df, "j", prog, *decls, native="never")
+        assert _plan_is_pythonfree(nat)
+        cols = [c for c in nat.columns if c != "j"]
+        assert nat.select(cols).collect() == py.select(cols).collect(), (
+            doc,
+            prog,
+        )
+    # mixed array/object corpus, multi-row (order-insensitive)
+    rows = [
+        ('{"a": 11, "b": 22}',),
+        ("[5, 6, 7]",),
+        ('{"z": 7}',),
+        ("{}",),
+        ("[]",),
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    nat = jq_explode(df, "j", ".[]", "int", native="require")
+    py = jq_explode(df, "j", ".[]", "int", native="never")
+    assert sorted(r.col1 for r in nat.collect()) == sorted(
+        r.col1 for r in py.collect()
+    ) == [5, 6, 7, 7, 11, 22]

@@ -1494,6 +1494,47 @@ def test_pca_power_iteration_matches_numpy_eigh(spark):
     assert v[m] > 0
 
 
+def test_pca_topk_deflation_matches_numpy_eigh(spark):
+    import numpy as np
+
+    from hive_jq_udtf_spark.operators.pca import power_iteration_topk
+
+    rng = np.random.default_rng(23)
+    # three well-separated axes + one noise dim, so deflated power
+    # iteration at 40 steps resolves each component cleanly
+    n, d = 500, 4
+    a = rng.normal(size=(n, 1)) * 4.0
+    b = rng.normal(size=(n, 1)) * 2.0
+    c = rng.normal(size=(n, 1)) * 1.0
+    x = np.hstack(
+        [
+            a + rng.normal(size=(n, 1)) * 0.05,
+            b + rng.normal(size=(n, 1)) * 0.05,
+            c + rng.normal(size=(n, 1)) * 0.05,
+            rng.normal(size=(n, 1)) * 0.1,
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    comps, dim = power_iteration_topk(df, k=3, iters=40)
+    assert dim == d and len(comps) == 3
+    cov = np.cov(x.T, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    for rank, (v, lam) in enumerate(comps):
+        ref = vecs[:, -1 - rank]
+        # direction match up to sign; eigenvalue match
+        assert abs(abs(float(np.dot(ref, v))) - 1.0) < 1e-3, rank
+        assert abs(lam - w[-1 - rank]) < 1e-2, rank
+        # unit norm + sign pin per component
+        assert abs(sum(c2 * c2 for c2 in v) - 1.0) < 1e-9
+        m = max(range(d), key=lambda i: abs(v[i]))
+        assert v[m] > 0
+    # eigenvalues strictly decreasing (deflation removed each axis)
+    assert comps[0][1] > comps[1][1] > comps[2][1]
+
+
 # ---------------------------------------------------------------------------
 # experimentation analytics (plans/queries_r7c.py)
 # ---------------------------------------------------------------------------

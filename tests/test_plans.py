@@ -660,3 +660,13 @@ def test_knn_eval_ivf_past_gate_degrades_to_shuffle_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+
+def test_jq_native_limit_no_python_node(spark):
+    # all three programs (limit / first / object-iterate) must stay on
+    # the native tier: no Python boundary anywhere, and the limit is a
+    # pre-explode slice (no row-limit operator after a Python stage)
+    plan = formatted_plan(spark, "jq_native_limit")
+    for node in PY_NODES:
+        assert node not in plan
+    assert "slice(" in plan
