@@ -24,88 +24,85 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness harness compares the FIRST 50 queries() entries
-# (observed: CORRECTNESS_r01-r06 are exactly list(queries())[:50]).
+# (observed: CORRECTNESS_r01-r07 are exactly list(queries())[:50]).
 # The repo has grown past 50, so the head below rotates coverage so
 # every query appears in a driver artifact within a bounded number of
 # rounds (see README "Correctness coverage rotation" and COVERAGE.md
-# for the per-round staleness table).  Full driver coverage was
-# reached in r6 (every registered query has >= 1 green artifact in
-# r1 ∪ ... ∪ r6); the bar now is bounded STALENESS (VERDICT r6
-# "Next round #1").  Round 7 head, exactly 50 entries:
-# (1) the 17-query cohort last driver-checked in r02 (oldest stale,
-#     registration order — includes simhash_neardup, which sat at
-#     position 51 of the r6 head and was listed but never compared),
-# (2) the 14 queries added in r7 (never checked by construction),
-# (3) the 3 queries whose OUTPUT or plan changed in r7
-#     (knn_recall_ivf probe is now fixed-count; knn_eval_ivf
-#     broadcast hints are now gated; stream_cms_topk now derives all
-#     depth hash rows from ONE md5 digest), so their green status is
-#     re-established on the new definitions,
-# (4) the first 16 of the 42-query r03 cohort (registration order).
-# The remaining 26 r03 queries (pii_redaction, decontaminate, mixture_sample, quality_classifier,
-# grouping_sets, window_range_frame, jq_native_has_not, bm25_topk,
-# importance_weights, zorder_layout ... time_weighted_avg, plus
-# cdc_latest and scd2_history) lead the r8 head (bm25_topk and
-# importance_weights were judge-reverified typed-equal in r6, so
-# their effective staleness is bounded); max staleness after r7 is
-# 4 rounds.
+# for the per-round staleness table).  Round 8 head, exactly 50
+# entries (VERDICT r7 "Next round" #1):
+# (1) the 26-query cohort last driver-checked in r03 (staleness 4,
+#     the bound's edge — MUST lead, registration order),
+# (2) the 2 queries added in r8 (never checked by construction):
+#     jq_native_limit, embedding_pca_topk,
+# (3) the 4 queries whose OUTPUT or definition changed in r8, so
+#     their green status is re-established on the new definitions:
+#     stream_cms_topk (complete -> append mode with watermark
+#     eviction + chained sketch packing), cuped_adjusted_lift
+#     (integer midpoint), lpa_communities + bfs_hop_histogram
+#     (part-node namespace 1e6 -> 1e12),
+# (4) 18 of the 49-query r04 cohort: stream_file_sink and
+#     stream_dedup_watermark first (both got output-neutral perf
+#     edits this round — tmpfs sink dir, pre-state projection — so
+#     their green is re-established on the new plans), then the first
+#     16 in registration order.
+# The remaining 31 r04 queries slip to staleness 5 for one round and
+# lead the r9 head — the documented one-round overage (COVERAGE.md).
 _DRIVER_HEAD = [
-    # -- (1) last driver-checked r02 (17) --
-    "simhash_neardup",
-    "language_id",
-    "ann_srp_topk",
-    "ann_ivf_topk",
-    "session_windows",
-    "salted_join_agg",
-    "minhash_dedup_keep",
-    "cube_counts",
-    "distinct_agg",
-    "pivot_counts",
-    "asof_attribution",
-    "range_attribution",
-    "jq_sql_lateral",
-    "stateful_running_totals",
-    "train_test_split",
-    "pack_documents",
-    "percentiles",
-    # -- (2) new in r7, never driver-checked by construction (14) --
-    "embedding_quantize_int8",
-    "supplier_affinity_cn",
-    "ngram_novelty",
-    "pareto_frontier",
-    "lpa_communities",
-    "jq_recursive_update",
-    "setsim_neardup",
-    "embedding_pca_power",
-    "cuped_adjusted_lift",
-    "bootstrap_ci_poisson",
-    "calibration_ece",
-    "k_anonymity_audit",
-    "bfs_hop_histogram",
-    "conformal_interval",
-    # -- (3) definitions changed in r7 (3) --
-    "knn_recall_ivf",
-    "knn_eval_ivf",
+    # -- (1) last driver-checked r03 (26) --
+    "pii_redaction",
+    "decontaminate",
+    "mixture_sample",
+    "quality_classifier",
+    "grouping_sets",
+    "window_range_frame",
+    "jq_native_has_not",
+    "bm25_topk",
+    "importance_weights",
+    "cdc_latest",
+    "scd2_history",
+    "zorder_layout",
+    "hll_distinct",
+    "importance_resample",
+    "order_priority_exists",
+    "small_qty_revenue",
+    "supplier_parts_in",
+    "bloom_semi_join",
+    "stream_static_enrich",
+    "unigram_ppl",
+    "hybrid_rrf",
+    "pagerank_bipartite",
+    "grouped_regression",
+    "funnel_conversion",
+    "retention_cohorts",
+    "time_weighted_avg",
+    # -- (2) new in r8 (2) --
+    "jq_native_limit",
+    "embedding_pca_topk",
+    # -- (3) definitions changed in r8 (4) --
     "stream_cms_topk",
-    # -- (4) last driver-checked r03, first 16 of 42 in registration
-    #    order (the remaining 26 lead the r8 head — see the list in
-    #    the header comment above and COVERAGE.md) --
-    "stream_windowed",
-    "approx_percentiles",
-    "stream_stream_join",
-    "stream_stream_left_outer",
-    "stream_dedup",
-    "jq_scalar_functions",
-    "jq_native_multicol",
-    "jq_native_select",
-    "jq_native_expr_filter",
-    "token_heavy_hitters",
-    "stratified_sample",
-    "jq_native_strings",
-    "jq_native_alternative",
-    "jq_native_length",
-    "jq_native_map_preds",
-    "chunk_dedup",
+    "cuped_adjusted_lift",
+    "lpa_communities",
+    "bfs_hop_histogram",
+    # -- (4) r04 cohort (18): the two r8-touched streaming queries,
+    #    then registration order --
+    "stream_file_sink",
+    "stream_dedup_watermark",
+    "jq_extract_agg",
+    "jq_native_agg",
+    "jq_select_filter",
+    "jq_multicol",
+    "jq_fanout",
+    "jq_error_channel",
+    "jq_single_type",
+    "jq_tostring",
+    "jq_builtins",
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "window_topk",
+    "rollup_counts",
+    "setops",
+    "semi_anti_join",
 ]
 
 
