@@ -35,6 +35,32 @@ from pyspark.sql import functions as F
 
 __all__ = ["global_ntile", "global_cumsum"]
 
+# Persisted layout inputs, FIFO-capped (ADVICE r7: across a
+# multi-hundred-query suite, per-call persist() entries accumulate in
+# the CacheManager until memory pressure).  A ring of the most recent
+# inputs keeps every cache a query is actively using (chained calls
+# like kaplan_meier's double prefix use 2) while releasing entries
+# from long-finished queries.  persist() — not localCheckpoint —
+# because the cached lineage stays visible to plan-shape gates and
+# AQE keeps InMemoryRelation layouts (docs/aqe_partitioning.md); a
+# frame re-executed after its ring slot was evicted recomputes its
+# lineage, the same exposure Spark's own MEMORY_AND_DISK eviction
+# always had.
+_CACHE_RING: list[DataFrame] = []
+_CACHE_RING_MAX = 8
+
+
+def _ring_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHE_RING.append(df)
+    while len(_CACHE_RING) > _CACHE_RING_MAX:
+        old = _CACHE_RING.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return df
+
 
 def global_ntile(
     df: DataFrame,
@@ -60,20 +86,15 @@ def global_ntile(
        three times (VERDICT r6 "What's wrong" #4); pass ``False``
        only when the input is a huge raw scan you'd rather re-read
        than spill (then you must guarantee deterministic lineage
-       yourself).  Materialization uses ``localCheckpoint`` rather
-       than ``persist``: the input's layout is irrelevant (the
-       ranking window re-shuffles on ``_range`` regardless), and
-       checkpoint blocks are reference-tracked by the
-       ContextCleaner — freed when the result frame is released —
-       whereas ``persist`` entries sit in the CacheManager until an
-       explicit unpersist, accumulating across a multi-hundred-query
-       suite (ADVICE r7).  The split key must be numeric and non-NULL: rows
+       yourself).  The persist rides the FIFO ring above so caches
+       from long-finished queries are released (ADVICE r7).  The
+       split key must be numeric and non-NULL: rows
        whose key is NULL fall outside every range comparison and get
        a NULL bucket (unlike naive ``ntile``, which would still
        assign them via NULLS FIRST ordering).
     """
     if cache_input:
-        df = df.localCheckpoint(eager=True)
+        df = _ring_persist(df)
     key = sort_cols[0]
     probs = [i / num_partitions for i in range(1, num_partitions)]
     bounds = df.select(
@@ -152,14 +173,12 @@ def global_cumsum(
     once and all three jobs agree even under nondeterministic
     upstreams; chained calls (kaplan_meier's double prefix) stop
     re-running the whole chain.  Pass ``False`` for huge raw inputs
-    you'd rather re-scan than spill.  Materialized via
-    ``localCheckpoint`` (not ``persist``) so the blocks are
-    ContextCleaner-managed instead of living in the CacheManager
-    forever — the input's layout is irrelevant here because the
-    prefix window re-partitions on ``_range`` anyway (ADVICE r7).
+    you'd rather re-scan than spill.  The persist rides the FIFO
+    ring above so caches from long-finished queries are released
+    (ADVICE r7).
     """
     if cache_input:
-        df = df.localCheckpoint(eager=True)
+        df = _ring_persist(df)
     key = sort_cols[0]
     probs = [i / num_partitions for i in range(1, num_partitions)]
     bounds = df.select(
