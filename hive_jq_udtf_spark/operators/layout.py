@@ -45,16 +45,26 @@ __all__ = ["global_ntile", "global_cumsum"]
 # AQE keeps InMemoryRelation layouts (docs/aqe_partitioning.md); a
 # frame re-executed after its ring slot was evicted recomputes its
 # lineage, the same exposure Spark's own MEMORY_AND_DISK eviction
-# always had.
-_CACHE_RING: list[DataFrame] = []
+# always had.  The ring is THREAD-LOCAL: the CacheManager is shared
+# across sessions, so a process-global ring under a concurrent suite
+# (8 sessions in the bench's concurrent pass) could evict a sibling
+# thread's cache MID-QUERY, silently voiding the run-once-determinism
+# guarantee the persist exists for.  Per-thread rings never touch
+# another thread's entries; the bound becomes 8 x live threads.
+import threading as _threading
+
 _CACHE_RING_MAX = 8
+_RING_TLS = _threading.local()
 
 
 def _ring_persist(df: DataFrame) -> DataFrame:
+    ring = getattr(_RING_TLS, "ring", None)
+    if ring is None:
+        ring = _RING_TLS.ring = []
     df = df.persist()
-    _CACHE_RING.append(df)
-    while len(_CACHE_RING) > _CACHE_RING_MAX:
-        old = _CACHE_RING.pop(0)
+    ring.append(df)
+    while len(ring) > _CACHE_RING_MAX:
+        old = ring.pop(0)
         try:
             old.unpersist()
         except Exception:
