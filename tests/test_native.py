@@ -959,3 +959,123 @@ def test_native_object_iteration_matches_python_tier(spark):
     assert sorted(r.col1 for r in nat.collect()) == sorted(
         r.col1 for r in py.collect()
     ) == [5, 6, 7, 7, 11, 22]
+
+
+def test_native_iterate_fuzz_arrays_objects_limit(spark):
+    """Seeded fuzz for the r8 iterate growth: `.items[]` /
+    `limit(n; .items[])` / `first(.items[])` over docs whose .items
+    is randomly an ARRAY or an OBJECT (plus dirty batches with
+    scalars/null/missing, where jq aborts and only the error class is
+    checked).  Tiers must agree wherever jq itself succeeds; value
+    ORDER is pinned separately by
+    test_native_object_iteration_matches_python_tier."""
+    import json as _json
+    import random
+
+    from hive_jq_udtf_spark.native import compile_native
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    rng = random.Random(17)
+
+    def rand_items(allow_dirty):
+        r = rng.random()
+        if r < 0.45:
+            return [
+                rng.choice([rng.randint(0, 99), "w%d" % rng.randint(0, 9)])
+                for _ in range(rng.randint(0, 4))
+            ]
+        if r < 0.9 or not allow_dirty:
+            return {
+                "k%d" % i: rng.choice(
+                    [rng.randint(0, 99), "v%d" % rng.randint(0, 9)]
+                )
+                for i in range(rng.randint(0, 4))
+            }
+        return rng.choice([None, 7, "scal"])
+
+    progs = [
+        (".items[]", "string"),
+        ("limit(2; .items[])", "string"),
+        ("first(.items[])", "string"),
+        ("limit(0; .items[])", "string"),
+    ]
+    compared = 0
+    for batch in range(16):
+        allow_dirty = batch % 3 == 2
+        prog, decl = progs[batch % len(progs)]
+        assert compile_native(prog, (decl,)) is not None, prog
+        docs = []
+        for _ in range(15):
+            d = {"items": rand_items(allow_dirty)}
+            if allow_dirty and rng.random() < 0.2:
+                d = {}  # .items missing entirely -> jq iterate error
+            docs.append((_json.dumps(d),))
+        df = spark.createDataFrame(docs, "j string")
+        try:
+            py = sorted(
+                r.col1
+                for r in jq_explode(df, "j", prog, decl, native="never").collect()
+                if r.col1 is not None
+            )
+        except Exception as ex:
+            assert "jq error" in str(ex), f"unexpected failure: {ex}"
+            continue
+        nat = sorted(
+            r.col1
+            for r in jq_explode(df, "j", prog, decl, native="require").collect()
+            if r.col1 is not None
+        )
+        assert nat == py, (prog, docs)
+        compared += 1
+    assert compared >= 8
+
+
+def test_layout_ring_is_thread_local_and_correct_concurrently(spark):
+    """Two sessions running layout queries concurrently must (a) both
+    produce exact results and (b) never evict each other's in-flight
+    cache — the ring is per-thread (layout.py::_ring_persist).  Floods
+    one thread with >8 global_ntile calls (forcing its ring to evict)
+    while the other runs a chained double-prefix query."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from hive_jq_udtf_spark.operators.layout import global_cumsum, global_ntile
+
+    def flood():
+        s = spark.newSession()
+        outs = []
+        for i in range(10):
+            df = s.range(2000).select(
+                (F.col("id") % 37).alias("k"), F.col("id").alias("id2")
+            )
+            outs.append(
+                global_ntile(df, ["k", "id2"], 7, num_partitions=4).count()
+            )
+        return outs
+
+    def chained():
+        s = spark.newSession()
+        df = s.range(5000).select(
+            (F.col("id") % 101).alias("k"),
+            F.col("id").alias("id2"),
+            F.lit(1).alias("c"),
+        )
+        one = global_cumsum(df, ["k", "id2"], ["c"], num_partitions=4)
+        two = global_cumsum(
+            one.withColumnRenamed("cum_c", "c1"), ["k", "id2"], ["c1"],
+            num_partitions=4,
+        )
+        rows = two.orderBy("k", "id2").collect()
+        # exact sequential prefix: cum over a constant-1 column is the
+        # 1-based rank; the chained prefix is the triangular sum
+        for n, r in enumerate(rows, start=1):
+            assert r["c1"] == n
+            assert r["cum_c1"] == n * (n + 1) // 2
+        return len(rows)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f1 = ex.submit(flood)
+        f2 = ex.submit(chained)
+        assert f1.result() == [2000] * 10
+        assert f2.result() == 5000
