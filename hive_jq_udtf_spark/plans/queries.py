@@ -1936,7 +1936,10 @@ def _stage_ss_outer_source(sf_dir: str) -> str:
     d = _SS_OUTER_STAGE.get(sf_dir)
     if d and os.path.exists(os.path.join(d, "sentinel.parquet")):
         return d
-    d = tempfile.mkdtemp(prefix="ss_outer_")
+    # stage on the tmpfs root (r8): the staged copy is re-scanned by
+    # every stream start of its consumers (ss joins, cms); ~20 MB of
+    # RAM vs a disk round-trip on each cold pass
+    d = tempfile.mkdtemp(prefix="ss_outer_", dir=_stream_checkpoint_root())
     shutil.copy(
         os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
     )

@@ -1067,7 +1067,12 @@ def _staged_dir(kind: str, sf_dir: str, build) -> str:
     d = _STAGE_CACHE.get(key)
     if d and os.path.isdir(d) and os.listdir(d):
         return d
-    d = tempfile.mkdtemp(prefix=f"{kind}_")
+    # staged stream sources live on the tmpfs checkpoint root (r8):
+    # re-scanned by every stream start, and the root's atexit cleanup
+    # removes them with the checkpoints
+    from .queries import _stream_checkpoint_root
+
+    d = tempfile.mkdtemp(prefix=f"{kind}_", dir=_stream_checkpoint_root())
     build(d)
     _STAGE_CACHE[key] = d
     return d
