@@ -64,6 +64,7 @@ _SPEC_KINDS = {
     "fnchain",
     "alt",
     "length",
+    "keyssorted",
     "arrayfn",
     "strpred",
     "ifelse",
@@ -212,6 +213,8 @@ def _flatten(ast: AST, out: list) -> bool:
                 proj[k_ast[1]] = ("fnchain", fc[0], fc[1])
             elif (lp := _as_length_chain(v_ast)) is not None:
                 proj[k_ast[1]] = ("length", lp)
+            elif (kp := _as_keys_chain(v_ast)) is not None:
+                proj[k_ast[1]] = ("keyssorted", kp)
             elif v_ast[0] == "alt" and _as_path(v_ast[1]) is not None and (
                 (d := _scalar_literal(v_ast[2])) is not None
             ):
@@ -295,6 +298,26 @@ def _as_length_chain(ast: AST) -> Optional[Path]:
     _pipe_list(ast, nodes)
     last = nodes[-1]
     if last[0] != "call" or last[1] != "length" or last[2]:
+        return None
+    path: tuple = ()
+    for n in nodes[:-1]:
+        p = _as_path(n)
+        if p is None:
+            return None
+        path = path + p
+    return path
+
+
+def _as_keys_chain(ast: AST) -> Optional[Path]:
+    """``.path | keys`` (or bare ``keys``) → the path, else None.
+    Only the SORTED form: jq sorts keys by codepoint, which is
+    exactly the order variant objects store their fields in;
+    ``keys_unsorted`` needs document order, which variants lose, so
+    it stays on the Python tier."""
+    nodes: list = []
+    _pipe_list(ast, nodes)
+    last = nodes[-1]
+    if last[0] != "call" or last[1] != "keys" or last[2]:
         return None
     path: tuple = ()
     for n in nodes[:-1]:
@@ -882,6 +905,8 @@ def analyze_program(program: str) -> Optional[NativeIR]:
                     proj[k] = ("alt", tuple(base) + v[1], v[2])
                 elif isinstance(v, tuple) and v and v[0] == "length":
                     proj[k] = ("length", tuple(base) + v[1])
+                elif isinstance(v, tuple) and v and v[0] == "keyssorted":
+                    proj[k] = ("keyssorted", tuple(base) + v[1])
                 elif isinstance(v, tuple) and v and v[0] in (
                     "strpred",
                     "arrayfn",
@@ -1026,6 +1051,26 @@ def _variant_length(v: Column) -> Column:
         .when(vt == F.lit("STRING"), F.length(v.try_cast("string")).cast("double"))
         .when(vt == F.lit("BOOLEAN"), F.lit(None).cast("double"))
         .otherwise(F.abs(v.try_cast("double")))
+    )
+
+
+def _variant_keys(v: Column) -> Column:
+    """jq ``keys`` on an exact-typed variant: SORTED key names for
+    objects — variant objects store fields sorted by key bytes, which
+    is jq's codepoint sort — and "0".."n-1" index strings for arrays
+    (downstream try_cast turns them back into the declared element
+    type).  Anything else (null/scalars, a jq error) is the NULL
+    delta class."""
+    vt = F.schema_of_variant(v)
+    arr_n = F.size(v.try_cast("array<variant>"))
+    idx = F.when(
+        arr_n > 0, F.sequence(F.lit(0), arr_n - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.when(
+        vt.startswith("OBJECT"), F.map_keys(v.try_cast("map<string,variant>"))
+    ).when(
+        vt.startswith("ARRAY"),
+        F.transform(idx, lambda i: i.cast("string")),
     )
 
 
@@ -1538,6 +1583,13 @@ class NativePlan:
                     out_cols.append(
                         _variant_length(vv).try_cast(fdt.dataType).alias(fdt.name)
                     )
+                elif isinstance(spec, tuple) and spec and spec[0] == "keyssorted":
+                    vv = F.try_variant_get(
+                        F.try_parse_json(col), _json_path(spec[1]), "variant"
+                    )
+                    out_cols.append(
+                        _variant_keys(vv).try_cast(fdt.dataType).alias(fdt.name)
+                    )
                 elif isinstance(spec, tuple) and spec and spec[0] == "strpred":
                     _, path, pname, plit = spec
                     # exact-type gate: non-string values project the
@@ -1675,9 +1727,12 @@ class NativePlan:
                     if not spec[1]:
                         raise _SchemaConflict(spec)
                     add(spec[1], T.VariantType())
-                elif isinstance(spec, tuple) and spec and spec[0] == "length":
+                elif isinstance(spec, tuple) and spec and spec[0] in (
+                    "length",
+                    "keyssorted",
+                ):
                     if not spec[1]:
-                        raise _SchemaConflict(spec)  # length of the element itself
+                        raise _SchemaConflict(spec)  # of the element itself
                     add(spec[1], T.VariantType())
                 elif isinstance(spec, tuple) and spec and spec[0] in (
                     "arrayfn",
@@ -1994,6 +2049,14 @@ class NativePlan:
                         c = _nav_step(c, st)
                     out_cols.append(
                         _variant_length(c).try_cast(fdt.dataType).alias(fdt.name)
+                    )
+                elif isinstance(spec, tuple) and spec and spec[0] == "keyssorted":
+                    _, path = spec
+                    c = ec
+                    for st in path:
+                        c = _nav_step(c, st)
+                    out_cols.append(
+                        _variant_keys(c).try_cast(fdt.dataType).alias(fdt.name)
                     )
                 else:
                     c = ec

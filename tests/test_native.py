@@ -542,6 +542,12 @@ GROWTH_CASES = [
      ("sku:string", "qty:int")),
     ("first(.nums[])", ("double",)),
     ("limit(2; .name)", ("string",)),
+    # round-8 growth: `keys` (sorted) via the variant reader — array
+    # input yields index keys (jq semantics); object cases live in
+    # test_native_keys_sorted_matches_python_tier (nested_df has no
+    # always-object field, and jq aborts `keys` on scalars)
+    ("{k: (.orders | keys)}", ("k:array<int>",)),
+    ("{k: (.nums | keys), n: (.nums | length)}", ("k:array<int>", "n:int")),
 ]
 
 
@@ -1079,3 +1085,35 @@ def test_layout_ring_is_thread_local_and_correct_concurrently(spark):
         f2 = ex.submit(chained)
         assert f1.result() == [2000] * 10
         assert f2.result() == 5000
+
+
+def test_native_keys_sorted_matches_python_tier(spark):
+    """`(.path | keys)` compiles natively: variant objects store
+    fields sorted by key bytes, which IS jq's codepoint sort; arrays
+    yield index lists; keys_unsorted stays Python-tier (variants lose
+    document order)."""
+    cases = [
+        ("{k: (.m | keys)}", ("k:array<string>",), [
+            ('{"m": {"zz": 1, "aa": 2, "Mm": 3}}',),
+            ('{"m": {}}',),
+            ('{"m": [10, 20, 30]}',),
+        ]),
+        (".items[] | {k: (.m | keys)}", ("k:array<string>",), [
+            ('{"items": [{"m": {"y": 1, "x": 2}}, {"m": {"q": 0}}]}',),
+        ]),
+        ("{k: (.m | keys)}", ("k:array<int>",), [('{"m": ["a", "b"]}',)]),
+    ]
+    for prog, decls, rows in cases:
+        df = spark.createDataFrame(rows, "j string")
+        assert compile_native(prog, decls) is not None, prog
+        nat = jq_explode(df, "j", prog, *decls, native="require")
+        py = jq_explode(df, "j", prog, *decls, native="never")
+        assert _plan_is_pythonfree(nat)
+        cols = [c for c in nat.columns if c != "j"]
+        assert (
+            nat.select(cols).collect() == py.select(cols).collect()
+        ), prog
+    assert (
+        compile_native("{k: (.m | keys_unsorted)}", ("k:array<string>",))
+        is None
+    )
