@@ -190,7 +190,12 @@ def _flatten(ast: AST, out: list) -> bool:
             return True
         if len(iters) != 1:
             return False
-        sub[iters[0]] = ("iterate", n)
+        # Nested limit/first (e.g. limit(5; first(.a[]))): the inner
+        # call already capped this iterate — the composed stream cap
+        # is the MIN of the two, never the outer overwrite.
+        prev = sub[iters[0]]
+        eff = n if len(prev) < 2 or prev[1] is None else min(n, prev[1])
+        sub[iters[0]] = ("iterate", eff)
         out.extend(sub)
         return True
     if tag == "object":

@@ -54,17 +54,43 @@ __all__ = ["global_ntile", "global_cumsum"]
 import threading as _threading
 
 _CACHE_RING_MAX = 8
-_RING_TLS = _threading.local()
+# Rings live in a global registry keyed by thread ident, each entry
+# carrying the Thread object so dead threads' rings can be DRAINED
+# (ADVICE r8: Python GC of a DataFrame does not unpersist its
+# CacheManager entry, so thread-local rings of dead threads leaked
+# caches beyond the documented 8 x live-threads bound under thread
+# churn).  Every call sweeps dead threads' rings and unpersists their
+# frames — safe, because a dead thread's queries have finished.  The
+# within-thread FIFO bound is per QUERY in practice: no query makes
+# more than ~3 layout calls before materializing, so a live frame is
+# never evicted mid-query (the determinism guarantee holds as long as
+# that stays true — noted in global_ntile's docstring).
+_RING_LOCK = _threading.Lock()
+_RINGS: dict = {}  # ident -> (Thread, [DataFrame, ...])
 
 
 def _ring_persist(df: DataFrame) -> DataFrame:
-    ring = getattr(_RING_TLS, "ring", None)
-    if ring is None:
-        ring = _RING_TLS.ring = []
+    me = _threading.current_thread()
     df = df.persist()
-    ring.append(df)
-    while len(ring) > _CACHE_RING_MAX:
-        old = ring.pop(0)
+    drained: list = []
+    with _RING_LOCK:
+        ent = _RINGS.get(me.ident)
+        if ent is None or ent[0] is not me:
+            # new thread, or the OS reused a dead thread's ident —
+            # drain whatever the stale entry held
+            if ent is not None:
+                drained.extend(ent[1])
+            ent = (me, [])
+            _RINGS[me.ident] = ent
+        ring = ent[1]
+        ring.append(df)
+        while len(ring) > _CACHE_RING_MAX:
+            drained.append(ring.pop(0))
+        for ident, (th, r) in list(_RINGS.items()):
+            if th is not me and not th.is_alive():
+                drained.extend(r)
+                del _RINGS[ident]
+    for old in drained:
         try:
             old.unpersist()
         except Exception:

@@ -1142,7 +1142,17 @@ def _stream_checkpoint_root() -> str:
         import shutil
         import tempfile
 
-        base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+        # Capacity gate (ADVICE r8): containers often cap /dev/shm at
+        # 64 MB, and r8 stages stream-source parquet copies and the
+        # file-sink output under this root too — require real headroom
+        # (256 MB) before choosing tmpfs, else ENOSPC mid-suite.
+        base = None
+        if os.access("/dev/shm", os.W_OK):
+            try:
+                if shutil.disk_usage("/dev/shm").free >= 256 * 1024 * 1024:
+                    base = "/dev/shm"
+            except OSError:
+                pass
         root = tempfile.mkdtemp(prefix="sgraft_ckpt_", dir=base)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         _CKPT_ROOT.append(root)

@@ -542,6 +542,13 @@ GROWTH_CASES = [
      ("sku:string", "qty:int")),
     ("first(.nums[])", ("double",)),
     ("limit(2; .name)", ("string",)),
+    # round-9: nested limit/first — caps MIN-combine (ADVICE r8 high:
+    # the outer cap must not overwrite an inner, tighter cap)
+    ("limit(5; first(.nums[]))", ("double",)),
+    ("limit(5; limit(2; .nums[]))", ("double",)),
+    ("limit(1; limit(3; .orders[])) | {oid: .oid}", ("oid:int",)),
+    ("limit(2; limit(0; .nums[]))", ("double",)),
+    ("first(limit(3; .nums[]))", ("double",)),
     # round-8 growth: `keys` (sorted) via the variant reader — array
     # input yields index keys (jq semantics); object cases live in
     # test_native_keys_sorted_matches_python_tier (nested_df has no

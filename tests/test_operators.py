@@ -1708,3 +1708,44 @@ def test_bfs_hops_randomized_differential(spark):
         for r in multi_source_hops(edf, sdf, max_hops=max_hops).collect()
     }
     assert got == expect
+
+
+def test_ring_persist_drains_dead_thread_rings(spark):
+    # ADVICE r8: rings of dead threads must be drained (GC of the
+    # DataFrame object does not unpersist CacheManager entries), so a
+    # churned thread's caches are released by the next live caller.
+    import threading
+
+    from hive_jq_udtf_spark.operators import layout
+
+    holder = {}
+
+    def worker():
+        d = spark.range(100)
+        layout._ring_persist(d)
+        d.count()
+        holder["df"] = d
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    assert holder["df"].is_cached
+    probe = layout._ring_persist(spark.range(5))
+    probe.count()
+    try:
+        assert not holder["df"].is_cached
+    finally:
+        probe.unpersist()
+
+
+def test_ring_persist_fifo_cap_bounds_live_caches(spark):
+    from hive_jq_udtf_spark.operators import layout
+
+    frames = [layout._ring_persist(spark.range(10 + i)) for i in range(layout._CACHE_RING_MAX + 3)]
+    for f in frames:
+        f.count()
+    cached = [f.is_cached for f in frames]
+    assert cached[-layout._CACHE_RING_MAX:] == [True] * layout._CACHE_RING_MAX
+    assert not any(cached[: -layout._CACHE_RING_MAX])
+    for f in frames:
+        f.unpersist()
