@@ -27,14 +27,13 @@ math fns stay Python-tier because JVM libm is not correctly rounded
 (see _NUM_FNS note).
 
 Iteration deltas: ``.[]``/``.path[]`` iterates BOTH arrays and
-objects at the first iterate level (object values in document key
-order, matching the Python tier, r8).  At INNER iterate levels of a
-multi-iterate program (``.a[].b[]``) elements ride Spark variants,
-which sort object keys — object values there are skipped rather than
-emitted out of order; programs needing object-of-object iteration
-should pass ``native="never"``.  ``.[]`` on scalars/null yields no
-rows where jq raises (the documented error-channel delta shared with
-missing paths).
+objects at EVERY iterate level of a multi-iterate program — object
+values in document key order, matching the Python tier (first level
+r8; inner levels r9 via a raw-text twin threaded through the chained
+explodes, since Spark variants sort object keys and cannot carry
+document order).  ``.[]`` on scalars/null yields no rows where jq
+raises (the documented error-channel delta shared with missing
+paths).
 """
 
 from __future__ import annotations
@@ -1860,10 +1859,10 @@ class NativePlan:
         ).startswith("ARRAY")
         et = lvl0.elementType
 
-        def _rebuild(e):
-            if isinstance(et, T.StructType):
+        def _rebuild(e, t=et):
+            if isinstance(t, T.StructType):
                 cols = []
-                for f in et.fields:
+                for f in t.fields:
                     fp = _json_path((f.name,))
                     if isinstance(f.dataType, T.VariantType):
                         cols.append(
@@ -1876,9 +1875,9 @@ class NativePlan:
                             ).alias(f.name)
                         )
                 return F.struct(*cols)
-            if isinstance(et, T.VariantType):
+            if isinstance(t, T.VariantType):
                 return e
-            return F.try_variant_get(e, "$", et.simpleString())
+            return F.try_variant_get(e, "$", t.simpleString())
 
         fallback = F.transform(
             F.from_json(src, T.ArrayType(T.VariantType())),
@@ -1890,9 +1889,9 @@ class NativePlan:
         # map parse, which preserves the document's key insertion
         # order exactly like the Python tier; the variant route would
         # NOT (variant objects sort their keys), so it is only used
-        # for the is-object gate.  Mid-level iterates thread element
-        # variants and therefore still skip object values — see the
-        # module-docstring delta note.
+        # for the is-object gate.  Mid-level iterates get the same
+        # document-order treatment from the raw-text twin threaded
+        # through the chained explodes below (r9).
         is_object = F.schema_of_variant(
             F.try_variant_get(F.try_parse_json(col), jsonpath, "variant")
         ).startswith("OBJECT")
@@ -1924,11 +1923,30 @@ class NativePlan:
             # every explode level via arrays_zip: each level re-derives
             # its array from the element's variant (per-element-lenient
             # nested cast) when the typed navigation lost it.
+            #
+            # r9: ALSO thread a raw-TEXT twin.  Inner-level `.[]` over
+            # an OBJECT must iterate its values in DOCUMENT key order
+            # (jq semantics; the Python tier does), and variants sort
+            # object keys — the only order-preserving route is a
+            # from_json map parse of the element's raw JSON text.
+            # get_json_object preserves object field order in the
+            # extracted text, and from_json to array<string> /
+            # map<string,string> captures each element's raw text, so
+            # the text twin stays index-aligned with the typed and
+            # variant twins (all three parse the same JSON).  The
+            # object gate reads the VARIANT's type, never the text
+            # (get_json_object strips quotes from string leaves, so a
+            # string whose content looks like "{...}" would fool a
+            # text sniff).
             lvl_types = [T.ArrayType(elem)]
             for mid in reversed(ir.mid_paths):
                 lvl_types.append(T.ArrayType(wrap_steps(mid, lvl_types[-1])))
             lvl_types.reverse()  # lvl_types[lvl] = array type exploded at lvl
             null_var = F.lit(None).cast(T.VariantType())
+            null_txt = F.lit(None).cast(T.StringType())
+            txt_arr_t = T.ArrayType(T.StringType())
+            txt_map_t = T.MapType(T.StringType(), T.StringType())
+            var_map_t = T.MapType(T.StringType(), T.VariantType())
             var0 = F.try_variant_get(
                 F.try_parse_json(col), jsonpath, "array<variant>"
             )
@@ -1940,21 +1958,36 @@ class NativePlan:
                 F.when(is_object, obj_vals),
                 F.array_repeat(null_var, F.size(nav)),
             )
+            txt0 = F.coalesce(
+                F.when(is_object, F.map_values(F.from_json(src, txt_map_t))).otherwise(
+                    F.from_json(src, txt_arr_t)
+                ),
+                F.array_repeat(null_txt, F.size(nav)),
+            )
             if lims and lims[0] is not None:
-                # keep the twin aligned with the sliced nav
+                # keep the twins aligned with the sliced nav
                 var0 = F.slice(var0, F.lit(1), F.lit(lims[0]))
+                txt0 = F.slice(txt0, F.lit(1), F.lit(lims[0]))
             zipped = F.when(
-                nav.isNotNull(), F.arrays_zip(nav.alias("t"), var0.alias("v"))
+                nav.isNotNull(),
+                F.arrays_zip(nav.alias("t"), var0.alias("v"), txt0.alias("x")),
             )
             out = df.withColumn("__jq_elem0", gen(zipped))
             ec = F.col("__jq_elem0").getField("t")
             ev = F.col("__jq_elem0").getField("v")
+            ex = F.col("__jq_elem0").getField("x")
             for lvl, mid in enumerate(ir.mid_paths, start=1):
                 c2 = ec
                 for s in mid:
                     c2 = _nav_step(c2, s)
                 vpath = _json_path(mid)
                 v2 = F.try_variant_get(ev, vpath, "array<variant>")
+                tx2 = F.get_json_object(ex, vpath)
+                is_obj2 = F.schema_of_variant(
+                    F.try_variant_get(ev, vpath, "variant")
+                ).startswith("OBJECT")
+                v_obj = F.map_values(F.from_json(tx2, var_map_t))
+                lvl_et = lvl_types[lvl].elementType
                 c2 = F.coalesce(
                     c2,
                     F.when(
@@ -1963,18 +1996,38 @@ class NativePlan:
                             ev, vpath, lvl_types[lvl].simpleString()
                         ),
                     ),
+                    F.when(
+                        is_obj2,
+                        # NOTE: F.transform dispatches on lambda arity
+                        # (2 params = element,index), so bind the level
+                        # type via closure, not a defaulted parameter
+                        F.transform(v_obj, (lambda _t: lambda e: _rebuild(e, _t))(lvl_et)),
+                    ),
                 )
-                v2 = F.coalesce(v2, F.array_repeat(null_var, F.size(c2)))
+                v2 = F.coalesce(
+                    v2,
+                    F.when(is_obj2, v_obj),
+                    F.array_repeat(null_var, F.size(c2)),
+                )
+                x2 = F.coalesce(
+                    F.when(
+                        is_obj2, F.map_values(F.from_json(tx2, txt_map_t))
+                    ).otherwise(F.from_json(tx2, txt_arr_t)),
+                    F.array_repeat(null_txt, F.size(c2)),
+                )
                 limn = lims[lvl] if lvl < len(lims) else None
                 if limn is not None:
                     c2 = F.slice(c2, F.lit(1), F.lit(limn))
                     v2 = F.slice(v2, F.lit(1), F.lit(limn))
+                    x2 = F.slice(x2, F.lit(1), F.lit(limn))
                 zipped = F.when(
-                    c2.isNotNull(), F.arrays_zip(c2.alias("t"), v2.alias("v"))
+                    c2.isNotNull(),
+                    F.arrays_zip(c2.alias("t"), v2.alias("v"), x2.alias("x")),
                 )
                 out = out.withColumn(f"__jq_elem{lvl}", gen(zipped))
                 ec = F.col(f"__jq_elem{lvl}").getField("t")
                 ev = F.col(f"__jq_elem{lvl}").getField("v")
+                ex = F.col(f"__jq_elem{lvl}").getField("x")
         else:
             out = df.withColumn("__jq_elem0", gen(nav))
             ec = F.col("__jq_elem0")

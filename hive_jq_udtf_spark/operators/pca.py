@@ -175,3 +175,78 @@ def power_iteration_topk(
         out = [-x for x in v] if v[m] < 0 else list(v)
         comps.append((out, lam))
     return comps, d
+
+
+def dimension_means_rounded(emb: DataFrame, vec_col: str = "embedding"):
+    """Per-dimension means of the vector column, rounded to 6 dp (the
+    cross-engine avg-of-doubles contract), as a driver-side list."""
+    rows = (
+        emb.select(F.posexplode(F.col(vec_col).cast("array<double>")))
+        .withColumnsRenamed({"pos": "i", "col": "x"})
+        .groupBy("i")
+        .agg(F.round(F.avg("x"), 6).alias("mu"))
+        .collect()
+    )
+    mu = [0.0] * len(rows)
+    for r in rows:
+        mu[r["i"]] = r["mu"] + 0.0
+    return mu
+
+
+def whiten_projection(
+    emb: DataFrame,
+    components,
+    means,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Whitened projection of every embedding row onto ``k``
+    principal components: ``y_c = sum_i (x_i - mu_i) * v_c_i /
+    sqrt(lam_c)`` — the centering + rotation + per-component variance
+    normalization a SemDeDup-style curation pipeline runs before
+    cosine thresholds, so distances are comparable across components.
+
+    Scale architecture: ``components`` (k x d sign-pinned loadings +
+    eigenvalues from :func:`power_iteration_topk`) and ``means`` are
+    O(k*d) driver-side values; they ride a BROADCAST one-row frame —
+    never literals, so the codegen plan is identical across parameter
+    values (k x d literal matrices force a fresh Janino compile per
+    matrix, the kmeans lesson) — and the corpus never leaves the
+    executors: one whole-stage-codegen pass, zero shuffles.
+
+    Determinism contract: loadings are rounded to 6 dp and
+    eigenvalues to 4 dp BEFORE the scale factor ``v/sqrt(lam)`` is
+    formed, and means arrive pre-rounded (6 dp), so a SQL oracle that
+    rebuilds the same rounded inputs replays the projection to
+    ~1e-13 — inside the 6-dp output round.  The inner sum runs
+    ascending-i (aggregate over sequence).
+
+    Returns (id_col, comp int [1-based], y double [rounded 6 dp]).
+    """
+    k = len(components)
+    d = len(means)
+    w_flat = []
+    for v, lam in components:
+        s = math.sqrt(round(lam, 4))
+        for i in range(d):
+            w_flat.append((round(v[i], 6) + 0.0) / s)
+    spark = emb.sparkSession
+    params = spark.createDataFrame(
+        [(means, w_flat)], "mu array<double>, w array<double>"
+    )
+    ys = F.expr(
+        f"transform(sequence(0, {k - 1}), c -> aggregate("
+        f" sequence(0, {d - 1}), CAST(0 AS DOUBLE),"
+        f" (acc, i) -> acc + (CAST(element_at(__x, i + 1) AS DOUBLE)"
+        f" - element_at(mu, i + 1)) * element_at(w, c * {d} + i + 1)))"
+    )
+    return (
+        emb.select(id_col, F.col(vec_col).alias("__x"))
+        .crossJoin(F.broadcast(params))
+        .select(id_col, F.posexplode(ys).alias("c0", "y"))
+        .select(
+            id_col,
+            (F.col("c0") + 1).alias("comp"),
+            (F.round("y", 6) + 0.0).alias("y"),
+        )
+    )

@@ -1893,7 +1893,12 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_QUERY_SEQ[0] += 1
     name = f"ss_join_{_STREAM_QUERY_SEQ[0]}"
-    with _stream_shuffle(spark):
+    # n=2: a stream-stream join keeps TWO keyed state stores per
+    # shuffle partition (left + right buffers), so n=2 runs the same
+    # 4 store instances the single-op streaming queries run at the
+    # default n=4 — per-store commit overhead dominates micro-batch
+    # latency at toy state sizes (measured r9: 1.7 s vs 2.3 s warm)
+    with _stream_shuffle(spark, 2):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -2030,7 +2035,9 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_QUERY_SEQ[0] += 1
     name = f"ss_outer_{_STREAM_QUERY_SEQ[0]}"
-    with _stream_shuffle(spark):
+    # n=2: two-sided join state = 2 stores per partition; see
+    # q_stream_stream_join
+    with _stream_shuffle(spark, 2):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -2354,17 +2361,30 @@ ORACLES["jq_native_alternative"] = _ORACLE_JQ_NATIVE_ALT
 
 
 def q_jq_native_multi_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chained explode compiled natively: per-user nested docs
-    {evs: [{tags: [k, k+1000]} ...]} and the two-level iterate
-    ``.evs[].tags[]`` — two generate nodes over one from_json parse,
-    no Python stage anywhere."""
+    """Chained explode compiled natively: per-user nested docs where
+    ``.tags`` is an ARRAY ``[k, k+1000]`` for even users and an
+    OBJECT ``{"t1": k, "t2": k+1000}`` for odd users, iterated by the
+    two-level ``.evs[].tags[]`` — two generate nodes over one
+    from_json parse, no Python stage anywhere.  The odd-user half
+    exercises the r9 inner-level OBJECT iteration (values in document
+    key order via the threaded raw-text twin, native.py
+    ``_apply_explode``); both shapes contribute the same k/k+1000
+    pair, so the oracle is shape-blind."""
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
+    tags_json = F.when(
+        F.col("user_id") % 2 == 0,
+        F.concat(F.lit('{"tags":['), k, F.lit(","), k + 1000, F.lit("]}")),
+    ).otherwise(
+        F.concat(
+            F.lit('{"tags":{"t1":'), k, F.lit(',"t2":'), k + 1000, F.lit("}}")
+        )
+    )
     nested = (
-        events.select(F.col("user_id"), F.array(k, k + 1000).alias("tags"))
+        events.select(F.col("user_id"), tags_json.alias("ev"))
         .groupBy("user_id")
-        .agg(F.collect_list(F.struct("tags")).alias("evs"))
-        .select(F.to_json(F.struct("evs")).alias("doc"))
+        .agg(F.concat_ws(",", F.collect_list("ev")).alias("evs"))
+        .select(F.concat(F.lit('{"evs":['), F.col("evs"), F.lit("]}")).alias("doc"))
     )
     x = jq_explode(nested, "doc", ".evs[].tags[]", "bigint", native="require")
     return x.agg(
@@ -3546,3 +3566,4 @@ from . import queries_r7  # noqa: E402,F401  isort:skip
 from . import queries_r7b  # noqa: E402,F401  isort:skip
 from . import queries_r7c  # noqa: E402,F401  isort:skip
 from . import queries_r8  # noqa: E402,F401  isort:skip
+from . import queries_r9  # noqa: E402,F401  isort:skip

@@ -95,7 +95,11 @@ def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_QUERY_SEQ[0] += 1
     name = f"stream_chained_{_STREAM_QUERY_SEQ[0]}"
-    with _stream_shuffle(spark):
+    # n=2: two chained stateful operators keep 2 state stores per
+    # shuffle partition, so n=2 runs the same 4 store instances the
+    # single-op queries run at the default n=4 (the ss-join rule,
+    # plans/queries.py::q_stream_stream_join)
+    with _stream_shuffle(spark, 2):
         q = (
             daily.writeStream.format("memory")
             .queryName(name)

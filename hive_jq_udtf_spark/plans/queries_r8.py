@@ -123,13 +123,30 @@ def q_embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("comp", "dim")
 
 
-def _gen_pca_topk_oracle(k: int = _PCA_K, iters: int = _PCA_TOPK_ITERS) -> str:
+def _pca_topk_chain(k: int = _PCA_K, iters: int = _PCA_TOPK_ITERS):
+    """The WITH-clause body that rebuilds the driver's deflated power
+    iteration in SQL (shared by the pca_topk oracle and the r9
+    whitening oracle): returns (header_ctes, per_component_parts,
+    [(v_name, lam_name, sgn_name), ...])."""
+    header = """flat AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)),
+means AS (SELECT i, avg(x) AS mu FROM flat GROUP BY 1),
+prods AS (
+  SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exy
+  FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2),
+cov_ut AS (
+  SELECT p.i, p.j, round(p.exy - mi.mu * mj.mu, 6) AS c
+  FROM prods p JOIN means mi ON p.i = mi.i JOIN means mj ON p.j = mj.i),
+cov1 AS MATERIALIZED (SELECT i, j, c FROM cov_ut
+        UNION ALL SELECT j AS i, i AS j, c FROM cov_ut WHERE i < j),
+dd AS (SELECT max(i) + 1 AS d FROM cov1)"""
     parts = []
-    selects = []
+    names = []
     for c in range(1, k + 1):
         if c > 1:
-            # deflation: same per-entry (lam * v_i) * v_j products the
-            # driver subtracts, replayed row-wise on all d^2 entries
             parts.append(
                 f"cov{c} AS MATERIALIZED (SELECT m.i, m.j,"
                 f" m.c - lam{c - 1}.l * va.v * vb.v AS c"
@@ -162,30 +179,27 @@ def _gen_pca_topk_oracle(k: int = _PCA_K, iters: int = _PCA_TOPK_ITERS) -> str:
             f"sgn{c} AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s"
             f" FROM {prev} ORDER BY abs(v) DESC, i LIMIT 1)"
         )
+        names.append((prev, f"lam{c}", f"sgn{c}"))
+    return header, parts, names
+
+
+def _gen_pca_topk_oracle(k: int = _PCA_K, iters: int = _PCA_TOPK_ITERS) -> str:
+    # deflation replays the same per-entry (lam * v_i) * v_j products
+    # the driver subtracts, row-wise on all d^2 entries (see
+    # _pca_topk_chain)
+    header, parts, names = _pca_topk_chain(k, iters)
+    selects = []
+    for c, (prev, lam, sgn) in enumerate(names, start=1):
         selects.append(
             f"SELECT {c} AS comp, CAST({prev}.i AS INTEGER) AS dim,"
-            f" round(sgn{c}.s * {prev}.v, 6) + 0.0 AS loading,"
-            f" round(lam{c}.l, 4) + 0.0 AS eigval"
-            f" FROM {prev} CROSS JOIN sgn{c} CROSS JOIN lam{c}"
+            f" round({sgn}.s * {prev}.v, 6) + 0.0 AS loading,"
+            f" round({lam}.l, 4) + 0.0 AS eigval"
+            f" FROM {prev} CROSS JOIN {sgn} CROSS JOIN {lam}"
         )
     chain = ",\n".join(parts)
     union = "\nUNION ALL ".join(selects)
     return f"""
-WITH flat AS MATERIALIZED (
-  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
-  FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i
-        FROM embeddings)),
-means AS (SELECT i, avg(x) AS mu FROM flat GROUP BY 1),
-prods AS (
-  SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exy
-  FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
-  GROUP BY 1, 2),
-cov_ut AS (
-  SELECT p.i, p.j, round(p.exy - mi.mu * mj.mu, 6) AS c
-  FROM prods p JOIN means mi ON p.i = mi.i JOIN means mj ON p.j = mj.i),
-cov1 AS MATERIALIZED (SELECT i, j, c FROM cov_ut
-        UNION ALL SELECT j AS i, i AS j, c FROM cov_ut WHERE i < j),
-dd AS (SELECT max(i) + 1 AS d FROM cov1),
+WITH {header},
 {chain}
 SELECT comp, dim, loading, eigval FROM ({union})
 ORDER BY comp, dim

@@ -1124,3 +1124,110 @@ def test_native_keys_sorted_matches_python_tier(spark):
         compile_native("{k: (.m | keys_unsorted)}", ("k:array<string>",))
         is None
     )
+
+
+def test_native_inner_object_iteration_matches_python_tier(spark):
+    """r9 (VERDICT r8 #4): `.a[].b[]` where the INNER iterate target
+    is an OBJECT iterates its values in document key order — the r8
+    fix covered only the first iterate level; inner levels silently
+    emitted no rows for object targets.  Order matters, so compare
+    UNSORTED sequences on single-row frames."""
+    from hive_jq_udtf_spark.native import compile_native
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    for doc, decls, prog in (
+        # inner object of scalars, document key order
+        ('{"a": [{"b": {"z": 1, "m": 2}}, {"b": {"q": 3}}]}', ("int",), ".a[].b[]"),
+        # inner object of OBJECTS, projected
+        (
+            '{"a": [{"b": {"y": {"n": 4}, "x": {"n": 5}}}]}',
+            ("n:int",),
+            ".a[] | .b[] | {n: .n}",
+        ),
+        # mixed: some inner targets arrays, some objects (a MISSING .b
+        # would abort jq/the Python tier — the native no-rows-on-null
+        # behavior there is the documented error-channel delta, pinned
+        # below, not a tier-equality case)
+        (
+            '{"a": [{"b": [1, 2]}, {"b": {"w": 3, "v": 4}}]}',
+            ("int",),
+            ".a[].b[]",
+        ),
+        # limit at the inner level slices the object's values
+        (
+            '{"a": [{"b": {"k3": 7, "k1": 8, "k2": 9}}]}',
+            ("int",),
+            ".a[] | limit(2; .b[])",
+        ),
+        # three levels with objects at BOTH inner levels
+        (
+            '{"a": [{"b": {"o1": {"c": {"p": 1, "q": 2}}, "o2": {"c": {"r": 3}}}}]}',
+            ("int",),
+            ".a[].b[].c[]",
+        ),
+        # outer OBJECT whose values hold inner objects (level-0 object
+        # + level-1 object)
+        (
+            '{"a": {"second": {"b": {"z": 1, "y": 2}}, "first": {"b": {"x": 3}}}}',
+            ("int",),
+            ".a[].b[]",
+        ),
+    ):
+        df = spark.createDataFrame([(doc,)], "j string")
+        plan = compile_native(prog, decls)
+        assert plan is not None, prog
+        nat = jq_explode(df, "j", prog, *decls, native="require")
+        py = jq_explode(df, "j", prog, *decls, native="never")
+        assert _plan_is_pythonfree(nat)
+        cols = [c for c in nat.columns if c != "j"]
+        assert nat.select(cols).collect() == py.select(cols).collect(), (doc, prog)
+
+
+def test_native_inner_object_iteration_fuzz(spark):
+    """Seeded fuzz over 2-level iterates whose inner target is
+    randomly an array / object / missing; tiers must agree on the
+    multiset wherever jq succeeds."""
+    import json as _json
+    import random
+
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    rng = random.Random(29)
+
+    def rand_inner():
+        # arrays/objects only: a null/missing .b aborts jq and the
+        # Python tier (native's no-rows there is the documented
+        # error-channel delta, not an equality case)
+        if rng.random() < 0.5:
+            return [rng.randint(0, 99) for _ in range(rng.randint(0, 3))]
+        return {
+            "k%d" % i: rng.randint(0, 99) for i in range(rng.randint(0, 3))
+        }
+
+    for batch in range(6):
+        docs = []
+        for _ in range(12):
+            doc = {
+                "a": [
+                    {"b": rand_inner()} for _ in range(rng.randint(0, 3))
+                ]
+            }
+            docs.append((_json.dumps(doc),))
+        df = spark.createDataFrame(docs, "j string")
+        nat = jq_explode(df, "j", ".a[].b[]", "int", native="require")
+        py = jq_explode(df, "j", ".a[].b[]", "int", native="never")
+        assert sorted(
+            r.col1 for r in nat.collect() if r.col1 is not None
+        ) == sorted(r.col1 for r in py.collect() if r.col1 is not None)
+
+
+def test_native_inner_null_iterate_emits_no_rows(spark):
+    # documented error-channel delta: jq aborts iterating null/missing;
+    # the native tier emits no rows for those elements and keeps the rest
+    df = spark.createDataFrame(
+        [('{"a": [{"b": {"w": 3}}, {"c": 9}, {"b": null}]}',)], "j string"
+    )
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    nat = jq_explode(df, "j", ".a[].b[]", "int", native="require")
+    assert [r.col1 for r in nat.collect()] == [3]

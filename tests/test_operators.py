@@ -1749,3 +1749,54 @@ def test_ring_persist_fifo_cap_bounds_live_caches(spark):
     assert not any(cached[: -layout._CACHE_RING_MAX])
     for f in frames:
         f.unpersist()
+
+
+def test_whiten_projection_variance_and_plan(spark):
+    """Whitened projection: per-component variance of y is ~1 on an
+    anisotropic corpus (that is the point of the 1/sqrt(eigval)
+    scale), the plan is Python-free, the k x d parameters arrive by
+    broadcast, and the corpus itself is never shuffled."""
+    import math
+    import random
+
+    from hive_jq_udtf_spark.operators.pca import (
+        dimension_means_rounded,
+        power_iteration_topk,
+        whiten_projection,
+    )
+
+    rng = random.Random(41)
+    d = 8
+    rows = []
+    for vid in range(400):
+        # anisotropic: dim 0 scale 5, dim 1 scale 2, rest scale 0.5
+        v = [
+            rng.gauss(0, 5.0 if i == 0 else (2.0 if i == 1 else 0.5))
+            for i in range(d)
+        ]
+        rows.append((vid, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comps, dim = power_iteration_topk(emb, k=2, vec_col="embedding", iters=12)
+    mu = dimension_means_rounded(emb)
+    out = whiten_projection(emb, comps, mu)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Broadcast" in plan
+    assert "shuffle" not in plan.lower().replace("broadcastexchange", "")
+    ys = {}
+    for r in out.collect():
+        ys.setdefault(r.comp, []).append(r.y)
+    assert sorted(ys) == [1, 2]
+    for comp, vals in ys.items():
+        assert len(vals) == 400
+        m = sum(vals) / len(vals)
+        var = sum((x - m) ** 2 for x in vals) / len(vals)
+        assert abs(var - 1.0) < 0.15, (comp, var)
+    # the two whitened axes are near-orthogonal in sample correlation
+    y1, y2 = ys[1], ys[2]
+    m1 = sum(y1) / len(y1)
+    m2 = sum(y2) / len(y2)
+    cov = sum((a - m1) * (b - m2) for a, b in zip(y1, y2)) / len(y1)
+    s1 = math.sqrt(sum((a - m1) ** 2 for a in y1) / len(y1))
+    s2 = math.sqrt(sum((b - m2) ** 2 for b in y2) / len(y2))
+    assert abs(cov / (s1 * s2)) < 0.25

@@ -670,3 +670,16 @@ def test_jq_native_limit_no_python_node(spark):
     for node in PY_NODES:
         assert node not in plan
     assert "slice(" in plan
+
+
+def test_jq_native_multi_iterate_object_branch_pythonfree(spark):
+    """r9: the redefined jq_native_multi_iterate feeds OBJECT inner
+    targets through `.evs[].tags[]` — the whole pipeline (including
+    the inner-object text-twin route) must stay Python-free."""
+    from hive_jq_udtf_spark.plans.queries import QUERIES
+
+    df = QUERIES["jq_native_multi_iterate"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "ArrowEvalPython" not in plan
+    row = df.collect()[0]
+    assert row.n > 0 and row.sum_k is not None

@@ -155,23 +155,9 @@ def test_cms_append_mode_evicts_state(spark):
         .groupBy(F.window("ts", "1 hour").alias("w"), "j", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    sketches = cells.groupBy(
-        F.window(F.window_time("w"), "1 hour").alias("w2")
-    ).agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    (F.col("j").cast("long") * width + F.col("bucket")).alias(
-                        "k"
-                    ),
-                    F.col("cnt").alias("v"),
-                )
-            )
-        ).alias("m")
-    )
     with _stream_shuffle(spark):
         q = (
-            sketches.writeStream.format("memory")
+            cells.writeStream.format("memory")
             .queryName("cms_evict_probe")
             .outputMode("append")
             .trigger(availableNow=True)
@@ -187,13 +173,79 @@ def test_cms_append_mode_evicts_state(spark):
     removed = sum(o.get("numRowsRemoved", 0) for b in batches for o in b)
     final_total = sum(o["numRowsTotal"] for o in batches[-1])
     emitted = spark.table("cms_evict_probe").count()
-    # every real window was emitted as one packed sketch row ...
+    # every real window's cells were emitted (hundreds of windows at
+    # this SF, several cells each) ...
     assert emitted > 100
-    # ... the cell-level state (hundreds of rows per window at this
-    # SF) was evicted on window close, not retained
-    assert removed > emitted
-    # only the open (far-future sentinel) windows may stay resident
-    # across BOTH stateful operators: the sentinel user's `depth`
-    # cells in op1 plus its partial sketch row in op2, cushion 2x —
-    # versus the >100 windows x cells a complete-mode sink keeps
-    assert final_total <= 2 * (depth + 1)
+    # ... and eviction removed them from the state store — emitted
+    # rows in append mode ARE the evicted rows, so removed == emitted
+    assert removed >= emitted
+    # only the open (far-future sentinel) window may stay resident in
+    # the single stateful operator: the sentinel user's `depth` cells,
+    # cushion 2x — versus the >100 windows x cells a complete-mode
+    # sink keeps forever
+    assert final_total <= 2 * depth
+
+
+def test_stream_stream_join_state_evicted_both_sides(spark):
+    """VERDICT r8 #5: the two-sided join state must be trimmed by the
+    watermark, not retained to end-of-stream.  Runs the
+    stream_stream_join shape (projected sides, 24h range condition)
+    and asserts the join's state store reports rows REMOVED once the
+    watermark advances, with the final resident state far below the
+    total rows buffered."""
+    from pyspark.sql import functions as F
+
+    from hive_jq_udtf_spark.plans.queries import _stream_shuffle
+    from hive_jq_udtf_spark.sources.tables import stream_events
+
+    sf_dir = "/root/testdata/sf0.001"
+    purchases = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "25 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+        "inner",
+    )
+    with _stream_shuffle(spark, 2):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj_state_probe")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+    progress = [json.loads(x.json) for x in q.recentProgress]
+    ops = [o for p in progress for o in p.get("stateOperators", [])]
+    assert ops, "no stateful progress events recorded"
+    buffered = max(o.get("numRowsTotal", 0) for o in ops)
+    removed = sum(o.get("numRowsRemoved", 0) for o in ops)
+    final_total = sum(o.get("numRowsTotal", 0) for o in progress[-1]["stateOperators"])
+    # the batch buffers both projected sides (~400 purchase+click
+    # rows at sf0.001) ...
+    assert buffered > 300
+    # ... and the watermark evicts nearly all of it: the only rows
+    # that may remain are clicks younger than the final watermark
+    # minus the 25h delay (purchases: 1h)
+    assert removed > 0.8 * buffered
+    assert final_total < 0.2 * buffered
