@@ -36,14 +36,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #     jq_native_multi_iterate is in this cohort AND was redefined in
 #     r9 (inner-level OBJECT iteration mixed into the nested docs),
 #     so its green re-establishes on the new definition for free,
-# (2) the 1 query added in r9: embedding_whiten (whitened PCA
-#     projection, VERDICT r8 #6),
+# (2) the 2 queries added in r9: embedding_whiten (whitened PCA
+#     projection, VERDICT r8 #6) and semantic_dedup_whitened
+#     (SemDeDup in whitened space — the operation #6 named as the
+#     whitening's purpose),
 # (3) the 4 streaming queries with output-neutral perf edits in r9,
 #     so their green re-establishes on the new plans: stream_cms_topk
 #     (single stateful op + parquet cell sink + 4-way broadcast
 #     probe), stream_stream_join + stream_stream_left_outer (n=2
 #     state-store scoping), stream_chained_windows (same),
-# (4) the first 14 of the 50-query r05 cohort in registration order.
+# (4) the first 13 of the 50-query r05 cohort in registration order.
 _DRIVER_HEAD = [
     # -- (1) last driver-checked r04, staleness 5 (31) --
     "entropy_udaf",
@@ -77,14 +79,15 @@ _DRIVER_HEAD = [
     "bpe_merge_candidates",
     "jq_native_reduce",
     "multimodal_features",
-    # -- (2) new in r9 (1) --
+    # -- (2) new in r9 (2) --
     "embedding_whiten",
+    "semantic_dedup_whitened",
     # -- (3) streaming perf edits in r9 (4) --
     "stream_cms_topk",
     "stream_stream_join",
     "stream_stream_left_outer",
     "stream_chained_windows",
-    # -- (4) r05 cohort, first 14 in registration order --
+    # -- (4) r05 cohort, first 13 in registration order --
     "jq_native_arrayfns",
     "session_funnel_windowed",
     "topk_join_dynamic_k",
@@ -98,7 +101,6 @@ _DRIVER_HEAD = [
     "event_transitions",
     "negative_sampling",
     "stream_hll_window",
-    "rolling_anomaly",
 ]
 
 

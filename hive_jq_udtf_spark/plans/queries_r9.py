@@ -80,3 +80,155 @@ ORDER BY vec_id, comp
 
 QUERIES["embedding_whiten"] = q_embedding_whiten
 ORACLES["embedding_whiten"] = _gen_whiten_oracle()
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup_whitened — SemDeDup in whitened space (the operation
+# VERDICT r8 #6 named as the whitening's purpose in curation pipelines)
+# ---------------------------------------------------------------------------
+
+_WSD_THRESHOLD = 0.999
+
+
+def q_semantic_dedup_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup in WHITENED space: embeddings are projected onto
+    the top-3 whitened components (embedding_whiten's pipeline), each
+    vector is bucketed by its sign OCTANT (cell = sign bits of
+    y1..y3 — the whitened-space analogue of SemDeDup's centroid
+    cells: whitening makes the axes comparable, so octants are
+    meaningful buckets), and within every octant the higher-id member
+    of each pair with whitened cosine >= {t} is dropped.  Output: one
+    row per octant with member and dropped counts — all integers.
+
+    Scale shape: identical to semantic_dedup — the quadratic step is
+    confined to a cell, the corpus shuffles once on the cell id, and
+    cross-cell pairs never materialize.  Determinism: y values are
+    6-dp rounded (whiten_projection's contract), the 3-term dot and
+    norms are CLOSED-FORM expressions over pivoted columns (identical
+    association in both engines — no aggregation-order float risk),
+    and the cosine is rounded to 6 dp before the threshold compare."""
+    from pyspark.sql import functions as F
+
+    from ..operators.pca import (
+        dimension_means_rounded,
+        power_iteration_topk,
+        whiten_projection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, d = power_iteration_topk(
+        emb, k=_WHITEN_K, vec_col="embedding", iters=_PCA_TOPK_ITERS
+    )
+    mu = dimension_means_rounded(emb)
+    w = whiten_projection(emb, comps, mu)
+    piv = (
+        w.groupBy("vec_id")
+        .pivot("comp", [1, 2, 3])
+        .agg(F.first("y"))
+        .withColumnsRenamed({"1": "y1", "2": "y2", "3": "y3"})
+        .withColumn(
+            "cell",
+            (F.col("y1") > 0).cast("int") * 4
+            + (F.col("y2") > 0).cast("int") * 2
+            + (F.col("y3") > 0).cast("int"),
+        )
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.col("y1") * F.col("y1")
+                + F.col("y2") * F.col("y2")
+                + F.col("y3") * F.col("y3")
+            ),
+        )
+        .where(F.col("nrm") > 0)
+    )
+    a = piv.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("y1").alias("a1"),
+        F.col("y2").alias("a2"),
+        F.col("y3").alias("a3"),
+        F.col("nrm").alias("na"),
+    )
+    b = piv.select(
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("y1").alias("b1"),
+        F.col("y2").alias("b2"),
+        F.col("y3").alias("b3"),
+        F.col("nrm").alias("nb"),
+    )
+    cos6 = F.round(
+        (
+            F.col("a1") * F.col("b1")
+            + F.col("a2") * F.col("b2")
+            + F.col("a3") * F.col("b3")
+        )
+        / (F.col("na") * F.col("nb")),
+        6,
+    )
+    losers = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos6 >= F.lit(_WSD_THRESHOLD))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        piv.join(losers.withColumn("dropped", F.lit(1)), "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce(F.col("dropped"), F.lit(0))).alias("n_dropped"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _gen_wsd_oracle(k: int = _WHITEN_K, iters: int = _PCA_TOPK_ITERS) -> str:
+    header, parts, names = _pca_topk_chain(k, iters)
+    loads = "\nUNION ALL ".join(
+        f"SELECT {c} AS comp, {prev}.i AS dim,"
+        f" round({sgn}.s * {prev}.v, 6) + 0.0 AS l,"
+        f" round({lam}.l, 4) + 0.0 AS lam"
+        f" FROM {prev} CROSS JOIN {sgn} CROSS JOIN {lam}"
+        for c, (prev, lam, sgn) in enumerate(names, start=1)
+    )
+    chain = ",\n".join(parts)
+    return f"""
+WITH {header},
+{chain},
+loadings AS MATERIALIZED ({loads}),
+mu AS (SELECT i, round(avg(x), 6) AS mu FROM flat GROUP BY 1),
+proj AS MATERIALIZED (
+  SELECT f.vec_id, ld.comp,
+         round(sum((f.x - mu.mu) * (ld.l / sqrt(ld.lam))), 6) + 0.0 AS y
+  FROM flat f JOIN mu ON mu.i = f.i JOIN loadings ld ON ld.dim = f.i
+  GROUP BY 1, 2),
+piv AS MATERIALIZED (
+  SELECT vec_id,
+         max(CASE WHEN comp = 1 THEN y END) AS y1,
+         max(CASE WHEN comp = 2 THEN y END) AS y2,
+         max(CASE WHEN comp = 3 THEN y END) AS y3
+  FROM proj GROUP BY 1),
+cells AS MATERIALIZED (
+  SELECT vec_id, y1, y2, y3,
+         CAST(y1 > 0 AS INTEGER) * 4 + CAST(y2 > 0 AS INTEGER) * 2
+           + CAST(y3 > 0 AS INTEGER) AS cell,
+         sqrt(y1 * y1 + y2 * y2 + y3 * y3) AS nrm
+  FROM piv WHERE sqrt(y1 * y1 + y2 * y2 + y3 * y3) > 0),
+losers AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round((a.y1 * b.y1 + a.y2 * b.y2 + a.y3 * b.y3)
+              / (a.nrm * b.nrm), 6) >= {_WSD_THRESHOLD})
+SELECT c.cell, count(*) AS n_members,
+       CAST(sum(CASE WHEN l.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dropped
+FROM cells c LEFT JOIN losers l ON l.vec_id = c.vec_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["semantic_dedup_whitened"] = q_semantic_dedup_whitened
+ORACLES["semantic_dedup_whitened"] = _gen_wsd_oracle()

@@ -683,3 +683,18 @@ def test_jq_native_multi_iterate_object_branch_pythonfree(spark):
     assert "EvalPython" not in plan and "ArrowEvalPython" not in plan
     row = df.collect()[0]
     assert row.n > 0 and row.sum_k is not None
+
+
+def test_semantic_dedup_whitened_no_cartesian(spark):
+    """The whitened dedup's quadratic step must stay confined to
+    octant cells: an equi-join on cell, never a cartesian/nested-loop
+    pair enumeration, and no Python node anywhere."""
+    from hive_jq_udtf_spark.plans.queries import QUERIES
+
+    df = QUERIES["semantic_dedup_whitened"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert 1 <= len(rows) <= 8
+    assert all(r.n_dropped <= r.n_members for r in rows)
