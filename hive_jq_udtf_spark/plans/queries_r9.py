@@ -88,25 +88,40 @@ ORACLES["embedding_whiten"] = _gen_whiten_oracle()
 # ---------------------------------------------------------------------------
 
 _WSD_THRESHOLD = 0.999
+# direction-grid resolution: each normalized whitened coordinate
+# u_c = y_c/||y|| is binned into floor(u_c * Q) (clamped to Q-1), so
+# cells partition the DIRECTION sphere at (2Q)^k granularity — the
+# tunable that keeps the within-cell quadratic step bounded: raise Q
+# with corpus size until a cell's pair block fits an executor
+# (cosine >= 0.999 neighbors differ by ~2.6 degrees, far inside one
+# Q=4 cell except at boundaries — the same boundary-miss recall
+# trade semantic_dedup's centroid cells document)
+_WSD_Q = 4
 
 
 def q_semantic_dedup_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup in WHITENED space: embeddings are projected onto
     the top-3 whitened components (embedding_whiten's pipeline), each
-    vector is bucketed by its sign OCTANT (cell = sign bits of
-    y1..y3 — the whitened-space analogue of SemDeDup's centroid
-    cells: whitening makes the axes comparable, so octants are
-    meaningful buckets), and within every octant the higher-id member
-    of each pair with whitened cosine >= {t} is dropped.  Output: one
-    row per octant with member and dropped counts — all integers.
+    vector is bucketed by a DIRECTION-GRID cell (its normalized
+    coordinates quantized at resolution Q — the whitened-space
+    analogue of SemDeDup's centroid cells, with Q playing the role of
+    the centroid count: whitening makes the axes comparable, so a
+    uniform grid is a meaningful partition), and within every cell
+    the higher-id member of each pair with whitened cosine >= {t} is
+    dropped.  Output: one row per occupied cell with member and
+    dropped counts — all integers.
 
     Scale shape: identical to semantic_dedup — the quadratic step is
-    confined to a cell, the corpus shuffles once on the cell id, and
-    cross-cell pairs never materialize.  Determinism: y values are
-    6-dp rounded (whiten_projection's contract), the 3-term dot and
-    norms are CLOSED-FORM expressions over pivoted columns (identical
-    association in both engines — no aggregation-order float risk),
-    and the cosine is rounded to 6 dp before the threshold compare."""
+    confined to a cell, the corpus shuffles once on the cell id,
+    cross-cell pairs never materialize, and the cell count scales
+    with Q (see _WSD_Q) rather than being fixed, so the per-cell pair
+    block stays executor-sized at any corpus.  Determinism: y values
+    are 6-dp rounded (whiten_projection's contract), the 3-term dot,
+    norms and normalized coordinates are CLOSED-FORM expressions over
+    pivoted columns (identical association in both engines — no
+    aggregation-order float risk), the grid index is floor() of
+    identical doubles, and the cosine is rounded to 6 dp before the
+    threshold compare."""
     from pyspark.sql import functions as F
 
     from ..operators.pca import (
@@ -121,17 +136,21 @@ def q_semantic_dedup_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = dimension_means_rounded(emb)
     w = whiten_projection(emb, comps, mu)
+    q = _WSD_Q
+
+    def bin_of(c: str):
+        # floor(u*Q) clamped to Q-1 (u == 1.0 exactly would overflow
+        # the top bin), shifted to 0..2Q-1
+        u = F.col(c) / F.col("nrm")
+        return (
+            F.least(F.floor(u * q), F.lit(q - 1)).cast("int") + F.lit(q)
+        )
+
     piv = (
         w.groupBy("vec_id")
         .pivot("comp", [1, 2, 3])
         .agg(F.first("y"))
         .withColumnsRenamed({"1": "y1", "2": "y2", "3": "y3"})
-        .withColumn(
-            "cell",
-            (F.col("y1") > 0).cast("int") * 4
-            + (F.col("y2") > 0).cast("int") * 2
-            + (F.col("y3") > 0).cast("int"),
-        )
         .withColumn(
             "nrm",
             F.sqrt(
@@ -141,6 +160,12 @@ def q_semantic_dedup_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .where(F.col("nrm") > 0)
+        .withColumn(
+            "cell",
+            bin_of("y1") * (2 * q) * (2 * q)
+            + bin_of("y2") * (2 * q)
+            + bin_of("y3"),
+        )
     )
     a = piv.select(
         "cell",
@@ -211,12 +236,18 @@ piv AS MATERIALIZED (
          max(CASE WHEN comp = 2 THEN y END) AS y2,
          max(CASE WHEN comp = 3 THEN y END) AS y3
   FROM proj GROUP BY 1),
-cells AS MATERIALIZED (
-  SELECT vec_id, y1, y2, y3,
-         CAST(y1 > 0 AS INTEGER) * 4 + CAST(y2 > 0 AS INTEGER) * 2
-           + CAST(y3 > 0 AS INTEGER) AS cell,
-         sqrt(y1 * y1 + y2 * y2 + y3 * y3) AS nrm
+normed AS MATERIALIZED (
+  SELECT vec_id, y1, y2, y3, sqrt(y1 * y1 + y2 * y2 + y3 * y3) AS nrm
   FROM piv WHERE sqrt(y1 * y1 + y2 * y2 + y3 * y3) > 0),
+cells AS MATERIALIZED (
+  SELECT vec_id, y1, y2, y3, nrm,
+         (CAST(least(floor(y1 / nrm * {_WSD_Q}), {_WSD_Q - 1}) AS INTEGER) + {_WSD_Q})
+           * {2 * _WSD_Q} * {2 * _WSD_Q}
+         + (CAST(least(floor(y2 / nrm * {_WSD_Q}), {_WSD_Q - 1}) AS INTEGER) + {_WSD_Q})
+           * {2 * _WSD_Q}
+         + (CAST(least(floor(y3 / nrm * {_WSD_Q}), {_WSD_Q - 1}) AS INTEGER) + {_WSD_Q})
+           AS cell
+  FROM normed),
 losers AS (
   SELECT DISTINCT b.vec_id
   FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id

@@ -687,14 +687,19 @@ def test_jq_native_multi_iterate_object_branch_pythonfree(spark):
 
 def test_semantic_dedup_whitened_no_cartesian(spark):
     """The whitened dedup's quadratic step must stay confined to
-    octant cells: an equi-join on cell, never a cartesian/nested-loop
-    pair enumeration, and no Python node anywhere."""
+    direction-grid cells: an equi-join on cell, never a
+    cartesian/nested-loop pair enumeration, and no Python node
+    anywhere."""
     from hive_jq_udtf_spark.plans.queries import QUERIES
+    from hive_jq_udtf_spark.plans.queries_r9 import _WSD_Q
 
     df = QUERIES["semantic_dedup_whitened"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "ArrowEvalPython" not in plan
     rows = df.collect()
-    assert 1 <= len(rows) <= 8
+    # occupied direction cells: more than one (the corpus is not
+    # all one direction), at most the full grid
+    assert 1 < len(rows) <= (2 * _WSD_Q) ** 3
     assert all(r.n_dropped <= r.n_members for r in rows)
+    assert all(0 <= r.cell < (2 * _WSD_Q) ** 3 for r in rows)
