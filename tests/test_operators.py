@@ -1800,3 +1800,40 @@ def test_whiten_projection_variance_and_plan(spark):
     s1 = math.sqrt(sum((a - m1) ** 2 for a in y1) / len(y1))
     s2 = math.sqrt(sum((b - m2) ** 2 for b in y2) / len(y2))
     assert abs(cov / (s1 * s2)) < 0.25
+
+
+def test_whiten_projection_matches_numpy_reference(spark):
+    """Wiring differential: whiten_projection's codegen expression
+    (flattened w array, 1-based element_at indexing) must equal a
+    numpy replay of y = (x - mu) @ (v_c / sqrt(lam_c)) built from the
+    operator's own inputs, up to the 6-dp output round."""
+    import math
+    import random
+
+    import numpy as np
+
+    from hive_jq_udtf_spark.operators.pca import (
+        dimension_means_rounded,
+        power_iteration_topk,
+        whiten_projection,
+    )
+
+    rng = random.Random(53)
+    d, n, k = 6, 120, 3
+    rows = [
+        (i, [rng.gauss(0, 1 + 0.5 * j) for j in range(d)]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comps, dim = power_iteration_topk(emb, k=k, vec_col="embedding", iters=12)
+    mu = dimension_means_rounded(emb)
+    got = {
+        (r.vec_id, r.comp): r.y
+        for r in whiten_projection(emb, comps, mu).collect()
+    }
+    X = np.array([v for _, v in rows], dtype=np.float64)
+    mu_a = np.array(mu)
+    for c, (v, lam) in enumerate(comps, start=1):
+        w = np.array([round(x, 6) for x in v]) / math.sqrt(round(lam, 4))
+        ref = (X - mu_a) @ w
+        for i in range(n):
+            assert abs(got[(i, c)] - round(ref[i], 6)) <= 1e-6, (i, c)
