@@ -19,7 +19,13 @@ produce NULL where Jackson-lenient marshalling produces 0/false for
 *non-coercible* garbage, and compiled arithmetic (`- * / %`) yields
 NULL on a null/missing operand where jq ABORTS the query (`+` keeps
 jq's null-identity; comparisons keep jq's null-below-everything
-order).  sqrt of a
+order).  jq's ``+`` is polymorphic, so a ``+`` chain compiles only
+when its TYPE is anchored: a numeric literal / non-``+`` operator
+anywhere in the chain → double addition; a string literal in the
+chain → concatenation (strcat spec: null/missing parts are the
+identity '', non-string parts yield NULL where jq aborts);
+path-only chains (``.a + .b``) fall back to the Python tier (r9 —
+compiling them numerically silently NULLed string concatenations).  sqrt of a
 negative yields NaN natively where the Python tier raises the jq
 error — same class.  On clean data the tiers agree BIT-FOR-BIT —
 pinned by the property tests in tests/test_native.py; transcendental
@@ -69,6 +75,7 @@ _SPEC_KINDS = {
     "ifelse",
     "splitidx",
     "reduce",
+    "strcat",
 }
 
 
@@ -223,6 +230,8 @@ def _flatten(ast: AST, out: list) -> bool:
                 (d := _scalar_literal(v_ast[2])) is not None
             ):
                 proj[k_ast[1]] = ("alt", _as_path(v_ast[1]), d[0])
+            elif (sc := _as_strcat(v_ast)) is not None:
+                proj[k_ast[1]] = ("strcat", tuple(sc))
             elif (sp := _as_strpred(v_ast)) is not None:
                 proj[k_ast[1]] = ("strpred",) + sp
             elif (af := _as_arrayfn(v_ast)) is not None:
@@ -395,6 +404,64 @@ def _as_fnchain(ast: AST):
             return None
         path = path + p
     return (path, fns)
+
+
+def _as_strcat(ast: AST):
+    """Linear jq ``+`` tree over STRING literals and simple paths
+    (at least one of each) → part list [("lit", s) | ("path", p)],
+    else None.  The string literal anchors the chain's type: jq then
+    either concatenates (string operands), passes null as the
+    identity, or ABORTS (any other operand type) — the abort maps to
+    the documented NULL-delta class in the compiled form."""
+    parts: list = []
+
+    def walk(n: AST) -> bool:
+        if n[0] == "binop" and n[1] == "+":
+            return walk(n[2]) and walk(n[3])
+        if n[0] == "literal" and isinstance(n[1], str):
+            parts.append(("lit", n[1]))
+            return True
+        p = _as_path(n)
+        if p is not None and not (
+            p and isinstance(p[0], str) and p[0] in _SPEC_KINDS
+        ):
+            parts.append(("path", p))
+            return True
+        return False
+
+    if not walk(ast):
+        return None
+    if not any(k == "lit" for k, _ in parts):
+        return None
+    if not any(k == "path" for k, _ in parts):
+        return None
+    return parts
+
+
+def _strcat_col(parts, var_of) -> Column:
+    """Compile a strcat part list given ``var_of(path) -> variant
+    Column``.  Per part: string content for JSON strings, '' for
+    null/missing (jq's ``+`` null identity), and any OTHER type
+    poisons the whole result to NULL (jq aborts the row — the
+    documented error-channel delta class)."""
+    segs = []
+    poison = F.lit(False)
+    for kind, val in parts:
+        if kind == "lit":
+            segs.append(F.lit(val))
+        else:
+            v = var_of(val)
+            vt = F.schema_of_variant(v)
+            bad = (
+                vt.isNotNull()
+                & (vt != F.lit("STRING"))
+                & (vt != F.lit("VOID"))
+            )
+            poison = poison | bad
+            segs.append(
+                F.coalesce(F.try_variant_get(v, "$", "string"), F.lit(""))
+            )
+    return F.when(~poison, F.concat(*segs))
 
 
 def _apply_fnchain(c: Column, fns) -> Column:
@@ -638,12 +705,37 @@ def _as_ifelse(ast: AST):
     return (filters, t, e)
 
 
-def _expr_kind(ast: AST) -> Optional[str]:
+def _num_anchored(ast: AST) -> bool:
+    """True when a ``+`` subtree is provably NUMERIC in jq: it
+    contains a numeric literal, a negation, or a non-``+`` arithmetic
+    operator somewhere (jq aborts those on non-numbers — the
+    documented delta).  A pure path-only ``+`` chain (``.a + .b``)
+    has NO anchor: jq happily concatenates strings/arrays or merges
+    objects there, so compiling it as double addition silently
+    diverged (r9 fix) — unanchored chains fall back to the Python
+    tier (string-literal-anchored chains compile via strcat)."""
+    tag = ast[0]
+    if tag == "literal":
+        return isinstance(ast[1], (int, float)) and not isinstance(ast[1], bool)
+    if tag == "neg":
+        return True
+    if tag == "binop":
+        op, l, r = ast[1], ast[2], ast[3]
+        if op == "+":
+            return _num_anchored(l) or _num_anchored(r)
+        return True  # - * / % force numbers in jq
+    return False
+
+
+def _expr_kind(ast: AST, in_plus: bool = False) -> Optional[str]:
     """'num' | 'bool' for a compilable expression, None = not
     compilable.  Arithmetic and neg require NUMERIC operands — a
     comparison used as an arithmetic operand (legal jq: true+1
     errors, (.k>1)+1 errors too — but booleans would type-mismatch in
-    Catalyst) must reject so auto mode falls back to Python."""
+    Catalyst) must reject so auto mode falls back to Python.
+    ``in_plus`` marks nodes inside a ``+`` chain whose root already
+    passed the numeric-anchor check (checked once per MAXIMAL
+    chain)."""
     tag = ast[0]
     if tag == "literal":
         ok = isinstance(ast[1], (int, float)) and not isinstance(ast[1], bool)
@@ -655,7 +747,13 @@ def _expr_kind(ast: AST) -> Optional[str]:
     if tag == "binop":
         op, l, r = ast[1], ast[2], ast[3]
         if op in _NUM_OPS:
-            ok = _expr_kind(l) == "num" and _expr_kind(r) == "num"
+            if op == "+" and not in_plus and not _num_anchored(ast):
+                return None  # polymorphic jq + without a numeric anchor
+            child_plus = op == "+"
+            ok = (
+                _expr_kind(l, child_plus) == "num"
+                and _expr_kind(r, child_plus) == "num"
+            )
             return "num" if ok else None
         if op in _CMP_OPS:
             # path-vs-NUMERIC-literal only (either side): the path is
@@ -918,6 +1016,14 @@ def analyze_program(program: str) -> Optional[NativeIR]:
                     "reduce",
                 ):
                     proj[k] = (v[0], tuple(base) + v[1]) + v[2:]
+                elif isinstance(v, tuple) and v and v[0] == "strcat":
+                    proj[k] = (
+                        "strcat",
+                        tuple(
+                            (pk, tuple(base) + pv) if pk == "path" else (pk, pv)
+                            for pk, pv in v[1]
+                        ),
+                    )
                 elif isinstance(v, tuple) and v and v[0] == "ifelse":
                     _, fl, t_spec, e_spec = v
 
@@ -1466,6 +1572,10 @@ def _validate_new_specs(project: Optional[dict], schema: T.StructType) -> None:
         dt = types.get(name)
         if dt is None:
             continue
+        if spec[0] == "strcat" and not isinstance(dt, T.StringType):
+            # concat result is a string; numeric declared targets
+            # would need Jackson-lenient coercion — Python tier
+            raise _SchemaConflict(spec)
         if spec[0] == "arrayfn":
             _, _path, fn, _args = spec
             if fn == "add" and not isinstance(dt, _NUMERIC_TYPES):
@@ -1580,6 +1690,14 @@ class NativePlan:
                         raw.isNull() | is_false, F.lit(dflt).try_cast(fdt.dataType)
                     ).otherwise(_cast_extracted(raw, fdt.dataType))
                     out_cols.append(c.alias(fdt.name))
+                elif isinstance(spec, tuple) and spec and spec[0] == "strcat":
+                    c = _strcat_col(
+                        spec[1],
+                        lambda p: F.try_variant_get(
+                            F.try_parse_json(col), _json_path(p), "variant"
+                        ),
+                    )
+                    out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "length":
                     vv = F.try_variant_get(
                         F.try_parse_json(col), _json_path(spec[1]), "variant"
@@ -1731,6 +1849,13 @@ class NativePlan:
                     if not spec[1]:
                         raise _SchemaConflict(spec)
                     add(spec[1], T.VariantType())
+                elif isinstance(spec, tuple) and spec and spec[0] == "strcat":
+                    # each path part gates on the exact JSON type
+                    for pk, pv in spec[1]:
+                        if pk == "path":
+                            if not pv:
+                                raise _SchemaConflict(spec)
+                            add(pv, T.VariantType())
                 elif isinstance(spec, tuple) and spec and spec[0] in (
                     "length",
                     "keyssorted",
@@ -2100,6 +2225,15 @@ class NativePlan:
                         .otherwise(c.try_cast(fdt.dataType))
                         .alias(fdt.name)
                     )
+                elif isinstance(spec, tuple) and spec and spec[0] == "strcat":
+                    def _var_of(p, _ec=ec):
+                        c2 = _ec
+                        for st in p:
+                            c2 = _nav_step(c2, st)
+                        return c2
+
+                    cc = _strcat_col(spec[1], _var_of)
+                    out_cols.append(cc.cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "length":
                     _, path = spec
                     c = ec

@@ -125,10 +125,70 @@ def test_native_expression_no_python_node(spark):
     assert "Python" not in plan
 
 
-def test_native_string_concat_stays_python(spark):
+def test_native_string_concat_compiles_and_gates(spark):
+    """r9: `+`-chains anchored by a STRING literal compile natively
+    as concatenation (strcat spec); unanchored path-only chains fall
+    back (jq's + is polymorphic there — compiling them as double
+    addition silently diverged on string data); numeric declared
+    targets for a concat fall back too."""
     from hive_jq_udtf_spark.native import compile_native
+    from hive_jq_udtf_spark.udtf import jq_explode
 
-    assert compile_native('{s: (.name + "x")}', ("s:string",)) is None
+    assert compile_native('{s: (.name + "x")}', ("s:string",)) is not None
+    assert compile_native('{s: ("p" + .a + "-" + .b)}', ("s:string",)) is not None
+    # unanchored path-only + : polymorphic in jq, falls back
+    assert compile_native("{s: (.a + .b)}", ("s:string",)) is None
+    assert compile_native("{n: (.a + .b)}", ("n:double",)) is None
+    # ... but any numeric anchor keeps the numeric compile
+    assert compile_native("{n: (.a + .b + 1)}", ("n:double",)) is not None
+    assert compile_native("{n: (.a + .b * 2)}", ("n:double",)) is not None
+    # concat into a numeric declared type needs Jackson coercion -> Python
+    assert compile_native('{n: (.a + "x")}', ("n:int",)) is None
+
+    # Python tier agrees on string data for the unanchored chain
+    df = spark.createDataFrame([('{"a":"xx","b":"yy"}',)], "j string")
+    out = jq_explode(df, "j", "{s: (.a + .b)}", "s:string", native="auto").collect()
+    assert [r.s for r in out] == ["xxyy"]
+
+
+def test_native_strcat_matches_python_tier(spark):
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    rows = [
+        ('{"a": "x", "b": "y", "items": [{"t": "u"}, {"t": ""}]}',),
+        ('{"a": "", "b": "q", "items": []}',),
+        ('{"a": null, "b": "z", "items": [{"t": "w"}]}',),  # null identity
+        ('{"b": "only", "items": [{}]}',),  # missing a AND missing t
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    for prog, decls in [
+        ('{s: (.a + "-")}', ("s:string",)),
+        ('{s: ("<" + .a + "|" + .b + ">")}', ("s:string",)),
+        ('{s: (.a + .b + "!")}', ("s:string",)),
+        ('.items[] | {s: (.t + "#")}', ("s:string",)),
+        ('.items[] | {s: ("pre" + .t)}', ("s:string",)),
+    ]:
+        nat = jq_explode(df, "j", prog, *decls, native="require")
+        py = jq_explode(df, "j", prog, *decls, native="never")
+        assert _plan_is_pythonfree(nat), prog
+        cols = [c for c in nat.columns if c != "j"]
+        assert sorted(map(tuple, nat.select(cols).collect()), key=str) == sorted(
+            map(tuple, py.select(cols).collect()), key=str
+        ), prog
+
+
+def test_native_strcat_nonstring_operand_is_null_delta(spark):
+    # jq ABORTS on number + "x"; the native tier emits NULL for that
+    # row (the documented error-channel delta class) and keeps others
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    df = spark.createDataFrame(
+        [('{"a": 7}',), ('{"a": "s"}',), ('{"a": [1]}',), ('{"a": true}',)],
+        "j string",
+    )
+    out = jq_explode(df, "j", '{s: (.a + "x")}', "s:string", native="require")
+    vals = [r.s for r in out.collect()]
+    assert vals == [None, "sx", None, None]
 
 
 def test_native_expression_filters_equivalence(spark):
