@@ -189,3 +189,24 @@ def test_expression_projection_tiers_agree(doc, op, cmp_op, lit):
         ">": doc["n"] > lit, ">=": doc["n"] >= lit, "<": doc["n"] < lit,
         "<=": doc["n"] <= lit, "==": doc["n"] == lit, "!=": doc["n"] != lit,
     }[cmp_op]
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b"]),
+        st.one_of(st.none(), st.text(max_size=8)),
+        max_size=2,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_strcat_projection_semantics(doc):
+    """String-literal-anchored + chains stay native-compilable and
+    jqlib evaluates them with jq's null/missing identity — the
+    semantics the strcat spec compiles (tier equivalence on Spark is
+    pinned in test_native.py)."""
+    from hive_jq_udtf_spark.native import compile_native
+
+    prog = '{s: ("L" + .a + "-" + .b)}'
+    assert compile_native(prog, ("s:string",)) is not None
+    [res] = list(jq_compile(prog)(doc))
+    assert res["s"] == "L" + (doc.get("a") or "") + "-" + (doc.get("b") or "")
