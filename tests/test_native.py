@@ -1291,3 +1291,82 @@ def test_native_inner_null_iterate_emits_no_rows(spark):
 
     nat = jq_explode(df, "j", ".a[].b[]", "int", native="require")
     assert [r.col1 for r in nat.collect()] == [3]
+
+
+def test_native_randomized_program_differential(spark):
+    """Randomized native-vs-ground-truth differential over the whole
+    projection surface (r9): random docs (clean and dirty) x random
+    programs drawn from the native subset's grammar.  Ground truth is
+    run_jq (the engine-free UDTF pipeline — jq evaluation + reference
+    marshalling); docs where jq ABORTS are excluded per program (the
+    error-channel delta is pinned by dedicated tests, not here).
+    Catches silent auto-mode divergences of the kind ADVICE r8 found
+    in nested limit and r9 found in path-only `+` chains."""
+    import json as _json
+    import random
+
+    from hive_jq_udtf_spark.native import compile_native
+    from hive_jq_udtf_spark.udtf import jq_explode, run_jq
+
+    rng = random.Random(71)
+
+    def rand_doc(dirty: bool):
+        d = {
+            "s": rng.choice(["abc", "Xy", "", "tru"]),
+            "t": rng.choice(["zz", "q-1", ""]),
+            "n": rng.randint(-5, 99),
+            "x": rng.choice([0.5, 2.25, -1.75, 10.0]),
+            "arr": [rng.randint(0, 9) for _ in range(rng.randint(0, 4))],
+            "items": [
+                {"u": rng.choice(["a", "bb", ""]), "v": rng.randint(0, 20)}
+                for _ in range(rng.randint(0, 3))
+            ],
+        }
+        if dirty:
+            # type chaos on a random field; may make jq abort — the
+            # harness drops those docs per program
+            f = rng.choice(["s", "n", "arr", "items"])
+            d[f] = rng.choice([None, 7, "str", [1, 2], {"k": 1}, True])
+        if rng.random() < 0.3:
+            d.pop(rng.choice(list(d)), None)
+        return d
+
+    programs = [
+        ("{o: .s}", ("o:string",)),
+        ("{o: .n, p: .x}", ("o:int", "p:double")),
+        ("{o: (.n + 3)}", ("o:int",)),
+        ("{o: (.n * 2 - 1), p: (.x / 2)}", ("o:int", "p:double")),
+        ('{o: (.s + "#" + .t)}', ("o:string",)),
+        ('{o: ("L" + .s)}', ("o:string",)),
+        ("select(.n > 10) | {o: .n}", ("o:int",)),
+        ("select(.n + 5 <= 20) | {o: .n}", ("o:int",)),
+        ("{o: (.arr | length)}", ("o:int",)),
+        ("{o: (.arr | add)}", ("o:int",)),
+        ("{o: (.s | ascii_downcase)}", ("o:string",)),
+        (".items[] | {u: .u, v: .v}", ("u:string", "v:int")),
+        (".items[] | select(.v > 5) | {u: .u}", ("u:string",)),
+        ("limit(2; .items[]) | {u: .u}", ("u:string",)),
+        (".items[].u", ("string",)),
+        ('{o: (.s // "dflt")}', ("o:string",)),
+    ]
+    compared = 0
+    for pi, (prog, decls) in enumerate(programs):
+        assert compile_native(prog, decls) is not None, prog
+        docs, expected = [], []
+        for di in range(14):
+            doc = _json.dumps(rand_doc(dirty=di % 3 == 2))
+            try:
+                rows = run_jq(prog, doc, *decls)
+            except Exception:
+                continue  # jq aborted: error-channel delta, excluded
+            docs.append((doc,))
+            expected.extend(rows)
+        if not docs:
+            continue
+        df = spark.createDataFrame(docs, "j string")
+        nat = jq_explode(df, "j", prog, *decls, native="require")
+        cols = [c for c in nat.columns if c != "j"]
+        got = sorted(map(tuple, nat.select(cols).collect()), key=str)
+        assert got == sorted(expected, key=str), (prog, got, sorted(expected, key=str))
+        compared += len(docs)
+    assert compared > 150
