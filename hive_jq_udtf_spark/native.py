@@ -25,7 +25,12 @@ anywhere in the chain → double addition; a string literal in the
 chain → concatenation (strcat spec: null/missing parts are the
 identity '', non-string parts yield NULL where jq aborts);
 path-only chains (``.a + .b``) fall back to the Python tier (r9 —
-compiling them numerically silently NULLed string concatenations).  sqrt of a
+compiling them numerically silently NULLed string concatenations).
+``tostring`` normalizes integral floats below 1e17 to integer text
+like jq (1.0 → "1", variant-type-gated so STRING "1.0" passes
+through); the residual delta is scientific-notation text of the
+remaining doubles (Jackson "1.0E20"/"1.5E-7" vs jq
+"1e+20"/"1.5e-07").  sqrt of a
 negative yields NaN natively where the Python tier raises the jq
 error — same class.  On clean data the tiers agree BIT-FOR-BIT —
 pinned by the property tests in tests/test_native.py; transcendental
@@ -1250,6 +1255,30 @@ def _variant_cmp(v: Column, op: str, lit: Any) -> Column:
     ).otherwise(_CMP_FN[op](val_rank, F.lit(lit_rank)))
 
 
+def _tostring_view(raw: Column, v: Column) -> Column:
+    """jq ``tostring`` of the value at a path: the raw text view with
+    NUMBER normalization matching jqlib — integral floats below 1e17
+    print without the fraction (1.0 → "1", 1e2 → "100", -0.0 → "0";
+    values.py::_canon_num).  The variant supplies the exact JSON type
+    so a STRING "1.0" is never normalized (r9 fix: the bare text view
+    emitted "1.0" where jq prints "1" — a live auto-mode divergence).
+    Residual documented delta: scientific-notation text of the
+    remaining doubles keeps the Jackson form ("1.0E20", "1.5E-7")
+    where jq prints "1e+20" / "1.5e-07"."""
+    vt = F.schema_of_variant(v)
+    num = F.try_variant_get(v, "$", "double")
+    isnum = (vt == F.lit("DOUBLE")) | vt.startswith("DECIMAL")
+    intish = (
+        isnum
+        & num.isNotNull()
+        & (num == F.floor(num))
+        & (F.abs(num) < F.lit(1e17))
+    )
+    return F.when(intish, num.cast("bigint").cast("string")).otherwise(
+        F.coalesce(raw, F.lit("null"))
+    )
+
+
 def _variant_string_only(v: Column) -> Column:
     """The variant's string value when it IS a JSON string, else NULL
     — so string predicates see NULL (→ false) for arrays / objects /
@@ -1658,6 +1687,20 @@ class NativePlan:
                 elif isinstance(spec, tuple) and spec and spec[0] == "fnchain":
                     _, path, fns = spec
                     raw = F.get_json_object(col, _json_path(path))
+                    if fns[0][0] == "tostring":
+                        # leading tostring: number-normalized view
+                        # (variant type gate — see _tostring_view)
+                        v = F.try_variant_get(
+                            F.try_parse_json(col), _json_path(path), "variant"
+                        )
+                        first = _tostring_view(raw, v)
+                        c = (
+                            _apply_fnchain(first, fns[1:])
+                            if len(fns) > 1
+                            else first
+                        )
+                        out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
+                        continue
                     c = _apply_fnchain(raw, fns)
                     if fns[0][0] in ("ltrimstr", "rtrimstr"):
                         # jq passes NON-string values through these
@@ -2039,6 +2082,18 @@ class NativePlan:
             # BEFORE the explode: the dropped elements never become rows
             nav = F.slice(nav, F.lit(1), F.lit(lims[0]))
         gen = F.explode_outer if outer else F.explode
+        # leading-tostring fnchains need the element's VARIANT for the
+        # number-normalization type gate (_tostring_view); multi-level
+        # programs already thread a variant twin, single-level ones
+        # switch to posexplode and index the doc-level variant array
+        needs_ev = ir.project is not None and any(
+            isinstance(s, tuple)
+            and s
+            and s[0] == "fnchain"
+            and s[2][0][0] == "tostring"
+            for s in ir.project.values()
+        )
+        elem_var = None
         if ir.mid_paths:
             # chained explode for multi-iterate programs (.a[].b[]).
             # from_json nulls the DEEPEST mismatching node (an inner
@@ -2153,6 +2208,26 @@ class NativePlan:
                 ec = F.col(f"__jq_elem{lvl}").getField("t")
                 ev = F.col(f"__jq_elem{lvl}").getField("v")
                 ex = F.col(f"__jq_elem{lvl}").getField("x")
+            elem_var = ev  # last level's variant twin
+        elif needs_ev:
+            # posexplode keeps the element index so the element's
+            # variant can be read from the doc-level variant array
+            # (object-iterated level 0 uses the SAME map-parse value
+            # array the nav branch used, keeping index alignment)
+            var_arr = F.coalesce(
+                F.try_variant_get(
+                    F.try_parse_json(col), jsonpath, "array<variant>"
+                ),
+                F.when(is_object, obj_vals),
+            )
+            if lims and lims[0] is not None:
+                var_arr = F.slice(var_arr, F.lit(1), F.lit(lims[0]))
+            pgen = F.posexplode_outer if outer else F.posexplode
+            out = df.select(
+                "*", pgen(nav).alias("__jq_pos0", "__jq_elem0")
+            )
+            ec = F.col("__jq_elem0")
+            elem_var = F.try_element_at(var_arr, F.col("__jq_pos0") + 1)
         else:
             out = df.withColumn("__jq_elem0", gen(nav))
             ec = F.col("__jq_elem0")
@@ -2192,6 +2267,24 @@ class NativePlan:
                     c = ec
                     for st in path:
                         c = _nav_step(c, st)
+                    if fns[0][0] == "tostring" and elem_var is not None:
+                        # leading tostring: number-normalized view via
+                        # the element's variant (see _tostring_view)
+                        v = (
+                            F.try_variant_get(
+                                elem_var, _json_path(path), "variant"
+                            )
+                            if path
+                            else elem_var
+                        )
+                        first = _tostring_view(c.try_cast("string"), v)
+                        cc = (
+                            _apply_fnchain(first, fns[1:])
+                            if len(fns) > 1
+                            else first
+                        )
+                        out_cols.append(cc.cast(fdt.dataType).alias(fdt.name))
+                        continue
                     if fns[0][0] in ("ltrimstr", "rtrimstr"):
                         # the element schema typed this path VARIANT:
                         # jq passes NON-strings through trims unchanged

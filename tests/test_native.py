@@ -1370,3 +1370,46 @@ def test_native_randomized_program_differential(spark):
         assert got == sorted(expected, key=str), (prog, got, sorted(expected, key=str))
         compared += len(docs)
     assert compared > 150
+
+
+def test_native_tostring_number_normalization(spark):
+    """r9: leading `tostring` normalizes NUMBERS like jq — integral
+    floats below 1e17 print without the fraction (1.0 -> "1",
+    1e2 -> "100", -0.0 -> "0") — while a STRING "1.0" passes through
+    untouched (the variant type gate).  Pinned on all three shapes:
+    scalar, single-level explode (posexplode + doc-variant indexing,
+    including the object-iterated level 0), and multi-level explode
+    (variant twin)."""
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    cases = [
+        (
+            [
+                '{"a": 1.0}', '{"a": 2.50}', '{"a": 3}', '{"a": 1e2}',
+                '{"a": "1.0"}', '{"a": "s"}', '{"a": -0.0}', "{}",
+            ],
+            '{t: (.a | tostring)}',
+        ),
+        (
+            [
+                '{"xs": [{"v": 1.0}, {"v": "1.0"}, {"v": 7}, {"v": 2.5}]}',
+                '{"xs": {"k2": {"v": 100.0}, "k1": {"v": "z"}}}',
+            ],
+            ".xs[] | {t: (.v | tostring)}",
+        ),
+        (
+            ['{"a": [{"b": [{"v": 5.0}, {"v": "5.0"}]}]}'],
+            ".a[].b[] | {t: (.v | tostring)}",
+        ),
+        # tostring feeding a later fn keeps the normalized view
+        (
+            ['{"a": 10.0}', '{"a": "UP"}'],
+            "{t: (.a | tostring | ascii_downcase)}",
+        ),
+    ]
+    for docs, prog in cases:
+        df = spark.createDataFrame([(d,) for d in docs], "j string")
+        nat = jq_explode(df, "j", prog, "t:string", native="require")
+        py = jq_explode(df, "j", prog, "t:string", native="never")
+        assert _plan_is_pythonfree(nat), prog
+        assert [r.t for r in nat.collect()] == [r.t for r in py.collect()], prog
