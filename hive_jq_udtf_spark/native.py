@@ -1255,6 +1255,27 @@ def _variant_cmp(v: Column, op: str, lit: Any) -> Column:
     ).otherwise(_CMP_FN[op](val_rank, F.lit(lit_rank)))
 
 
+# fnchain HEADS with jq type constraints (r9): jq ERRORS when these
+# receive the wrong type, so the compiled form must yield NULL there
+# (the documented error-channel delta class) instead of operating on
+# the value's JSON serialization (a silent WRONG-VALUE divergence —
+# `7 | ascii_downcase` must not emit "7", `"5" | floor` must not
+# emit 5).  Exact types come from the variant reader.
+_STR_ONLY_HEADS = {"ascii_downcase", "ascii_upcase", "gsub"}
+_NUM_ONLY_HEADS = {"floor", "ceil"}
+
+
+def _num_only_view(raw: Column, v: Column) -> Column:
+    """The raw text view when the value IS a JSON number, else NULL."""
+    vt = F.schema_of_variant(v)
+    isnum = (
+        (vt == F.lit("DOUBLE"))
+        | vt.startswith("DECIMAL")
+        | (vt == F.lit("BIGINT"))
+    )
+    return F.when(isnum, raw)
+
+
 def _tostring_view(raw: Column, v: Column) -> Column:
     """jq ``tostring`` of the value at a path: the raw text view with
     NUMBER normalization matching jqlib — integral floats below 1e17
@@ -1701,6 +1722,21 @@ class NativePlan:
                         )
                         out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
                         continue
+                    if fns[0][0] in _STR_ONLY_HEADS | _NUM_ONLY_HEADS:
+                        # exact-type gate: wrong-typed values yield
+                        # NULL where jq aborts, never a value computed
+                        # from their serialization
+                        v = F.try_variant_get(
+                            F.try_parse_json(col), _json_path(path), "variant"
+                        )
+                        first = (
+                            _variant_string_only(v)
+                            if fns[0][0] in _STR_ONLY_HEADS
+                            else _num_only_view(raw, v)
+                        )
+                        c = _apply_fnchain(first, fns)
+                        out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
+                        continue
                     c = _apply_fnchain(raw, fns)
                     if fns[0][0] in ("ltrimstr", "rtrimstr"):
                         # jq passes NON-string values through these
@@ -1780,8 +1816,15 @@ class NativePlan:
                     out_cols.append(c.try_cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "splitidx":
                     _, path, sep, idx = spec
-                    raw = F.get_json_object(col, _json_path(path))
-                    parts = F.split(raw.try_cast("string"), _java_quote(sep), -1)
+                    # split is string-only in jq: non-strings gate to
+                    # NULL (jq aborts) instead of splitting their
+                    # serialization (r9)
+                    s = _variant_string_only(
+                        F.try_variant_get(
+                            F.try_parse_json(col), _json_path(path), "variant"
+                        )
+                    )
+                    parts = F.split(s, _java_quote(sep), -1)
                     c = F.try_element_at(parts, F.lit(idx + 1))
                     out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "ifelse":
@@ -2086,11 +2129,12 @@ class NativePlan:
         # number-normalization type gate (_tostring_view); multi-level
         # programs already thread a variant twin, single-level ones
         # switch to posexplode and index the doc-level variant array
+        gated_heads = {"tostring"} | _STR_ONLY_HEADS | _NUM_ONLY_HEADS
         needs_ev = ir.project is not None and any(
             isinstance(s, tuple)
             and s
             and s[0] == "fnchain"
-            and s[2][0][0] == "tostring"
+            and s[2][0][0] in gated_heads
             for s in ir.project.values()
         )
         elem_var = None
@@ -2283,6 +2327,25 @@ class NativePlan:
                             if len(fns) > 1
                             else first
                         )
+                        out_cols.append(cc.cast(fdt.dataType).alias(fdt.name))
+                        continue
+                    if (
+                        fns[0][0] in _STR_ONLY_HEADS | _NUM_ONLY_HEADS
+                        and elem_var is not None
+                    ):
+                        v = (
+                            F.try_variant_get(
+                                elem_var, _json_path(path), "variant"
+                            )
+                            if path
+                            else elem_var
+                        )
+                        first = (
+                            _variant_string_only(v)
+                            if fns[0][0] in _STR_ONLY_HEADS
+                            else _num_only_view(c.try_cast("string"), v)
+                        )
+                        cc = _apply_fnchain(first, fns)
                         out_cols.append(cc.cast(fdt.dataType).alias(fdt.name))
                         continue
                     if fns[0][0] in ("ltrimstr", "rtrimstr"):

@@ -1413,3 +1413,41 @@ def test_native_tostring_number_normalization(spark):
         py = jq_explode(df, "j", prog, "t:string", native="never")
         assert _plan_is_pythonfree(nat), prog
         assert [r.t for r in nat.collect()] == [r.t for r in py.collect()], prog
+
+
+def test_native_fnchain_head_type_gates(spark):
+    """r9: jq type-constrained fnchain HEADS gate on the exact JSON
+    type — wrong-typed values yield NULL (jq aborts there), never a
+    value computed from their serialization: `7 | ascii_downcase`
+    must not emit "7", `"5" | floor` must not emit 5."""
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    docs = [
+        '{"a": 7}', '{"a": "Ab"}', '{"a": [1]}', '{"a": true}',
+        '{"a": "5"}', '{"a": 5.0}', '{"a": null}',
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    for prog, decl, expect in [
+        ('{o: (.a | ascii_downcase)}', "o:string",
+         [None, "ab", None, None, "5", None, None]),
+        ('{o: (.a | gsub("b"; "X"))}', "o:string",
+         [None, "AX", None, None, "5", None, None]),
+        ('{o: (.a | split("b")[0])}', "o:string",
+         [None, "A", None, None, "5", None, None]),
+        ("{o: (.a | floor)}", "o:bigint",
+         [7, None, None, None, None, 5, None]),
+        ("{o: (.a | ceil)}", "o:bigint",
+         [7, None, None, None, None, 5, None]),
+    ]:
+        nat = jq_explode(df, "j", prog, decl, native="require")
+        assert _plan_is_pythonfree(nat), prog
+        assert [r.o for r in nat.collect()] == expect, prog
+    # explode tier: same gate via the element variant
+    df2 = spark.createDataFrame(
+        [('{"xs": [{"v": "Qq"}, {"v": 3}, {"v": "x,y"}]}',)], "j string"
+    )
+    out = jq_explode(
+        df2, "j", '.xs[] | {o: (.v | ascii_downcase)}', "o:string",
+        native="require",
+    )
+    assert [r.o for r in out.collect()] == ["qq", None, "x,y"]
