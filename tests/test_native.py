@@ -1343,6 +1343,11 @@ def test_native_randomized_program_differential(spark):
         ("{o: (.arr | length)}", ("o:int",)),
         ("{o: (.arr | add)}", ("o:int",)),
         ("{o: (.s | ascii_downcase)}", ("o:string",)),
+        ("{o: (.x | tostring)}", ("o:string",)),
+        ("{o: (.n | tostring)}", ("o:string",)),
+        ('{o: (.s | gsub("a"; "@"))}', ("o:string",)),
+        ('{o: (.t | split("-")[0])}', ("o:string",)),
+        ("{o: (.x | floor), p: (.x | ceil)}", ("o:bigint", "p:bigint")),
         (".items[] | {u: .u, v: .v}", ("u:string", "v:int")),
         (".items[] | select(.v > 5) | {u: .u}", ("u:string",)),
         ("limit(2; .items[]) | {u: .u}", ("u:string",)),
