@@ -81,6 +81,7 @@ _SPEC_KINDS = {
     "splitidx",
     "reduce",
     "strcat",
+    "strinterp",
 }
 
 
@@ -237,6 +238,8 @@ def _flatten(ast: AST, out: list) -> bool:
                 proj[k_ast[1]] = ("alt", _as_path(v_ast[1]), d[0])
             elif (sc := _as_strcat(v_ast)) is not None:
                 proj[k_ast[1]] = ("strcat", tuple(sc))
+            elif (si2 := _as_strinterp(v_ast)) is not None:
+                proj[k_ast[1]] = ("strinterp", tuple(si2))
             elif (sp := _as_strpred(v_ast)) is not None:
                 proj[k_ast[1]] = ("strpred",) + sp
             elif (af := _as_arrayfn(v_ast)) is not None:
@@ -438,6 +441,31 @@ def _as_strcat(ast: AST):
         return None
     if not any(k == "lit" for k, _ in parts):
         return None
+    if not any(k == "path" for k, _ in parts):
+        return None
+    return parts
+
+
+def _as_strinterp(ast: AST):
+    """jq string INTERPOLATION ``"a\\(.p)b"`` with simple-path
+    interpolants and no @format → part list [("lit", s) | ("path",
+    p)], else None.  Interpolation applies ``tostring`` to every
+    value (any type, never errors; null/missing → "null"), which is
+    exactly the number-normalized raw-text view ``_tostring_view``
+    compiles."""
+    if ast[0] != "string" or ast[2] is not None:
+        return None
+    parts: list = []
+    for p in ast[1]:
+        if isinstance(p, str):
+            parts.append(("lit", p))
+        else:
+            pp = _as_path(p)
+            if pp is None or (
+                pp and isinstance(pp[0], str) and pp[0] in _SPEC_KINDS
+            ):
+                return None
+            parts.append(("path", pp))
     if not any(k == "path" for k, _ in parts):
         return None
     return parts
@@ -1021,9 +1049,9 @@ def analyze_program(program: str) -> Optional[NativeIR]:
                     "reduce",
                 ):
                     proj[k] = (v[0], tuple(base) + v[1]) + v[2:]
-                elif isinstance(v, tuple) and v and v[0] == "strcat":
+                elif isinstance(v, tuple) and v and v[0] in ("strcat", "strinterp"):
                     proj[k] = (
-                        "strcat",
+                        v[0],
                         tuple(
                             (pk, tuple(base) + pv) if pk == "path" else (pk, pv)
                             for pk, pv in v[1]
@@ -1622,9 +1650,10 @@ def _validate_new_specs(project: Optional[dict], schema: T.StructType) -> None:
         dt = types.get(name)
         if dt is None:
             continue
-        if spec[0] == "strcat" and not isinstance(dt, T.StringType):
-            # concat result is a string; numeric declared targets
-            # would need Jackson-lenient coercion — Python tier
+        if spec[0] in ("strcat", "strinterp") and not isinstance(dt, T.StringType):
+            # concat/interpolation results are strings; numeric
+            # declared targets would need Jackson-lenient coercion —
+            # Python tier
             raise _SchemaConflict(spec)
         if spec[0] == "arrayfn":
             _, _path, fn, _args = spec
@@ -1777,6 +1806,21 @@ class NativePlan:
                         ),
                     )
                     out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
+                elif isinstance(spec, tuple) and spec and spec[0] == "strinterp":
+                    segs = [
+                        F.lit(val)
+                        if kind == "lit"
+                        else _tostring_view(
+                            F.get_json_object(col, _json_path(val)),
+                            F.try_variant_get(
+                                F.try_parse_json(col), _json_path(val), "variant"
+                            ),
+                        )
+                        for kind, val in spec[1]
+                    ]
+                    out_cols.append(
+                        F.concat(*segs).cast(fdt.dataType).alias(fdt.name)
+                    )
                 elif isinstance(spec, tuple) and spec and spec[0] == "length":
                     vv = F.try_variant_get(
                         F.try_parse_json(col), _json_path(spec[1]), "variant"
@@ -1942,6 +1986,15 @@ class NativePlan:
                             if not pv:
                                 raise _SchemaConflict(spec)
                             add(pv, T.VariantType())
+                elif isinstance(spec, tuple) and spec and spec[0] == "strinterp":
+                    # raw text view for the value (document order for
+                    # objects); the type gate reads the element
+                    # variant (elem_var) instead
+                    for pk, pv in spec[1]:
+                        if pk == "path":
+                            if not pv:
+                                raise _SchemaConflict(spec)
+                            add(pv, T.StringType())
                 elif isinstance(spec, tuple) and spec and spec[0] in (
                     "length",
                     "keyssorted",
@@ -2133,8 +2186,10 @@ class NativePlan:
         needs_ev = ir.project is not None and any(
             isinstance(s, tuple)
             and s
-            and s[0] == "fnchain"
-            and s[2][0][0] in gated_heads
+            and (
+                (s[0] == "fnchain" and s[2][0][0] in gated_heads)
+                or s[0] == "strinterp"
+            )
             for s in ir.project.values()
         )
         elem_var = None
@@ -2390,6 +2445,29 @@ class NativePlan:
 
                     cc = _strcat_col(spec[1], _var_of)
                     out_cols.append(cc.cast(fdt.dataType).alias(fdt.name))
+                elif isinstance(spec, tuple) and spec and spec[0] == "strinterp":
+                    segs = []
+                    for kind, val in spec[1]:
+                        if kind == "lit":
+                            segs.append(F.lit(val))
+                            continue
+                        c2 = ec
+                        for st in val:
+                            c2 = _nav_step(c2, st)
+                        if elem_var is not None:
+                            v2 = (
+                                F.try_variant_get(
+                                    elem_var, _json_path(val), "variant"
+                                )
+                                if val
+                                else elem_var
+                            )
+                        else:  # pragma: no cover - needs_ev guards this
+                            v2 = F.lit(None).cast(T.VariantType())
+                        segs.append(_tostring_view(c2.try_cast("string"), v2))
+                    out_cols.append(
+                        F.concat(*segs).cast(fdt.dataType).alias(fdt.name)
+                    )
                 elif isinstance(spec, tuple) and spec and spec[0] == "length":
                     _, path = spec
                     c = ec

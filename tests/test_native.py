@@ -1456,3 +1456,45 @@ def test_native_fnchain_head_type_gates(spark):
         native="require",
     )
     assert [r.o for r in out.collect()] == ["qq", None, "x,y"]
+
+
+def test_native_string_interpolation_matches_python_tier(spark):
+    """r9: jq string interpolation "a\\(.p)b" compiles natively —
+    each interpolant is the number-normalized tostring view
+    (_tostring_view), so floats print like jq ("1"), objects keep
+    document key order, and null/missing render "null".  Scalar and
+    explode shapes, compared value-for-value with the Python tier."""
+    from hive_jq_udtf_spark.native import compile_native
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    docs = [
+        '{"u": 7, "v": {"b": 2, "a": 1}}',
+        '{"u": "id", "v": 1.0}',
+        '{"u": null, "v": [1, "x"]}',
+        '{"v": true}',
+        '{"u": 2.5, "v": ""}',
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    for prog, decls in [
+        ('{s: "u=\\(.u)|v=\\(.v)!"}', ("s:string",)),
+        ('{s: "\\(.u)"}', ("s:string",)),
+        ('{s: "x\\(.v)y", u: .u}', ("s:string", "u:string")),
+    ]:
+        assert compile_native(prog, decls) is not None, prog
+        nat = jq_explode(df, "j", prog, *decls, native="require")
+        py = jq_explode(df, "j", prog, *decls, native="never")
+        assert _plan_is_pythonfree(nat), prog
+        cols = [c for c in nat.columns if c != "j"]
+        assert nat.select(cols).collect() == py.select(cols).collect(), prog
+    # explode tier
+    df2 = spark.createDataFrame(
+        [('{"xs": [{"id": 3, "w": 2.0}, {"id": "a", "w": {"z": 9, "y": 8}}]}',)],
+        "j string",
+    )
+    prog2 = '.xs[] | {s: "k-\\(.id):\\(.w)"}'
+    nat2 = jq_explode(df2, "j", prog2, "s:string", native="require")
+    py2 = jq_explode(df2, "j", prog2, "s:string", native="never")
+    assert _plan_is_pythonfree(nat2)
+    assert [r.s for r in nat2.collect()] == [r.s for r in py2.collect()]
+    # @format interpolations stay Python-tier (formats escape/encode)
+    assert compile_native('{s: @base64 "\\(.u)"}', ("s:string",)) is None
