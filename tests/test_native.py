@@ -1348,6 +1348,8 @@ def test_native_randomized_program_differential(spark):
         ('{o: (.s | gsub("a"; "@"))}', ("o:string",)),
         ('{o: (.t | split("-")[0])}', ("o:string",)),
         ("{o: (.x | floor), p: (.x | ceil)}", ("o:bigint", "p:bigint")),
+        ('{o: "id-\\(.n)-\\(.s)"}', ("o:string",)),
+        ('.items[] | {o: "\\(.u)#\\(.v)"}', ("o:string",)),
         (".items[] | {u: .u, v: .v}", ("u:string", "v:int")),
         (".items[] | select(.v > 5) | {u: .u}", ("u:string",)),
         ("limit(2; .items[]) | {u: .u}", ("u:string",)),
