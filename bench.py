@@ -276,7 +276,12 @@ def main() -> None:
     for _d in range(draws):
         t0 = time.time()
         with ThreadPoolExecutor(8) as pool:
-            conc_failures = [r for r in pool.map(run_conc, by_cost) if r]
+            # accumulate across draws (r10 ADVICE fix: reassigning
+            # dropped earlier draws' failures from the artifact while
+            # their wall-clock still fed the concurrent median)
+            conc_failures.extend(
+                f"draw{_d}:{r}" for r in pool.map(run_conc, by_cost) if r
+            )
         conc_draws.append(round(time.time() - t0, 3))
         gc.collect()
     conc_total = median(conc_draws)

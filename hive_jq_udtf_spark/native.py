@@ -19,18 +19,26 @@ produce NULL where Jackson-lenient marshalling produces 0/false for
 *non-coercible* garbage, and compiled arithmetic (`- * / %`) yields
 NULL on a null/missing operand where jq ABORTS the query (`+` keeps
 jq's null-identity; comparisons keep jq's null-below-everything
-order).  jq's ``+`` is polymorphic, so a ``+`` chain compiles only
-when its TYPE is anchored: a numeric literal / non-``+`` operator
-anywhere in the chain → double addition; a string literal in the
-chain → concatenation (strcat spec: null/missing parts are the
-identity '', non-string parts yield NULL where jq aborts);
-path-only chains (``.a + .b``) fall back to the Python tier (r9 —
-compiling them numerically silently NULLed string concatenations).
+order).  ALL of jq's arithmetic is polymorphic (``+`` concatenates
+strings/arrays and merges objects, ``-`` subtracts arrays, ``*``
+repeats strings and merges objects, ``/`` splits strings), so an
+arithmetic expression compiles numerically only when it PROVES
+number-valued-or-error (`_proves_num`, r10: numeric literal / neg /
+``%`` prove outright; ``+ - /`` propagate proof from either side;
+``*`` needs BOTH sides proven because string repetition pairs a
+string with a number).  A string literal in a ``+`` chain →
+concatenation (strcat spec: null/missing parts are the identity '',
+non-string parts yield NULL where jq aborts, corrupt docs yield
+NULL); unproven chains (``.a + .b``, ``.a + .b * 2``) fall back to
+the Python tier — compiling them numerically silently NULLed
+string results (r9 found the path-only ``+`` case, r10 closed the
+``- * /``-as-anchor case).
 ``tostring`` normalizes integral floats below 1e17 to integer text
 like jq (1.0 → "1", variant-type-gated so STRING "1.0" passes
-through); the residual delta is scientific-notation text of the
+through), recursing into OBJECT/ARRAY text via a string-token-safe
+regex (r10); the residual delta is scientific-notation text of the
 remaining doubles (Jackson "1.0E20"/"1.5E-7" vs jq
-"1e+20"/"1.5e-07").  sqrt of a
+"1e+20"/"1.5e-07"), scalar and nested alike.  sqrt of a
 negative yields NaN natively where the Python tier raises the jq
 error — same class.  On clean data the tiers agree BIT-FOR-BIT —
 pinned by the property tests in tests/test_native.py; transcendental
@@ -738,15 +746,29 @@ def _as_ifelse(ast: AST):
     return (filters, t, e)
 
 
-def _num_anchored(ast: AST) -> bool:
-    """True when a ``+`` subtree is provably NUMERIC in jq: it
-    contains a numeric literal, a negation, or a non-``+`` arithmetic
-    operator somewhere (jq aborts those on non-numbers — the
-    documented delta).  A pure path-only ``+`` chain (``.a + .b``)
-    has NO anchor: jq happily concatenates strings/arrays or merges
-    objects there, so compiling it as double addition silently
-    diverged (r9 fix) — unanchored chains fall back to the Python
-    tier (string-literal-anchored chains compile via strcat)."""
+def _proves_num(ast: AST) -> bool:
+    """True when this subtree — IF jq evaluates it without error —
+    is a NUMBER.  jq's arithmetic is polymorphic (jqlib
+    evaluator.py's binop table): ``+`` also concatenates
+    strings/arrays and merges objects, ``-`` also subtracts arrays,
+    ``*`` also repeats strings and merges objects, ``/`` also splits
+    strings.  Per-op proof rules:
+
+    - numeric literal / ``neg`` / ``%`` prove numbers outright
+      (negation and ``%`` have no non-number overload in jq);
+    - ``+ - /``: ONE proven side suffices — every non-number
+      overload of these pairs two non-numeric operands, so a proven
+      numeric side forces number-or-error (the error lands in the
+      documented abort-delta class);
+    - ``*``: BOTH sides must be proven, because string repetition
+      ``"ab" * 3`` pairs a string with a NUMBER — a numeric literal
+      operand proves nothing (r10 fix: the old rule treated any
+      ``- * /`` as an anchor, so ``.a + .b * 2`` with string ``.b``
+      compiled to double arithmetic and yielded NULL where jq
+      returns ``"xyy"``).
+
+    Unproven arithmetic falls back to the Python tier (string-literal
+    ``+`` chains compile via the strcat spec instead)."""
     tag = ast[0]
     if tag == "literal":
         return isinstance(ast[1], (int, float)) and not isinstance(ast[1], bool)
@@ -754,21 +776,26 @@ def _num_anchored(ast: AST) -> bool:
         return True
     if tag == "binop":
         op, l, r = ast[1], ast[2], ast[3]
-        if op == "+":
-            return _num_anchored(l) or _num_anchored(r)
-        return True  # - * / % force numbers in jq
+        if op == "%":
+            return True
+        if op == "*":
+            return _proves_num(l) and _proves_num(r)
+        if op in ("+", "-", "/"):
+            return _proves_num(l) or _proves_num(r)
     return False
 
 
-def _expr_kind(ast: AST, in_plus: bool = False) -> Optional[str]:
+def _expr_kind(ast: AST, in_arith: bool = False) -> Optional[str]:
     """'num' | 'bool' for a compilable expression, None = not
     compilable.  Arithmetic and neg require NUMERIC operands — a
     comparison used as an arithmetic operand (legal jq: true+1
     errors, (.k>1)+1 errors too — but booleans would type-mismatch in
     Catalyst) must reject so auto mode falls back to Python.
-    ``in_plus`` marks nodes inside a ``+`` chain whose root already
-    passed the numeric-anchor check (checked once per MAXIMAL
-    chain)."""
+    ``in_arith`` marks nodes inside an arithmetic chain whose MAXIMAL
+    root already passed the `_proves_num` check (checked once per
+    chain: inner unproven subtrees of a proven root can only produce
+    value/NULL-where-jq-aborts rows, the documented delta class —
+    never a different value where jq is valued)."""
     tag = ast[0]
     if tag == "literal":
         ok = isinstance(ast[1], (int, float)) and not isinstance(ast[1], bool)
@@ -780,12 +807,11 @@ def _expr_kind(ast: AST, in_plus: bool = False) -> Optional[str]:
     if tag == "binop":
         op, l, r = ast[1], ast[2], ast[3]
         if op in _NUM_OPS:
-            if op == "+" and not in_plus and not _num_anchored(ast):
-                return None  # polymorphic jq + without a numeric anchor
-            child_plus = op == "+"
+            if not in_arith and not _proves_num(ast):
+                return None  # polymorphic jq arithmetic without proof
             ok = (
-                _expr_kind(l, child_plus) == "num"
-                and _expr_kind(r, child_plus) == "num"
+                _expr_kind(l, True) == "num"
+                and _expr_kind(r, True) == "num"
             )
             return "num" if ok else None
         if op in _CMP_OPS:
@@ -1304,6 +1330,30 @@ def _num_only_view(raw: Column, v: Column) -> Column:
     return F.when(isnum, raw)
 
 
+# Number-token canonicalization INSIDE composite (object/array) JSON
+# text, matching jqlib's recursive canonical_number (values.py): the
+# alternation's first branch consumes complete JSON string tokens
+# atomically (replaced by themselves via $1), so number tokens inside
+# strings are never rewritten; the second branch rewrites a float
+# token in a grammar-valid number position.  ≤16 integer digits keeps
+# the integral rewrite inside the scalar rule's <1e17 window
+# (bigger integral floats print scientific in jq — the documented
+# scientific-notation delta class, left untouched).
+_JSTR = r'("(?:[^"\\]|\\.)*")'
+_NUMEND = r"(?=[\s,}\]]|$)"  # chars that can follow a number token
+_CANON_INT_RE = _JSTR + r"|(-?\d{1,16})\.0+" + _NUMEND
+_CANON_TRIM_RE = _JSTR + r"|(-?\d{1,16}\.\d*[1-9])0+" + _NUMEND
+# jqlib prints -0.0 / -0 as "0" (values.py _canon_num via int());
+# the lookbehind keeps exponent tails ("1e-0") and digit runs intact
+_CANON_NEGZERO_RE = _JSTR + r"|(?<![eE\d.])-(0)" + _NUMEND
+
+
+def _canon_composite_text(raw: Column) -> Column:
+    c = F.regexp_replace(raw, _CANON_INT_RE, "$1$2")
+    c = F.regexp_replace(c, _CANON_TRIM_RE, "$1$2")
+    return F.regexp_replace(c, _CANON_NEGZERO_RE, "$1$2")
+
+
 def _tostring_view(raw: Column, v: Column) -> Column:
     """jq ``tostring`` of the value at a path: the raw text view with
     NUMBER normalization matching jqlib — integral floats below 1e17
@@ -1311,9 +1361,12 @@ def _tostring_view(raw: Column, v: Column) -> Column:
     values.py::_canon_num).  The variant supplies the exact JSON type
     so a STRING "1.0" is never normalized (r9 fix: the bare text view
     emitted "1.0" where jq prints "1" — a live auto-mode divergence).
-    Residual documented delta: scientific-notation text of the
-    remaining doubles keeps the Jackson form ("1.0E20", "1.5E-7")
-    where jq prints "1e+20" / "1.5e-07"."""
+    Composite values (OBJECT/ARRAY) canonicalize their NESTED number
+    tokens too (r10 fix: ``"p-\\(.v)"`` on ``{"v":{"x":1.0}}`` emitted
+    'p-{"x":1.0}' where jq prints 'p-{"x":1}').  Residual documented
+    delta: scientific-notation text of the remaining doubles keeps
+    the Jackson form ("1.0E20", "1.5E-7") where jq prints "1e+20" /
+    "1.5e-07" — scalar and nested alike."""
     vt = F.schema_of_variant(v)
     num = F.try_variant_get(v, "$", "double")
     isnum = (vt == F.lit("DOUBLE")) | vt.startswith("DECIMAL")
@@ -1323,8 +1376,11 @@ def _tostring_view(raw: Column, v: Column) -> Column:
         & (num == F.floor(num))
         & (F.abs(num) < F.lit(1e17))
     )
-    return F.when(intish, num.cast("bigint").cast("string")).otherwise(
-        F.coalesce(raw, F.lit("null"))
+    iscomp = vt.startswith("ARRAY") | vt.startswith("OBJECT")
+    return (
+        F.when(intish, num.cast("bigint").cast("string"))
+        .when(iscomp, _canon_composite_text(raw))
+        .otherwise(F.coalesce(raw, F.lit("null")))
     )
 
 
@@ -1739,11 +1795,19 @@ class NativePlan:
                     raw = F.get_json_object(col, _json_path(path))
                     if fns[0][0] == "tostring":
                         # leading tostring: number-normalized view
-                        # (variant type gate — see _tostring_view)
+                        # (variant type gate — see _tostring_view).
+                        # Corrupt (unparseable) docs must yield NULL
+                        # like every other spec — without the gate the
+                        # missing-path → "null" identity would
+                        # fabricate a value where the Python tier
+                        # errors the row (r10, ADVICE class)
                         v = F.try_variant_get(
                             F.try_parse_json(col), _json_path(path), "variant"
                         )
-                        first = _tostring_view(raw, v)
+                        first = F.when(
+                            F.try_parse_json(col).isNotNull(),
+                            _tostring_view(raw, v),
+                        )
                         c = (
                             _apply_fnchain(first, fns[1:])
                             if len(fns) > 1
@@ -1799,10 +1863,19 @@ class NativePlan:
                     ).otherwise(_cast_extracted(raw, fdt.dataType))
                     out_cols.append(c.alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "strcat":
-                    c = _strcat_col(
-                        spec[1],
-                        lambda p: F.try_variant_get(
-                            F.try_parse_json(col), _json_path(p), "variant"
+                    # doc-validity gate: a corrupt doc parses to a
+                    # NULL variant at every path, which the '' +
+                    # identity would turn into a literals-only value
+                    # ("L-") where the Python tier errors the row —
+                    # poison the whole result to NULL instead (r10,
+                    # ADVICE fix)
+                    c = F.when(
+                        F.try_parse_json(col).isNotNull(),
+                        _strcat_col(
+                            spec[1],
+                            lambda p: F.try_variant_get(
+                                F.try_parse_json(col), _json_path(p), "variant"
+                            ),
                         ),
                     )
                     out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
@@ -1818,8 +1891,16 @@ class NativePlan:
                         )
                         for kind, val in spec[1]
                     ]
+                    # same corrupt-doc gate as strcat: interpolation's
+                    # null → "null" identity would otherwise fabricate
+                    # literals+"null" text for unparseable docs
                     out_cols.append(
-                        F.concat(*segs).cast(fdt.dataType).alias(fdt.name)
+                        F.when(
+                            F.try_parse_json(col).isNotNull(),
+                            F.concat(*segs),
+                        )
+                        .cast(fdt.dataType)
+                        .alias(fdt.name)
                     )
                 elif isinstance(spec, tuple) and spec and spec[0] == "length":
                     vv = F.try_variant_get(

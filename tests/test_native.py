@@ -141,7 +141,13 @@ def test_native_string_concat_compiles_and_gates(spark):
     assert compile_native("{n: (.a + .b)}", ("n:double",)) is None
     # ... but any numeric anchor keeps the numeric compile
     assert compile_native("{n: (.a + .b + 1)}", ("n:double",)) is not None
-    assert compile_native("{n: (.a + .b * 2)}", ("n:double",)) is not None
+    # `* 2` is NOT an anchor (jq string repetition: "x" * 2 == "xx",
+    # so `.a + .b * 2` with string .b concatenates — r10 ADVICE fix);
+    # `%` and a subtraction with a literal operand still prove numbers
+    assert compile_native("{n: (.a + .b * 2)}", ("n:double",)) is None
+    assert compile_native("{n: (.a + .b % 2)}", ("n:double",)) is not None
+    assert compile_native("{n: (.a * 2)}", ("n:double",)) is None
+    assert compile_native("{n: (.a * 2 - 1)}", ("n:double",)) is not None
     # concat into a numeric declared type needs Jackson coercion -> Python
     assert compile_native('{n: (.a + "x")}', ("n:int",)) is None
 
@@ -191,6 +197,79 @@ def test_native_strcat_nonstring_operand_is_null_delta(spark):
     assert vals == [None, "sx", None, None]
 
 
+def test_native_unproven_arithmetic_falls_back(spark):
+    """r10 (ADVICE medium): `- * /` are NOT numeric anchors — jq
+    defines `-` on arrays, `*` on strings/objects, `/` on strings.
+    The exact ADVICE shape `.a + .b * 2` with string .b concatenates
+    in jq ("x" + "yy" == "xyy"); the old anchor rule compiled it to
+    double arithmetic and emitted NULL.  auto mode must route it
+    through the Python tier and agree."""
+    from hive_jq_udtf_spark.native import compile_native
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    assert compile_native("{s: (.a + .b * 2)}", ("s:string",)) is None
+    assert compile_native("select(.b * 2 >= 6) | {b: .b}", ("b:string",)) is None
+    df = spark.createDataFrame(
+        [('{"a":"x","b":"y"}',), ('{"a":1,"b":3}',)], "j string"
+    )
+    out = jq_explode(df, "j", "{s: (.a + .b * 2)}", "s:string", native="auto")
+    assert [r.s for r in out.collect()] == ["xyy", "7"]
+
+    # jq total order: a string compares ABOVE every number, so the
+    # select keeps string rows — compiling `.b * 2` numerically would
+    # have dropped them
+    df2 = spark.createDataFrame(
+        [('{"b":"y"}',), ('{"b":2}',), ('{"b":4}',)], "j string"
+    )
+    out2 = jq_explode(
+        df2, "j", "select(.b * 2 >= 6) | {b: .b}", "b:string", native="auto"
+    )
+    assert sorted(r.b for r in out2.collect()) == ["4", "y"]
+
+
+def test_native_tostring_composite_number_canonicalization(spark):
+    """r10 (ADVICE high): tostring / interpolation of OBJECT/ARRAY
+    values canonicalizes NESTED number tokens like jqlib's recursive
+    canonical_number (1.0 -> 1, 2.50 -> 2.5, -0.0 -> 0) while number
+    lookalikes inside nested STRINGS pass through untouched (the
+    regex consumes string tokens atomically)."""
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    docs = [
+        '{"v": {"x": 1.0}}',
+        '{"v": [1.0, 2.50, "1.0", 3]}',
+        '{"v": {"s": "a:1.0,b", "y": -0.0}}',
+        '{"v": {"n": 100.250, "m": [-0, 7.0]}}',
+        '{"v": 1.0}',
+        '{"v": "1.0"}',
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    for prog in ['{t: "p-\\(.v)"}', "{t: (.v | tostring)}"]:
+        nat = jq_explode(df, "j", prog, "t:string", native="require")
+        py = jq_explode(df, "j", prog, "t:string", native="never")
+        assert _plan_is_pythonfree(nat), prog
+        assert [r.t for r in nat.collect()] == [r.t for r in py.collect()], prog
+
+
+def test_native_strcat_strinterp_corrupt_doc_is_null(spark):
+    """r10 (ADVICE low): corrupt (unparseable) docs yield NULL from
+    strcat / strinterp / leading-tostring — never a fabricated
+    literals-only value ("L-", "p-null") — matching every other
+    compiled spec (the Python tier errors the row)."""
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    df = spark.createDataFrame([("{oops",), ('{"a": "x"}',)], "j string")
+    expect = {
+        '{s: ("L-" + .a)}': "L-x",
+        '{s: "p-\\(.a)"}': "p-x",
+        "{s: (.a | tostring)}": "x",
+    }
+    for prog, good in expect.items():
+        out = jq_explode(df, "j", prog, "s:string", native="require")
+        vals = [r.s for r in out.collect()]
+        assert vals == [None, good], prog
+
+
 def test_native_expression_filters_equivalence(spark):
     from hive_jq_udtf_spark.udtf import jq_explode
 
@@ -200,7 +279,9 @@ def test_native_expression_filters_equivalence(spark):
     for prog, decls in [
         ("select(.k % 2 == 0) | {k: .k}", ("k:int",)),
         ("select(.k + 10 > 30) | {k: .k}", ("k:int",)),
-        (".a[] | select(.b * 2 >= 6) | {b: .b}", ("b:int",)),
+        # `.b * 2` alone is unproven (string repetition overload);
+        # the `+ 1` literal proves the chain number-or-error (r10)
+        (".a[] | select(.b * 2 + 1 >= 7) | {b: .b}", ("b:int",)),
     ]:
         nat = sorted(map(tuple, jq_explode(df, "j", prog, *decls, native="require").drop("j").collect()), key=str)
         py = sorted(map(tuple, jq_explode(df, "j", prog, *decls, native="never").drop("j").collect()), key=str)
@@ -1309,6 +1390,7 @@ def test_native_randomized_program_differential(spark):
     from hive_jq_udtf_spark.udtf import jq_explode, run_jq
 
     rng = random.Random(71)
+    crng = random.Random(172)
 
     def rand_doc(dirty: bool):
         d = {
@@ -1329,6 +1411,18 @@ def test_native_randomized_program_differential(spark):
             d[f] = rng.choice([None, 7, "str", [1, 2], {"k": 1}, True])
         if rng.random() < 0.3:
             d.pop(rng.choice(list(d)), None)
+        # composite with nested floats: integral floats canonicalize
+        # INSIDE objects/arrays too (r10 ADVICE), number lookalikes
+        # inside strings do not.  Drawn from a SEPARATE rng so the
+        # main sequence (and the r9-pinned doc/program pairings that
+        # dodge the documented marshal-leniency delta) is unchanged
+        d["cmp"] = {
+            "f": crng.choice([1.0, 2.25, -0.0, 3, 10.0]),
+            "g": [crng.choice([4.0, 0.5])],
+            "s": crng.choice(["x1.0,", "a"]),
+        }
+        if crng.random() < 0.2:
+            d.pop("cmp")
         return d
 
     programs = [
@@ -1349,6 +1443,8 @@ def test_native_randomized_program_differential(spark):
         ('{o: (.t | split("-")[0])}', ("o:string",)),
         ("{o: (.x | floor), p: (.x | ceil)}", ("o:bigint", "p:bigint")),
         ('{o: "id-\\(.n)-\\(.s)"}', ("o:string",)),
+        ('{o: "c-\\(.cmp)"}', ("o:string",)),
+        ("{o: (.cmp | tostring)}", ("o:string",)),
         ('.items[] | {o: "\\(.u)#\\(.v)"}', ("o:string",)),
         (".items[] | {u: .u, v: .v}", ("u:string", "v:int")),
         (".items[] | select(.v > 5) | {u: .u}", ("u:string",)),
