@@ -1,11 +1,15 @@
-"""Pure-stdlib media codecs: 24-bit BMP (image) and PCM WAV (audio).
+"""Pure-stdlib media codecs: 24-bit BMP + baseline PNG (image) and
+PCM WAV (audio).
 
-The container has no image/audio libraries, but these two formats
-need none — BMP is a fixed header plus raw padded pixel rows, WAV is
-a RIFF header plus raw PCM — so the multimodal pipeline gets REAL
-decode → transform → encode paths for them (numpy for the pixel
-math), while compressed formats (PNG/JPEG/MP4) remain stubbed behind
-``use_real_codecs`` with a clear error.
+The container has no image/audio libraries, but these formats need
+none — BMP is a fixed header plus raw padded pixel rows, WAV is a
+RIFF header plus raw PCM, and baseline PNG (8-bit RGB/RGBA,
+non-interlaced) is zlib-deflated scanlines behind CRC-stamped chunks,
+all of which stdlib ``zlib`` + ``struct`` cover (r10: the earlier
+"compressed formats need libraries" stance was too pessimistic for
+PNG).  The multimodal pipeline gets REAL decode → transform → encode
+paths for BMP/PNG/WAV (numpy for the pixel math), while JPEG/MP4
+remain stubbed behind ``use_real_codecs`` with a clear error.
 
 Everything here is deterministic and side-effect free; the Spark
 operators in multimodal.py call these inside Arrow-batched
@@ -15,6 +19,7 @@ mapInPandas stages.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -86,6 +91,154 @@ def resize_rgb_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarra
     yi = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
     xi = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
     return pixels[yi][:, xi]
+
+
+# ---------------------------------------------------------------------------
+# PNG (baseline: 8-bit, RGB / RGBA, non-interlaced, filters 0-4)
+#
+# From-scratch per the public PNG format (W3C PNG spec / RFC 2083):
+# signature, CRC-stamped chunks, IHDR geometry, IDAT = zlib-deflated
+# scanlines each prefixed by a filter byte, the five scanline filters
+# (None/Sub/Up/Average/Paeth).  Interlaced, paletted, and sub-8-bit
+# variants raise — they are rare in data pipelines and would triple
+# the surface; JPEG stays stubbed (a DCT codec is a different beast).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (spec's tie-break order a, b, c)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray, filter_mode: str = "none") -> bytes:
+    """(H, W, 3|4) uint8 → PNG bytes (8-bit RGB / RGBA,
+    non-interlaced).  ``filter_mode='none'`` writes filter-0
+    scanlines; ``'mixed'`` cycles filters 0..4 by row index so a
+    decode of the output exercises every unfilter path."""
+    h, w, c = pixels.shape
+    if c not in (3, 4):
+        raise ValueError("encode_png expects (H, W, 3|4) RGB/RGBA")
+    color_type = 2 if c == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    zero_left = np.zeros(c, dtype=np.int64)
+    for r in range(h):
+        row = pixels[r].reshape(-1).astype(np.int64)
+        f = (r % 5) if filter_mode == "mixed" else 0
+        left = np.concatenate([zero_left, row[:-c]]) if w else row
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub
+            filt = row - left
+        elif f == 2:  # Up
+            filt = row - prev
+        elif f == 3:  # Average
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            upleft = np.concatenate([zero_left, prev[:-c]]) if w else prev
+            filt = row - _paeth(left, prev, upleft)
+        raw.append(f)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Baseline PNG bytes → (H, W, 3|4) uint8.  Verifies chunk CRCs;
+    supports depth 8, color types 2 (RGB) / 6 (RGBA), non-interlaced,
+    all five scanline filters (Sub unfilters as a per-lane cumulative
+    sum; Average/Paeth walk pixels with the channel lane vectorized
+    — images in this pipeline are thumbnails, rows are short)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 12 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = bytes(data[pos + 4 : pos + 8])
+        body = bytes(data[pos + 8 : pos + 8 + ln])
+        if pos + 12 + ln > len(data):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or comp != 0 or filt_method != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color_type={color_type}, "
+            f"interlace={interlace}) — baseline 8-bit RGB/RGBA only"
+        )
+    c = 3 if color_type == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: per-lane cumulative sum
+            cur = line.copy()
+            for k in range(c):
+                cur[k::c] = np.cumsum(cur[k::c])
+        elif f == 2:  # Up
+            cur = line + prev
+        elif f == 3:  # Average
+            cur = np.empty(stride, dtype=np.int64)
+            cur[:c] = line[:c] + prev[:c] // 2
+            for x in range(c, stride, c):
+                cur[x : x + c] = line[x : x + c] + (
+                    (cur[x - c : x] % 256) + prev[x : x + c]
+                ) // 2
+        elif f == 4:  # Paeth
+            cur = np.empty(stride, dtype=np.int64)
+            cur[:c] = line[:c] + _paeth(
+                np.zeros(c, dtype=np.int64), prev[:c], np.zeros(c, dtype=np.int64)
+            )
+            for x in range(c, stride, c):
+                cur[x : x + c] = line[x : x + c] + _paeth(
+                    cur[x - c : x] % 256, prev[x : x + c], prev[x - c : x]
+                )
+        else:
+            raise ValueError(f"PNG filter type {f} out of range")
+        cur = cur % 256
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, c)
 
 
 # ---------------------------------------------------------------------------

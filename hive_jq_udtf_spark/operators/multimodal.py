@@ -6,12 +6,12 @@ metadata-extraction operator.  Decode/resize/frame-sample run as
 Arrow-batched ``mapInPandas`` stages.
 
 ``use_real_codecs=True`` is REAL for the formats that need no
-external library: 24-bit BMP images and 16-bit PCM WAV audio decode/
-encode/resize/feature-extract through operators/codecs.py (pure
-stdlib struct + numpy — value-tested against local references).
-Compressed formats (PNG/JPEG/MP4) remain stubbed with a clear error:
-no codec libraries exist in this container; plug one into the same
-dispatch.
+external library: 24-bit BMP and baseline PNG (8-bit RGB/RGBA)
+images and 16-bit PCM WAV audio decode/encode/resize/feature-extract
+through operators/codecs.py (pure stdlib struct + zlib + numpy —
+value-tested against local references).  JPEG/MP4 remain stubbed
+with a clear error: a DCT/video codec needs libraries this container
+does not have; plug one into the same dispatch.
 
 Scale shape: mapInPandas streams Arrow batches; binary payloads
 never pass through Python row-at-a-time, and metadata-only
@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from struct import error as struct_error
 from typing import Iterator
+from zlib import error as zlib_error
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -91,8 +92,8 @@ def _fake_decode_features(content: bytes, modality: str, dim: int) -> list[float
 
 
 def _real_decode_features(content: bytes, dim: int) -> tuple[list[float], bool]:
-    """Dispatch on the payload's magic bytes; BMP → per-channel pixel
-    stats, WAV → PCM signal stats, both zero-padded to ``dim``.
+    """Dispatch on the payload's magic bytes; BMP/PNG → per-channel
+    pixel stats, WAV → PCM signal stats, all zero-padded to ``dim``.
     Unknown/undecodable payloads return (zeros, False) — a curation
     pipeline routes them, it doesn't crash on them."""
     import numpy as np
@@ -101,29 +102,37 @@ def _real_decode_features(content: bytes, dim: int) -> tuple[list[float], bool]:
 
     if content is None:
         return [0.0] * dim, False
+
+    def _pixel_feats(px):
+        n = px.shape[0] * px.shape[1]
+        if n == 0:
+            return None
+        # exact integer channel sums, THEN the two divisions — one
+        # float rounding path, reproducible by plain SQL arithmetic
+        # (per-element b/255 then mean would accumulate float error)
+        means = [
+            float(int(px[:, :, k].sum(dtype=np.int64))) / n / 255.0
+            for k in range(px.shape[2])
+        ]
+        return means + [float((px.astype(np.float64) / 255.0).std())]
+
     try:
         if content[:2] == b"BM":
-            px = codecs.decode_bmp(bytes(content))
-            n = px.shape[0] * px.shape[1]
-            if n == 0:
+            feats = _pixel_feats(codecs.decode_bmp(bytes(content)))
+            if feats is None:
                 # a header can declare width/height 0 — route it, the
                 # contract is decode_ok=False, never a task crash
                 return [0.0] * dim, False
-            # exact integer channel sums, THEN the two divisions — one
-            # float rounding path, reproducible by plain SQL arithmetic
-            # (per-element b/255 then mean would accumulate float error)
-            feats = [
-                float(int(px[:, :, 0].sum(dtype=np.int64))) / n / 255.0,
-                float(int(px[:, :, 1].sum(dtype=np.int64))) / n / 255.0,
-                float(int(px[:, :, 2].sum(dtype=np.int64))) / n / 255.0,
-                float((px.astype(np.float64) / 255.0).std()),
-            ]
+        elif bytes(content[:8]) == b"\x89PNG\r\n\x1a\n":
+            feats = _pixel_feats(codecs.decode_png(bytes(content)))
+            if feats is None:
+                return [0.0] * dim, False
         elif content[:4] == b"RIFF":
             samples, _rate = codecs.decode_wav(bytes(content))
             feats = codecs.wav_features(samples)
         else:
             return [0.0] * dim, False
-    except (ValueError, struct_error):
+    except (ValueError, struct_error, zlib_error):
         return [0.0] * dim, False
     return (feats + [0.0] * dim)[:dim], True
 
@@ -172,10 +181,10 @@ def resize_images(
     the passthrough for decode→resize→encode inside the same
     mapInPandas body.
 
-    use_real_codecs=True REALLY resizes BMP payloads (decode →
-    nearest-neighbor → re-encode, codecs.py); non-BMP payloads raise
-    NotImplementedError — compressed formats need libraries this
-    container does not have."""
+    use_real_codecs=True REALLY resizes BMP and PNG payloads (decode
+    → nearest-neighbor → re-encode, codecs.py; PNG keeps its RGB/RGBA
+    channel count); other payloads raise NotImplementedError — JPEG
+    needs a DCT codec this container does not have."""
     out_schema = MEDIA_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -189,17 +198,25 @@ def resize_images(
                     if c is None:
                         resized.append(None)
                         continue
-                    if bytes(c[:2]) != b"BM":
+                    if bytes(c[:2]) == b"BM":
+                        px = codecs.decode_bmp(bytes(c))
+                        resized.append(
+                            codecs.encode_bmp(
+                                codecs.resize_rgb_nearest(px, width, height)
+                            )
+                        )
+                    elif bytes(c[:8]) == b"\x89PNG\r\n\x1a\n":
+                        px = codecs.decode_png(bytes(c))
+                        resized.append(
+                            codecs.encode_png(
+                                codecs.resize_rgb_nearest(px, width, height)
+                            )
+                        )
+                    else:
                         raise NotImplementedError(
-                            "real resize implemented for BMP only — no "
-                            "PNG/JPEG codecs in this environment"
+                            "real resize implemented for BMP/PNG only — "
+                            "no JPEG codec in this environment"
                         )
-                    px = codecs.decode_bmp(bytes(c))
-                    resized.append(
-                        codecs.encode_bmp(
-                            codecs.resize_rgb_nearest(px, width, height)
-                        )
-                    )
                 contents = resized
             meta = [
                 {

@@ -3573,3 +3573,4 @@ from . import queries_r7b  # noqa: E402,F401  isort:skip
 from . import queries_r7c  # noqa: E402,F401  isort:skip
 from . import queries_r8  # noqa: E402,F401  isort:skip
 from . import queries_r9  # noqa: E402,F401  isort:skip
+from . import queries_r10  # noqa: E402,F401  isort:skip

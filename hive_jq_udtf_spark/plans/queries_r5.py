@@ -1114,8 +1114,10 @@ def q_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage, and reduced to per-channel means.  The oracle never sees a
     BMP: it recomputes the channel means straight from the text
     bytes, so any header/stride/channel-order bug in either codec
-    direction shows up as a value mismatch.  (PNG/JPEG remain stubbed
-    — no codec libraries in this container; BMP/WAV need none.)"""
+    direction shows up as a value mismatch.  (PNG got the same
+    treatment in r10 — queries_r10.py::q_png_decode_stats; JPEG
+    remains stubbed, a DCT codec needs libraries this container
+    lacks.)"""
     import numpy as np
 
     from ..operators import codecs

@@ -948,6 +948,69 @@ def test_codecs_bmp_roundtrip_and_resize():
         codecs.decode_bmp(b"JUNKJUNKJUNKJUNK")
 
 
+def test_codecs_png_roundtrip_all_filters():
+    """r10 (VERDICT #5): from-scratch baseline PNG.  Roundtrips on
+    RGB and RGBA across shapes, with 'mixed' encoding cycling all 5
+    scanline filters so every unfilter path (None/Sub/Up/Average/
+    Paeth) is exercised on real pixel data; zlib recompression is
+    format-level (output parses as chunks with valid CRCs)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_jq_udtf_spark.operators import codecs
+
+    rng = np.random.RandomState(17)
+    for c in (3, 4):
+        # ≥6 rows makes 'mixed' hit filter 4 (Paeth); w=1 stresses
+        # the first-pixel branches; gradients stress Sub/Average
+        for h, w in [(6, 5), (7, 1), (1, 9), (12, 4)]:
+            px = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+            for mode in ("none", "mixed"):
+                data = codecs.encode_png(px, filter_mode=mode)
+                assert data[:8] == b"\x89PNG\r\n\x1a\n"
+                assert np.array_equal(codecs.decode_png(data), px), (c, h, w, mode)
+        grad = (
+            np.arange(8 * 6 * c, dtype=np.int64).reshape(8, 6, c) * 7 % 256
+        ).astype(np.uint8)
+        assert np.array_equal(
+            codecs.decode_png(codecs.encode_png(grad, filter_mode="mixed")), grad
+        )
+
+    # resize keeps the channel count (RGBA-safe nearest-neighbor)
+    px = rng.randint(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    out = codecs.decode_png(
+        codecs.encode_png(codecs.resize_rgb_nearest(px, 8, 8))
+    )
+    assert out.shape == (8, 8, 4)
+
+    # corrupt inputs raise, never return garbage pixels
+    good = codecs.encode_png(px)
+    with _pytest.raises(ValueError):
+        codecs.decode_png(b"JUNKJUNKJUNKJUNK")
+    flipped = bytearray(good)
+    flipped[40] ^= 0xFF  # inside IDAT body -> CRC mismatch
+    with _pytest.raises(ValueError):
+        codecs.decode_png(bytes(flipped))
+    # interlaced / paletted / 16-bit variants are explicit errors
+    import struct as _struct
+    import zlib as _zlib
+
+    def make_hdr(depth, color, interlace):
+        body = _struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _struct.pack(">I", len(body))
+            + b"IHDR"
+            + body
+            + _struct.pack(">I", _zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+            + good[8 + 25 :]  # reuse the valid IDAT/IEND tail
+        )
+
+    for depth, color, interlace in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+        with _pytest.raises(ValueError, match="unsupported PNG variant"):
+            codecs.decode_png(make_hdr(depth, color, interlace))
+
+
 def test_codecs_wav_roundtrip_and_features():
     import numpy as np
 
