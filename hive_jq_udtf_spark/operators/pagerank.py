@@ -88,7 +88,13 @@ def _pagerank_run(
     broadcast_ranks: bool | None,
 ) -> DataFrame:
     spark = edges.sparkSession
-    par = spark.sparkContext.defaultParallelism
+    # layout width = the ACTIVE shuffle width (the caller-scoped
+    # graph-sized value when shuffle_partitions is passed): every
+    # iteration launches one task per layout partition, so a 32-wide
+    # layout under an 8-wide scope pays 10 x 24 no-op task launches
+    # (r10; measured ~0.2-0.3 s at sf0.1).  Unscoped callers get the
+    # session default — size to |E| / cluster at real scale.
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -704,8 +704,14 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     edges = sp.union(sp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # shuffle width scoped to the NODE set (21k at sf0.1) — the rank
-    # frame pays per-partition scheduling every iteration
-    pr = pagerank(edges, iterations=10, damping=0.85, shuffle_partitions=8)
+    # frame pays per-partition scheduling every iteration.
+    # checkpoint_every=2 (r10): shorter eager-materialization chains
+    # beat the 3-deep recompute at this |E| (A/B: c2 3.15-3.58 s vs
+    # c3 3.47-3.81 s warm; AQE ON is load-bearing — 5.3-7.3 s without)
+    pr = pagerank(
+        edges, iterations=10, damping=0.85, shuffle_partitions=8,
+        checkpoint_every=2,
+    )
     return (
         pr.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), "node")
