@@ -193,12 +193,61 @@ def dimension_means_rounded(emb: DataFrame, vec_col: str = "embedding"):
     return mu
 
 
+# above this dimensionality the projection switches from the
+# interpreted aggregate() HOF to the Arrow Gram-block kernel: the
+# repo's own measurement (BASELINE r4) has interpreted HOF lambdas
+# ~6x slower than Arrow-batched numpy per element, and the HOF does
+# O(k*d) lambda steps per row — fine at d=64, a bottleneck at d>=512
+_WHITEN_ARROW_MIN_D = 256
+
+
+def _whiten_projection_arrow(
+    emb: DataFrame, means, w_flat, k: int, d: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """Arrow mapInPandas path: per batch Y = (X - mu) @ W.T — one BLAS
+    matmul per Arrow batch, rows exploded to (id, comp, y).  Rounding
+    mimics Spark's HALF_UP (sign * floor(|y|*1e6 + 0.5)).  Delta vs
+    the HOF path: BLAS sums are blocked/SIMD-ordered, not the oracle's
+    ascending-i sequence, so the last ulps can differ pre-round — this
+    kernel is the SCALE path (d >= _WHITEN_ARROW_MIN_D); the
+    oracle-replayable HOF stays the contract path at small d."""
+    import numpy as np
+    import pandas as pd
+
+    W = np.asarray(w_flat, dtype=np.float64).reshape(k, d)
+    mu = np.asarray(means, dtype=np.float64)
+    comps = np.arange(1, k + 1, dtype=np.int32)
+
+    def run(batches):
+        for pdf in batches:
+            b = len(pdf)
+            if not b:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Y = (X - mu) @ W.T
+            Y = np.sign(Y) * np.floor(np.abs(Y) * 1e6 + 0.5) / 1e6 + 0.0
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), k),
+                    "comp": np.tile(comps, b),
+                    "y": Y.reshape(-1),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, comp int, y double"
+    )
+
+
 def whiten_projection(
     emb: DataFrame,
     components,
     means,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """Whitened projection of every embedding row onto ``k``
     principal components: ``y_c = sum_i (x_i - mu_i) * v_c_i /
@@ -221,6 +270,14 @@ def whiten_projection(
     ~1e-13 — inside the 6-dp output round.  The inner sum runs
     ascending-i (aggregate over sequence).
 
+    Kernel dispatch (r10, VERDICT r9 #7): at d >= 256 (or
+    ``use_arrow=True``) the projection runs as an Arrow mapInPandas
+    BLAS matmul per batch (`_whiten_projection_arrow`) — the measured
+    ~6x interpreted-HOF-vs-Arrow gap (BASELINE r4) times O(k*d)
+    lambda steps per row makes the HOF the bottleneck at model-scale
+    d; the HOF stays the oracle-replayable contract path at small d
+    (BLAS summation order differs in the last ulps pre-round).
+
     Returns (id_col, comp int [1-based], y double [rounded 6 dp]).
     """
     k = len(components)
@@ -230,6 +287,15 @@ def whiten_projection(
         s = math.sqrt(round(lam, 4))
         for i in range(d):
             w_flat.append((round(v[i], 6) + 0.0) / s)
+    if use_arrow is None:
+        use_arrow = d >= _WHITEN_ARROW_MIN_D
+    if use_arrow:
+        # scale path (VERDICT r9 #7): one BLAS matmul per Arrow batch
+        # instead of O(k*d) interpreted lambda steps per row; same
+        # rounded parameters, same output schema
+        return _whiten_projection_arrow(
+            emb, means, w_flat, k, d, vec_col, id_col
+        )
     spark = emb.sparkSession
     params = spark.createDataFrame(
         [(means, w_flat)], "mu array<double>, w array<double>"

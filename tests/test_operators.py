@@ -1900,3 +1900,60 @@ def test_whiten_projection_matches_numpy_reference(spark):
         ref = (X - mu_a) @ w
         for i in range(n):
             assert abs(got[(i, c)] - round(ref[i], 6)) <= 1e-6, (i, c)
+
+
+def test_whiten_projection_arrow_kernel_agrees_and_dispatches(spark):
+    """r10 (VERDICT r9 #7): the Arrow BLAS Gram-block kernel is the
+    scale path for d >= 256 — auto-dispatch engages there, the plan
+    is an ArrowEvalPython stage, and its values agree with the
+    codegen HOF path to the 6-dp round (one rounding quantum of slack
+    for BLAS-vs-sequential summation order)."""
+    import random
+
+    from hive_jq_udtf_spark.operators.pca import (
+        _WHITEN_ARROW_MIN_D,
+        whiten_projection,
+    )
+
+    rng = random.Random(59)
+    d, n, k = 64, 150, 3
+    rows = [
+        (i, [rng.gauss(0, 1 + 0.01 * j) for j in range(d)]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comps = [
+        ([rng.uniform(-0.2, 0.2) for _ in range(d)], 1.0 + c) for c in range(k)
+    ]
+    mu = [round(rng.uniform(-0.05, 0.05), 6) for _ in range(d)]
+    hof = {
+        (r.vec_id, r.comp): r.y
+        for r in whiten_projection(emb, comps, mu, use_arrow=False).collect()
+    }
+    arrow_df = whiten_projection(emb, comps, mu, use_arrow=True)
+    plan = arrow_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    arrow = {(r.vec_id, r.comp): r.y for r in arrow_df.collect()}
+    assert set(hof) == set(arrow) and len(hof) == n * k
+    exact = 0
+    for key, y in hof.items():
+        assert abs(arrow[key] - y) <= 1e-6, key
+        exact += arrow[key] == y
+    assert exact >= 0.99 * len(hof)  # ulp-boundary cases are rare
+
+    # auto-dispatch: small d stays codegen, d >= the gate goes Arrow
+    assert _WHITEN_ARROW_MIN_D == 256
+    small = whiten_projection(emb, comps, mu)
+    assert "MapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+    d2 = 256
+    rows2 = [(0, [0.0] * d2), (1, [1.0] * d2)]
+    emb2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+    comps2 = [([0.001] * d2, 2.0)]
+    big = whiten_projection(emb2, comps2, [0.0] * d2)
+    plan2 = big._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan2 or "MapInPandas" in plan2
+    vals = {r.vec_id: r.y for r in big.collect()}
+    # hand-check: y(1) = 256 * 1.0 * 0.001 / sqrt(2)
+    import math as _math
+
+    assert vals[0] == 0.0
+    assert abs(vals[1] - round(256 * 0.001 / _math.sqrt(2.0), 6)) <= 1e-6

@@ -38,11 +38,17 @@ def main() -> None:
         "100k": ("/root/testdata/sf0.1", 100000),
     }
 
-    def timeit(df, runs=5):
-        df.collect()  # absorb codegen/JIT/worker warm-up
+    def timeit(make_df, runs=5):
+        """make_df: THUNK returning a fresh DataFrame.  Re-collecting
+        one DataFrame object reuses its AQE-materialized shuffle /
+        broadcast stages (measured r10: 7.7 s fresh vs 0.05 s
+        re-collect on the same object), so each run must rebuild the
+        plan; codegen/JIT warm-up is still absorbed by the untimed
+        first build+collect."""
+        make_df().collect()
         t0 = time.time()
         for _ in range(runs):
-            df.collect()
+            make_df().collect()
         return (time.time() - t0) / runs
 
     for label, (sf_dir, _) in sizes.items():
@@ -50,14 +56,20 @@ def main() -> None:
         ev = ev.repartition(par).localCheckpoint(eager=True)
         n = ev.count()
 
-        python_tier = jq_explode(
-            ev, "props", "{k: .k}", "k:int", native="never", min_parallelism=par
-        ).agg(F.sum("k"))
-        native_tier = ev.select(
-            F.explode(
-                F.array(F.from_json(F.col("props"), "struct<k:int>").getField("k"))
-            ).alias("k")
-        ).agg(F.sum("k"))
+        def python_tier():
+            return jq_explode(
+                ev, "props", "{k: .k}", "k:int", native="never",
+                min_parallelism=par,
+            ).agg(F.sum("k"))
+
+        def native_tier():
+            return ev.select(
+                F.explode(
+                    F.array(
+                        F.from_json(F.col("props"), "struct<k:int>").getField("k")
+                    )
+                ).alias("k")
+            ).agg(F.sum("k"))
 
         tp = timeit(python_tier)
         tn = timeit(native_tier)
@@ -74,6 +86,56 @@ def main() -> None:
             ),
             flush=True,
         )
+
+    # Whitening-projection kernel A/B at model-scale d (VERDICT r9
+    # #7): interpreted aggregate() HOF vs Arrow BLAS Gram-block on a
+    # synthetic d=512, k=8 corpus — the measurement behind
+    # pca._WHITEN_ARROW_MIN_D.  Values agree to the 6-dp round
+    # (summation-order ulps aside); this prints the timing evidence.
+    import random as _random
+
+    from hive_jq_udtf_spark.operators.pca import whiten_projection
+
+    d, kk, nrows = 512, 8, 20000
+    rng = _random.Random(42)
+    vecs = spark.range(nrows).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {d}),"
+            " i -> CAST(sin(id * 2654435761 + i * 40503) AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    vecs = vecs.repartition(par).localCheckpoint(eager=True)
+    comps = [
+        ([rng.uniform(-0.1, 0.1) for _ in range(d)], 1.0 + c) for c in range(kk)
+    ]
+    mu = [0.0] * d
+    t_hof = timeit(
+        lambda: whiten_projection(vecs, comps, mu, use_arrow=False).agg(
+            F.sum("y")
+        ),
+        runs=3,
+    )
+    t_arrow = timeit(
+        lambda: whiten_projection(vecs, comps, mu, use_arrow=True).agg(
+            F.sum("y")
+        ),
+        runs=3,
+    )
+    print(
+        json.dumps(
+            {
+                "bench": "whiten_projection_kernel_ab",
+                "rows": nrows,
+                "d": d,
+                "k": kk,
+                "hof_sec": round(t_hof, 4),
+                "arrow_sec": round(t_arrow, 4),
+                "speedup": round(t_hof / t_arrow, 2),
+            }
+        ),
+        flush=True,
+    )
     spark.stop()
 
 
