@@ -83,6 +83,7 @@ _SPEC_KINDS = {
     "alt",
     "length",
     "keyssorted",
+    "keysunsorted",
     "arrayfn",
     "strpred",
     "ifelse",
@@ -239,7 +240,9 @@ def _flatten(ast: AST, out: list) -> bool:
             elif (lp := _as_length_chain(v_ast)) is not None:
                 proj[k_ast[1]] = ("length", lp)
             elif (kp := _as_keys_chain(v_ast)) is not None:
-                proj[k_ast[1]] = ("keyssorted", kp)
+                proj[k_ast[1]] = (
+                    "keyssorted" if kp[1] else "keysunsorted", kp[0]
+                )
             elif v_ast[0] == "alt" and _as_path(v_ast[1]) is not None and (
                 (d := _scalar_literal(v_ast[2])) is not None
             ):
@@ -337,16 +340,18 @@ def _as_length_chain(ast: AST) -> Optional[Path]:
     return path
 
 
-def _as_keys_chain(ast: AST) -> Optional[Path]:
-    """``.path | keys`` (or bare ``keys``) → the path, else None.
-    Only the SORTED form: jq sorts keys by codepoint, which is
-    exactly the order variant objects store their fields in;
-    ``keys_unsorted`` needs document order, which variants lose, so
-    it stays on the Python tier."""
+def _as_keys_chain(ast: AST):
+    """``.path | keys`` / ``.path | keys_unsorted`` (or bare forms) →
+    (path, sorted?) else None.  ``keys`` sorts by codepoint — exactly
+    the order variant objects store their fields in (`_variant_keys`);
+    ``keys_unsorted`` is document order, which variants LOSE — it
+    reads `json_object_keys` over the raw text instead (r10; scalar
+    tier only — under an iterate there is no raw element text, so
+    those programs stay on the Python tier)."""
     nodes: list = []
     _pipe_list(ast, nodes)
     last = nodes[-1]
-    if last[0] != "call" or last[1] != "keys" or last[2]:
+    if last[0] != "call" or last[1] not in ("keys", "keys_unsorted") or last[2]:
         return None
     path: tuple = ()
     for n in nodes[:-1]:
@@ -354,7 +359,7 @@ def _as_keys_chain(ast: AST) -> Optional[Path]:
         if p is None:
             return None
         path = path + p
-    return path
+    return path, last[1] == "keys"
 
 
 def _scalar_literal(ast: AST):
@@ -456,13 +461,18 @@ def _as_strcat(ast: AST):
 
 def _as_strinterp(ast: AST):
     """jq string INTERPOLATION ``"a\\(.p)b"`` with simple-path
-    interpolants and no @format → part list [("lit", s) | ("path",
-    p)], else None.  Interpolation applies ``tostring`` to every
-    value (any type, never errors; null/missing → "null"), which is
-    exactly the number-normalized raw-text view ``_tostring_view``
-    compiles."""
-    if ast[0] != "string" or ast[2] is not None:
+    interpolants → part list [("lit", s) | ("path", p) |
+    ("pathjson", p)], else None.  Plain interpolation applies
+    ``tostring`` to every value (any type, never errors;
+    null/missing → "null"), which is exactly the number-normalized
+    raw-text view ``_tostring_view`` compiles; ``@text`` is defined
+    as tostring so it compiles to the SAME parts (r10).  ``@json``
+    marks interpolants "pathjson" — the tojson view `_tojson_view`
+    (strings quoted+escaped, numbers canonical).  Other @formats
+    (@csv/@base64/...) stay on the Python tier."""
+    if ast[0] != "string" or ast[2] not in (None, "@text", "@json"):
         return None
+    pkind = "pathjson" if ast[2] == "@json" else "path"
     parts: list = []
     for p in ast[1]:
         if isinstance(p, str):
@@ -473,8 +483,8 @@ def _as_strinterp(ast: AST):
                 pp and isinstance(pp[0], str) and pp[0] in _SPEC_KINDS
             ):
                 return None
-            parts.append(("path", pp))
-    if not any(k == "path" for k, _ in parts):
+            parts.append((pkind, pp))
+    if not any(k != "lit" for k, _ in parts):
         return None
     return parts
 
@@ -1066,8 +1076,11 @@ def analyze_program(program: str) -> Optional[NativeIR]:
                     proj[k] = ("alt", tuple(base) + v[1], v[2])
                 elif isinstance(v, tuple) and v and v[0] == "length":
                     proj[k] = ("length", tuple(base) + v[1])
-                elif isinstance(v, tuple) and v and v[0] == "keyssorted":
-                    proj[k] = ("keyssorted", tuple(base) + v[1])
+                elif isinstance(v, tuple) and v and v[0] in (
+                    "keyssorted",
+                    "keysunsorted",
+                ):
+                    proj[k] = (v[0], tuple(base) + v[1])
                 elif isinstance(v, tuple) and v and v[0] in (
                     "strpred",
                     "arrayfn",
@@ -1079,7 +1092,7 @@ def analyze_program(program: str) -> Optional[NativeIR]:
                     proj[k] = (
                         v[0],
                         tuple(
-                            (pk, tuple(base) + pv) if pk == "path" else (pk, pv)
+                            (pk, tuple(base) + pv) if pk != "lit" else (pk, pv)
                             for pk, pv in v[1]
                         ),
                     )
@@ -1381,6 +1394,53 @@ def _tostring_view(raw: Column, v: Column) -> Column:
         F.when(intish, num.cast("bigint").cast("string"))
         .when(iscomp, _canon_composite_text(raw))
         .otherwise(F.coalesce(raw, F.lit("null")))
+    )
+
+
+def _tojson_view(raw: Column, v: Column) -> Column:
+    """jq ``tojson`` / ``@json`` rendering of the value: like
+    `_tostring_view` but STRINGS come back QUOTED with JSON escaping.
+    The escaping rides Jackson: ``to_json(struct(s))`` emits
+    ``{"s":"<escaped>"}`` and the wrapper is stripped — codegen-only,
+    handles quotes/backslashes/control chars exactly like jqlib's
+    json.dumps (both use the \\n/\\t/\\r/\\uXXXX shortcuts and leave
+    non-ASCII unescaped)."""
+    vt = F.schema_of_variant(v)
+    s = F.try_variant_get(v, "$", "string")
+    js = F.to_json(F.struct(s.alias("s")))
+    quoted = js.substr(F.lit(6), F.length(js) - 6)
+    num = F.try_variant_get(v, "$", "double")
+    isnum = (vt == F.lit("DOUBLE")) | vt.startswith("DECIMAL")
+    intish = (
+        isnum
+        & num.isNotNull()
+        & (num == F.floor(num))
+        & (F.abs(num) < F.lit(1e17))
+    )
+    iscomp = vt.startswith("ARRAY") | vt.startswith("OBJECT")
+    return (
+        F.when(vt == F.lit("STRING"), quoted)
+        .when(intish, num.cast("bigint").cast("string"))
+        .when(iscomp, _canon_composite_text(raw))
+        .otherwise(F.coalesce(raw, F.lit("null")))
+    )
+
+
+def _keys_unsorted_col(raw: Column, v: Column) -> Column:
+    """jq ``keys_unsorted``: object keys in DOCUMENT order —
+    ``json_object_keys`` over the raw text preserves field order,
+    where variants sort keys (r10); arrays yield index strings like
+    ``keys``.  Anything else is the NULL delta class."""
+    vt = F.schema_of_variant(v)
+    arr_n = F.size(v.try_cast("array<variant>"))
+    idx = F.when(
+        arr_n > 0, F.sequence(F.lit(0), arr_n - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.when(
+        vt.startswith("OBJECT"), F.json_object_keys(raw)
+    ).when(
+        vt.startswith("ARRAY"),
+        F.transform(idx, lambda i: i.cast("string")),
     )
 
 
@@ -1883,7 +1943,9 @@ class NativePlan:
                     segs = [
                         F.lit(val)
                         if kind == "lit"
-                        else _tostring_view(
+                        else (
+                            _tojson_view if kind == "pathjson" else _tostring_view
+                        )(
                             F.get_json_object(col, _json_path(val)),
                             F.try_variant_get(
                                 F.try_parse_json(col), _json_path(val), "variant"
@@ -1915,6 +1977,17 @@ class NativePlan:
                     )
                     out_cols.append(
                         _variant_keys(vv).try_cast(fdt.dataType).alias(fdt.name)
+                    )
+                elif isinstance(spec, tuple) and spec and spec[0] == "keysunsorted":
+                    vv = F.try_variant_get(
+                        F.try_parse_json(col), _json_path(spec[1]), "variant"
+                    )
+                    out_cols.append(
+                        _keys_unsorted_col(
+                            F.get_json_object(col, _json_path(spec[1])), vv
+                        )
+                        .try_cast(fdt.dataType)
+                        .alias(fdt.name)
                     )
                 elif isinstance(spec, tuple) and spec and spec[0] == "strpred":
                     _, path, pname, plit = spec
@@ -2070,9 +2143,11 @@ class NativePlan:
                 elif isinstance(spec, tuple) and spec and spec[0] == "strinterp":
                     # raw text view for the value (document order for
                     # objects); the type gate reads the element
-                    # variant (elem_var) instead
+                    # variant (elem_var) instead.  @json interpolants
+                    # ("pathjson") read the same views — the quoted
+                    # string renders from the variant's string value
                     for pk, pv in spec[1]:
-                        if pk == "path":
+                        if pk != "lit":
                             if not pv:
                                 raise _SchemaConflict(spec)
                             add(pv, T.StringType())
@@ -2089,6 +2164,9 @@ class NativePlan:
                     "ifelse",
                     "splitidx",
                     "reduce",
+                    # keys_unsorted needs the RAW element text for
+                    # document order — no such view under an iterate
+                    "keysunsorted",
                 ):
                     # scalar-tier-only spec kinds: under an iterate the
                     # program falls back to the Python tier
@@ -2545,7 +2623,10 @@ class NativePlan:
                             )
                         else:  # pragma: no cover - needs_ev guards this
                             v2 = F.lit(None).cast(T.VariantType())
-                        segs.append(_tostring_view(c2.try_cast("string"), v2))
+                        view = (
+                            _tojson_view if kind == "pathjson" else _tostring_view
+                        )
+                        segs.append(view(c2.try_cast("string"), v2))
                     out_cols.append(
                         F.concat(*segs).cast(fdt.dataType).alias(fdt.name)
                     )

@@ -696,6 +696,15 @@ GROWTH_CASES = [
     # always-object field, and jq aborts `keys` on scalars)
     ("{k: (.orders | keys)}", ("k:array<int>",)),
     ("{k: (.nums | keys), n: (.nums | length)}", ("k:array<int>", "n:int")),
+    # round-10 growth: keys_unsorted (arrays -> index keys; object
+    # document-order cases live in test_native_keys_sorted_...)
+    ("{k: (.orders | keys_unsorted)}", ("k:array<int>",)),
+    ("{k: (.nums | keys_unsorted)}", ("k:array<int>",)),
+    # round-10 growth: @text/@json interpolation (@text IS tostring;
+    # @json quotes strings and canonicalizes numbers)
+    ('{t: @text "n-\\(.name)"}', ("t:string",)),
+    ('{t: @json "q-\\(.name)-\\(.orders)"}', ("t:string",)),
+    ('.orders[] | {t: @json "o-\\(.tag)-\\(.oid)"}', ("t:string",)),
 ]
 
 
@@ -1238,8 +1247,10 @@ def test_layout_ring_is_thread_local_and_correct_concurrently(spark):
 def test_native_keys_sorted_matches_python_tier(spark):
     """`(.path | keys)` compiles natively: variant objects store
     fields sorted by key bytes, which IS jq's codepoint sort; arrays
-    yield index lists; keys_unsorted stays Python-tier (variants lose
-    document order)."""
+    yield index lists.  r10: `keys_unsorted` compiles at the SCALAR
+    tier too — json_object_keys over the raw text preserves DOCUMENT
+    order where variants sort; under an iterate there is no raw
+    element text, so those programs stay on the Python tier."""
     cases = [
         ("{k: (.m | keys)}", ("k:array<string>",), [
             ('{"m": {"zz": 1, "aa": 2, "Mm": 3}}',),
@@ -1250,6 +1261,17 @@ def test_native_keys_sorted_matches_python_tier(spark):
             ('{"items": [{"m": {"y": 1, "x": 2}}, {"m": {"q": 0}}]}',),
         ]),
         ("{k: (.m | keys)}", ("k:array<int>",), [('{"m": ["a", "b"]}',)]),
+        # keys_unsorted: DOCUMENT order, not sorted — the zz/aa/Mm doc
+        # distinguishes the two; arrays yield index keys like `keys`
+        ("{k: (.m | keys_unsorted)}", ("k:array<string>",), [
+            ('{"m": {"zz": 1, "aa": 2, "Mm": 3}}',),
+            ('{"m": {}}',),
+            ('{"m": {"b": {"x": 1}, "a": [1]}}',),
+        ]),
+        ("{k: (.m.b | keys_unsorted)}", ("k:array<string>",), [
+            ('{"m": {"b": {"q2": 1, "q1": 2}}}',),
+        ]),
+        ("{k: (.m | keys_unsorted)}", ("k:array<int>",), [('{"m": ["a", "b"]}',)]),
     ]
     for prog, decls, rows in cases:
         df = spark.createDataFrame(rows, "j string")
@@ -1261,10 +1283,49 @@ def test_native_keys_sorted_matches_python_tier(spark):
         assert (
             nat.select(cols).collect() == py.select(cols).collect()
         ), prog
+    # under an iterate keys_unsorted still falls back (no raw text)
     assert (
-        compile_native("{k: (.m | keys_unsorted)}", ("k:array<string>",))
+        compile_native(
+            ".items[] | {k: (.m | keys_unsorted)}", ("k:array<string>",)
+        )
         is None
     )
+
+
+def test_native_format_interpolation_matches_python_tier(spark):
+    """r10 (VERDICT r9 #6): `@text` interpolation compiles like plain
+    interpolation (it IS tostring), `@json` compiles via the tojson
+    view — strings come back QUOTED with JSON escaping (Jackson via
+    to_json(struct(...)), matching jqlib's json.dumps shortcuts),
+    numbers canonicalize, composites keep document order.  Other
+    formats stay Python-tier."""
+    from hive_jq_udtf_spark.native import compile_native
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    docs = [
+        '{"s": "a\\"b\\\\c", "n": 2.0, "o": {"y": 1.50, "x": "1.0"}}',
+        '{"s": "plain", "n": -0.0, "o": [1, "two"]}',
+        '{"s": "", "n": 7}',
+        '{"s": "tab\\tnl\\n", "n": 0.25, "o": {}}',
+        "{}",
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    for prog in (
+        '{t: @text "v=\\(.s)|\\(.n)"}',
+        '{t: @json "v=\\(.s)|\\(.n)|\\(.o)"}',
+        '{t: @json "\\(.o)"}',
+    ):
+        nat = jq_explode(df, "j", prog, "t:string", native="require")
+        py = jq_explode(df, "j", prog, "t:string", native="never")
+        assert _plan_is_pythonfree(nat), prog
+        assert [r.t for r in nat.collect()] == [r.t for r in py.collect()], prog
+    # corrupt docs poison to NULL like plain interpolation
+    bad = spark.createDataFrame([("{oops",)], "j string")
+    out = jq_explode(bad, "j", '{t: @json "x\\(.s)"}', "t:string", native="require")
+    assert [r.t for r in out.collect()] == [None]
+    # other @formats stay on the Python tier
+    assert compile_native('{t: @csv "\\(.s)"}', ("t:string",)) is None
+    assert compile_native('{t: @base64 "\\(.s)"}', ("t:string",)) is None
 
 
 def test_native_inner_object_iteration_matches_python_tier(spark):
@@ -1445,6 +1506,9 @@ def test_native_randomized_program_differential(spark):
         ('{o: "id-\\(.n)-\\(.s)"}', ("o:string",)),
         ('{o: "c-\\(.cmp)"}', ("o:string",)),
         ("{o: (.cmp | tostring)}", ("o:string",)),
+        ('{o: @json "c-\\(.cmp)-\\(.s)"}', ("o:string",)),
+        ('{o: @text "t-\\(.s)-\\(.n)"}', ("o:string",)),
+        ("{o: (.cmp | keys_unsorted)}", ("o:array<string>",)),
         ('.items[] | {o: "\\(.u)#\\(.v)"}', ("o:string",)),
         (".items[] | {u: .u, v: .v}", ("u:string", "v:int")),
         (".items[] | select(.v > 5) | {u: .u}", ("u:string",)),
