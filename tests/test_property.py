@@ -176,7 +176,14 @@ def test_expression_projection_tiers_agree(doc, op, cmp_op, lit):
     from hive_jq_udtf_spark.native import analyze_program
 
     prog = f"{{v: (.k {op} {lit}), c: (.n {cmp_op} {lit})}}"
-    assert analyze_program(prog) is not None  # stays native-compilable
+    if op == "*":
+        # r10 (_proves_num): a numeric literal does NOT prove `*`
+        # numeric — jq string repetition ("x" * 3) pairs a string
+        # with a number — so `.k * lit` falls back to the Python tier
+        assert analyze_program(prog) is None
+    else:
+        # `+ - %` with a numeric-literal operand are number-or-error
+        assert analyze_program(prog) is not None
     [res] = list(jq_compile(prog)(doc))
     expect_v = {
         "+": doc["k"] + lit,
