@@ -38,7 +38,16 @@ like jq (1.0 → "1", variant-type-gated so STRING "1.0" passes
 through), recursing into OBJECT/ARRAY text via a string-token-safe
 regex (r10); the residual delta is scientific-notation text of the
 remaining doubles (Jackson "1.0E20"/"1.5E-7" vs jq
-"1e+20"/"1.5e-07"), scalar and nested alike.  sqrt of a
+"1e+20"/"1.5e-07"), scalar and nested alike.  ``tojson`` /
+``@json`` / ``@text`` / ``@base64`` and scalar-tier
+``keys_unsorted`` compile too (r10): tojson quotes strings with
+Jackson escaping (the same \\n/\\t/\\r/\\uXXXX shortcuts as jqlib's
+json.dumps), keys_unsorted reads json_object_keys over raw text for
+document order.  DUPLICATE-KEY documents ({"a":1,"a":2}) are a
+documented delta class: Spark's variant parser rejects them
+(try_parse_json → NULL), so every variant-gated compiled spec yields
+NULL there while jq keeps the last occurrence — prefer the Python
+tier for corpora where duplicate keys carry meaning.  sqrt of a
 negative yields NaN natively where the Python tier raises the jq
 error — same class.  On clean data the tiers agree BIT-FOR-BIT —
 pinned by the property tests in tests/test_native.py; transcendental
@@ -285,6 +294,7 @@ _STR_FNS = {
     "ltrimstr": 1,
     "rtrimstr": 1,
     "tostring": 0,
+    "tojson": 0,
     "gsub": 2,
 }
 # NOTE deliberately excludes the transcendentals (exp/log/log2/log10/
@@ -468,11 +478,12 @@ def _as_strinterp(ast: AST):
     raw-text view ``_tostring_view`` compiles; ``@text`` is defined
     as tostring so it compiles to the SAME parts (r10).  ``@json``
     marks interpolants "pathjson" — the tojson view `_tojson_view`
-    (strings quoted+escaped, numbers canonical).  Other @formats
-    (@csv/@base64/...) stay on the Python tier."""
-    if ast[0] != "string" or ast[2] not in (None, "@text", "@json"):
+    (strings quoted+escaped, numbers canonical); ``@base64`` marks
+    them "pathb64" — utf-8 base64 of the tostring view (`_b64_view`).
+    Other @formats (@csv/@html/...) stay on the Python tier."""
+    if ast[0] != "string" or ast[2] not in (None, "@text", "@json", "@base64"):
         return None
-    pkind = "pathjson" if ast[2] == "@json" else "path"
+    pkind = {"@json": "pathjson", "@base64": "pathb64"}.get(ast[2], "path")
     parts: list = []
     for p in ast[1]:
         if isinstance(p, str):
@@ -517,10 +528,15 @@ def _strcat_col(parts, var_of) -> Column:
 
 def _apply_fnchain(c: Column, fns) -> Column:
     """Apply a whitelisted fn chain to a STRING-typed Column (the
-    get_json_object / from_json string view of the value)."""
+    get_json_object / from_json string view of the value).
+    ``is_num`` tracks whether the running value is a NUMBER (output
+    of tonumber/floor/ceil/sqrt/fabs) — tojson renders numbers bare
+    with integral normalization, strings quoted."""
     import string as _string
 
+    is_num = False
     for name, args in fns:
+        is_num_next = name in _NUM_FNS
         if name == "ascii_downcase":
             # jq's ascii_* fold ONLY A-Z — translate, not lower()
             # (lower() would also fold unicode, a real semantic delta)
@@ -549,6 +565,24 @@ def _apply_fnchain(c: Column, fns) -> Column:
             # compact JSON; plain strings appear as their content);
             # only null needs mapping: jq tostring(null) = "null"
             c = F.coalesce(c, F.lit("null"))
+        elif name == "tojson":
+            # NON-leading tojson (leading is special-cased to the
+            # variant-gated _tojson_view): a NUMBER renders bare with
+            # the integral normalization (floor|tojson of 7.0 → "7");
+            # a string quotes; NULL after a numeric fn stays NULL
+            # (jq aborted upstream — the documented delta class)
+            if is_num:
+                d = c.try_cast("double")
+                intish = (
+                    d.isNotNull()
+                    & (d == F.floor(d))
+                    & (F.abs(d) < F.lit(1e17))
+                )
+                c = F.when(
+                    intish, d.cast("bigint").cast("string")
+                ).otherwise(d.cast("string"))
+            else:
+                c = _json_quote(c)
         elif name == "tonumber":
             # try_cast: garbage strings are the documented NULL-delta
             # class (jq aborts the row); never an ANSI runtime crash
@@ -561,6 +595,7 @@ def _apply_fnchain(c: Column, fns) -> Column:
             c = F.sqrt(c.try_cast("double"))
         elif name == "fabs":
             c = F.abs(c.try_cast("double"))
+        is_num = is_num_next
 
     return c
 
@@ -1397,6 +1432,23 @@ def _tostring_view(raw: Column, v: Column) -> Column:
     )
 
 
+def _json_quote(c: Column) -> Column:
+    """A string Column → its JSON string-token form (quoted, Jackson
+    escaping via to_json(struct) wrapper-stripping); NULL → "null"
+    (jq tojson(null))."""
+    js = F.to_json(F.struct(c.alias("s")))
+    return F.when(c.isNull(), F.lit("null")).otherwise(
+        js.substr(F.lit(6), F.length(js) - 6)
+    )
+
+
+def _b64_view(c: Column) -> Column:
+    """jq ``@base64`` of a tostring view: utf-8 base64 with Spark's
+    76-char \\r\\n chunking stripped (RFC 4648 unchunked, matching
+    Python's base64.b64encode)."""
+    return F.regexp_replace(F.base64(F.encode(c, "utf-8")), "\r\n", "")
+
+
 def _tojson_view(raw: Column, v: Column) -> Column:
     """jq ``tojson`` / ``@json`` rendering of the value: like
     `_tostring_view` but STRINGS come back QUOTED with JSON escaping.
@@ -1853,20 +1905,26 @@ class NativePlan:
                 elif isinstance(spec, tuple) and spec and spec[0] == "fnchain":
                     _, path, fns = spec
                     raw = F.get_json_object(col, _json_path(path))
-                    if fns[0][0] == "tostring":
-                        # leading tostring: number-normalized view
-                        # (variant type gate — see _tostring_view).
-                        # Corrupt (unparseable) docs must yield NULL
-                        # like every other spec — without the gate the
-                        # missing-path → "null" identity would
-                        # fabricate a value where the Python tier
-                        # errors the row (r10, ADVICE class)
+                    if fns[0][0] in ("tostring", "tojson"):
+                        # leading tostring/tojson: number-normalized
+                        # view (variant type gate — see _tostring_view
+                        # / _tojson_view; tojson additionally quotes
+                        # strings).  Corrupt (unparseable) docs must
+                        # yield NULL like every other spec — without
+                        # the gate the missing-path → "null" identity
+                        # would fabricate a value where the Python
+                        # tier errors the row (r10, ADVICE class)
                         v = F.try_variant_get(
                             F.try_parse_json(col), _json_path(path), "variant"
                         )
+                        view = (
+                            _tojson_view
+                            if fns[0][0] == "tojson"
+                            else _tostring_view
+                        )
                         first = F.when(
                             F.try_parse_json(col).isNotNull(),
-                            _tostring_view(raw, v),
+                            view(raw, v),
                         )
                         c = (
                             _apply_fnchain(first, fns[1:])
@@ -1940,17 +1998,23 @@ class NativePlan:
                     )
                     out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "strinterp":
-                    segs = [
-                        F.lit(val)
-                        if kind == "lit"
-                        else (
-                            _tojson_view if kind == "pathjson" else _tostring_view
+                    def _interp_seg(kind, val, _col=col):
+                        view = (
+                            _tojson_view
+                            if kind == "pathjson"
+                            else _tostring_view
                         )(
-                            F.get_json_object(col, _json_path(val)),
+                            F.get_json_object(_col, _json_path(val)),
                             F.try_variant_get(
-                                F.try_parse_json(col), _json_path(val), "variant"
+                                F.try_parse_json(_col),
+                                _json_path(val),
+                                "variant",
                             ),
                         )
+                        return _b64_view(view) if kind == "pathb64" else view
+
+                    segs = [
+                        F.lit(val) if kind == "lit" else _interp_seg(kind, val)
                         for kind, val in spec[1]
                     ]
                     # same corrupt-doc gate as strcat: interpolation's
@@ -2341,7 +2405,7 @@ class NativePlan:
         # number-normalization type gate (_tostring_view); multi-level
         # programs already thread a variant twin, single-level ones
         # switch to posexplode and index the doc-level variant array
-        gated_heads = {"tostring"} | _STR_ONLY_HEADS | _NUM_ONLY_HEADS
+        gated_heads = {"tostring", "tojson"} | _STR_ONLY_HEADS | _NUM_ONLY_HEADS
         needs_ev = ir.project is not None and any(
             isinstance(s, tuple)
             and s
@@ -2525,9 +2589,9 @@ class NativePlan:
                     c = ec
                     for st in path:
                         c = _nav_step(c, st)
-                    if fns[0][0] == "tostring" and elem_var is not None:
-                        # leading tostring: number-normalized view via
-                        # the element's variant (see _tostring_view)
+                    if fns[0][0] in ("tostring", "tojson") and elem_var is not None:
+                        # leading tostring/tojson: number-normalized
+                        # view via the element's variant
                         v = (
                             F.try_variant_get(
                                 elem_var, _json_path(path), "variant"
@@ -2535,7 +2599,12 @@ class NativePlan:
                             if path
                             else elem_var
                         )
-                        first = _tostring_view(c.try_cast("string"), v)
+                        view = (
+                            _tojson_view
+                            if fns[0][0] == "tojson"
+                            else _tostring_view
+                        )
+                        first = view(c.try_cast("string"), v)
                         cc = (
                             _apply_fnchain(first, fns[1:])
                             if len(fns) > 1
@@ -2625,8 +2694,10 @@ class NativePlan:
                             v2 = F.lit(None).cast(T.VariantType())
                         view = (
                             _tojson_view if kind == "pathjson" else _tostring_view
+                        )(c2.try_cast("string"), v2)
+                        segs.append(
+                            _b64_view(view) if kind == "pathb64" else view
                         )
-                        segs.append(view(c2.try_cast("string"), v2))
                     out_cols.append(
                         F.concat(*segs).cast(fdt.dataType).alias(fdt.name)
                     )

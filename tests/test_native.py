@@ -700,11 +700,21 @@ GROWTH_CASES = [
     # document-order cases live in test_native_keys_sorted_...)
     ("{k: (.orders | keys_unsorted)}", ("k:array<int>",)),
     ("{k: (.nums | keys_unsorted)}", ("k:array<int>",)),
-    # round-10 growth: @text/@json interpolation (@text IS tostring;
-    # @json quotes strings and canonicalizes numbers)
+    # round-10 growth: @text/@json/@base64 interpolation (@text IS
+    # tostring; @json quotes strings and canonicalizes numbers;
+    # @base64 is utf-8 base64 of the tostring view)
     ('{t: @text "n-\\(.name)"}', ("t:string",)),
     ('{t: @json "q-\\(.name)-\\(.orders)"}', ("t:string",)),
     ('.orders[] | {t: @json "o-\\(.tag)-\\(.oid)"}', ("t:string",)),
+    ('{t: @base64 "\\(.name)"}', ("t:string",)),
+    ('.orders[] | {t: @base64 "\\(.tag)-\\(.oid)"}', ("t:string",)),
+    # round-10 growth: tojson (leading: variant-gated canonical view
+    # incl. quoted strings; non-leading: quotes the running string /
+    # renders numbers bare)
+    ("{t: (.s | tojson)}", ("t:string",)),
+    ("{t: (.name | tojson)}", ("t:string",)),
+    (".orders[] | {t: (.lines | tojson)}", ("t:string",)),
+    ("{t: (.name | ascii_downcase | tojson)}", ("t:string",)),
 ]
 
 
@@ -1314,6 +1324,7 @@ def test_native_format_interpolation_matches_python_tier(spark):
         '{t: @text "v=\\(.s)|\\(.n)"}',
         '{t: @json "v=\\(.s)|\\(.n)|\\(.o)"}',
         '{t: @json "\\(.o)"}',
+        '{t: @base64 "\\(.s)|\\(.n)"}',
     ):
         nat = jq_explode(df, "j", prog, "t:string", native="require")
         py = jq_explode(df, "j", prog, "t:string", native="never")
@@ -1325,7 +1336,7 @@ def test_native_format_interpolation_matches_python_tier(spark):
     assert [r.t for r in out.collect()] == [None]
     # other @formats stay on the Python tier
     assert compile_native('{t: @csv "\\(.s)"}', ("t:string",)) is None
-    assert compile_native('{t: @base64 "\\(.s)"}', ("t:string",)) is None
+    assert compile_native('{t: @html "\\(.s)"}', ("t:string",)) is None
 
 
 def test_native_inner_object_iteration_matches_python_tier(spark):
@@ -1508,7 +1519,9 @@ def test_native_randomized_program_differential(spark):
         ("{o: (.cmp | tostring)}", ("o:string",)),
         ('{o: @json "c-\\(.cmp)-\\(.s)"}', ("o:string",)),
         ('{o: @text "t-\\(.s)-\\(.n)"}', ("o:string",)),
+        ('{o: @base64 "b-\\(.s)"}', ("o:string",)),
         ("{o: (.cmp | keys_unsorted)}", ("o:array<string>",)),
+        ("{o: (.s | tojson), p: (.x | tojson)}", ("o:string", "p:string")),
         ('.items[] | {o: "\\(.u)#\\(.v)"}', ("o:string",)),
         (".items[] | {u: .u, v: .v}", ("u:string", "v:int")),
         (".items[] | select(.v > 5) | {u: .u}", ("u:string",)),
@@ -1658,5 +1671,7 @@ def test_native_string_interpolation_matches_python_tier(spark):
     py2 = jq_explode(df2, "j", prog2, "s:string", native="never")
     assert _plan_is_pythonfree(nat2)
     assert [r.s for r in nat2.collect()] == [r.s for r in py2.collect()]
-    # @format interpolations stay Python-tier (formats escape/encode)
-    assert compile_native('{s: @base64 "\\(.u)"}', ("s:string",)) is None
+    # r10: @text/@json/@base64 compile now (see
+    # test_native_format_interpolation_matches_python_tier); escaping
+    # formats without a codegen twin stay Python-tier
+    assert compile_native('{s: @csv "\\(.u)"}', ("s:string",)) is None
