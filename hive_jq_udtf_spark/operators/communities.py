@@ -111,7 +111,12 @@ def _lpa_run(
     plan_probe: list | None = None,
 ) -> DataFrame:
     spark = edges.sparkSession
-    par = spark.sparkContext.defaultParallelism
+    # layout width = the ACTIVE shuffle width (caller-scoped,
+    # graph-sized) — every iteration launches one task per layout
+    # partition, so a defaultParallelism-wide layout under a narrow
+    # scope pays (par - scope) no-op task launches per step (the r10
+    # pagerank fix, same reasoning)
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     eraw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col("src") != F.col("dst")
     )

@@ -61,7 +61,10 @@ def multi_source_hops(
     inspect the per-round join/min physical plan (the returned frame
     is checkpoint-backed, its lineage deliberately truncated)."""
     spark = edges.sparkSession
-    par = spark.sparkContext.defaultParallelism
+    # layout width follows the ACTIVE shuffle width (the r10 pagerank
+    # fix): per-round task launches track the caller's graph-sized
+    # scope instead of defaultParallelism
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     eraw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col("src") != F.col("dst")
     )
