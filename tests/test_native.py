@@ -1317,6 +1317,10 @@ def test_native_format_interpolation_matches_python_tier(spark):
         '{"s": "plain", "n": -0.0, "o": [1, "two"]}',
         '{"s": "", "n": 7}',
         '{"s": "tab\\tnl\\n", "n": 0.25, "o": {}}',
+        # non-ASCII stays unescaped in both engines (Jackson emits raw
+        # utf-8 like json.dumps ensure_ascii=False); @base64 encodes
+        # the utf-8 bytes
+        '{"s": "caf\\u00e9 \\ud83d\\ude00", "n": 1, "o": {"k": "\\u00fc"}}',
         "{}",
     ]
     df = spark.createDataFrame([(d,) for d in docs], "j string")
