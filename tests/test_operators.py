@@ -1083,6 +1083,73 @@ def test_multimodal_real_codecs_end_to_end(spark):
         assert out[i].meta.width == 10 and out[i].meta.n_bytes == len(bytes(out[i].content))
 
 
+def test_bpe_learn_encode_roundtrip_and_reference(spark):
+    """r10: the BPE tokenizer loop (learn driver-side on a sample,
+    apply distributed).  Pins: (1) rank-greedy encode_word against an
+    INDEPENDENT step-by-step reference (re-running the training merge
+    sequence on the word — training replay and rank-greedy inference
+    must agree on in-sample words, the classic BPE identity); (2)
+    token-join roundtrip (BPE partitions each word); (3) the Spark op
+    equals a local pure-Python computation doc-for-doc; (4)
+    determinism of the learned table."""
+    import random
+
+    from hive_jq_udtf_spark.operators.bpe import (
+        _EOW,
+        bpe_encode,
+        encode_word,
+        learn_bpe,
+    )
+
+    rng = random.Random(23)
+    vocab_words = ["the", "there", "then", "other", "thesis", "rest", "rusty",
+                   "rust", "trust", "lower", "lowest", "newer", "newest", "new"]
+    texts = [
+        " ".join(rng.choice(vocab_words) for _ in range(rng.randint(3, 30)))
+        for _ in range(120)
+    ]
+    merges = learn_bpe(texts, num_merges=40)
+    assert merges == learn_bpe(texts, num_merges=40)  # deterministic
+    assert 5 <= len(merges) <= 40
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def reference_encode(word):
+        # independent path: replay the TRAINING merges in rank order
+        # (each pass merges every occurrence of that one pair)
+        syms = list(word[:-1]) + [word[-1] + _EOW]
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for w in vocab_words + ["unseen", "xqzt", "a"]:
+        got = encode_word(w, ranks)
+        assert got == reference_encode(w), w
+        # roundtrip: tokens join back to the word
+        assert "".join(got).replace(_EOW, "") == w, w
+        # common in-sample words should actually compress
+    assert len(encode_word("the", ranks)) < 3
+
+    # Spark op == local computation, doc for doc
+    rows = [(i, t) for i, t in enumerate(texts[:40])] + [(99, None), (98, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bpe_encode(df, merges).collect()}
+    for did, text in rows:
+        words = (text or "").split()
+        toks = sum(len(encode_word(w, ranks)) for w in words)
+        chars = sum(len(w) for w in words)
+        g = got[did]
+        assert (g.n_words, g.n_tokens, g.n_chars) == (len(words), toks, chars), did
+        assert g.compression == (round(toks / chars, 6) if chars else 0.0)
+
+
 def test_kmv_estimates_and_exact_small_sets(spark):
     from hive_jq_udtf_spark.operators.kmv import (
         kmv_distinct,

@@ -55,6 +55,11 @@ DEFAULT = [
     "bfs_hop_histogram",    # multi-source Bellman-Ford hops
     "bootstrap_ci_poisson", # B x |users| one-pass cluster bootstrap
     "cuped_adjusted_lift",  # per-user frame + 1-row moment broadcast
+    # round-9/10 families
+    "embedding_whiten",     # d^2 moment fit + broadcast k x d projection
+    "semantic_dedup_whitened",  # direction-grid cell-confined dedup
+    "stream_stream_left_outer",  # two-sided join state + outer emission
+    "png_decode_stats",     # Arrow mapInPandas zlib codec map pipeline
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
