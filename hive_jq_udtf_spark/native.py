@@ -1186,6 +1186,19 @@ def _json_path(p: Path) -> str:
     return out
 
 
+def _scalar_out_col(col: Column, path: Path, dt: T.DataType) -> Column:
+    """Plain-path output at the scalar tier: STRING-declared outputs
+    go through the variant-gated M2 normalization (`_m2_string_view`,
+    r10), everything else through `_cast_extracted`.  The
+    try_parse_json is shared across output columns by codegen
+    subexpression elimination."""
+    raw = F.get_json_object(col, _json_path(path))
+    if isinstance(dt, T.StringType):
+        v = F.try_variant_get(F.try_parse_json(col), _json_path(path), "variant")
+        return _m2_gate(raw, _m2_string_view(raw, v))
+    return _cast_extracted(raw, dt)
+
+
 def _cast_extracted(raw: Column, dt: T.DataType) -> Column:
     """get_json_object string → declared type.  try_cast, not cast:
     non-coercible garbage must yield NULL (the documented delta vs
@@ -1389,11 +1402,23 @@ def _num_only_view(raw: Column, v: Column) -> Column:
 # scientific-notation delta class, left untouched).
 _JSTR = r'("(?:[^"\\]|\\.)*")'
 _NUMEND = r"(?=[\s,}\]]|$)"  # chars that can follow a number token
-_CANON_INT_RE = _JSTR + r"|(-?\d{1,16})\.0+" + _NUMEND
+_CANON_INT_RE = _JSTR + r"|(-?\d{1,15})\.0+" + _NUMEND
 _CANON_TRIM_RE = _JSTR + r"|(-?\d{1,16}\.\d*[1-9])0+" + _NUMEND
 # jqlib prints -0.0 / -0 as "0" (values.py _canon_num via int());
 # the lookbehind keeps exponent tails ("1e-0") and digit runs intact
 _CANON_NEGZERO_RE = _JSTR + r"|(?<![eE\d.])-(0)" + _NUMEND
+# NOTE the {1,15}-digit bound on the integral rewrite: jqlib
+# normalizes through the DOUBLE value (json.loads), so a nested
+# "9999999999999999.0" prints as 10000000000000000 (the nearest
+# double) — a raw-text rewrite would keep the original digits.
+# <= 15 digits are always exactly representable; longer integral
+# floats keep their lexeme (the documented precision/scientific
+# delta class).  Jackson additionally re-prints parsed doubles
+# >= 1e7 in Double.toString scientific form inside composite text
+# ("1.23456789012345E14"), which a text rewrite cannot shift back —
+# NESTED integral floats >= 1e7 therefore keep the scientific form
+# where jqlib prints integer text (same documented class; SCALAR
+# values normalize exactly through the variant's double).
 
 
 def _canon_composite_text(raw: Column) -> Column:
@@ -1429,6 +1454,53 @@ def _tostring_view(raw: Column, v: Column) -> Column:
         F.when(intish, num.cast("bigint").cast("string"))
         .when(iscomp, _canon_composite_text(raw))
         .otherwise(F.coalesce(raw, F.lit("null")))
+    )
+
+
+# texts that may need M2 normalization: an integral-float lexeme, a
+# Double.toString SCIENTIFIC form (Jackson re-prints parsed doubles
+# >= 1e7 as "1.23456789012345E14" — the variant path turns integral
+# ones back into integer text like jqlib), or a composite (which may
+# hold nested float tokens).  Everything else (ordinary strings,
+# integers, bools, plain non-integral decimals) passes through
+# without touching the variant — the when() short-circuits the parse
+# per row
+_M2_SUSPECT_RE = r"^-?[0-9]{1,17}\.0+$|^-?[0-9](\.[0-9]+)?E-?[0-9]{1,3}$"
+
+
+def _m2_gate(raw: Column, view: Column) -> Column:
+    suspect = (
+        raw.rlike(_M2_SUSPECT_RE)
+        | raw.startswith("[")
+        | raw.startswith("{")
+    )
+    return F.when(raw.isNull() | ~suspect, raw).otherwise(view)
+
+
+def _m2_string_view(raw: Column, v: Column) -> Column:
+    """M2 stringify of a plain-path value for a STRING-declared
+    output: strings pass through, numbers normalize like jqlib's
+    tojson (marshal.py::_as_string — integral floats print without
+    the fraction), composites canonicalize their nested number
+    tokens; null/missing stays NULL (M2 maps missing → NULL, unlike
+    tostring's "null").  r10 deep-fuzz find: the bare text view
+    emitted "1.0" / '{"k":1.0}' where the Python tier prints "1" /
+    '{"k":1}' — the r9 tostring-normalization class on the M2
+    route."""
+    vt = F.schema_of_variant(v)
+    num = F.try_variant_get(v, "$", "double")
+    isnum = (vt == F.lit("DOUBLE")) | vt.startswith("DECIMAL")
+    intish = (
+        isnum
+        & num.isNotNull()
+        & (num == F.floor(num))
+        & (F.abs(num) < F.lit(1e17))
+    )
+    iscomp = vt.startswith("ARRAY") | vt.startswith("OBJECT")
+    return (
+        F.when(intish, num.cast("bigint").cast("string"))
+        .when(iscomp, _canon_composite_text(raw))
+        .otherwise(raw)
     )
 
 
@@ -1884,8 +1956,9 @@ class NativePlan:
                     _scalar_map_col(col, src or (), fdt.dataType).alias(fdt.name)
                 )
             else:
-                raw = F.get_json_object(col, _json_path(src or ()))
-                out_cols.append(_cast_extracted(raw, fdt.dataType).alias(fdt.name))
+                out_cols.append(
+                    _scalar_out_col(col, src or (), fdt.dataType).alias(fdt.name)
+                )
         elif ir.project is not None:
             for fdt in self.schema.fields:
                 spec = ir.project.get(fdt.name)
@@ -1978,7 +2051,7 @@ class NativePlan:
                     # stricter common type (ANSI cast crash on garbage)
                     c = F.when(
                         raw.isNull() | is_false, F.lit(dflt).try_cast(fdt.dataType)
-                    ).otherwise(_cast_extracted(raw, fdt.dataType))
+                    ).otherwise(_scalar_out_col(col, path, fdt.dataType))
                     out_cols.append(c.alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "strcat":
                     # doc-validity gate: a corrupt doc parses to a
@@ -2099,9 +2172,7 @@ class NativePlan:
                     def _branch(sp, _dt=fdt.dataType):
                         if sp[0] == "lit":
                             return F.lit(sp[1]).try_cast(_dt)
-                        return _cast_extracted(
-                            F.get_json_object(col, _json_path(sp[1])), _dt
-                        )
+                        return _scalar_out_col(col, sp[1], _dt)
 
                     c = F.when(cond, _branch(t_spec)).otherwise(_branch(e_spec))
                     out_cols.append(c.alias(fdt.name))
@@ -2110,8 +2181,9 @@ class NativePlan:
                         _scalar_map_col(col, spec, fdt.dataType).alias(fdt.name)
                     )
                 else:
-                    raw = F.get_json_object(col, _json_path(spec))
-                    out_cols.append(_cast_extracted(raw, fdt.dataType).alias(fdt.name))
+                    out_cols.append(
+                        _scalar_out_col(col, spec, fdt.dataType).alias(fdt.name)
+                    )
         else:
             # bare path + NAME:TYPE decls → destructure result object
             base = ir.single_path or ()
@@ -2123,8 +2195,11 @@ class NativePlan:
                         )
                     )
                     continue
-                raw = F.get_json_object(col, _json_path(base + (fdt.name,)))
-                out_cols.append(_cast_extracted(raw, fdt.dataType).alias(fdt.name))
+                out_cols.append(
+                    _scalar_out_col(col, base + (fdt.name,), fdt.dataType).alias(
+                        fdt.name
+                    )
+                )
         return df.select("*", *out_cols)
 
     # -- explode path ---------------------------------------------------
@@ -2406,15 +2481,40 @@ class NativePlan:
         # programs already thread a variant twin, single-level ones
         # switch to posexplode and index the doc-level variant array
         gated_heads = {"tostring", "tojson"} | _STR_ONLY_HEADS | _NUM_ONLY_HEADS
-        needs_ev = ir.project is not None and any(
-            isinstance(s, tuple)
-            and s
-            and (
-                (s[0] == "fnchain" and s[2][0][0] in gated_heads)
-                or s[0] == "strinterp"
+
+        def _is_plain_path(s) -> bool:
+            return isinstance(s, tuple) and not (
+                s and isinstance(s[0], str) and s[0] in _SPEC_KINDS
             )
-            for s in ir.project.values()
-        )
+
+        _str_decls = {
+            f.name
+            for f in self.schema.fields
+            if isinstance(f.dataType, T.StringType)
+        }
+        needs_ev = (
+            ir.project is not None
+            and any(
+                isinstance(s, tuple)
+                and s
+                and (
+                    (s[0] == "fnchain" and s[2][0][0] in gated_heads)
+                    or s[0] == "strinterp"
+                )
+                for s in ir.project.values()
+            )
+        ) or (
+            # r10: STRING-declared plain-path outputs read the element
+            # variant for the M2 number normalization — without it the
+            # raw capture emits "1.0"/'{"k":1.0}' where the Python
+            # tier's marshaller prints "1"/'{"k":1}' (deep-fuzz find;
+            # the r9 tostring class on the M2 route)
+            ir.project is not None
+            and any(
+                _is_plain_path(s) and k in _str_decls
+                for k, s in ir.project.items()
+            )
+        ) or (ir.project is None and bool(_str_decls))
         elem_var = None
         if ir.mid_paths:
             # chained explode for multi-iterate programs (.a[].b[]).
@@ -2555,15 +2655,31 @@ class NativePlan:
             ec = F.col("__jq_elem0")
         for f in ir.post_filters:
             out = out.where(_cond_col(f, lambda ff: _struct_filter_col(ec, ff)))
+
+        def _ev_at(path: Path):
+            if elem_var is None:  # pragma: no cover - needs_ev guards
+                return F.lit(None).cast(T.VariantType())
+            if path:
+                return F.try_variant_get(elem_var, _json_path(path), "variant")
+            return elem_var
+
+        def _plain_out(c: Column, path: Path, dt: T.DataType) -> Column:
+            # r10: M2 number normalization for string-declared plain
+            # paths (the scalar tier's _scalar_out_col, element-side)
+            if isinstance(dt, T.StringType) and elem_var is not None:
+                s = c.try_cast("string")
+                return _m2_gate(s, _m2_string_view(s, _ev_at(path)))
+            return _elem_out_col(c, dt)
+
         out_cols = []
         if self.single and ir.project is None:
             c = ec
             for s in ir.single_path:
                 c = _nav_step(c, s)
             out_cols.append(
-                _elem_out_col(c, self.schema.fields[0].dataType).alias(
-                    self.schema.fields[0].name
-                )
+                _plain_out(
+                    c, ir.single_path, self.schema.fields[0].dataType
+                ).alias(self.schema.fields[0].name)
             )
         elif ir.project is not None:
             for fdt in self.schema.fields:
@@ -2721,13 +2837,17 @@ class NativePlan:
                     c = ec
                     for s in spec:
                         c = _nav_step(c, s)
-                    out_cols.append(_elem_out_col(c, fdt.dataType).alias(fdt.name))
+                    out_cols.append(_plain_out(c, spec, fdt.dataType).alias(fdt.name))
         else:
             for fdt in self.schema.fields:
                 c = ec
                 for s in ir.single_path + (fdt.name,):
                     c = _nav_step(c, s)
-                out_cols.append(_elem_out_col(c, fdt.dataType).alias(fdt.name))
+                out_cols.append(
+                    _plain_out(
+                        c, ir.single_path + (fdt.name,), fdt.dataType
+                    ).alias(fdt.name)
+                )
         return out.select(*[c for c in df.columns], *out_cols)
 
     def apply(self, df: DataFrame, column: str | Column, outer: bool = False) -> DataFrame:

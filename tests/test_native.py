@@ -251,6 +251,48 @@ def test_native_tostring_composite_number_canonicalization(spark):
         assert [r.t for r in nat.collect()] == [r.t for r in py.collect()], prog
 
 
+def test_native_m2_stringify_number_normalization(spark):
+    """r10 (deep-fuzz find): a PLAIN PATH projected to a
+    STRING-declared output is M2 stringify (marshal.py::_as_string →
+    jqlib tojson), so integral floats print without the fraction and
+    nested number tokens canonicalize — scalar tier, single-level
+    explode, destructure, and multi-level explode alike.  STRING
+    values (even "1.0") pass through; missing stays NULL (M2, unlike
+    tostring's "null")."""
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    docs = [
+        '{"s": 1.0, "arr": [2.0, "2.0"], "items": [{"u": 3.0}, {"u": "3.0"}]}',
+        '{"s": {"k": 1.0, "t": "1.0"}, "arr": [], "items": []}',
+        '{"s": "1.0", "arr": [2.5], "items": [{"u": true}]}',
+        '{"arr": [10.0], "items": [{}]}',
+        # Jackson re-prints parsed doubles >= 1e7 in scientific form
+        # ("1.23456789012345E14") — the variant path must still print
+        # integer text for SCALAR integral floats below 1e17, incl.
+        # the double-rounding case (9999999999999999.0 -> 1e16); a
+        # scientific-looking STRING passes through untouched
+        '{"s": 12345678.0, "arr": [1], "items": [{"u": 123456789012345.0}]}',
+        '{"s": 9999999999999999.0, "arr": [], "items": []}',
+        '{"s": "1.0E16", "arr": [], "items": []}',
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    cases = [
+        ("{o: .s}", ("o:string",)),            # scalar projection
+        (".s", ("string",)),                    # scalar single path
+        (".arr[]", ("string",)),                # bare scalar explode
+        (".items[] | {o: .u}", ("o:string",)),  # explode projection
+        (".items[] | .u", ("string",)),         # explode single path
+    ]
+    for prog, decls in cases:
+        nat = jq_explode(df, "j", prog, *decls, native="require")
+        py = jq_explode(df, "j", prog, *decls, native="never")
+        assert _plan_is_pythonfree(nat), prog
+        cols = [c for c in nat.columns if c != "j"]
+        assert sorted(map(tuple, nat.select(cols).collect()), key=str) == sorted(
+            map(tuple, py.select(cols).collect()), key=str
+        ), prog
+
+
 def test_native_strcat_strinterp_corrupt_doc_is_null(spark):
     """r10 (ADVICE low): corrupt (unparseable) docs yield NULL from
     strcat / strinterp / leading-tostring — never a fabricated
