@@ -1541,6 +1541,12 @@ def test_native_randomized_program_differential(spark):
         }
         if crng.random() < 0.2:
             d.pop("cmp")
+        # bare-path-to-string M2 route (r10 deep-fuzz class): integral
+        # floats incl. Jackson's >=1e7 scientific re-print, a
+        # float-looking STRING, and a float-bearing composite
+        d["sf"] = crng.choice(
+            [1.0, 2.5, 12345678.0, "1.0", 3, {"w": 10.0}, None]
+        )
         return d
 
     programs = [
@@ -1568,6 +1574,8 @@ def test_native_randomized_program_differential(spark):
         ('{o: @base64 "b-\\(.s)"}', ("o:string",)),
         ("{o: (.cmp | keys_unsorted)}", ("o:array<string>",)),
         ("{o: (.s | tojson), p: (.x | tojson)}", ("o:string", "p:string")),
+        ("{o: .sf}", ("o:string",)),
+        (".sf", ("string",)),
         ('.items[] | {o: "\\(.u)#\\(.v)"}', ("o:string",)),
         (".items[] | {u: .u, v: .v}", ("u:string", "v:int")),
         (".items[] | select(.v > 5) | {u: .u}", ("u:string",)),
