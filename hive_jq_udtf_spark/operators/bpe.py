@@ -116,19 +116,25 @@ def bpe_encode(
     merges: list,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: list | None = None,
 ) -> DataFrame:
     """Apply a merge table to every document (Arrow mapInPandas).
 
-    Returns (id_col, n_words, n_tokens, n_chars, compression) —
-    n_chars counts word characters (whitespace excluded), so
-    ``n_tokens/n_chars`` is the tokenizer's compression ratio and
-    joining each word's tokens (marker stripped) reproduces the word
-    exactly (pinned by the roundtrip test).
+    Returns (id_col, *carry_cols, n_words, n_tokens, n_chars,
+    compression) — n_chars counts word characters (whitespace
+    excluded), so ``n_tokens/n_chars`` is the tokenizer's compression
+    ratio and joining each word's tokens (marker stripped) reproduces
+    the word exactly (pinned by the roundtrip test).  ``carry_cols``
+    are string metadata columns passed through the Arrow batch so
+    downstream group-bys need no corpus-sized join back to the
+    source frame.
     """
+    carry = list(carry_cols or [])
     ranks = {pair: i for i, pair in enumerate(merges)}
     schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
+        [T.StructField(id_col, T.LongType())]
+        + [T.StructField(c, docs.schema[c].dataType) for c in carry]
+        + [
             T.StructField("n_words", T.LongType()),
             T.StructField("n_tokens", T.LongType()),
             T.StructField("n_chars", T.LongType()),
@@ -142,6 +148,8 @@ def bpe_encode(
         cache: dict = {}
         for pdf in batches:
             out = {id_col: [], "n_words": [], "n_tokens": [], "n_chars": [], "compression": []}
+            for c in carry:
+                out[c] = pdf[c]
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 nw = nt = nc = 0
                 for w in (text or "").split():
@@ -157,6 +165,6 @@ def bpe_encode(
                 out["n_tokens"].append(nt)
                 out["n_chars"].append(nc)
                 out["compression"].append(round(nt / nc, 6) if nc else 0.0)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(out)[[f.name for f in schema.fields]]
 
-    return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
+    return docs.select(id_col, *carry, text_col).mapInPandas(run, schema=schema)

@@ -3610,3 +3610,5 @@ from . import queries_r7c  # noqa: E402,F401  isort:skip
 from . import queries_r8  # noqa: E402,F401  isort:skip
 from . import queries_r9  # noqa: E402,F401  isort:skip
 from . import queries_r10  # noqa: E402,F401  isort:skip
+
+from . import queries_r11  # noqa: E402,F401  isort:skip

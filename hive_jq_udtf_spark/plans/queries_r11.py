@@ -1,0 +1,183 @@
+"""Round-11 queries.
+
+- ``bpe_token_stats`` — the r10 BPE tokenizer loop (VERDICT r10 #2)
+  under the driver gate: learn a merge table on a bounded
+  deterministic sample (documents ``doc_id < 64``), apply it to the
+  WHOLE corpus in one Arrow ``mapInPandas`` pass, and aggregate
+  integer token/word/char counts per (source, lang).
+
+  Oracle strategy — a fully independent END-TO-END replay in pure
+  DuckDB SQL, because the testdata documents tables are NOT
+  prefix-stable across scale factors (the ``doc_id < 64`` slice has a
+  different md5 at each SF), so a merge table learned at authoring
+  time cannot be embedded as literals in a static oracle:
+
+  * LEARNING is unrolled as K= ``_BPE_MERGES`` materialized CTE
+    iterations (pair counting over the sample word histogram →
+    best pair by (count DESC, left, right) with the ``count >= 2``
+    stop rule → left-to-right non-overlapping merge application via
+    the run-parity trick: within each maximal run of consecutive
+    match positions, every other position starting from the first is
+    merged — exactly the ``i += 2`` walk in
+    ``operators/bpe.py::learn_bpe``).
+  * ENCODING is a recursive CTE over the corpus's DISTINCT words:
+    each step merges the lowest-rank adjacent pair (first position on
+    ties — ``list_position`` of ``list_min``), terminating when no
+    pair is in the rank map; final token count per word is
+    ``min(len(syms))`` since each merge shrinks the list by one.
+
+  A count/value bug in either the Spark learning collect, the merge
+  table, or the distributed apply is a value mismatch; ``n_merges``
+  additionally pins the learned-table LENGTH.  ``compression_ppm``
+  is integer arithmetic (``* 1000000`` then integer division) so no
+  float-rounding semantics cross the engine boundary
+  (docs/oracle_determinism.md).
+
+Registers into plans.queries.QUERIES/ORACLES on import.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .queries import ORACLES, QUERIES
+
+# deterministic training sample + merge budget (the oracle unrolls
+# exactly this many learning iterations — keep the two in sync)
+_BPE_SAMPLE_MAX_DOC = 64
+_BPE_MERGES = 24
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-BPE token statistics per (source, lang).
+
+    Scale audit: the learning collect is ``doc_id < 64`` — a fixed
+    64-document sample, corpus-size-independent (the merge table is
+    O(num_merges)); the encode is ONE Arrow mapInPandas pass over a
+    pruned (doc_id, source, lang, text) scan with a per-batch word
+    cache (Zipf → ~100% hit rate), followed by a single map-side
+    partial groupBy on low-cardinality keys.  No corpus-sized join:
+    (source, lang) ride the Arrow batch (``carry_cols``).  At 100 TB
+    this is the same shape as text_stats — map pass + one small
+    shuffle.  Reference parity: the reference ships no tokenizer;
+    this is the training-data-pipeline mandate's "token counting"
+    upgraded to a real learned-merge tokenizer
+    (operators/bpe.py::learn_bpe/bpe_encode).
+    """
+    from ..operators.bpe import bpe_encode, learn_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = [
+        r[0]
+        for r in docs.where(F.col("doc_id") < _BPE_SAMPLE_MAX_DOC)
+        .select("text")
+        .collect()
+    ]
+    merges = learn_bpe(sample, num_merges=_BPE_MERGES)
+
+    enc = bpe_encode(docs, merges, carry_cols=["source", "lang"])
+    return (
+        enc.where(F.col("n_words") > 0)
+        .groupBy("source", "lang")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr("CAST((n_tokens * 1000000) DIV n_chars AS BIGINT)").alias(
+                "compression_ppm"
+            ),
+            F.lit(len(merges)).cast("bigint").alias("n_merges"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def _learn_iter_sql(k: int) -> str:
+    """One unrolled BPE learning iteration (materialized CTEs —
+    vocab_{k-1} is referenced twice, so inlining would blow up
+    exponentially)."""
+    p = f"vocab_{k - 1}"
+    return f"""
+pairs_{k} AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS c
+  FROM (SELECT unnest(range(1, len(syms))) AS i, syms, cnt FROM {p})
+  GROUP BY 1, 2),
+best_{k} AS (SELECT l, r FROM pairs_{k} WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1),
+expl_{k} AS MATERIALIZED (SELECT syms, cnt, unnest(range(1, len(syms)+1)) AS j FROM {p}),
+mt_{k} AS (
+  SELECT e.syms, e.j, row_number() OVER (PARTITION BY e.syms ORDER BY e.j) AS rn
+  FROM expl_{k} e, best_{k} b
+  WHERE e.j < len(e.syms) AND e.syms[e.j] = b.l AND e.syms[e.j+1] = b.r),
+sel_{k} AS MATERIALIZED (
+  SELECT syms, j FROM (
+    SELECT syms, j, row_number() OVER (PARTITION BY syms, j - rn ORDER BY j) AS k2
+    FROM mt_{k}) WHERE k2 % 2 = 1),
+vocab_{k} AS MATERIALIZED (
+  SELECT nsyms AS syms, CAST(sum(c0) AS BIGINT) AS cnt FROM (
+    SELECT e.syms AS osyms, any_value(e.cnt) AS c0,
+           list(CASE WHEN s1.j IS NOT NULL THEN e.syms[e.j] || e.syms[e.j+1] ELSE e.syms[e.j] END
+                ORDER BY e.j) FILTER (WHERE s2.j IS NULL) AS nsyms
+    FROM expl_{k} e
+    LEFT JOIN sel_{k} s1 ON s1.syms = e.syms AND s1.j = e.j
+    LEFT JOIN sel_{k} s2 ON s2.syms = e.syms AND s2.j = e.j - 1
+    GROUP BY e.syms
+  ) GROUP BY nsyms)"""
+
+
+def _bpe_oracle_sql() -> str:
+    iters = ",".join(_learn_iter_sql(k) for k in range(1, _BPE_MERGES + 1))
+    merges_union = "\n  UNION ALL ".join(
+        f"SELECT {k - 1} AS rank, l, r FROM best_{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    return f"""
+WITH RECURSIVE
+sample AS (SELECT text FROM documents WHERE doc_id < {_BPE_SAMPLE_MAX_DOC}),
+swords AS (SELECT w, count(*) AS cnt
+           FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM sample) GROUP BY w),
+vocab_0 AS MATERIALIZED (
+  SELECT list_concat(string_split(w,'')[1:length(w)-1],
+                     [string_split(w,'')[length(w)] || '</w>']) AS syms,
+         CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM swords GROUP BY 1),
+{iters},
+merges AS ({merges_union}),
+rmap AS (SELECT map_from_entries(list(struct_pack(k := l || ' ' || r, v := rank))) AS m FROM merges),
+corpus AS (SELECT source, lang, unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents),
+wstats AS (SELECT source, lang, w, count(*) AS c FROM corpus GROUP BY 1, 2, 3),
+dwords AS (SELECT DISTINCT w FROM wstats),
+enc(w, syms) AS (
+  SELECT w, list_concat(string_split(w,'')[1:length(w)-1],
+                        [string_split(w,'')[length(w)] || '</w>']) FROM dwords
+  UNION ALL
+  SELECT w, list_concat(list_concat(syms[1:bi-1], [syms[bi] || syms[bi+1]]), syms[bi+2:len(syms)])
+  FROM (
+    SELECT w, syms, list_min(pr) AS br, list_position(pr, list_min(pr)) AS bi
+    FROM (SELECT e.w, e.syms,
+                 list_transform(range(1, len(e.syms)),
+                                i -> coalesce(map_extract(r.m, e.syms[i] || ' ' || e.syms[i+1])[1], 1000000)) AS pr
+          FROM enc e, rmap r)
+  ) WHERE br < 1000000),
+wtok AS (SELECT w, CAST(min(len(syms)) AS BIGINT) AS ntok FROM enc GROUP BY w)
+SELECT source, lang,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(sum(c * ntok) AS BIGINT) AS n_tokens,
+       CAST(sum(c * length(w)) AS BIGINT) AS n_chars,
+       CAST((sum(c * ntok) * 1000000) // sum(c * length(w)) AS BIGINT) AS compression_ppm,
+       CAST((SELECT count(*) FROM merges) AS BIGINT) AS n_merges
+FROM wstats JOIN wtok USING (w)
+GROUP BY source, lang ORDER BY source, lang
+"""
+
+
+QUERIES.update({"bpe_token_stats": q_bpe_token_stats})
+ORACLES.update({"bpe_token_stats": _bpe_oracle_sql()})

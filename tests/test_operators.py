@@ -1141,6 +1141,12 @@ def test_bpe_learn_encode_roundtrip_and_reference(spark):
     rows = [(i, t) for i, t in enumerate(texts[:40])] + [(99, None), (98, "")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in bpe_encode(df, merges).collect()}
+    # carry_cols pass metadata through the Arrow batch row-aligned
+    dfc = df.selectExpr("doc_id", "text", "CAST(doc_id % 3 AS STRING) AS src")
+    for r in bpe_encode(dfc, merges, carry_cols=["src"]).collect():
+        assert r.src == str(r.doc_id % 3)
+        assert (r.n_words, r.n_tokens, r.n_chars) == (
+            got[r.doc_id].n_words, got[r.doc_id].n_tokens, got[r.doc_id].n_chars)
     for did, text in rows:
         words = (text or "").split()
         toks = sum(len(encode_word(w, ranks)) for w in words)

@@ -703,3 +703,25 @@ def test_semantic_dedup_whitened_no_cartesian(spark):
     assert 1 < len(rows) <= (2 * _WSD_Q) ** 3
     assert all(r.n_dropped <= r.n_members for r in rows)
     assert all(0 <= r.cell < (2 * _WSD_Q) ** 3 for r in rows)
+
+
+def test_bpe_token_stats_single_arrow_pass(spark):
+    """VERDICT r10 #2 plan gate: the corpus reaches the tokenizer
+    through exactly ONE Arrow mapInPandas pass sitting directly on
+    the pruned scan (no Python stage before it, no corpus-sized join
+    back for the metadata columns — they ride the Arrow batch), and
+    the aggregation below it is a plain partial+final hash agg."""
+    plan = formatted_plan(spark, "bpe_token_stats")
+    # formatted mode prints each node twice (tree + detail header);
+    # count the numbered detail headers
+    import re
+
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    for node in PY_NODES:
+        if node != "MapInPandas":
+            assert node not in plan, node
+    # no join anywhere: (source, lang) are carried through the batch
+    assert "Join" not in plan
+    # scan pruning: documents.n_chars is not consumed
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "n_chars" not in read and "text" in read
