@@ -127,6 +127,10 @@ def _real_decode_features(content: bytes, dim: int) -> tuple[list[float], bool]:
             feats = _pixel_feats(codecs.decode_png(bytes(content)))
             if feats is None:
                 return [0.0] * dim, False
+        elif bytes(content[:3]) == b"\xff\xd8\xff":
+            feats = _pixel_feats(codecs.decode_jpeg(bytes(content)))
+            if feats is None:
+                return [0.0] * dim, False
         elif content[:4] == b"RIFF":
             samples, _rate = codecs.decode_wav(bytes(content))
             feats = codecs.wav_features(samples)
@@ -181,10 +185,10 @@ def resize_images(
     the passthrough for decode→resize→encode inside the same
     mapInPandas body.
 
-    use_real_codecs=True REALLY resizes BMP and PNG payloads (decode
-    → nearest-neighbor → re-encode, codecs.py; PNG keeps its RGB/RGBA
-    channel count); other payloads raise NotImplementedError — JPEG
-    needs a DCT codec this container does not have."""
+    use_real_codecs=True REALLY resizes BMP, PNG, and baseline JPEG
+    payloads (decode → nearest-neighbor → re-encode, codecs.py; PNG
+    keeps its RGB/RGBA channel count, JPEG its gray/color one);
+    other payloads raise NotImplementedError — video stays stubbed."""
     out_schema = MEDIA_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -212,10 +216,16 @@ def resize_images(
                                 codecs.resize_rgb_nearest(px, width, height)
                             )
                         )
+                    elif bytes(c[:3]) == b"\xff\xd8\xff":
+                        px = codecs.decode_jpeg(bytes(c))
+                        px = codecs.resize_rgb_nearest(px, width, height)
+                        if px.shape[2] == 1:
+                            px = px[:, :, 0]
+                        resized.append(codecs.encode_jpeg(px))
                     else:
                         raise NotImplementedError(
-                            "real resize implemented for BMP/PNG only — "
-                            "no JPEG codec in this environment"
+                            "real resize implemented for BMP/PNG/JPEG "
+                            "only — no video codec in this environment"
                         )
                 contents = resized
             meta = [

@@ -181,3 +181,121 @@ GROUP BY source, lang ORDER BY source, lang
 
 QUERIES.update({"bpe_token_stats": q_bpe_token_stats})
 ORACLES.update({"bpe_token_stats": _bpe_oracle_sql()})
+
+
+# ---------------------------------------------------------------------------
+# jpeg_decode_stats — the from-scratch baseline JPEG decoder (VERDICT
+# r10 #5) under the driver gate, on the png_decode_stats pattern:
+# deterministic grayscale JPEGs synthesized from document text bytes
+# (each of the first 16 UTF-8 bytes becomes one FLAT 8x8 block of a
+# 32x32 image — per-block-constant images roundtrip BIT-EXACTLY
+# through the all-ones quant tables, so the decode is value-gated,
+# not tolerance-gated), decoded back by the real decoder
+# (operators/codecs.py::decode_jpeg: huffman + dequant + IDCT), and
+# reduced to TWO integer sums the oracle recomputes straight from the
+# text bytes: the plain luminance sum AND a block-position-WEIGHTED
+# sum (weight k+1 for block k in raster order) — a decoder that
+# permuted, dropped, or mis-predicted blocks passes the first but not
+# the second.  The oracle never sees a JPEG.  Decoder correctness
+# beyond this path (AC coefficients, subsampling, restarts, color) is
+# pinned by hand-assembled fixed test vectors in test_operators.py.
+# ---------------------------------------------------------------------------
+
+_JPG_BLOCKS = 16  # 4x4 grid of 8x8 blocks = 32x32 px
+_JPG_W = _JPG_H = 32
+
+
+def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JPEG decode path, value-gated end-to-end.
+
+    Scale audit: synthesis and decode are one Arrow mapInPandas pass
+    each over a pruned 2-column scan — no shuffle, no collect; the
+    per-image work is O(pixels) huffman/IDCT on 32x32 thumbnails.  At
+    100 TB this is a pure map pipeline like the BMP/PNG/WAV twins."""
+    import numpy as np
+
+    from ..operators import codecs
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "modality": [], "content": [], "meta": []}
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")[:_JPG_BLOCKS]
+                vals = np.zeros(_JPG_BLOCKS, dtype=np.uint8)
+                vals[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                img = np.repeat(np.repeat(vals.reshape(4, 4), 8, 0), 8, 1)
+                jpg = codecs.encode_jpeg(img)
+                rows["media_id"].append(mid)
+                rows["modality"].append("image")
+                rows["content"].append(jpg)
+                rows["meta"].append(
+                    {
+                        "mime": "image/jpeg",
+                        "width": _JPG_W,
+                        "height": _JPG_H,
+                        "duration_ms": None,
+                        "n_bytes": len(jpg),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+    # block-raster weights: pixel (y, x) belongs to block
+    # (y//8)*4 + x//8, weighted k+1
+    wgrid = (
+        (np.arange(_JPG_H)[:, None] // 8) * 4 + (np.arange(_JPG_W)[None, :] // 8) + 1
+    ).astype(np.int64)
+
+    stats_schema = "media_id long, decode_ok boolean, sum_lum long, wsum_lum long"
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "decode_ok": [], "sum_lum": [], "wsum_lum": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    px = codecs.decode_jpeg(bytes(content))[:, :, 0].astype(np.int64)
+                    out["decode_ok"].append(True)
+                    out["sum_lum"].append(int(px.sum()))
+                    out["wsum_lum"].append(int((px * wgrid).sum()))
+                except ValueError:
+                    out["decode_ok"].append(False)
+                    out["sum_lum"].append(0)
+                    out["wsum_lum"].append(0)
+                out["media_id"].append(mid)
+            yield pd.DataFrame(out)[["media_id", "decode_ok", "sum_lum", "wsum_lum"]]
+
+    return media.mapInPandas(decode, schema=stats_schema).orderBy("media_id")
+
+
+# flat block k (1-based position i in the oracle) contributes
+# byte*64 to the sum and byte*64*i to the weighted sum; bytes come
+# from to_hex(encode(text)) — UTF-8 BYTE truncation like the Spark
+# side (the bmp_decode_stats rule, ADVICE r5)
+_ORACLE_JPEG_STATS = f"""
+WITH base AS (SELECT doc_id, substr(to_hex(encode(text)), 1, {2 * _JPG_BLOCKS}) AS hx
+              FROM documents WHERE doc_id < 200),
+pos AS (SELECT doc_id, i,
+               ('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER), 2))::INTEGER AS b
+        FROM base, unnest(range(1, {_JPG_BLOCKS + 1})) AS r(i)
+        WHERE 2 * i <= length(hx)),
+agg AS (SELECT doc_id, sum(b * 64) AS s, sum(b * 64 * i) AS ws FROM pos GROUP BY 1)
+SELECT b.doc_id AS media_id, TRUE AS decode_ok,
+       CAST(coalesce(s, 0) AS BIGINT) AS sum_lum,
+       CAST(coalesce(ws, 0) AS BIGINT) AS wsum_lum
+FROM base b LEFT JOIN agg USING (doc_id) ORDER BY media_id
+"""
+
+QUERIES.update({"jpeg_decode_stats": q_jpeg_decode_stats})
+ORACLES.update({"jpeg_decode_stats": _ORACLE_JPEG_STATS})

@@ -2030,3 +2030,256 @@ def test_whiten_projection_arrow_kernel_agrees_and_dispatches(spark):
 
     assert vals[0] == 0.0
     assert abs(vals[1] - round(256 * 0.001 / _math.sqrt(2.0), 6)) <= 1e-6
+
+
+def _spec_idct_block(coef_natural):
+    """Test-local T.81 A.3.3 inverse DCT: direct double cosine sum,
+    independent of the codec's matrix/einsum path."""
+    import math
+
+    out = [[0.0] * 8 for _ in range(8)]
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef_natural[u][v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[x][y] = s / 4.0
+    return out
+
+
+def _jpeg_headers_gray(q, dc_bits, dc_vals, ac_bits, ac_vals, w=8, h=8, dri=None):
+    """Hand-assembled grayscale baseline JPEG headers (fixed-vector
+    helper: every byte below is written out explicitly)."""
+    import struct
+
+    zz = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    out = b"\xff\xd8"
+    if max(q) > 255:  # Pq=1 (16-bit) path
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128) + b"\x10"
+        out += struct.pack(">64H", *[q[i] for i in zz])
+    else:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+        out += bytes(q[i] for i in zz)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(dc_vals)) + b"\x00"
+    out += bytes(dc_bits) + bytes(dc_vals)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(ac_vals)) + b"\x10"
+    out += bytes(ac_bits) + bytes(ac_vals)
+    if dri is not None:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    return out
+
+
+def test_jpeg_fixed_vector_dc_only():
+    """Hand-assembled vector V1: 8x8 grayscale, q=8 everywhere, one
+    DC coefficient (+5), AC all zero.  Entropy bits hand-packed in
+    the comment below; expected output derived on paper from the
+    spec: dequant 5*8=40, flat IDCT 40/8=5, +128 = constant 133."""
+    import numpy as np
+
+    from hive_jq_udtf_spark.operators.codecs import decode_jpeg
+
+    # DC table: one symbol (size category 3) at code length 2 -> '00'
+    # AC table: one symbol (EOB 0x00) at code length 2 -> '00'
+    dc_bits = [0, 1] + [0] * 14
+    ac_bits = [0, 1] + [0] * 14
+    hdr = _jpeg_headers_gray([8] * 64, dc_bits, [3], ac_bits, [0x00])
+    # bits: DC code '00', magnitude +5 = '101' (3 bits), EOB '00',
+    # 1-bit pad '1'  ->  0010 1001 = 0x29
+    data = hdr + bytes([0x29]) + b"\xff\xd9"
+    out = decode_jpeg(data)
+    assert out.shape == (8, 8, 1)
+    assert np.array_equal(out[:, :, 0], np.full((8, 8), 133, dtype=np.uint8))
+
+
+def test_jpeg_fixed_vector_single_ac():
+    """Vector V2: 8x8 grayscale, q=1, DC=0, one AC coefficient
+    (zigzag k=1 -> natural (0,1)) of value +2; expected pixels from
+    the test-local direct-cosine-sum IDCT (not the codec's path)."""
+    import numpy as np
+
+    from hive_jq_udtf_spark.operators.codecs import decode_jpeg
+
+    # DC table: symbol 0 (size 0) at length 2 -> '00'
+    # AC table: two symbols at length 2: 0x06 (run0,size6) -> '00',
+    #           0x00 (EOB) -> '01'
+    dc_bits = [0, 1] + [0] * 14
+    ac_bits = [0, 2] + [0] * 14
+    hdr = _jpeg_headers_gray([1] * 64, dc_bits, [0], ac_bits, [0x06, 0x00])
+    # bits: DC '00' (size0, no magnitude), AC '00' + magnitude
+    # '101000' (+40), EOB '01', pad '1111'
+    # -> 00 00 101000 01 1111 = 00001010 00011111 = 0x0A 0x1F
+    data = hdr + bytes([0x0A, 0x1F]) + b"\xff\xd9"
+    out = decode_jpeg(data)[:, :, 0].astype(int)
+    coef = [[0.0] * 8 for _ in range(8)]
+    coef[0][1] = 40.0  # natural order (u=0, v=1)
+    exp = _spec_idct_block(coef)
+    expected = np.clip(np.rint(np.asarray(exp) + 128.0), 0, 255).astype(int)
+    assert np.array_equal(out, expected)
+    assert out.min() != out.max()  # the cosine ripple is really there
+
+
+def test_jpeg_fixed_vector_restart_and_16bit_dqt():
+    """Vector V3: 16x8 grayscale (two MCUs), 16-bit DQT (Pq=1, q=8),
+    DRI=1 with an RST0 between the blocks — DC prediction must reset,
+    so block 2's diff +3 is absolute, not 5+3."""
+    import numpy as np
+
+    from hive_jq_udtf_spark.operators.codecs import decode_jpeg
+
+    # DC: size3 -> '00', size2 -> '01'; AC: EOB '00'
+    dc_bits = [0, 2] + [0] * 14
+    ac_bits = [0, 1] + [0] * 14
+    hdr = _jpeg_headers_gray([300] * 64, dc_bits, [3, 2], ac_bits, [0x00], w=16, h=8, dri=1)
+    # MCU1: DC '00'+'101' (+5), EOB '00' -> 0010100 1(pad) = 0x29
+    # RST0, then MCU2 (pred reset): DC '01'+'11' (+3), EOB '00'
+    #   -> 011100 11(pad) = 0x73
+    data = hdr + bytes([0x29]) + b"\xff\xd0" + bytes([0x73]) + b"\xff\xd9"
+    out = decode_jpeg(data)[:, :, 0]
+    # dequant q=300: block1 5*300/8=187.5 +128 = 315.5 -> clip 255
+    # block2 3*300/8=112.5 +128 = 240.5 -> round-half-even 240
+    assert np.array_equal(out[:, :8], np.full((8, 8), 255, dtype=np.uint8))
+    assert np.array_equal(out[:, 8:], np.full((8, 8), 240, dtype=np.uint8))
+
+
+def test_jpeg_fixed_vector_color_420_flat():
+    """Vector V4: 16x16 YCbCr 4:2:0, every plane a DC-only flat
+    block (Y=+5 q8 -> 133, Cb=+2 q8 -> 130, Cr=-4 q8 -> 124);
+    expected RGB from the JFIF formulas computed here, not in the
+    codec."""
+    import struct
+
+    import numpy as np
+
+    from hive_jq_udtf_spark.operators.codecs import decode_jpeg
+
+    zz = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    out = b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
+    # SOF0: 3 components, Y 2x2, Cb/Cr 1x1, all quant table 0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 16, 3)
+    out += b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00"
+    # DC: size3 '00', size2 '01'; AC: EOB '00'  (shared by all comps)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 2) + b"\x00"
+    out += bytes([0, 2] + [0] * 14) + bytes([3, 2])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1) + b"\x10"
+    out += bytes([0, 1] + [0] * 14) + bytes([0x00])
+    out += b"\xff\xda" + struct.pack(">H", 12) + b"\x03" + b"\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00"
+    # one MCU: 4 Y blocks then Cb then Cr
+    # Y1: '00'+'101' (+5) EOB '00'  = 0010100.  (7 bits)
+    # Y2..Y4: diff 0 -> need size0?  size0 not in DC table — use
+    # diff +0 impossible; instead repeat +5? prediction: Y2 diff 0.
+    # Avoid needing size-0: give Y blocks alternating +5 / -5 diffs.
+    # Y2: diff -5 -> size3, bits = -5 + 7 = 2 = '010'.
+    # Y3: +5 again, Y4: -5.
+    # Cb: '01'+'10' (+2) EOB '00' (6 bits); Cr: '01'+'01'? -4:
+    #   size3: -4+7=3 -> '00'+'011' EOB '00'.
+    # bitstream: Y1 00 101 00 | Y2 00 010 00 | Y3 00 101 00 |
+    #            Y4 00 010 00 | Cb 01 10 00 | Cr 00 011 00 | pad
+    bits = "0010100" + "0001000" + "0010100" + "0001000" + "011000" + "0001100"
+    bits += "1" * ((-len(bits)) % 8)
+    ecs = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    ecs = ecs.replace(b"\xff", b"\xff\x00")
+    data = out + ecs + b"\xff\xd9"
+    rgb = decode_jpeg(data).astype(int)
+    assert rgb.shape == (16, 16, 3)
+    # DC prediction: Y1=+5 -> 5, Y2=-5 -> 0, Y3=+5 -> 5, Y4=-5 -> 0;
+    # block layout rows (Y1 Y2)/(Y3 Y4) -> COLUMNS alternate
+    # 133/128 (5*8/8+128 and 0+128)
+    y = np.where(np.indices((2, 2))[1] % 2 == 0, 133, 128)
+    yfull = np.repeat(np.repeat(y, 8, 0), 8, 1)
+    cb, cr = 130.0, 124.0
+    r = np.clip(np.rint(yfull + 1.402 * (cr - 128)), 0, 255)
+    g = np.clip(np.rint(yfull - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), 0, 255)
+    b = np.clip(np.rint(yfull + 1.772 * (cb - 128)), 0, 255)
+    assert np.array_equal(rgb[:, :, 0], r.astype(int))
+    assert np.array_equal(rgb[:, :, 1], g.astype(int))
+    assert np.array_equal(rgb[:, :, 2], b.astype(int))
+
+
+def test_jpeg_encoder_roundtrips_and_rejects():
+    """Own-encoder roundtrips (tolerance; flat blocks exact) plus the
+    reject surface: progressive SOF2, truncation, non-JPEG bytes."""
+    import numpy as np
+    import pytest
+
+    from hive_jq_udtf_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    # flat 8x8 blocks roundtrip EXACTLY with the all-ones tables
+    vals = rng.integers(0, 256, (3, 7), dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img))[:, :, 0], img)
+    # arbitrary grayscale: off-by-one from DCT rounding only
+    img2 = rng.integers(0, 256, (21, 34), dtype=np.uint8)
+    out2 = decode_jpeg(encode_jpeg(img2))[:, :, 0].astype(int)
+    assert np.abs(out2 - img2.astype(int)).max() <= 1
+    # color 4:4:4 within color-transform rounding
+    img3 = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    out3 = decode_jpeg(encode_jpeg(img3)).astype(int)
+    assert np.abs(out3 - img3.astype(int)).max() <= 3
+    # 4:2:0 with constant chroma stays near-exact; restart markers on
+    img4 = np.stack([img2[:16, :16]] * 3, axis=2)
+    out4 = decode_jpeg(encode_jpeg(img4, subsampling="420", restart_interval=1)).astype(int)
+    assert np.abs(out4 - img4.astype(int)).max() <= 1
+    # odd geometry + heavier quant still decodes to the right shape
+    q = np.full(64, 16)
+    out5 = decode_jpeg(encode_jpeg(img2, quant_luma=q))
+    assert out5.shape == (21, 34, 1)
+
+    good = encode_jpeg(img2)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"JUNKJUNKJUNK")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])  # truncated mid-scan
+    with pytest.raises(ValueError):
+        # flip SOF0 -> SOF2 (progressive)
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+
+
+def test_multimodal_jpeg_feature_and_resize_dispatch(spark):
+    """r11: JPEG payloads flow through the real-codec feature and
+    resize stages (magic-byte dispatch), grayscale and color."""
+    import numpy as np
+
+    from hive_jq_udtf_spark.operators import codecs, multimodal
+
+    rng = np.random.default_rng(5)
+    gray = np.repeat(np.repeat(rng.integers(0, 256, (2, 2), dtype=np.uint8), 8, 0), 8, 1)
+    color = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(codecs.encode_jpeg(gray)),
+         {"mime": "image/jpeg", "width": 16, "height": 16, "duration_ms": None, "n_bytes": 0}),
+        (2, "image", bytearray(codecs.encode_jpeg(color)),
+         {"mime": "image/jpeg", "width": 16, "height": 16, "duration_ms": None, "n_bytes": 0}),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in
+             multimodal.extract_features(media, dim=4, use_real_codecs=True).collect()}
+    assert feats[1].decode_ok and feats[2].decode_ok
+    # grayscale mean is exact: integer sum / npix / 255
+    exp = float(int(gray.astype(np.int64).sum())) / 256 / 255.0
+    assert abs(feats[1].feature[0] - exp) < 1e-6
+    resized = {r.media_id: r for r in
+               multimodal.resize_images(media, 8, 8, use_real_codecs=True).collect()}
+    out1 = codecs.decode_jpeg(bytes(resized[1].content))
+    out2 = codecs.decode_jpeg(bytes(resized[2].content))
+    assert out1.shape == (8, 8, 1) and out2.shape == (8, 8, 3)

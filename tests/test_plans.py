@@ -725,3 +725,18 @@ def test_bpe_token_stats_single_arrow_pass(spark):
     # scan pruning: documents.n_chars is not consumed
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "n_chars" not in read and "text" in read
+
+
+def test_jpeg_decode_stats_pure_map_pipeline(spark):
+    """Synthesis and decode are two Arrow passes over a pruned scan;
+    the only exchange is the presentation sort's range partitioning
+    — no join, no corpus shuffle."""
+    import re
+
+    plan = formatted_plan(spark, "jpeg_decode_stats")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2
+    assert "Join" not in plan
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), exchanges
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "n_chars" not in read and "lang" not in read
