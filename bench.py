@@ -224,6 +224,45 @@ def main() -> None:
                 except Exception:
                     pass
 
+    # Iterative-family steady state (VERDICT r10 #3): these queries
+    # run N driver-side join+agg rounds (pagerank/LPA/large-small-star/
+    # k-core peel/BFS frontier/Lloyd steps/DBSCAN expansion), so ONE
+    # cold pass amortizes whole-stage-codegen for only the first
+    # iteration shapes — the timed pass still pays janino on later
+    # iterations' plan variants (measured: pagerank 4.3 s at the
+    # protocol median vs 3.0 s steady).  The artifact therefore
+    # carries BOTH numbers, self-describingly: the protocol median
+    # stays in "queries" (and in every headline metric — nothing is
+    # replaced or inflated), and each iterative query additionally
+    # runs 2 extra trials here with the LAST one recorded as its
+    # steady-state sample ("trial" = its 1-indexed execution count,
+    # so trial N == cold + draws timed + 2 extras).
+    _ITERATIVE = [
+        "pagerank_bipartite",
+        "lpa_communities",
+        "dedup_components",
+        "dedup_components_lsss",
+        "kcore",
+        "bfs_hop_histogram",
+        "kmeans_embeddings",
+        "dbscan_clusters",
+        "dbscan_ivf",
+    ]
+    steady_state: dict[str, dict] = {}
+    for name in _ITERATIVE:
+        if name not in QUERIES or timings.get(name, -1.0) < 0:
+            continue
+        try:
+            extras = [run_once(name, QUERIES[name]) for _ in range(2)]
+            steady_state[name] = {
+                "sec": extras[-1],
+                "trial": 1 + draws + 2,
+                "extra_trials": extras,
+            }
+        except Exception as ex:
+            sys.stderr.write(f"bench steady-state {name} failed: {ex}\n")
+            gc.collect()
+
     cold_total = sum(cold.values())
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     stream_times = [
@@ -406,6 +445,13 @@ def main() -> None:
         "concurrent_draw_totals": conc_draws,
         "streaming_mean_sec": streaming_mean,
         "streaming_warm_runs": 2,
+        "steady_state_queries": steady_state,
+        "steady_state_note": (
+            "iterative-family second look (VERDICT r10 #3): sec is the "
+            "LAST of 2 extra trials run after the timed pass (trial = "
+            "1-indexed execution count: 1 cold + draws timed + 2 extra); "
+            "headline metrics use the protocol median only"
+        ),
     }
     # Full per-query detail on disk (BASELINE.md points here); the
     # stdout line must stay under the harness's ~2k-char tail capture
@@ -423,7 +469,14 @@ def main() -> None:
         **full,
         "over_2x_oracle": len(over_2x),
         "remeasured": len(remeasured),
+        # stdout carries only the family total; bench_full.json has
+        # the per-query steady-state detail + protocol note
+        "steady_state_queries": len(steady_state),
+        "steady_state_sum_sec": round(
+            sum(v["sec"] for v in steady_state.values()), 2
+        ),
     }
+    del line_base["steady_state_note"]
     # failures (negative sentinel) always make the line, then slowest-first
     ordered = sorted(timings.items(), key=lambda kv: (kv[1] >= 0, -abs(kv[1])))
     shown: dict[str, float] = {}
