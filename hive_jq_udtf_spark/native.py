@@ -39,11 +39,13 @@ through), recursing into OBJECT/ARRAY text via a string-token-safe
 regex (r10); the residual delta is scientific-notation text of the
 remaining doubles (Jackson "1.0E20"/"1.5E-7" vs jq
 "1e+20"/"1.5e-07"), scalar and nested alike.  ``tojson`` /
-``@json`` / ``@text`` / ``@base64`` and scalar-tier
-``keys_unsorted`` compile too (r10): tojson quotes strings with
-Jackson escaping (the same \\n/\\t/\\r/\\uXXXX shortcuts as jqlib's
-json.dumps), keys_unsorted reads json_object_keys over raw text for
-document order.  DUPLICATE-KEY documents ({"a":1,"a":2}) are a
+``@json`` / ``@text`` / ``@base64`` and ``keys_unsorted`` compile
+too (r10 scalar tier; r11 under ITERATES and as trailing bare
+``keys``/``keys_unsorted`` calls in the single-TYPE decl form):
+tojson quotes strings with Jackson escaping (the same
+\\n/\\t/\\r/\\uXXXX shortcuts as jqlib's json.dumps), keys_unsorted
+reads json_object_keys over raw text for document order — under an
+iterate that raw text is the element's text twin.  DUPLICATE-KEY documents ({"a":1,"a":2}) are a
 documented delta class: Spark's variant parser rejects them
 (try_parse_json → NULL), so every variant-gated compiled spec yields
 NULL there while jq keeps the last occurrence — prefer the Python
@@ -143,6 +145,11 @@ class NativeIR:
     # projection: None = identity; {name: Path|("lit", v)} = object construct
     project: Optional[dict[str, Any]] = None
     single_path: Optional[Path] = None  # trailing bare path
+    # trailing bare ``keys`` / ``keys_unsorted`` call applied to
+    # single_path's value (r11: both tiers, incl. under iterates —
+    # ``.[] | keys_unsorted`` reads the element's raw-text twin for
+    # document order); None = no trailing call
+    single_call: Optional[str] = None
 
 
 def _flatten(ast: AST, out: list) -> bool:
@@ -355,9 +362,9 @@ def _as_keys_chain(ast: AST):
     (path, sorted?) else None.  ``keys`` sorts by codepoint — exactly
     the order variant objects store their fields in (`_variant_keys`);
     ``keys_unsorted`` is document order, which variants LOSE — it
-    reads `json_object_keys` over the raw text instead (r10; scalar
-    tier only — under an iterate there is no raw element text, so
-    those programs stay on the Python tier)."""
+    reads `json_object_keys` over the raw text instead (r10 scalar
+    tier; r11 under iterates too, via the element raw-text twin —
+    posexplode-indexed at level 0, the r9 ``ex`` twin at mid levels)."""
     nodes: list = []
     _pipe_list(ast, nodes)
     last = nodes[-1]
@@ -1055,6 +1062,29 @@ def analyze_program(program: str) -> Optional[NativeIR]:
         ast = parse(program)
     except Exception:
         return None
+    # r11: trailing bare ``keys`` / ``keys_unsorted`` at the TOP level
+    # (``.a | keys``, ``.[] | keys_unsorted``) — strip the call and
+    # record it; the remaining chain analyzes as usual and the call
+    # applies to its final value.  Only a strict extension: these
+    # programs previously always fell back to the Python tier (the
+    # in-projection forms go through _as_keys_chain instead).
+    _nodes: list = []
+    _pipe_list(ast, _nodes)
+    single_call: Optional[str] = None
+    if (
+        _nodes
+        and _nodes[-1][0] == "call"
+        and _nodes[-1][1] in ("keys", "keys_unsorted")
+        and not _nodes[-1][2]
+    ):
+        single_call = _nodes[-1][1]
+        rest = _nodes[:-1]
+        if rest:
+            ast = rest[0]
+            for n in rest[1:]:
+                ast = ("pipe", ast, n)
+        else:
+            ast = ("identity",)
     stages: list = []
     if not _flatten(ast, stages):
         return None
@@ -1160,6 +1190,9 @@ def analyze_program(program: str) -> Optional[NativeIR]:
                     proj[k] = full
             ir.project = proj
             ir.iterate = seen_iterate
+            if single_call is not None:
+                # keys over a CONSTRUCTED object — Python tier
+                return None
             # projection must be final
             return ir if st is stages[-1] else None
     ir.iterate = seen_iterate
@@ -1168,6 +1201,7 @@ def analyze_program(program: str) -> Optional[NativeIR]:
     else:
         ir.single_path = ir.pre_path
         ir.pre_path = ()
+    ir.single_call = single_call
     return ir
 
 
@@ -1948,7 +1982,22 @@ class NativePlan:
         ir = self.ir
         df = _apply_pre_filters(df, col, ir.pre_filters)
         out_cols = []
-        if self.single:
+        if ir.single_call is not None:
+            # ``.path | keys`` / ``| keys_unsorted`` as the WHOLE
+            # program (r11): keys of the path's value into the one
+            # declared column.  Gate on the exact-typed variant;
+            # keys_unsorted reads the raw text for document order.
+            fdt = self.schema.fields[0]
+            path = ir.single_path or ()
+            jp = _json_path(path) if path else "$"
+            v = F.try_variant_get(F.try_parse_json(col), jp, "variant")
+            if ir.single_call == "keys":
+                kc = _variant_keys(v)
+            else:
+                raw = F.get_json_object(col, jp) if path else col
+                kc = _keys_unsorted_col(raw, v)
+            out_cols.append(kc.try_cast(fdt.dataType).alias(fdt.name))
+        elif self.single:
             fdt = self.schema.fields[0]
             src = ir.single_path if ir.project is None else None
             if isinstance(fdt.dataType, T.MapType):
@@ -2237,7 +2286,19 @@ class NativePlan:
                 else:
                     cur[path[-1]] = dt
 
-        if self.single and ir.project is None:
+        if ir.single_call is not None:
+            # keys/keys_unsorted of the element (or a path under it):
+            # the element schema only carries the exact-typed VARIANT
+            # for the object/array gate; keys_unsorted's document
+            # order additionally reads the raw-text twin at apply time
+            if not ir.single_path:
+                if ir.post_filters:
+                    # bare-variant element can't also carry the
+                    # filters' struct fields
+                    raise _SchemaConflict(())
+                return T.VariantType()
+            add(ir.single_path, T.VariantType())
+        elif self.single and ir.project is None:
             if not ir.single_path:
                 if isinstance(self.schema.fields[0].dataType, T.MapType):
                     # whole-element map needs a variant element — not
@@ -2293,6 +2354,12 @@ class NativePlan:
                 elif isinstance(spec, tuple) and spec and spec[0] in (
                     "length",
                     "keyssorted",
+                    # r11: keys_unsorted compiles under iterates too —
+                    # the variant here is only the type gate; document
+                    # order comes from the element's raw-text twin
+                    # (mid-path ``ex`` or the posexplode-indexed text
+                    # array in _apply_explode)
+                    "keysunsorted",
                 ):
                     if not spec[1]:
                         raise _SchemaConflict(spec)  # of the element itself
@@ -2303,9 +2370,6 @@ class NativePlan:
                     "ifelse",
                     "splitidx",
                     "reduce",
-                    # keys_unsorted needs the RAW element text for
-                    # document order — no such view under an iterate
-                    "keysunsorted",
                 ):
                     # scalar-tier-only spec kinds: under an iterate the
                     # program falls back to the Python tier
@@ -2514,8 +2578,20 @@ class NativePlan:
                 _is_plain_path(s) and k in _str_decls
                 for k, s in ir.project.items()
             )
-        ) or (ir.project is None and bool(_str_decls))
+        ) or (ir.project is None and ir.single_call is None and bool(_str_decls))
+        # r11: keys_unsorted under an iterate needs the element's RAW
+        # text (document key order — variants sort object keys).  The
+        # mid-path route already threads a text twin (``ex``); the
+        # single-level route builds a posexplode-indexed text array.
+        needs_ex = ir.single_call == "keys_unsorted" or (
+            ir.project is not None
+            and any(
+                isinstance(s, tuple) and s and s[0] == "keysunsorted"
+                for s in ir.project.values()
+            )
+        )
         elem_var = None
+        elem_txt = None
         if ir.mid_paths:
             # chained explode for multi-iterate programs (.a[].b[]).
             # from_json nulls the DEEPEST mismatching node (an inner
@@ -2631,7 +2707,8 @@ class NativePlan:
                 ev = F.col(f"__jq_elem{lvl}").getField("v")
                 ex = F.col(f"__jq_elem{lvl}").getField("x")
             elem_var = ev  # last level's variant twin
-        elif needs_ev:
+            elem_txt = ex  # last level's raw-text twin
+        elif needs_ev or needs_ex:
             # posexplode keeps the element index so the element's
             # variant can be read from the doc-level variant array
             # (object-iterated level 0 uses the SAME map-parse value
@@ -2644,12 +2721,30 @@ class NativePlan:
             )
             if lims and lims[0] is not None:
                 var_arr = F.slice(var_arr, F.lit(1), F.lit(lims[0]))
+            txt_arr = None
+            if needs_ex:
+                # raw element text, index-aligned with nav: objects
+                # via a map parse (from_json preserves document key
+                # order), arrays via array<string> (each element's
+                # raw JSON text)
+                txt_arr = F.when(
+                    is_object,
+                    F.map_values(
+                        F.from_json(
+                            src, T.MapType(T.StringType(), T.StringType())
+                        )
+                    ),
+                ).otherwise(F.from_json(src, T.ArrayType(T.StringType())))
+                if lims and lims[0] is not None:
+                    txt_arr = F.slice(txt_arr, F.lit(1), F.lit(lims[0]))
             pgen = F.posexplode_outer if outer else F.posexplode
             out = df.select(
                 "*", pgen(nav).alias("__jq_pos0", "__jq_elem0")
             )
             ec = F.col("__jq_elem0")
             elem_var = F.try_element_at(var_arr, F.col("__jq_pos0") + 1)
+            if txt_arr is not None:
+                elem_txt = F.try_element_at(txt_arr, F.col("__jq_pos0") + 1)
         else:
             out = df.withColumn("__jq_elem0", gen(nav))
             ec = F.col("__jq_elem0")
@@ -2672,7 +2767,29 @@ class NativePlan:
             return _elem_out_col(c, dt)
 
         out_cols = []
-        if self.single and ir.project is None:
+        if ir.single_call is not None:
+            # ``.[] ... | keys`` / ``| keys_unsorted`` — keys of the
+            # element (or a path under it).  The typed parse carries
+            # the exact-typed variant for the object/array gate;
+            # document order for keys_unsorted comes from elem_txt.
+            fdt0 = self.schema.fields[0]
+            c = ec
+            for s in ir.single_path:
+                c = _nav_step(c, s)
+            if ir.single_call == "keys":
+                kc = _variant_keys(c)
+            else:
+                if elem_txt is None:  # pragma: no cover - needs_ex guards
+                    raw = F.lit(None).cast(T.StringType())
+                elif ir.single_path:
+                    raw = F.get_json_object(
+                        elem_txt, _json_path(ir.single_path)
+                    )
+                else:
+                    raw = elem_txt
+                kc = _keys_unsorted_col(raw, c)
+            out_cols.append(kc.try_cast(fdt0.dataType).alias(fdt0.name))
+        elif self.single and ir.project is None:
             c = ec
             for s in ir.single_path:
                 c = _nav_step(c, s)
@@ -2833,6 +2950,24 @@ class NativePlan:
                     out_cols.append(
                         _variant_keys(c).try_cast(fdt.dataType).alias(fdt.name)
                     )
+                elif isinstance(spec, tuple) and spec and spec[0] == "keysunsorted":
+                    # r11: document-order keys under an iterate — the
+                    # raw text of the path comes from the element's
+                    # text twin, the gate from the typed variant
+                    _, path = spec
+                    c = ec
+                    for st in path:
+                        c = _nav_step(c, st)
+                    raw = (
+                        F.get_json_object(elem_txt, _json_path(path))
+                        if elem_txt is not None
+                        else F.lit(None).cast(T.StringType())
+                    )
+                    out_cols.append(
+                        _keys_unsorted_col(raw, c)
+                        .try_cast(fdt.dataType)
+                        .alias(fdt.name)
+                    )
                 else:
                     c = ec
                     for s in spec:
@@ -2873,6 +3008,17 @@ def compile_native(program: str, decls: tuple[str, ...]) -> Optional[NativePlan]
     # single-TYPE form with an object construct would marshal the whole
     # object into col1 — not covered by this tier
     if single and ir.project is not None:
+        return None
+    if ir.single_call is not None and (
+        # keys output is an ARRAY (non-object), which the marshaller
+        # routes into a column only in the single-TYPE decl form —
+        # NAMED decls are object-key lookups and yield NULL for it
+        # (pinned by the bare-vs-named differential in test_native).
+        # Only array-typed decls compile: a string decl would take
+        # Spark's cast text where the Python tier marshals jq's text.
+        not single
+        or not isinstance(schema.fields[0].dataType, T.ArrayType)
+    ):
         return None
     # guard: scalar-element explode with post filters/steps is fine,
     # but filters on a *scalar* element (no struct) aren't expressible

@@ -513,6 +513,82 @@ def test_native_dirty_data_fuzz(spark):
     assert compared >= 8
 
 
+def test_native_keys_under_iterate_fuzz(spark):
+    """Seeded fuzz (r11): keys/keys_unsorted under iterates over
+    randomized key ORDERS and container shapes — document order must
+    survive the raw-text twin at level 0 (posexplode-indexed text
+    array), at mid levels (the r9 ``ex`` twin), and through the
+    object-iterated route (``.[]`` over an object iterates values)."""
+    import json as _json
+    import random
+
+    from hive_jq_udtf_spark.native import compile_native
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    rng = random.Random(1106)
+    pool = ["zz", "aa", "Mm", "b2", "B1", "x", "_u", "k9"]
+
+    def rand_obj():
+        ks = rng.sample(pool, rng.randint(1, 5))
+        return {k: rng.randint(0, 9) for k in ks}
+
+    def rand_elem():
+        # always a container (jq aborts keys on scalars/null)
+        if rng.random() < 0.3:
+            return [rng.randint(0, 9) for _ in range(rng.randint(0, 3))]
+        return rand_obj()
+
+    progs = [
+        (".items[] | keys_unsorted", ("array<string>",), "arr"),
+        (".items[] | keys", ("array<string>",), "arr"),
+        (".items[] | {k: (.m | keys_unsorted)}", ("k:array<string>",), "m"),
+        (".items[].m | keys_unsorted", ("array<string>",), "m"),
+        (".lvls[].b[] | keys_unsorted", ("array<string>",), "mid"),
+        (".obj[] | keys_unsorted", ("array<string>",), "objiter"),
+    ]
+    compared = 0
+    for prog, decls, fam in progs:
+        assert compile_native(prog, decls) is not None, prog
+        docs = []
+        for _ in range(12):
+            if fam == "arr":
+                doc = {"items": [rand_elem() for _ in range(rng.randint(0, 3))]}
+            elif fam == "m":
+                doc = {
+                    "items": [
+                        {"m": rand_obj()} for _ in range(rng.randint(0, 3))
+                    ]
+                }
+            elif fam == "mid":
+                doc = {
+                    "lvls": [
+                        {"b": [rand_obj() for _ in range(rng.randint(0, 2))]}
+                        for _ in range(rng.randint(0, 2))
+                    ]
+                }
+            else:
+                doc = {
+                    "obj": {
+                        k: rand_obj()
+                        for k in rng.sample(pool, rng.randint(1, 3))
+                    }
+                }
+            docs.append((_json.dumps(doc),))
+        df = spark.createDataFrame(docs, "j string")
+        nat = jq_explode(df, "j", prog, *decls, native="require")
+        py = jq_explode(df, "j", prog, *decls, native="never")
+        assert _plan_is_pythonfree(nat), prog
+        cols = [c for c in nat.columns if c != "j"]
+        # rows sorted (cross-partition collect order is not part of
+        # the contract) but each keys ARRAY keeps its order — that is
+        # where document order lives, so the compare stays sensitive
+        a = sorted(map(tuple, nat.select(cols).collect()), key=str)
+        b = sorted(map(tuple, py.select(cols).collect()), key=str)
+        assert a == b, prog
+        compared += 1
+    assert compared == len(progs)
+
+
 # ---------------------------------------------------------------------------
 # truthy select (ADVICE r1): exact jq truthiness via the variant reader
 # ---------------------------------------------------------------------------
@@ -757,6 +833,22 @@ GROWTH_CASES = [
     ("{t: (.name | tojson)}", ("t:string",)),
     (".orders[] | {t: (.lines | tojson)}", ("t:string",)),
     ("{t: (.name | ascii_downcase | tojson)}", ("t:string",)),
+    # round-11 growth: keys/keys_unsorted under ITERATES (raw-text
+    # twin for document order) and as trailing bare calls in the
+    # single-TYPE decl form; order-sensitive comparisons live in
+    # test_native_keys_sorted_matches_python_tier (orders[] elements
+    # are always objects, so the Python tier never aborts here)
+    (".orders[] | keys", ("array<string>",)),
+    (".orders[] | keys_unsorted", ("array<string>",)),
+    (".orders[].lines[] | keys_unsorted", ("array<string>",)),
+    (".orders[] | {oid: .oid, k: (.lines | keys)}", ("oid:int", "k:array<int>")),
+    (".orders[] | {oid: .oid, k: (.lines | keys_unsorted)}",
+     ("oid:int", "k:array<int>")),
+    (".nums | keys", ("array<int>",)),
+    (".words | keys_unsorted", ("array<int>",)),
+    ("keys", ("array<string>",)),
+    ("keys_unsorted", ("array<string>",)),
+    ("limit(2; .orders[]) | keys_unsorted", ("array<string>",)),
 ]
 
 
@@ -1301,8 +1393,11 @@ def test_native_keys_sorted_matches_python_tier(spark):
     fields sorted by key bytes, which IS jq's codepoint sort; arrays
     yield index lists.  r10: `keys_unsorted` compiles at the SCALAR
     tier too — json_object_keys over the raw text preserves DOCUMENT
-    order where variants sort; under an iterate there is no raw
-    element text, so those programs stay on the Python tier."""
+    order where variants sort.  r11: under ITERATES too — the
+    explode threads a raw-text twin (posexplode-indexed text array
+    at level 0, the r9 `ex` twin at mid levels), and trailing bare
+    `keys`/`keys_unsorted` compile as a whole program in the
+    single-TYPE decl form (`.[] | keys_unsorted`)."""
     cases = [
         ("{k: (.m | keys)}", ("k:array<string>",), [
             ('{"m": {"zz": 1, "aa": 2, "Mm": 3}}',),
@@ -1335,13 +1430,49 @@ def test_native_keys_sorted_matches_python_tier(spark):
         assert (
             nat.select(cols).collect() == py.select(cols).collect()
         ), prog
-    # under an iterate keys_unsorted still falls back (no raw text)
-    assert (
-        compile_native(
-            ".items[] | {k: (.m | keys_unsorted)}", ("k:array<string>",)
-        )
-        is None
-    )
+    # r11: keys_unsorted under an iterate — DOCUMENT order through
+    # the element's raw-text twin.  Order matters, so compare
+    # UNSORTED sequences on single-row frames (deterministic order).
+    order_cases = [
+        # in-projection under a single-level iterate (posexplode text)
+        (".items[] | {k: (.m | keys_unsorted)}", ("k:array<string>",),
+         '{"items": [{"m": {"zz": 1, "aa": 2}}, {"m": {"q2": 0, "q1": 1}}]}'),
+        # trailing bare call: keys of the element itself
+        (".items[] | keys_unsorted", ("array<string>",),
+         '{"items": [{"zz": 1, "aa": 2, "Mm": 3}, {"b": 0, "a": 1}]}'),
+        (".items[] | keys", ("array<string>",),
+         '{"items": [{"zz": 1, "aa": 2, "Mm": 3}, {"b": 0, "a": 1}]}'),
+        # object-iterated doc: `.[]` over an object iterates VALUES
+        (".m[] | keys_unsorted", ("array<string>",),
+         '{"m": {"first": {"y": 1, "x": 2}, "second": {"q": 0}}}'),
+        # mid-level iterate: raw text rides the r9 `ex` twin
+        (".a[].b[] | keys_unsorted", ("array<string>",),
+         '{"a": [{"b": [{"s1": 1, "s0": 2}, {"zz": 1}]}, {"b": [{"m": 3}]}]}'),
+        (".a[].b[] | {k: (.c | keys_unsorted)}", ("k:array<string>",),
+         '{"a": [{"b": [{"c": {"w2": 1, "w1": 2}}]}]}'),
+        # path under the element for the trailing form
+        (".items[].m | keys_unsorted", ("array<string>",),
+         '{"items": [{"m": {"n2": 1, "n1": 2}}]}'),
+    ]
+    for prog, decls, doc in order_cases:
+        df = spark.createDataFrame([(doc,)], "j string")
+        assert compile_native(prog, decls) is not None, prog
+        nat = jq_explode(df, "j", prog, *decls, native="require")
+        py = jq_explode(df, "j", prog, *decls, native="never")
+        assert _plan_is_pythonfree(nat), prog
+        cols = [c for c in nat.columns if c != "j"]
+        assert (
+            nat.select(cols).collect() == py.select(cols).collect()
+        ), prog
+    # NAMED single decls stay Python-tier: keys output is an array
+    # (non-object), which marshals into a named column as a
+    # key-lookup → NULL; only the single-TYPE form takes the value
+    assert compile_native(".m | keys", ("k:array<string>",)) is None
+    assert compile_native(".items[] | keys_unsorted", ("k:array<string>",)) is None
+    # keys over a CONSTRUCTED object stays Python-tier
+    assert compile_native("{a: .m} | keys", ("array<string>",)) is None
+    # non-array decl for the trailing form stays Python-tier
+    assert compile_native(".m | keys", ("string",)) is None
 
 
 def test_native_format_interpolation_matches_python_tier(spark):
