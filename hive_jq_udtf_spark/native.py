@@ -36,9 +36,12 @@ string results (r9 found the path-only ``+`` case, r10 closed the
 ``tostring`` normalizes integral floats below 1e17 to integer text
 like jq (1.0 → "1", variant-type-gated so STRING "1.0" passes
 through), recursing into OBJECT/ARRAY text via a string-token-safe
-regex (r10); the residual delta is scientific-notation text of the
-remaining doubles (Jackson "1.0E20"/"1.5E-7" vs jq
-"1e+20"/"1.5e-07"), scalar and nested alike.  ``tojson`` /
+regex (r10); r11 closes the SCALAR scientific-notation class exactly
+(`_sci_python_text`: Jackson "1.0E20"/"1.5E-7"/"1.23456789E7" → jq
+"1e+20"/"1.5e-07"/"12345678.9") plus the nested subclass where both
+engines print scientific (e >= 17 / e <= -5); the residual delta is
+NESTED tokens needing a digit shift (Jackson scientific at e in
+[7,16]/e == -4 where jq prints positional/integer text).  ``tojson`` /
 ``@json`` / ``@text`` / ``@base64`` and ``keys_unsorted`` compile
 too (r10 scalar tier; r11 under ITERATES and as trailing bare
 ``keys``/``keys_unsorted`` calls in the single-TYPE decl form):
@@ -585,9 +588,13 @@ def _apply_fnchain(c: Column, fns) -> Column:
                     & (d == F.floor(d))
                     & (F.abs(d) < F.lit(1e17))
                 )
-                c = F.when(
-                    intish, d.cast("bigint").cast("string")
-                ).otherwise(d.cast("string"))
+                s = d.cast("string")
+                # r11: the cast prints Double.toString scientific
+                # form for |v| >= 1e7 / < 1e-3 — normalize to jq's
+                # float text like the leading views do
+                c = F.when(intish, d.cast("bigint").cast("string")).otherwise(
+                    F.when(s.rlike(_SCI_TOKEN_RE), _sci_python_text(s)).otherwise(s)
+                )
             else:
                 c = _json_quote(c)
         elif name == "tonumber":
@@ -1455,10 +1462,115 @@ _CANON_NEGZERO_RE = _JSTR + r"|(?<![eE\d.])-(0)" + _NUMEND
 # values normalize exactly through the variant's double).
 
 
+# r11 (VERDICT r10 #7): NESTED scientific tokens whose jq form is
+# also scientific reformat in place — Jackson "1.5E300"/"2.0E-308"
+# → jq/Python "1.5e+300"/"2e-308".  Only the exponent ranges where
+# BOTH engines print scientific qualify: e >= 17 (every double with
+# e == 16 is integral — doubles >= 2^53 have no fraction — and jqlib
+# prints those as integer text, the documented shift class) and
+# e <= -5 (jq goes positional at e == -4).  The mantissa drops a
+# bare ".0" and keeps significant fractions; single-digit negative
+# exponents zero-pad ("e-07") like Python repr.  Tokens needing a
+# DIGIT SHIFT (e in [7,16] and e == -4: "1.23456789E7" → jq
+# "12345678.9") stay in Jackson form — regexp_replace cannot move a
+# decimal point by a captured amount; the SCALAR tier normalizes
+# those exactly via _sci_python_text.
+#
+# MECHANICS: the string-token-safe alternation only works with
+# captures-only replacements ("$1$2") — any literal text would also
+# be inserted where the string-token branch matched.  The rewrite
+# therefore goes through control-char MARKERS: pass 1 turns the "E"
+# of a qualifying token into \x01/\x02/\x03 (one per exponent
+# class); the cleanup passes then run WITHOUT the alternation —
+# safe, because re-serialized JSON text escapes control characters
+# as \uXXXX, so a raw marker can only be one this pass inserted
+# (string tokens collect a trailing marker from the alternation
+# branch; the final pass strips any marker not consumed by a
+# cleanup, and a string token is never directly followed by a digit
+# in valid JSON, so cleanups cannot misfire on them).
+_SCI_MANT = r"(-?\d(?:\.\d*[1-9])?)(?:\.0+)?"
+_CANON_SCI_POS_RE = (
+    _JSTR + "|" + _SCI_MANT + r"E(1[7-9]|[2-9]\d|[1-9]\d{2})" + _NUMEND
+)
+_CANON_SCI_NEG1_RE = _JSTR + "|" + _SCI_MANT + r"E-([5-9])" + _NUMEND
+_CANON_SCI_NEG2_RE = _JSTR + "|" + _SCI_MANT + r"E-([1-9]\d{1,2})" + _NUMEND
+
+
 def _canon_composite_text(raw: Column) -> Column:
     c = F.regexp_replace(raw, _CANON_INT_RE, "$1$2")
     c = F.regexp_replace(c, _CANON_TRIM_RE, "$1$2")
-    return F.regexp_replace(c, _CANON_NEGZERO_RE, "$1$2")
+    c = F.regexp_replace(c, _CANON_NEGZERO_RE, "$1$2")
+    c = F.regexp_replace(c, _CANON_SCI_POS_RE, "$1$2\x01$3")
+    c = F.regexp_replace(c, _CANON_SCI_NEG1_RE, "$1$2\x02$3")
+    c = F.regexp_replace(c, _CANON_SCI_NEG2_RE, "$1$2\x03$3")
+    c = F.regexp_replace(c, "\x01(\\d+)", "e+$1")
+    c = F.regexp_replace(c, "\x02(\\d)", "e-0$1")
+    c = F.regexp_replace(c, "\x03(\\d+)", "e-$1")
+    return F.regexp_replace(c, "[\x01\x02\x03]", "")
+
+
+# SCALAR scientific-token normalization (r11, VERDICT r10 #7): a
+# Jackson Double.toString / BigDecimal science-form token → the exact
+# jq/Python float text.  Jackson prints scientific for |value| >= 1e7
+# or < 1e-3 while jq/Python switch at >= 1e16 / < 1e-4, so the
+# conversion has three regimes (exponent from the token itself):
+#   e >= 17 or e <= -5 → both scientific: trim the mantissa's bare
+#     ".0", exponent always signed and >= 2 digits ("1e+20",
+#     "1.5e-07", "2e-308");
+#   7 <= e <= 16      → jq positional: shift the digits ("1.23456789E7"
+#     → "12345678.9"); values here with e == 16 are integral doubles
+#     and never reach this view (the intish branch precedes it);
+#   e == -4           → jq positional small: "1.5E-4" → "0.00015".
+# Pure Column expressions — regexp_extract + substr arithmetic.
+#
+# Residual DIGIT-level delta (not formatting): JDK 17's
+# Double.toString emits non-shortest digits for a ~0.1% sliver of
+# doubles — measured by a 60k random-bit fuzz: 63 hits, all integral
+# values in |v| ∈ [1e17, 1e19) ("1.70338826681018035E18" where
+# Python prints '1.7033882668101804e+18') plus deep subnormals
+# (5e-324 → "4.9E-324") — JDK-4511638, fixed in JDK 19+.  The digits
+# themselves differ there, beyond any text transform's reach.
+_SCI_TOKEN_RE = r"^-?\d\.\d+E-?\d+$"
+_SCI_PARTS_RE = r"^(-?)(\d)\.(\d+)E(-?\d+)$"
+
+
+def _sci_python_text(raw: Column) -> Column:
+    sign = F.regexp_extract(raw, _SCI_PARTS_RE, 1)
+    d = F.regexp_extract(raw, _SCI_PARTS_RE, 2)
+    fr = F.regexp_replace(
+        F.regexp_extract(raw, _SCI_PARTS_RE, 3), "0+$", ""
+    )
+    e = F.regexp_extract(raw, _SCI_PARTS_RE, 4).cast("int")
+    digits = F.concat(d, fr)
+    mant = F.when(fr == F.lit(""), d).otherwise(
+        F.concat(d, F.lit("."), fr)
+    )
+    esign = F.when(e < 0, F.lit("-")).otherwise(F.lit("+"))
+    # NOTE no lpad: Spark's lpad TRUNCATES to the target length, so a
+    # 3-digit exponent would lose its last digit — pad conditionally
+    eabs = F.abs(e).cast("string")
+    epad = F.when(
+        F.length(eabs) < 2, F.concat(F.lit("0"), eabs)
+    ).otherwise(eabs)
+    sci = F.concat(sign, mant, F.lit("e"), esign, epad)
+    # positional expansion: pad digits out to the decimal point, then
+    # split (defensive "0" fraction keeps the shape for integral-ish
+    # inputs, though intish catches those upstream)
+    pad = F.repeat(
+        F.lit("0"), F.greatest(e + F.lit(1) - F.length(digits), F.lit(0))
+    )
+    digits_p = F.concat(digits, pad)
+    ipart = digits_p.substr(F.lit(1), e + F.lit(1))
+    fpart0 = digits_p.substr(e + F.lit(2), F.lit(330))
+    fpart = F.when(fpart0 == F.lit(""), F.lit("0")).otherwise(fpart0)
+    pos_big = F.concat(sign, ipart, F.lit("."), fpart)
+    pos_small = F.concat(sign, F.lit("0.000"), digits)
+    return (
+        F.when((e >= 17) | (e <= -5), sci)
+        .when(e >= 7, pos_big)
+        .when(e == F.lit(-4), pos_small)
+        .otherwise(raw)
+    )
 
 
 def _tostring_view(raw: Column, v: Column) -> Column:
@@ -1470,10 +1582,14 @@ def _tostring_view(raw: Column, v: Column) -> Column:
     emitted "1.0" where jq prints "1" — a live auto-mode divergence).
     Composite values (OBJECT/ARRAY) canonicalize their NESTED number
     tokens too (r10 fix: ``"p-\\(.v)"`` on ``{"v":{"x":1.0}}`` emitted
-    'p-{"x":1.0}' where jq prints 'p-{"x":1}').  Residual documented
-    delta: scientific-notation text of the remaining doubles keeps
-    the Jackson form ("1.0E20", "1.5E-7") where jq prints "1e+20" /
-    "1.5e-07" — scalar and nested alike."""
+    'p-{"x":1.0}' where jq prints 'p-{"x":1}').  r11 closes the
+    scalar scientific-notation class exactly (``_sci_python_text``:
+    "1.0E20" → "1e+20", "1.23456789E7" → "12345678.9", "1.5E-4" →
+    "0.00015") and the nested both-engines-scientific subclass
+    (e >= 17 / e <= -5 reformat in `_canon_composite_text`); residual
+    documented delta: NESTED tokens needing a digit shift (Jackson
+    scientific, jq positional/integer — e in [7,16], e == -4) keep
+    the Jackson form."""
     vt = F.schema_of_variant(v)
     num = F.try_variant_get(v, "$", "double")
     isnum = (vt == F.lit("DOUBLE")) | vt.startswith("DECIMAL")
@@ -1483,9 +1599,11 @@ def _tostring_view(raw: Column, v: Column) -> Column:
         & (num == F.floor(num))
         & (F.abs(num) < F.lit(1e17))
     )
+    issci = isnum & raw.rlike(_SCI_TOKEN_RE)
     iscomp = vt.startswith("ARRAY") | vt.startswith("OBJECT")
     return (
         F.when(intish, num.cast("bigint").cast("string"))
+        .when(issci, _sci_python_text(raw))
         .when(iscomp, _canon_composite_text(raw))
         .otherwise(F.coalesce(raw, F.lit("null")))
     )
@@ -1520,7 +1638,8 @@ def _m2_string_view(raw: Column, v: Column) -> Column:
     tostring's "null").  r10 deep-fuzz find: the bare text view
     emitted "1.0" / '{"k":1.0}' where the Python tier prints "1" /
     '{"k":1}' — the r9 tostring-normalization class on the M2
-    route."""
+    route.  r11: scalar scientific tokens normalize exactly
+    (_sci_python_text), same as _tostring_view."""
     vt = F.schema_of_variant(v)
     num = F.try_variant_get(v, "$", "double")
     isnum = (vt == F.lit("DOUBLE")) | vt.startswith("DECIMAL")
@@ -1530,9 +1649,11 @@ def _m2_string_view(raw: Column, v: Column) -> Column:
         & (num == F.floor(num))
         & (F.abs(num) < F.lit(1e17))
     )
+    issci = isnum & raw.rlike(_SCI_TOKEN_RE)
     iscomp = vt.startswith("ARRAY") | vt.startswith("OBJECT")
     return (
         F.when(intish, num.cast("bigint").cast("string"))
+        .when(issci, _sci_python_text(raw))
         .when(iscomp, _canon_composite_text(raw))
         .otherwise(raw)
     )
@@ -1575,10 +1696,12 @@ def _tojson_view(raw: Column, v: Column) -> Column:
         & (num == F.floor(num))
         & (F.abs(num) < F.lit(1e17))
     )
+    issci = isnum & raw.rlike(_SCI_TOKEN_RE)
     iscomp = vt.startswith("ARRAY") | vt.startswith("OBJECT")
     return (
         F.when(vt == F.lit("STRING"), quoted)
         .when(intish, num.cast("bigint").cast("string"))
+        .when(issci, _sci_python_text(raw))
         .when(iscomp, _canon_composite_text(raw))
         .otherwise(F.coalesce(raw, F.lit("null")))
     )
