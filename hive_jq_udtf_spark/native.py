@@ -1081,7 +1081,7 @@ def analyze_program(program: str) -> Optional[NativeIR]:
     if (
         _nodes
         and _nodes[-1][0] == "call"
-        and _nodes[-1][1] in ("keys", "keys_unsorted")
+        and _nodes[-1][1] in ("keys", "keys_unsorted", "length")
         and not _nodes[-1][2]
     ):
         single_call = _nodes[-1][1]
@@ -2116,6 +2116,8 @@ class NativePlan:
             v = F.try_variant_get(F.try_parse_json(col), jp, "variant")
             if ir.single_call == "keys":
                 kc = _variant_keys(v)
+            elif ir.single_call == "length":
+                kc = _variant_length(v)
             else:
                 raw = F.get_json_object(col, jp) if path else col
                 kc = _keys_unsorted_col(raw, v)
@@ -2901,6 +2903,8 @@ class NativePlan:
                 c = _nav_step(c, s)
             if ir.single_call == "keys":
                 kc = _variant_keys(c)
+            elif ir.single_call == "length":
+                kc = _variant_length(c)
             else:
                 if elem_txt is None:  # pragma: no cover - needs_ex guards
                     raw = F.lit(None).cast(T.StringType())
@@ -3133,14 +3137,18 @@ def compile_native(program: str, decls: tuple[str, ...]) -> Optional[NativePlan]
     if single and ir.project is not None:
         return None
     if ir.single_call is not None and (
-        # keys output is an ARRAY (non-object), which the marshaller
-        # routes into a column only in the single-TYPE decl form —
-        # NAMED decls are object-key lookups and yield NULL for it
-        # (pinned by the bare-vs-named differential in test_native).
-        # Only array-typed decls compile: a string decl would take
-        # Spark's cast text where the Python tier marshals jq's text.
+        # keys/length output is a non-object value, which the
+        # marshaller routes into a column only in the single-TYPE
+        # decl form — NAMED decls are object-key lookups and yield
+        # NULL for it (pinned by the bare-vs-named differential in
+        # test_native).  keys compile only into array-typed decls (a
+        # string decl would take Spark's cast text where the Python
+        # tier marshals jq's text); length only into numeric ones.
         not single
-        or not isinstance(schema.fields[0].dataType, T.ArrayType)
+        or not isinstance(
+            schema.fields[0].dataType,
+            _NUMERIC_TYPES if ir.single_call == "length" else T.ArrayType,
+        )
     ):
         return None
     # guard: scalar-element explode with post filters/steps is fine,

@@ -849,6 +849,12 @@ GROWTH_CASES = [
     ("keys", ("array<string>",)),
     ("keys_unsorted", ("array<string>",)),
     ("limit(2; .orders[]) | keys_unsorted", ("array<string>",)),
+    # trailing bare `length` (same single-call plumbing; numeric decl)
+    (".orders[] | length", ("int",)),
+    (".orders[].lines[] | length", ("int",)),
+    (".s | length", ("double",)),
+    ("length", ("int",)),
+    ("limit(2; .orders[]) | length", ("int",)),
 ]
 
 
