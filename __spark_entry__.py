@@ -79,12 +79,13 @@ _DRIVER_HEAD = [
     "dbscan_ivf",
     "bmp_transform_stats",
     "wav_resample_stats",
-    # -- (2) new in r11 (2) --
+    # -- (2) new in r11 (3) --
     "bpe_token_stats",
     "jpeg_decode_stats",
+    "jq_keys_explode",
     # -- (3) r11 perf redefinition (1) --
     "table_profile",
-    # -- (4) r07 cohort, first 10 in registration order --
+    # -- (4) r07 cohort, first 9 in registration order --
     "simhash_neardup",
     "language_id",
     "ann_srp_topk",
@@ -94,7 +95,6 @@ _DRIVER_HEAD = [
     "salted_join_agg",
     "minhash_dedup_keep",
     "cube_counts",
-    "distinct_agg",
 ]
 
 

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..udtf import jq_explode
 from .queries import ORACLES, QUERIES
 
 # deterministic training sample + merge budget (the oracle unrolls
@@ -299,3 +300,90 @@ FROM base b LEFT JOIN agg USING (doc_id) ORDER BY media_id
 
 QUERIES.update({"jpeg_decode_stats": q_jpeg_decode_stats})
 ORACLES.update({"jpeg_decode_stats": _ORACLE_JPEG_STATS})
+
+
+# ---------------------------------------------------------------------------
+# jq_keys_explode — native keys/keys_unsorted UNDER AN ITERATE (r11)
+# ---------------------------------------------------------------------------
+
+
+def q_jq_keys_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.items[] | keys_unsorted`` and ``.items[] | keys`` compiled
+    natively (r11, VERDICT r10 #6) over DATA-DEPENDENT object keys.
+
+    Each document becomes ``{"items": [m1, m2]}`` where m1 is a
+    2-entry JSON object keyed by (source, lang) IN THAT ORDER — NOT
+    codepoint order, so keys_unsorted (document order, via the
+    explode's raw-text twin) and keys (codepoint-sorted, via the
+    variant reader) genuinely differ — and m2 is a 1-entry object
+    with a composite key.  Both programs run ``native="require"``:
+    the whole explode is Catalyst codegen, no Python worker.
+
+    Scale shape: one pruned scan per program, a per-row from_json +
+    posexplode (narrow), and a low-cardinality groupBy — one shuffle
+    of (variant, joined-keys) pairs after map-side partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    j = docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.array(
+                    F.create_map(
+                        F.col("source"), F.col("n_chars").cast("double"),
+                        F.col("lang"), F.col("doc_id").cast("double"),
+                    ),
+                    F.create_map(
+                        F.concat_ws("-", "lang", "source"),
+                        F.col("n_chars").cast("double"),
+                    ),
+                ).alias("items")
+            )
+        ).alias("doc"),
+    )
+    xu = jq_explode(
+        j, "doc", ".items[] | keys_unsorted", "array<string>",
+        native="require",
+    ).select(
+        F.lit("unsorted").alias("variant"),
+        F.array_join("col1", ",").alias("ks"),
+        "doc_id",
+    )
+    xs = jq_explode(
+        j, "doc", ".items[] | keys", "array<string>", native="require"
+    ).select(
+        F.lit("sorted").alias("variant"),
+        F.array_join("col1", ",").alias("ks"),
+        "doc_id",
+    )
+    return (
+        xu.unionAll(xs)
+        .groupBy("variant", "ks")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc"))
+        .orderBy("variant", "ks")
+    )
+
+
+# keys_unsorted of m1 is [source, lang] (document order), keys is the
+# codepoint-sorted pair; m2 contributes its single composite key to
+# both variants.  Everything derives from the raw columns, so a key
+# dropped, reordered, or re-sorted anywhere in the native explode is
+# a value mismatch here.
+_ORACLE_JQ_KEYS_EXPLODE = """
+WITH u AS (
+  SELECT 'unsorted' AS variant, source || ',' || lang AS ks, doc_id FROM documents
+  UNION ALL
+  SELECT 'unsorted', lang || '-' || source, doc_id FROM documents
+  UNION ALL
+  SELECT 'sorted',
+         CASE WHEN lang < source THEN lang || ',' || source
+              ELSE source || ',' || lang END,
+         doc_id FROM documents
+  UNION ALL
+  SELECT 'sorted', lang || '-' || source, doc_id FROM documents
+)
+SELECT variant, ks, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM u GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES.update({"jq_keys_explode": q_jq_keys_explode})
+ORACLES.update({"jq_keys_explode": _ORACLE_JQ_KEYS_EXPLODE})

@@ -740,3 +740,16 @@ def test_jpeg_decode_stats_pure_map_pipeline(spark):
     assert all(e == "rangepartitioning" for e in exchanges), exchanges
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "n_chars" not in read and "lang" not in read
+
+
+def test_jq_keys_explode_no_python_and_pruned(spark):
+    """r11 plan gate: both keys programs compile natively — the whole
+    query is JVM codegen (zero Python nodes), the only wide exchanges
+    are the final low-cardinality aggregate + presentation sort, and
+    the scan prunes the unused text column."""
+    plan = formatted_plan(spark, "jq_keys_explode")
+    for node in PY_NODES:
+        assert node not in plan, node
+    assert "Join" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read and "doc_id" in read

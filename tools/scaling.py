@@ -60,6 +60,10 @@ DEFAULT = [
     "semantic_dedup_whitened",  # direction-grid cell-confined dedup
     "stream_stream_left_outer",  # two-sided join state + outer emission
     "png_decode_stats",     # Arrow mapInPandas zlib codec map pipeline
+    # round-11 families
+    "bpe_token_stats",      # bounded-sample merge learn + Arrow encode pass
+    "jpeg_decode_stats",    # Arrow mapInPandas baseline-DCT codec pipeline
+    "table_profile",        # per-column native-typed distinct union
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
