@@ -153,6 +153,12 @@ class NativeIR:
     # ``.[] | keys_unsorted`` reads the element's raw-text twin for
     # document order); None = no trailing call
     single_call: Optional[str] = None
+    # r11: this project was SYNTHESIZED by wrapping a bare
+    # single-TYPE program's tail as a one-field object (jq1-style
+    # ``.a | tostring`` → ``{col1: (.a | tostring)}``) — exempt from
+    # the "single-TYPE form with an object construct" rejection,
+    # which targets USER-written constructs only
+    wrapped_single: bool = False
 
 
 def _flatten(ast: AST, out: list) -> bool:
@@ -1092,6 +1098,10 @@ def analyze_program(program: str) -> Optional[NativeIR]:
                 ast = ("pipe", ast, n)
         else:
             ast = ("identity",)
+    return _analyze_ast(ast, single_call)
+
+
+def _analyze_ast(ast: AST, single_call: Optional[str] = None) -> Optional[NativeIR]:
     stages: list = []
     if not _flatten(ast, stages):
         return None
@@ -1209,6 +1219,67 @@ def analyze_program(program: str) -> Optional[NativeIR]:
         ir.single_path = ir.pre_path
         ir.pre_path = ()
     ir.single_call = single_call
+    return ir
+
+
+def analyze_program_single_wrap(
+    program: str, fname: str
+) -> Optional[NativeIR]:
+    """r11: bare single-TYPE programs whose TAIL is a projection-value
+    shape — the jq1 style ``.a | tostring``, ``.x[] | .a | floor``,
+    ``"pfx-\\(.a)"`` — wrap that tail as a synthetic one-field object
+    (``{col1: (<tail>)}``) and run the standard project analysis.
+    Sound because both tiers marshal a single-TYPE output and a
+    project field through the same rules (the bare-vs-named
+    differential pins the DISPATCH side; the spec compilers pin the
+    value side).  The split point keeps every iterate / select /
+    limit stage in the pipe PREFIX, since project values cannot
+    contain them; a tail that is itself an object construct is
+    rejected (a real user object marshals the WHOLE object into
+    col1 — the long-standing exclusion)."""
+    try:
+        ast = parse(program)
+    except Exception:
+        return None
+    nodes: list = []
+    _pipe_list(ast, nodes)
+
+    def _has_iter(n) -> bool:
+        if isinstance(n, (list, tuple)):
+            if isinstance(n, tuple) and n and n[0] == "iterate_on":
+                return True
+            return any(_has_iter(x) for x in n)
+        return False
+
+    split = 0
+    for i, n in enumerate(nodes):
+        if _has_iter(n) or (
+            isinstance(n, tuple)
+            and n
+            and n[0] == "call"
+            and n[1] in ("select", "limit", "first")
+        ):
+            split = i + 1
+    tail = nodes[split:]
+    if not tail:
+        return None
+    value = tail[0]
+    for n in tail[1:]:
+        value = ("pipe", value, n)
+    if value[0] == "object":
+        return None
+    wrapped: AST = ("object", [(("literal", fname), value)])
+    if split:
+        new_ast: AST = nodes[0]
+        for n in nodes[1:split]:
+            new_ast = ("pipe", new_ast, n)
+        new_ast = ("pipe", new_ast, wrapped)
+    else:
+        new_ast = wrapped
+    ir = _analyze_ast(new_ast)
+    if ir is None:
+        return None
+    ir.wrapped_single = True
     return ir
 
 
@@ -2122,9 +2193,11 @@ class NativePlan:
                 raw = F.get_json_object(col, jp) if path else col
                 kc = _keys_unsorted_col(raw, v)
             out_cols.append(kc.try_cast(fdt.dataType).alias(fdt.name))
-        elif self.single:
+        elif self.single and ir.project is None:
+            # (wrapped_single projects fall through to the project
+            # branch below — the synthetic {col1: <tail>} form)
             fdt = self.schema.fields[0]
-            src = ir.single_path if ir.project is None else None
+            src = ir.single_path
             if isinstance(fdt.dataType, T.MapType):
                 out_cols.append(
                     _scalar_map_col(col, src or (), fdt.dataType).alias(fdt.name)
@@ -3125,16 +3198,25 @@ def compile_native(program: str, decls: tuple[str, ...]) -> Optional[NativePlan]
     Returns None when the program falls outside the simple-path
     subset (the caller falls back to the Python UDTF tier).
     """
-    ir = analyze_program(program)
-    if ir is None:
-        return None
     try:
         schema, single = parse_output_schema(list(decls))
     except Exception:
         return None
-    # single-TYPE form with an object construct would marshal the whole
-    # object into col1 — not covered by this tier
-    if single and ir.project is not None:
+    ir = analyze_program(program)
+    if ir is None and single and not isinstance(
+        schema.fields[0].dataType, T.MapType
+    ):
+        # r11 jq1-style widening: bare single-TYPE programs with a
+        # projection-value tail compile through a synthetic one-field
+        # wrap.  Map decls stay Python-tier: M4 maps non-objects to
+        # the EMPTY map, which the project spec compilers don't model
+        ir = analyze_program_single_wrap(program, schema.fields[0].name)
+    if ir is None:
+        return None
+    # single-TYPE form with a USER object construct would marshal the
+    # whole object into col1 — not covered by this tier (the synthetic
+    # wrapped_single project is the deliberate exception)
+    if single and ir.project is not None and not ir.wrapped_single:
         return None
     if ir.single_call is not None and (
         # keys/length output is a non-object value, which the

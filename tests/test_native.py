@@ -513,6 +513,25 @@ def test_native_dirty_data_fuzz(spark):
     assert compared >= 8
 
 
+def test_native_single_wrap_dispatch_pins(spark):
+    """r11 jq1-widening edges: the synthetic single-field wrap only
+    applies to bare single-TYPE decls — NAMED decls marshal
+    non-object outputs as key lookups (NULL) and stay Python-tier;
+    user object constructs marshal the WHOLE object into col1; map
+    decls take M4's non-object → EMPTY map, which the project specs
+    don't model."""
+    from hive_jq_udtf_spark.native import compile_native
+
+    assert compile_native(".name | tostring", ("k:string",)) is None
+    assert compile_native("{a: .name}", ("string",)) is None
+    assert compile_native(".name | tostring", ("map<string,int>",)) is None
+    # plain bare paths keep the pre-existing single route (no wrap)
+    from hive_jq_udtf_spark.native import analyze_program
+
+    ir = analyze_program(".a.b")
+    assert ir is not None and ir.project is None and not ir.wrapped_single
+
+
 def test_native_keys_under_iterate_fuzz(spark):
     """Seeded fuzz (r11): keys/keys_unsorted under iterates over
     randomized key ORDERS and container shapes — document order must
@@ -855,6 +874,20 @@ GROWTH_CASES = [
     (".s | length", ("double",)),
     ("length", ("int",)),
     ("limit(2; .orders[]) | length", ("int",)),
+    # round-11: jq1-style bare single-TYPE programs — the tail wraps
+    # as a synthetic {col1: <tail>} project (iterate/select/limit
+    # stay in the pipe prefix); same spec compilers as projections
+    (".name | ascii_downcase", ("string",)),
+    (".nums | add", ("double",)),
+    ('.name | gsub("o"; "0")', ("string",)),
+    ('"p-\\(.name)"', ("string",)),
+    (".nums | reverse", ("array<double>",)),
+    (".name | tostring", ("string",)),
+    (".orders[] | .oid | tostring", ("string",)),
+    (".orders[] | .tag | ascii_upcase", ("string",)),
+    ('.orders[] | select(.oid > 5) | .tag | ascii_downcase', ("string",)),
+    ("limit(2; .orders[]) | .oid | tostring", ("string",)),
+    ('.name | split("o")[0]', ("string",)),
 ]
 
 
