@@ -339,6 +339,27 @@ def main() -> None:
 
     from pyspark.sql.functions import col as F_col
 
+    # Host-noise envelope (r11): the same fixed JVM task, 7 times —
+    # median is the host's speed anchor for cross-round comparison
+    # (a 2x slower box doubles it) and max/median is the NOISE ratio
+    # (a contended host shows multi-second stalls; the r11 mid-round
+    # run measured isolated queries swinging 4-6x between adjacent
+    # trials).  Self-describing: a round whose probe is inflated
+    # should be compared ratio-wise, not absolute.
+    probe_ts = []
+    for _ in range(7):
+        t0 = time.time()
+        spark.range(20_000_000).selectExpr("sum(id * id)").collect()
+        probe_ts.append(round(time.time() - t0, 4))
+    probe_sorted = sorted(probe_ts)
+    host_probe = {
+        "median_sec": probe_sorted[3],
+        "min_sec": probe_sorted[0],
+        "max_sec": probe_sorted[-1],
+        "noise_ratio": round(probe_sorted[-1] / max(probe_sorted[3], 1e-9), 2),
+        "trials": probe_ts,
+    }
+
     floor_sched = best3(lambda: spark.range(1).collect())  # scheduler+py4j
     floor_shuffle = best3(
         lambda: spark.range(10000).groupBy((F_col("id") % 7)).count().collect()
@@ -438,6 +459,7 @@ def main() -> None:
         "concurrent_failures": conc_failures,
         "remeasured": remeasured,
         "floor": floor,
+        "host_probe": host_probe,
         "draws": draws,
         "serial_draw_totals": [
             round(sum(t for t in d.values() if t >= 0), 3) for d in serial_draws
@@ -475,6 +497,10 @@ def main() -> None:
         "steady_state_sum_sec": round(
             sum(v["sec"] for v in steady_state.values()), 2
         ),
+        "host_probe": {
+            "median_sec": host_probe["median_sec"],
+            "noise_ratio": host_probe["noise_ratio"],
+        },
     }
     del line_base["steady_state_note"]
     # failures (negative sentinel) always make the line, then slowest-first
