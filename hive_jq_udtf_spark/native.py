@@ -118,6 +118,10 @@ class Filter:
     # (arithmetic over paths) instead of a bare path; ``lhs`` then
     # holds only the base-path prefix the expression is relative to
     lhs_expr: Any = None
+    # r11: when "length", the comparison LHS is jq `length` of the
+    # path's value (`select(.tags | length > 1)`) — evaluated via
+    # _variant_length over the exact-typed variant
+    fn: Optional[str] = None
 
 
 @dataclass
@@ -417,6 +421,8 @@ def _fn_info(node: AST):
         return None
     name, args = node[1], node[2]
     arity = _STR_FNS.get(name, _NUM_FNS.get(name))
+    if name == "type":
+        arity = 0  # head-only; _as_fnchain rejects mid-chain type
     if arity is None or len(args) != arity:
         return None
     lits = []
@@ -443,6 +449,11 @@ def _as_fnchain(ast: AST):
         fns.insert(0, info)
         nodes.pop()
     if not fns:
+        return None
+    # `type` reads the exact-typed variant of the PATH value — only
+    # meaningful as the chain head (mid-chain the running value's
+    # jq type is not recoverable from its string view)
+    if any(f[0] == "type" for f in fns[1:]):
         return None
     path: tuple = ()
     for n in nodes:
@@ -1012,6 +1023,23 @@ def _parse_filters(cond: AST) -> Optional[list]:
             flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
             return [Filter(p, flip.get(op, op), lhs[1])]
 
+        def _len_lit(a):
+            return (
+                a[0] == "literal"
+                and isinstance(a[1], (int, float))
+                and not isinstance(a[1], bool)
+            )
+
+        # r11: `(.path | length) OP n` — the array-size / key-count /
+        # string-length gate (`select(.tags | length > 1)`)
+        lp = _as_length_chain(lhs)
+        if lp is not None and _len_lit(rhs):
+            return [Filter(lp, op, rhs[1], fn="length")]
+        lp = _as_length_chain(rhs)
+        if lp is not None and _len_lit(lhs):
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+            return [Filter(lp, flip.get(op, op), lhs[1], fn="length")]
+
         def num_lit(a):
             return a[0] == "literal" and isinstance(a[1], (int, float)) and not isinstance(a[1], bool)
 
@@ -1032,8 +1060,6 @@ def _parse_filters(cond: AST) -> Optional[list]:
     nodes: list = []
     _pipe_list(cond, nodes)
     call = nodes[-1]
-    if call[0] != "call":
-        return None
 
     def prefix_path():
         path: tuple = ()
@@ -1043,6 +1069,33 @@ def _parse_filters(cond: AST) -> Optional[list]:
                 return None
             path = path + pp
         return path
+
+    # `.path | length OP n` — jq's pipe binds looser than the
+    # comparison, so this arrives as a path prefix + a binop whose
+    # LHS is the bare `length` call (r11)
+    if call[0] == "binop" and call[1] in _CMP_OPS and len(nodes) > 1:
+        op, lhs, rhs = call[1], call[2], call[3]
+
+        def bare_len(a):
+            return a[0] == "call" and a[1] == "length" and not a[2]
+
+        def n_lit(a):
+            return (
+                a[0] == "literal"
+                and isinstance(a[1], (int, float))
+                and not isinstance(a[1], bool)
+            )
+
+        path = prefix_path()
+        if path is not None:
+            if bare_len(lhs) and n_lit(rhs):
+                return [Filter(path, op, rhs[1], fn="length")]
+            if bare_len(rhs) and n_lit(lhs):
+                flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+                return [Filter(path, flip.get(op, op), lhs[1], fn="length")]
+        return None
+    if call[0] != "call":
+        return None
 
     if (
         call[1] in _STR_PREDS
@@ -1135,7 +1188,7 @@ def _analyze_ast(ast: AST, single_call: Optional[str] = None) -> Optional[Native
             def rebase(item, base):
                 if isinstance(item, OrGroup):
                     return OrGroup([rebase(f, base) for f in item.filters])
-                return Filter(base + item.lhs, item.op, item.lit, lhs_expr=item.lhs_expr)
+                return Filter(base + item.lhs, item.op, item.lit, lhs_expr=item.lhs_expr, fn=item.fn)
 
             if seen_iterate:
                 base = tuple(post_steps)
@@ -1186,7 +1239,7 @@ def _analyze_ast(ast: AST, single_call: Optional[str] = None) -> Optional[Native
                             return OrGroup([rebase_f(f, b) for f in item.filters])
                         return Filter(
                             tuple(b) + item.lhs, item.op, item.lit,
-                            lhs_expr=item.lhs_expr,
+                            lhs_expr=item.lhs_expr, fn=item.fn,
                         )
 
                     def rebase_b(sp, b):
@@ -1393,6 +1446,21 @@ def _variant_length(v: Column) -> Column:
         .when(vt == F.lit("STRING"), F.length(v.try_cast("string")).cast("double"))
         .when(vt == F.lit("BOOLEAN"), F.lit(None).cast("double"))
         .otherwise(F.abs(v.try_cast("double")))
+    )
+
+
+def _variant_type_name(v: Column) -> Column:
+    """jq ``type``: the value's JSON type name from the exact-typed
+    variant — null/missing → "null", BIGINT/DOUBLE/DECIMAL →
+    "number" (r11)."""
+    vt = F.schema_of_variant(v)
+    return (
+        F.when(v.isNull() | (vt == F.lit("VOID")), F.lit("null"))
+        .when(vt == F.lit("BOOLEAN"), F.lit("boolean"))
+        .when(vt == F.lit("STRING"), F.lit("string"))
+        .when(vt.startswith("ARRAY"), F.lit("array"))
+        .when(vt.startswith("OBJECT"), F.lit("object"))
+        .otherwise(F.lit("number"))
     )
 
 
@@ -1832,6 +1900,16 @@ def _nav_step(c: Column, s) -> Column:
 
 
 def _filter_col(json_col: Column, f: Filter) -> Column:
+    if f.fn == "length":
+        # jq length of the path's value vs a numeric literal; length
+        # of null/missing is 0 (jq), booleans (jq error) take the
+        # NULL→false delta like every native-tier abort class
+        jp = _json_path(f.lhs) if f.lhs else "$"
+        v = F.try_variant_get(F.try_parse_json(json_col), jp, "variant")
+        return F.coalesce(
+            _CMP_FN[f.op](_variant_length(v), F.lit(float(f.lit))),
+            F.lit(False),
+        )
     if f.lhs_expr is not None:
         c = _compile_expr(
             f.lhs_expr,
@@ -1892,6 +1970,15 @@ def _cmp_with_null_order(c: Column, op: str, lit: Any) -> Column:
 
 
 def _struct_filter_col(struct_col: Column, f: Filter) -> Column:
+    if f.fn == "length":
+        # element schema types length-filter paths VARIANT
+        c = struct_col
+        for s in f.lhs:
+            c = _nav_step(c, s)
+        return F.coalesce(
+            _CMP_FN[f.op](_variant_length(c), F.lit(float(f.lit))),
+            F.lit(False),
+        )
     if f.lhs_expr is not None:
         def nav(p, _f=f):
             c = struct_col
@@ -1934,6 +2021,8 @@ def _leaf_needs_variant(f: Filter) -> bool:
     comparisons with a non-null literal (jq total order)."""
     if f.lhs_expr is not None:
         return False
+    if f.fn == "length":
+        return True
     if f.op in ("truthy", "not_truthy", "has"):
         return True
     if f.op in _STR_PREDS:
@@ -2225,6 +2314,24 @@ class NativePlan:
                 elif isinstance(spec, tuple) and spec and spec[0] == "fnchain":
                     _, path, fns = spec
                     raw = F.get_json_object(col, _json_path(path))
+                    if fns[0][0] == "type":
+                        # r11: type name from the exact-typed variant;
+                        # corrupt docs poison to NULL like the sibling
+                        # heads (tostring/tojson gate)
+                        v = F.try_variant_get(
+                            F.try_parse_json(col), _json_path(path), "variant"
+                        )
+                        first = F.when(
+                            F.try_parse_json(col).isNotNull(),
+                            _variant_type_name(v),
+                        )
+                        c = (
+                            _apply_fnchain(first, fns[1:])
+                            if len(fns) > 1
+                            else first
+                        )
+                        out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
+                        continue
                     if fns[0][0] in ("tostring", "tojson"):
                         # leading tostring/tojson: number-normalized
                         # view (variant type gate — see _tostring_view
@@ -2517,9 +2624,11 @@ class NativePlan:
                     for p in refs:
                         add(tuple(base) + p, T.DoubleType())
                 elif isinstance(spec, tuple) and spec and spec[0] == "fnchain":
-                    if spec[2][0][0] in ("ltrimstr", "rtrimstr"):
+                    if spec[2][0][0] in ("ltrimstr", "rtrimstr", "type"):
                         # leading trims gate on the exact JSON type
-                        # (jq passes NON-strings through unchanged)
+                        # (jq passes NON-strings through unchanged);
+                        # `type` reads the type name from the exact-
+                        # typed variant (r11)
                         if not spec[1]:
                             raise _SchemaConflict(spec)
                         add(spec[1], T.VariantType())
@@ -3022,6 +3131,16 @@ class NativePlan:
                     c = ec
                     for st in path:
                         c = _nav_step(c, st)
+                    if fns[0][0] == "type":
+                        # element schema typed this path VARIANT (r11)
+                        first = _variant_type_name(c)
+                        cc = (
+                            _apply_fnchain(first, fns[1:])
+                            if len(fns) > 1
+                            else first
+                        )
+                        out_cols.append(cc.cast(fdt.dataType).alias(fdt.name))
+                        continue
                     if fns[0][0] in ("tostring", "tojson") and elem_var is not None:
                         # leading tostring/tojson: number-normalized
                         # view via the element's variant

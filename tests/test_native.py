@@ -888,6 +888,20 @@ GROWTH_CASES = [
     ('.orders[] | select(.oid > 5) | .tag | ascii_downcase', ("string",)),
     ("limit(2; .orders[]) | .oid | tostring", ("string",)),
     ('.name | split("o")[0]', ("string",)),
+    # round-11: length-predicate selects (pipe binds looser than the
+    # comparison, so both parse shapes must land) and the `type` head
+    ("select(.nums | length > 2) | {name}", ("name:string",)),
+    ("select((.nums | length) > 2) | {name}", ("name:string",)),
+    ("select(.nums | length == 0) | {name}", ("name:string",)),
+    ("select(.name | length >= 2) | {name}", ("name:string",)),
+    (".orders[] | select(.lines | length > 1) | {oid: .oid}", ("oid:int",)),
+    ("select(2 < (.nums | length)) | {name}", ("name:string",)),
+    ("{t: (.s | type)}", ("t:string",)),
+    ("{t: (.nums | type), u: (.name | type), w: (.missing | type)}",
+     ("t:string", "u:string", "w:string")),
+    (".orders[] | {t: (.lines | type), oid: .oid}", ("t:string", "oid:int")),
+    (".s | type", ("string",)),
+    ("{T: (.name | type | ascii_upcase)}", ("T:string",)),
 ]
 
 
