@@ -349,7 +349,9 @@ def main() -> None:
     probe_ts = []
     for _ in range(7):
         t0 = time.time()
-        spark.range(20_000_000).selectExpr("sum(id * id)").collect()
+        # avg of a modulo keeps the probe ANSI-safe (sum(id * id)
+        # overflows long at this row count under ANSI mode)
+        spark.range(20_000_000).selectExpr("avg(id % 97)").collect()
         probe_ts.append(round(time.time() - t0, 4))
     probe_sorted = sorted(probe_ts)
     host_probe = {
