@@ -1627,9 +1627,13 @@ _CANON_NEGZERO_RE = _JSTR + r"|(?<![eE\d.])-(0)" + _NUMEND
 # branch; the final pass strips any marker not consumed by a
 # cleanup, and a string token is never directly followed by a digit
 # in valid JSON, so cleanups cannot misfire on them).
-_SCI_MANT = r"(-?\d(?:\.\d*[1-9])?)(?:\.0+)?"
+# mantissa: one digit, optional significant fraction, then any
+# trailing zeros (Double.toString never emits them, but nested
+# BigDecimal re-prints preserve scale: "1.50E-7", "1.00E+22");
+# positive exponents may carry BigDecimal's explicit "+"
+_SCI_MANT = r"(-?\d(?:\.\d*[1-9])?)(?:\.0+|0+)?"
 _CANON_SCI_POS_RE = (
-    _JSTR + "|" + _SCI_MANT + r"E(1[7-9]|[2-9]\d|[1-9]\d{2})" + _NUMEND
+    _JSTR + "|" + _SCI_MANT + r"E\+?(1[7-9]|[2-9]\d|[1-9]\d{2})" + _NUMEND
 )
 _CANON_SCI_NEG1_RE = _JSTR + "|" + _SCI_MANT + r"E-([5-9])" + _NUMEND
 _CANON_SCI_NEG2_RE = _JSTR + "|" + _SCI_MANT + r"E-([1-9]\d{1,2})" + _NUMEND
@@ -1669,8 +1673,11 @@ def _canon_composite_text(raw: Column) -> Column:
 # Python prints '1.7033882668101804e+18') plus deep subnormals
 # (5e-324 → "4.9E-324") — JDK-4511638, fixed in JDK 19+.  The digits
 # themselves differ there, beyond any text transform's reach.
-_SCI_TOKEN_RE = r"^-?\d\.\d+E-?\d+$"
-_SCI_PARTS_RE = r"^(-?)(\d)\.(\d+)E(-?\d+)$"
+# exponent may carry BigDecimal's explicit "+" (DECIMAL-typed
+# variants re-print through BigDecimal: "1.00E+22"); int cast
+# accepts the sign
+_SCI_TOKEN_RE = r"^-?\d\.\d+E[+-]?\d+$"
+_SCI_PARTS_RE = r"^(-?)(\d)\.(\d+)E([+-]?\d+)$"
 
 
 def _sci_python_text(raw: Column) -> Column:
@@ -1756,7 +1763,7 @@ def _tostring_view(raw: Column, v: Column) -> Column:
 # integers, bools, plain non-integral decimals) passes through
 # without touching the variant — the when() short-circuits the parse
 # per row
-_M2_SUSPECT_RE = r"^-?[0-9]{1,17}\.0+$|^-?[0-9](\.[0-9]+)?E-?[0-9]{1,3}$"
+_M2_SUSPECT_RE = r"^-?[0-9]{1,17}\.0+$|^-?[0-9](\.[0-9]+)?E[+-]?[0-9]{1,3}$"
 
 
 def _m2_gate(raw: Column, view: Column) -> Column:

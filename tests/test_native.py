@@ -1553,6 +1553,9 @@ def test_native_scientific_number_text_matches_python_tier(spark):
         "1.25e9", "-1.23456789e7", "7e-5", "123456.789",
         "2500000.5", "1e6", "0.001", "0.00099",
         "1.7976931348623157e308",
+        # BigDecimal re-prints (trailing-zero mantissa, explicit "+"
+        # exponent): "1.50e-7" → raw "1.50E-7", "150e20" → "1.50E+22"
+        "1.50e-7", "150e20", "-2.50e-9",
     ]
     df = spark.createDataFrame(
         [('{"v": %s}' % l,) for l in lex], "j string"
@@ -1588,6 +1591,7 @@ def test_native_scientific_number_text_matches_python_tier(spark):
         '{"v": {"x": -1e20}}',
         '{"v": ["s", 1e20, "text with 1.0E20 inside", -2.5e-9]}',
         '{"v": {"k": "1.0E300", "w": 7e-6}}',
+        '{"v": {"a": 1.50e-7, "b": 150e20}}',
     ]
     ndf = spark.createDataFrame([(d,) for d in ndocs], "j string")
     for prog in ["{t: (.v | tostring)}", "{t: (.v | tojson)}", "{t: .v}"]:
