@@ -24,77 +24,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness harness compares the FIRST 50 queries() entries
-# (observed: CORRECTNESS_r01-r10 are exactly list(queries())[:50]).
+# (observed: CORRECTNESS_r01-r11 are exactly list(queries())[:50]).
 # The repo has grown past 50, so the head below rotates coverage so
 # every query appears in a driver artifact within a bounded number of
 # rounds (see README "Correctness coverage rotation" and COVERAGE.md
-# for the per-round staleness table).  Round 11 head, exactly 50
-# entries (VERDICT r10 "Next round" #1):
-# (1) the 37-query r06-cohort remainder at staleness 4 (MUST lead —
-#     COVERAGE.md round-10 ledger order; pre-verified 37/37
-#     typed-equal in the committed HEADCHECK_r11_plan.json and
-#     spot-confirmed by the r10 judge),
-# (2) the queries added in r11: bpe_token_stats (driver gate for the
-#     r10 BPE tokenizer loop, VERDICT r10 #2) and jpeg_decode_stats
-#     (from-scratch baseline JPEG decoder, VERDICT r10 #5),
-# (3) table_profile re-head: its r11 perf pass (VERDICT r10 #4)
-#     changes the plan, so its green must re-establish,
-# (4) the first 10 of the 44-query r07 cohort in registration order.
+# for the per-round staleness table).  Round 12 head, exactly 50
+# entries (VERDICT r11 "Next round" #1):
+# (1) the 35-query r07-cohort remainder at staleness 4 (MUST lead —
+#     registration order = COVERAGE.md r11 ledger / tools/headcheck.py
+#     --ledger; pre-verified 35/35 typed-equal in the committed
+#     HEADCHECK_r12_plan.json at the r11 close),
+# (2) the first 15 of the 48-query r08 cohort in registration order
+#     (fills: pre-paying r13's lead block, which the r08 cohort owns).
 _DRIVER_HEAD = [
-    # -- (1) last driver-checked r06, staleness 4 (37) --
-    "jq_regex",
-    "minhash_neardup",
-    "embedding_neardup",
-    "dedup_components",
-    "dedup_components_lsss",
-    "token_counts",
-    "multimodal_stats",
-    "top_supplier_revenue",
-    "small_quantity_revenue",
-    "bracketed_revenue",
-    "waiting_suppliers",
-    "containment_neardup",
-    "bigram_ppl",
-    "embedding_covariance",
-    "bigram_pmi",
-    "jq_datetime_ops",
-    "mad_outliers",
-    "benford_deviation",
-    "theil_sen_trend",
-    "jq_sql_helpers",
-    "zipf_fit",
-    "source_dup_ratio",
-    "knn_label_eval",
-    "dbscan_clusters",
-    "seasonality_index",
-    "ntile_deciles",
-    "stream_session_windows",
-    "rfm_segmentation",
-    "basket_lift",
-    "hopping_counts",
-    "dedup_keep_longest",
-    "audience_overlap",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-    "dbscan_ivf",
-    "bmp_transform_stats",
-    "wav_resample_stats",
-    # -- (2) new in r11 (3) --
-    "bpe_token_stats",
-    "jpeg_decode_stats",
-    "jq_keys_explode",
-    # -- (3) r11 perf redefinition (1) --
-    "table_profile",
-    # -- (4) r07 cohort, first 9 in registration order --
-    "simhash_neardup",
-    "language_id",
-    "ann_srp_topk",
-    "stream_windowed",
-    "ann_ivf_topk",
-    "session_windows",
-    "salted_join_agg",
-    "minhash_dedup_keep",
-    "cube_counts",
+    # -- (1) last driver-checked r07, staleness 4 (35) --
+    "distinct_agg",
+    "pivot_counts",
+    "asof_attribution",
+    "range_attribution",
+    "jq_sql_lateral",
+    "stateful_running_totals",
+    "train_test_split",
+    "pack_documents",
+    "percentiles",
+    "approx_percentiles",
+    "stream_dedup",
+    "jq_scalar_functions",
+    "jq_native_multicol",
+    "jq_native_select",
+    "jq_native_expr_filter",
+    "token_heavy_hitters",
+    "stratified_sample",
+    "jq_native_strings",
+    "jq_native_alternative",
+    "jq_native_length",
+    "jq_native_map_preds",
+    "chunk_dedup",
+    "knn_eval_ivf",
+    "knn_recall_ivf",
+    "embedding_quantize_int8",
+    "supplier_affinity_cn",
+    "ngram_novelty",
+    "pareto_frontier",
+    "jq_recursive_update",
+    "setsim_neardup",
+    "embedding_pca_power",
+    "bootstrap_ci_poisson",
+    "calibration_ece",
+    "k_anonymity_audit",
+    "conformal_interval",
+    # -- (2) r08 cohort fills, first 15 in registration order --
+    "jq_extract_agg",
+    "jq_native_agg",
+    "jq_select_filter",
+    "jq_multicol",
+    "jq_fanout",
+    "jq_error_channel",
+    "jq_single_type",
+    "jq_tostring",
+    "jq_builtins",
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "window_topk",
+    "rollup_counts",
+    "setops",
 ]
 
 
