@@ -62,7 +62,9 @@ class Env:
                 return e.vars[name]
             e = e.parent
         if name == "__loc__":
-            return {"file": "<stdin>", "line": 1}
+            # jq-1.6 prints "<top-level>" for a program given on the
+            # command line / embedded (r12, judge differential nit)
+            return {"file": "<top-level>", "line": 1}
         if name == "ENV":
             return _environ()
         raise JQError(f"${name} is not defined")

@@ -29,14 +29,14 @@ CASES = [
     # J8-J9: variables
     (".a as $x | .b + $x", {"a": 1, "b": 2}, [3]),
     ("(.[] | select(. > 1)) as $x | $x * 10", [1, 2, 3], [20, 30]),
-    ("$__loc__", None, [{"file": "<stdin>", "line": 1}]),
+    ("$__loc__", None, [{"file": "<top-level>", "line": 1}]),
     # J10: object construction
     ("{a: 1}", None, [{"a": 1}]),
     ("{a}", {"a": 7, "b": 8}, [{"a": 7}]),
     ('{"x": .a}', {"a": 2}, [{"x": 2}]),
     ("{(.k): .v}", {"k": "key", "v": 3}, [{"key": 3}]),
     ('{a: 1, b: (2, 3)}', None, [{"a": 1, "b": 2}, {"a": 1, "b": 3}]),
-    ("{$__loc__}", None, [{"__loc__": {"file": "<stdin>", "line": 1}}]),
+    ("{$__loc__}", None, [{"__loc__": {"file": "<top-level>", "line": 1}}]),
     # J11: + polymorphism
     ("1 + 2", None, [3]),
     ('"a" + "b"', None, ["ab"]),
