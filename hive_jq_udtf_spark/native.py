@@ -39,20 +39,31 @@ through), recursing into OBJECT/ARRAY text via a string-token-safe
 regex (r10); r11 closes the SCALAR scientific-notation class exactly
 (`_sci_python_text`: Jackson "1.0E20"/"1.5E-7"/"1.23456789E7" → jq
 "1e+20"/"1.5e-07"/"12345678.9") plus the nested subclass where both
-engines print scientific (e >= 17 / e <= -5); the residual delta is
-NESTED tokens needing a digit shift (Jackson scientific at e in
-[7,16]/e == -4 where jq prints positional/integer text).  ``tojson`` /
+engines print scientific (e >= 17 / e <= -5); r12 closes the NESTED
+digit-shift class too (`_shift_rebuild`: marked tokens at e in
+[0,16] / e in [-4,-1] tokenize, shift positionally, and reassemble
+in pure codegen — "1.23456789E7" inside an object prints
+"12345678.9" like jq).  ``tojson`` /
 ``@json`` / ``@text`` / ``@base64`` and ``keys_unsorted`` compile
 too (r10 scalar tier; r11 under ITERATES and as trailing bare
 ``keys``/``keys_unsorted`` calls in the single-TYPE decl form):
 tojson quotes strings with Jackson escaping (the same
 \\n/\\t/\\r/\\uXXXX shortcuts as jqlib's json.dumps), keys_unsorted
 reads json_object_keys over raw text for document order — under an
-iterate that raw text is the element's text twin.  DUPLICATE-KEY documents ({"a":1,"a":2}) are a
-documented delta class: Spark's variant parser rejects them
-(try_parse_json → NULL), so every variant-gated compiled spec yields
-NULL there while jq keeps the last occurrence — prefer the Python
-tier for corpora where duplicate keys carry meaning.  sqrt of a
+iterate that raw text is the element's text twin.  DUPLICATE-KEY
+documents ({"a":1,"a":2}): r12 closes the former every-spec-NULL
+class — jq_explode turns on spark.sql.variant.allowDuplicateKeys
+(the variant then keeps the LAST occurrence, exactly jq), scalar
+plain-path reads route suspect rows (`_dup_suspect`, a backreference
+regex over the raw text) through the variant instead of the
+first-occurrence get_json_object text, and keys/keys_unsorted
+dedupe to first-occurrence document order like jq's in-place
+jv_object_set.  Narrowed residuals, documented here: STRING-declared
+COMPOSITE outputs and tostring/interpolation views keep the raw
+first-occurrence text on true-duplicate docs (the variant cast
+sorts keys, which would be wrong more often than the duplicate is),
+and iterate-over-a-duplicate-key OBJECT yields the first
+occurrence's value/position via the text twin.  sqrt of a
 negative yields NaN natively where the Python tier raises the jq
 error — same class.  On clean data the tiers agree BIT-FOR-BIT —
 pinned by the property tests in tests/test_native.py; transcendental
@@ -102,6 +113,7 @@ _SPEC_KINDS = {
     "strpred",
     "ifelse",
     "splitidx",
+    "splitarr",
     "reduce",
     "strcat",
     "strinterp",
@@ -286,6 +298,8 @@ def _flatten(ast: AST, out: list) -> bool:
                 proj[k_ast[1]] = ("arrayfn",) + af
             elif (si := _as_split_index(v_ast)) is not None:
                 proj[k_ast[1]] = ("splitidx",) + si
+            elif (sa := _as_split_full(v_ast)) is not None:
+                proj[k_ast[1]] = ("splitarr",) + sa
             elif (ie := _as_ifelse(v_ast)) is not None:
                 proj[k_ast[1]] = ("ifelse",) + ie
             elif (rd := _as_reduce(v_ast)) is not None:
@@ -334,7 +348,7 @@ _NUM_FNS = {
 
 # string predicates compilable inside select(): jq fn name → handled
 # in _string_pred_col (startswith/endswith literal; test → rlike)
-_STR_PREDS = {"startswith", "endswith", "test"}
+_STR_PREDS = {"startswith", "endswith", "test", "contains"}
 
 
 def _regex_portable(pat: str) -> bool:
@@ -795,6 +809,25 @@ def _as_split_index(ast: AST):
     return (path, sep[1], idx[1])
 
 
+def _as_split_full(ast: AST):
+    """``.path | split("sep")`` (no index) → (path, sep), else None —
+    r12 growth: the full split array in a projection (``splitarr``
+    spec; the indexed form is ``splitidx`` above).  jq's split/1 is a
+    LITERAL separator (the regex form is split/2)."""
+    nodes: list = []
+    _pipe_list(ast, nodes)
+    last = nodes[-1]
+    if last[0] != "call" or last[1] != "split" or len(last[2]) != 1:
+        return None
+    sep = last[2][0]
+    if sep[0] != "literal" or not isinstance(sep[1], str) or not sep[1]:
+        return None
+    path = _path_prefix(nodes[:-1])
+    if path is None:
+        return None
+    return (path, sep[1])
+
+
 def _as_ifelse(ast: AST):
     """``if COND then V else W end`` with a select-compilable COND and
     literal/path branches → (filters, then_spec, else_spec)."""
@@ -1220,6 +1253,7 @@ def _analyze_ast(ast: AST, single_call: Optional[str] = None) -> Optional[Native
                     "strpred",
                     "arrayfn",
                     "splitidx",
+                    "splitarr",
                     "reduce",
                 ):
                     proj[k] = (v[0], tuple(base) + v[1]) + v[2:]
@@ -1351,17 +1385,61 @@ def _json_path(p: Path) -> str:
     return out
 
 
+# Duplicate-key suspect gate (r12, VERDICT r11 #4): the SAME quoted
+# key token appears twice in key position anywhere in the document.
+# Over-approximate by design — the same key at two different nesting
+# levels also matches — which is SAFE: the substituted variant-sourced
+# value equals the text-sourced value on any document without true
+# duplicates (pinned by test_native_dup_key_gate_false_positive_safe).
+# jq parses duplicate keys last-occurrence-wins; get_json_object
+# returns the FIRST occurrence, and the variant parser keeps the last
+# once spark.sql.variant.allowDuplicateKeys is on (jq_explode sets it
+# when applying a native plan), so suspect rows read through the
+# variant instead of the raw text.
+_DUP_KEY_RE = '("(?:[^"\\\\]|\\\\.)*")[ \\t\\r\\n]*:(?s:.*)\\1[ \\t\\r\\n]*:'
+
+
+def _dup_suspect(col: Column) -> Column:
+    return F.coalesce(col.rlike(_DUP_KEY_RE), F.lit(False))
+
+
+def _dup_fixed_raw(col: Column, raw: Column, v: Column) -> Column:
+    """Raw-text view with duplicate-key suspects read from the variant
+    (last-occurrence-wins, like jq).  Composites keep the raw text —
+    the variant cast sorts object keys, which would be wrong more
+    often than the duplicate is (the documented narrowed residual)."""
+    vt = F.schema_of_variant(v)
+    iscomp = vt.startswith("ARRAY") | vt.startswith("OBJECT")
+    return F.when(~_dup_suspect(col) | iscomp, raw).otherwise(
+        v.try_cast("string")
+    )
+
+
 def _scalar_out_col(col: Column, path: Path, dt: T.DataType) -> Column:
     """Plain-path output at the scalar tier: STRING-declared outputs
     go through the variant-gated M2 normalization (`_m2_string_view`,
     r10), everything else through `_cast_extracted`.  The
     try_parse_json is shared across output columns by codegen
-    subexpression elimination."""
-    raw = F.get_json_object(col, _json_path(path))
+    subexpression elimination.
+
+    Duplicate-key documents (r12): suspect rows substitute the raw
+    text with ``cast(variant as string)`` — last-occurrence-wins like
+    jq, NULL for missing/JSON-null exactly like get_json_object.  The
+    CASE branch keeps the variant parse off the clean-row hot path.
+    STRING-declared composites keep the raw text (the variant cast
+    sorts object keys — jq preserves document order), the narrowed
+    residual documented in the module docstring."""
+    jp = _json_path(path)
+    raw = F.get_json_object(col, jp)
+    v = F.try_variant_get(F.try_parse_json(col), jp, "variant")
     if isinstance(dt, T.StringType):
-        v = F.try_variant_get(F.try_parse_json(col), _json_path(path), "variant")
-        return _m2_gate(raw, _m2_string_view(raw, v))
-    return _cast_extracted(raw, dt)
+        raw2 = _dup_fixed_raw(col, raw, v)
+        return _m2_gate(raw2, _m2_string_view(raw2, v))
+    # non-string decls substitute composites too: from_json resolves
+    # nested fields BY NAME, so the variant cast's sorted-key text
+    # still parses to the right (last-wins) values
+    raw2 = F.when(~_dup_suspect(col), raw).otherwise(v.try_cast("string"))
+    return _cast_extracted(raw2, dt)
 
 
 def _cast_extracted(raw: Column, dt: T.DataType) -> Column:
@@ -1430,6 +1508,31 @@ def _variant_has(v: Column, key) -> Column:
         & (F.size(v.try_cast("array<variant>")) > F.lit(key)),
         F.lit(False),
     )
+
+
+def _variant_leaf_filter(v: Column, f: "Filter") -> Column:
+    """One select() leaf evaluated directly on a VARIANT value — the
+    r12 whole-element predicate route (``.items[] | select(has("k"))``,
+    ``select(. > 5)``, ``select(length > 2)`` under an iterate), where
+    the typed element struct cannot represent "the element itself"."""
+    if f.fn == "length":
+        return F.coalesce(
+            _CMP_FN[f.op](_variant_length(v), F.lit(float(f.lit))),
+            F.lit(False),
+        )
+    if f.op == "truthy":
+        return _variant_truthy(v)
+    if f.op == "not_truthy":
+        return ~_variant_truthy(v)
+    if f.op == "has":
+        return _variant_has(v, f.lit)
+    if f.op in _STR_PREDS:
+        return _string_pred_col(_variant_string_only(v), f.op, f.lit)
+    if f.lit is None:
+        vt = F.schema_of_variant(v)
+        is_null = v.isNull() | (vt == F.lit("VOID"))
+        return is_null if f.op == "==" else ~is_null
+    return _variant_cmp(v, f.op, f.lit)
 
 
 def _variant_length(v: Column) -> Column:
@@ -1638,6 +1741,59 @@ _CANON_SCI_POS_RE = (
 _CANON_SCI_NEG1_RE = _JSTR + "|" + _SCI_MANT + r"E-([5-9])" + _NUMEND
 _CANON_SCI_NEG2_RE = _JSTR + "|" + _SCI_MANT + r"E-([1-9]\d{1,2})" + _NUMEND
 
+# r12 (VERDICT r11 #4): NESTED tokens needing a DIGIT SHIFT — the
+# exponent ranges where jq prints POSITIONAL text (0 <= e <= 16,
+# -4 <= e <= -1; Jackson/Spark's to_json emits scientific from e >= 7
+# and e <= -4, user-written docs can carry any of them).
+# regexp_replace cannot move a decimal point by a captured amount, so
+# these rewrite through the same marker trick (\x04 non-negative
+# exponent, \x05 negative) and then a tokenize → per-token transform
+# → reassemble pass (`_shift_rebuild`) — still pure codegen, and the
+# rebuild only evaluates on rows that actually carry a marked token.
+_CANON_SHIFT_POS_RE = _JSTR + "|" + _SCI_MANT + r"E\+?(1[0-6]|\d)" + _NUMEND
+_CANON_SHIFT_NEG_RE = _JSTR + "|" + _SCI_MANT + r"E-([1-4])" + _NUMEND
+_SHIFT_TOK_RE = "-?\\d(?:\\.\\d+)?[\x04\x05]\\d{1,2}"
+
+
+def _shift_rebuild(c: Column) -> Column:
+    """Reassemble composite text whose digit-shift tokens were marked:
+    split on the marked-token shape, transform each token by actually
+    shifting the decimal point (integral results print as integer
+    text, like jqlib's canonical_number), and interleave the pieces
+    back.  Stray markers (the alternation appends one after every
+    string token) never match the token shape — a digit must
+    immediately precede the marker — and are stripped by the caller's
+    final cleanup pass."""
+    parts = F.split(c, _SHIFT_TOK_RE)
+    toks = F.regexp_extract_all(c, F.lit(_SHIFT_TOK_RE), F.lit(0))
+
+    def shift(t: Column) -> Column:
+        sign = F.when(t.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+        d = F.regexp_extract(t, r"(\d)", 1)
+        fr = F.regexp_extract(t, r"\.(\d+)", 1)
+        digits = F.concat(d, fr)
+        e = F.regexp_extract(t, "[\x04\x05](\\d+)$", 1).try_cast("int")
+        pad = F.repeat(
+            F.lit("0"), F.greatest(e + F.lit(1) - F.length(digits), F.lit(0))
+        )
+        dp = F.concat(digits, pad)
+        ip = dp.substr(F.lit(1), e + F.lit(1))
+        fp = dp.substr(e + F.lit(2), F.lit(400))
+        pos = F.when(fp == F.lit(""), F.concat(sign, ip)).otherwise(
+            F.concat(sign, ip, F.lit("."), fp)
+        )
+        neg = F.concat(
+            sign, F.lit("0."), F.repeat(F.lit("0"), e - F.lit(1)), digits
+        )
+        return F.when(t.rlike("\x05"), neg).otherwise(pos)
+
+    head = F.zip_with(
+        F.slice(parts, F.lit(1), F.size(toks)),
+        F.transform(toks, shift),
+        lambda p, t: F.concat(p, t),
+    )
+    return F.concat(F.array_join(head, ""), F.element_at(parts, F.lit(-1)))
+
 
 def _canon_composite_text(raw: Column) -> Column:
     c = F.regexp_replace(raw, _CANON_INT_RE, "$1$2")
@@ -1649,7 +1805,10 @@ def _canon_composite_text(raw: Column) -> Column:
     c = F.regexp_replace(c, "\x01(\\d+)", "e+$1")
     c = F.regexp_replace(c, "\x02(\\d)", "e-0$1")
     c = F.regexp_replace(c, "\x03(\\d+)", "e-$1")
-    return F.regexp_replace(c, "[\x01\x02\x03]", "")
+    c = F.regexp_replace(c, _CANON_SHIFT_POS_RE, "$1$2\x04$3")
+    c = F.regexp_replace(c, _CANON_SHIFT_NEG_RE, "$1$2\x05$3")
+    c = F.when(c.rlike("\\d[\x04\x05]"), _shift_rebuild(c)).otherwise(c)
+    return F.regexp_replace(c, "[\x01\x02\x03\x04\x05]", "")
 
 
 # SCALAR scientific-token normalization (r11, VERDICT r10 #7): a
@@ -1857,14 +2016,18 @@ def _keys_unsorted_col(raw: Column, v: Column) -> Column:
     """jq ``keys_unsorted``: object keys in DOCUMENT order —
     ``json_object_keys`` over the raw text preserves field order,
     where variants sort keys (r10); arrays yield index strings like
-    ``keys``.  Anything else is the NULL delta class."""
+    ``keys``.  Anything else is the NULL delta class.  array_distinct
+    (r12): duplicate-key objects list each key once at its FIRST
+    position — jq's jv_object_set updates an existing key in place,
+    so insertion order is first-occurrence order; identity on clean
+    documents."""
     vt = F.schema_of_variant(v)
     arr_n = F.size(v.try_cast("array<variant>"))
     idx = F.when(
         arr_n > 0, F.sequence(F.lit(0), arr_n - F.lit(1))
     ).otherwise(F.array().cast("array<int>"))
     return F.when(
-        vt.startswith("OBJECT"), F.json_object_keys(raw)
+        vt.startswith("OBJECT"), F.array_distinct(F.json_object_keys(raw))
     ).when(
         vt.startswith("ARRAY"),
         F.transform(idx, lambda i: i.cast("string")),
@@ -1891,6 +2054,11 @@ def _string_pred_col(c: Column, op: str, pat: str) -> Column:
         r = c.startswith(pat)
     elif op == "endswith":
         r = c.endswith(pat)
+    elif op == "contains":
+        # r12 growth: string containment (jq's contains on two
+        # strings; non-string inputs are the null->false delta like
+        # the other predicates — jq errors there)
+        r = c.contains(pat)
     else:  # test — pattern portability pre-checked in _parse_filters
         r = c.rlike(pat)
     return F.coalesce(r, F.lit(False))
@@ -2249,6 +2417,13 @@ def _validate_new_specs(project: Optional[dict], schema: T.StructType) -> None:
             raise _SchemaConflict(spec)
         elif spec[0] == "splitidx" and not isinstance(dt, T.StringType):
             raise _SchemaConflict(spec)
+        elif spec[0] == "splitarr" and not (
+            isinstance(dt, T.ArrayType)
+            and isinstance(dt.elementType, T.StringType)
+        ):
+            # split always yields array<string>; other declared types
+            # would need per-element Jackson-lenient coercion — Python
+            raise _SchemaConflict(spec)
 
 
 class _SchemaConflict(Exception):
@@ -2321,6 +2496,16 @@ class NativePlan:
                 elif isinstance(spec, tuple) and spec and spec[0] == "fnchain":
                     _, path, fns = spec
                     raw = F.get_json_object(col, _json_path(path))
+                    # duplicate-key suspects read the LAST occurrence
+                    # through the variant (r12) — the fn-chain views
+                    # below otherwise see the first occurrence's text
+                    raw = _dup_fixed_raw(
+                        col,
+                        raw,
+                        F.try_variant_get(
+                            F.try_parse_json(col), _json_path(path), "variant"
+                        ),
+                    )
                     if fns[0][0] == "type":
                         # r11: type name from the exact-typed variant;
                         # corrupt docs poison to NULL like the sibling
@@ -2433,18 +2618,23 @@ class NativePlan:
                     out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "strinterp":
                     def _interp_seg(kind, val, _col=col):
+                        v = F.try_variant_get(
+                            F.try_parse_json(_col),
+                            _json_path(val),
+                            "variant",
+                        )
+                        # duplicate-key suspects interpolate the LAST
+                        # occurrence through the variant (r12)
+                        raw = _dup_fixed_raw(
+                            _col,
+                            F.get_json_object(_col, _json_path(val)),
+                            v,
+                        )
                         view = (
                             _tojson_view
                             if kind == "pathjson"
                             else _tostring_view
-                        )(
-                            F.get_json_object(_col, _json_path(val)),
-                            F.try_variant_get(
-                                F.try_parse_json(_col),
-                                _json_path(val),
-                                "variant",
-                            ),
-                        )
+                        )(raw, v)
                         return _b64_view(view) if kind == "pathb64" else view
 
                     segs = [
@@ -2523,6 +2713,19 @@ class NativePlan:
                     parts = F.split(s, _java_quote(sep), -1)
                     c = F.try_element_at(parts, F.lit(idx + 1))
                     out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
+                elif isinstance(spec, tuple) and spec and spec[0] == "splitarr":
+                    # r12 growth: the FULL split array (split is
+                    # string-only in jq — non-strings gate to NULL
+                    # where jq aborts, like splitidx; limit -1 keeps
+                    # trailing empty fields, matching jq)
+                    _, path, sep = spec
+                    s = _variant_string_only(
+                        F.try_variant_get(
+                            F.try_parse_json(col), _json_path(path), "variant"
+                        )
+                    )
+                    c = F.split(s, _java_quote(sep), -1)
+                    out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "ifelse":
                     _, filters, t_spec, e_spec = spec
                     cond = None
@@ -2568,6 +2771,7 @@ class NativePlan:
         """Schema of one iterated element for from_json."""
         ir = self.ir
         needed: dict = {}
+        whole_elem: Optional[T.DataType] = None
 
         def add(path: Path, dt: T.DataType):
             cur = needed
@@ -2640,6 +2844,12 @@ class NativePlan:
                             raise _SchemaConflict(spec)
                         add(spec[1], T.VariantType())
                     else:
+                        if not spec[1]:
+                            # whole-element fn chain ({v: (.|tojson)}):
+                            # add(()) is a no-op, which silently typed
+                            # the element STRUCT<> and mis-executed
+                            # (r12 find) — Python tier
+                            raise _SchemaConflict(spec)
                         add(spec[1], T.StringType())  # string view
                 elif isinstance(spec, tuple) and spec and spec[0] == "alt":
                     # `//` substitutes on null/missing OR boolean false —
@@ -2683,12 +2893,22 @@ class NativePlan:
                     "strpred",
                     "ifelse",
                     "splitidx",
+                    "splitarr",
                     "reduce",
                 ):
                     # scalar-tier-only spec kinds: under an iterate the
                     # program falls back to the Python tier
                     raise _SchemaConflict(spec)
                 else:
+                    if spec == ():
+                        # whole-element projection ({v: .}): the
+                        # element IS the value — representable only
+                        # when nothing else needs struct fields
+                        # (checked below); add() on an empty path
+                        # would silently type the element STRUCT<>
+                        # and crash at apply (r12 find)
+                        whole_elem = _elem_decl_type(fdt.dataType)
+                        continue
                     add(spec, _elem_decl_type(fdt.dataType))
         else:
             for fdt in self.schema.fields:
@@ -2700,10 +2920,12 @@ class NativePlan:
                 for p in refs:
                     add(tuple(f.lhs) + p, T.DoubleType())
             elif not f.lhs:
-                # predicate over the element itself: the element would
-                # need to be VARIANT *and* carry the projection struct —
-                # not representable in one from_json schema
-                raise _SchemaConflict(())
+                # predicate over the element itself (select(has("k")),
+                # select(. > 5), select(length > 2), ...): r12 — reads
+                # the element's VARIANT twin (elem_var) at apply time,
+                # so the from_json schema carries nothing for it
+                # (needs_ev picks these up)
+                continue
             elif f.op in _STR_PREDS:
                 # variant, not string: a StringType field would capture
                 # the raw serialization of non-string values and the
@@ -2742,6 +2964,12 @@ class NativePlan:
                 fields.append(T.StructField(str(k), to_struct(v) if isinstance(v, dict) else v))
             return T.StructType(fields)
 
+        if whole_elem is not None:
+            if needed:
+                # the element cannot be a scalar AND carry struct
+                # fields for other specs/filters — Python tier
+                raise _SchemaConflict(())
+            return whole_elem
         return to_struct(needed)
 
     def _apply_explode(self, df: DataFrame, col: Column, outer: bool) -> DataFrame:
@@ -2892,7 +3120,13 @@ class NativePlan:
                 _is_plain_path(s) and k in _str_decls
                 for k, s in ir.project.items()
             )
-        ) or (ir.project is None and ir.single_call is None and bool(_str_decls))
+        ) or (ir.project is None and ir.single_call is None and bool(_str_decls)) or any(
+            # r12: whole-element predicates (select(has("k")) /
+            # select(. > 5) under an iterate) read the element's
+            # variant twin instead of a from_json field
+            f.lhs_expr is None and not f.lhs
+            for f in _each_filter(ir.post_filters)
+        )
         # r11: keys_unsorted under an iterate needs the element's RAW
         # text (document key order — variants sort object keys).  The
         # mid-path route already threads a text twin (``ex``); the
@@ -3062,8 +3296,16 @@ class NativePlan:
         else:
             out = df.withColumn("__jq_elem0", gen(nav))
             ec = F.col("__jq_elem0")
+        def _elem_leaf(ff: Filter) -> Column:
+            # r12: whole-element predicates read the variant twin —
+            # the typed element (ec) cannot carry "the element itself"
+            # alongside the projection struct in one from_json schema
+            if ff.lhs_expr is None and not ff.lhs and elem_var is not None:
+                return _variant_leaf_filter(elem_var, ff)
+            return _struct_filter_col(ec, ff)
+
         for f in ir.post_filters:
-            out = out.where(_cond_col(f, lambda ff: _struct_filter_col(ec, ff)))
+            out = out.where(_cond_col(f, _elem_leaf))
 
         def _ev_at(path: Path):
             if elem_var is None:  # pragma: no cover - needs_ev guards

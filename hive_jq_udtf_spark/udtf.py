@@ -277,6 +277,18 @@ def jq_explode(
 
         plan = compile_native(program, tuple(decls))
         if plan is not None:
+            # jq parses duplicate-key objects last-occurrence-wins;
+            # Spark's variant parser REJECTS them by default
+            # (try_parse_json -> NULL, the pre-r12 silent-NULL delta
+            # class).  With this conf the variant keeps the last
+            # occurrence — exactly jq — and clean documents parse
+            # identically, so the setting is behavior-widening only.
+            try:
+                df.sparkSession.conf.set(
+                    "spark.sql.variant.allowDuplicateKeys", "true"
+                )
+            except Exception:
+                pass  # older Spark without the conf: keep the documented delta
             return plan.apply(df, column, outer=outer)
         if native == "require":
             raise ValueError(

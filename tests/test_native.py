@@ -902,6 +902,20 @@ GROWTH_CASES = [
     (".orders[] | {t: (.lines | type), oid: .oid}", ("t:string", "oid:int")),
     (".s | type", ("string",)),
     ("{T: (.name | type | ascii_upcase)}", ("T:string",)),
+    # round-12 growth (VERDICT r11 #5): contains in select (both
+    # tiers), whole-element predicates under an iterate (elem_var
+    # route), whole-element plain projection, full split arrays
+    ('select(.name | contains("or")) | {name}', ("name:string",)),
+    ('.orders[] | select(.tag | contains("re")) | {oid: .oid}', ("oid:int",)),
+    ('.orders[] | select(has("oid")) | {oid: .oid}', ("oid:int",)),
+    ('.orders[] | select(has("missing")) | {oid: .oid}', ("oid:int",)),
+    (".orders[] | select(not) | {oid: .oid}", ("oid:int",)),
+    (".nums[] | select(. > 2) | {v: .}", ("v:double",)),
+    (".nums[] | {v: .}", ("v:double",)),
+    (".orders[] | select(length > 2) | {oid: .oid}", ("oid:int",)),
+    ('{parts: (.name | split("o"))}', ("parts:array<string>",)),
+    ('{p2: (.name | split("or")), oid0: (.orders | length)}',
+     ("p2:array<string>", "oid0:int")),
 ]
 
 
@@ -918,15 +932,23 @@ def test_native_growth_matches_python_tier(nested_df, program, decls):
     assert a == b
 
 
-def test_native_elementwide_predicate_falls_back(nested_df):
-    # has/not/truthy over the exploded element itself would need a
-    # VARIANT element alongside the projection struct — Python tier
+def test_native_elementwide_predicate_compiles(nested_df):
+    # r12 growth (VERDICT r11 #5): has/not/truthy/comparisons over the
+    # exploded element itself now read the element's VARIANT twin
+    # (elem_var) instead of requiring a from_json field — previously a
+    # guaranteed Python fallback (the r8 pin this test replaces)
     for prog in (
         '.orders[] | select(has("oid")) | {oid: .oid}',
         ".orders[] | select(not) | {oid: .oid}",
     ):
-        assert compile_native(prog, ("oid:int",)) is None
-        jq_explode(nested_df, "j", prog, "oid:int", native="auto").collect()
+        plan = compile_native(prog, ("oid:int",))
+        assert plan is not None, prog
+        nat = jq_explode(nested_df, "j", prog, "oid:int", native="require")
+        py = jq_explode(nested_df, "j", prog, "oid:int", native="never")
+        assert _plan_is_pythonfree(nat), prog
+        a = sorted(map(tuple, nat.select("oid").collect()), key=str)
+        b = sorted(map(tuple, py.select("oid").collect()), key=str)
+        assert a == b, prog
 
 
 def test_native_has_key_object_membership(spark):
@@ -1987,3 +2009,132 @@ def test_native_string_interpolation_matches_python_tier(spark):
     # test_native_format_interpolation_matches_python_tier); escaping
     # formats without a codegen twin stay Python-tier
     assert compile_native('{s: @csv "\\(.u)"}', ("s:string",)) is None
+
+
+def test_native_dup_key_last_wins(spark):
+    """r12 (VERDICT r11 #4): duplicate-key documents parse
+    last-occurrence-wins like jq — the former every-spec-NULL class.
+    jq_explode turns on spark.sql.variant.allowDuplicateKeys for
+    native plans and suspect rows (`_dup_suspect`) read through the
+    variant instead of get_json_object's first occurrence."""
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    num_docs = [
+        '{"a":1,"a":2}',
+        '{"a":null,"a":3}',
+        '{"a":1.25,"a":7.5}',
+        '{"a":1,"a":2,"a":9}',
+        '{"a":1.5}',
+    ]
+    str_docs = ['{"a":"x","a":"y"}', '{"a":"u","a":"v","a":"w"}', '{"a":"p"}']
+    obj_docs = [
+        '{"a":{"b":1,"a":2}}',
+        '{"a":{"k":1,"k":2,"j":3}}',
+        '{"a":{"z":1,"m":2,"z":3}}',
+    ]
+    cases = [
+        (num_docs, "{v: .a}", "v:int"),
+        (num_docs, "{v: .a}", "v:double"),
+        (num_docs, "{v: .a}", "v:string"),
+        (num_docs, "{v: (.a|tostring)}", "v:string"),
+        (num_docs, "{v: (.a|floor)}", "v:int"),
+        (num_docs, "{v: (.a|type)}", "v:string"),
+        (num_docs, '{v: "n-\\(.a)"}', "v:string"),
+        (str_docs, "{v: .a}", "v:string"),
+        (str_docs, "{v: (.a|ascii_upcase)}", "v:string"),
+        (obj_docs, "{v: (.a|keys)}", "v:array<string>"),
+        (obj_docs, "{v: (.a|keys_unsorted)}", "v:array<string>"),
+        (obj_docs, "{v: (.a|length)}", "v:int"),
+        # nested declared type: from_json resolves fields BY NAME, so
+        # the variant's sorted-key text still lands last-wins values
+        (
+            ['{"a":{"x":1,"y":2},"a":{"x":9,"y":8}}', '{"a":{"y":4,"x":3}}'],
+            "{v: .a}",
+            "v:struct<x:int,y:int>",
+        ),
+    ]
+    for docs, prog, decl in cases:
+        df = spark.createDataFrame([(d,) for d in docs], "j string")
+        nat = jq_explode(df, "j", prog, decl, native="require")
+        py = jq_explode(df, "j", prog, decl, native="never")
+        assert _plan_is_pythonfree(nat), (prog, decl)
+        a = [tuple(r) for r in nat.select("v").collect()]
+        b = [tuple(r) for r in py.select("v").collect()]
+        assert a == b, (prog, decl, a, b)
+
+
+def test_native_dup_key_gate_false_positive_safe(spark):
+    """The duplicate-key suspect regex over-approximates (the same key
+    at two different nesting levels also matches).  Safe by
+    construction: the substituted variant-sourced value equals the
+    text-sourced value on any document without true duplicates — and
+    STRING-declared composites keep the raw text so document key
+    order survives a false positive."""
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    docs = [
+        '{"a":1,"b":{"a":5}}',               # same key, two levels
+        '{"a":{"x":1},"b":{"x":2}}',          # nested same-named keys
+        '{"a":{"b":9,"x":1},"c":{"x":2}}',    # composite out, order-sensitive
+        '{"k":"\\"a\\": text","a":3}',        # key lookalike inside a string
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    # (no numeric decls here: two of the docs hold OBJECT values at
+    # .a, which is the pre-existing lenient-coercion delta class —
+    # Jackson-lenient 0 vs native NULL — unrelated to the dup gate)
+    for prog, decl in [
+        ("{v: .a}", "v:string"),
+        ("{v: (.a|tostring)}", "v:string"),
+        ('{v: "n-\\(.a)"}', "v:string"),
+    ]:
+        nat = jq_explode(df, "j", prog, decl, native="require")
+        py = jq_explode(df, "j", prog, decl, native="never")
+        a = [tuple(r) for r in nat.select("v").collect()]
+        b = [tuple(r) for r in py.select("v").collect()]
+        assert a == b, (prog, decl, a, b)
+    # order-sensitive composite: raw document key order must survive
+    out = jq_explode(df, "j", "{v: .a}", "v:string", native="require")
+    assert [r.v for r in out.collect()][2] == '{"b":9,"x":1}'
+
+
+def test_native_dup_key_documented_residuals(spark):
+    """Pins the NARROWED duplicate-key residuals (native.py module
+    docstring) so silent drift is caught: keys_unsorted under a
+    DUPLICATED ANCESTOR path sees the first occurrence's text twin,
+    and STRING-declared composite outputs keep the raw
+    first-occurrence text (the variant cast would sort keys)."""
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    df = spark.createDataFrame(
+        [('{"a":{"k":1},"a":{"z":2,"k":3}}',)], "j string"
+    )
+    out = jq_explode(
+        df, "j", "{v: (.a|keys_unsorted)}", "v:array<string>", native="require"
+    )
+    assert [r.v for r in out.collect()] == [["k"]]  # jq: ["z","k"]
+    out2 = jq_explode(df, "j", "{v: .a}", "v:string", native="require")
+    assert [r.v for r in out2.collect()] == ['{"k":1}']  # jq: {"z":2,"k":3}
+
+
+def test_native_nested_digit_shift_tokens(spark):
+    """r12 (VERDICT r11 #4): NESTED scientific tokens whose jq form is
+    positional (0 <= e <= 16 / -4 <= e <= -1) now digit-shift in pure
+    codegen (`_shift_rebuild`) — the former documented residual class.
+    Tokens inside nested STRINGS stay untouched."""
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    docs = [
+        '{"v":{"a":1.23456789E7,"b":1.5E-4,"s":"keep 1.5E7 text","u":2.0E3}}',
+        '{"v":[1.5E2,2.5E-3,1.0E16,"1.5E2",true,-1.75E7]}',
+        '{"v":{"t":3.125E-2,"w":1.5E300,"y":2.5E-308}}',
+        '{"v":[9.9E0,1.0E0,-3.5E-1,1.5E+7]}',
+        '{"v":{"mix":[1.50E2,{"d":-2.5E-4}]}}',
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    for prog in ["{t: (.v | tostring)}", "{t: (.v | tojson)}", '{t: "p-\\(.v)"}']:
+        nat = jq_explode(df, "j", prog, "t:string", native="require")
+        py = jq_explode(df, "j", prog, "t:string", native="never")
+        assert _plan_is_pythonfree(nat), prog
+        a = [r.t for r in nat.collect()]
+        b = [r.t for r in py.collect()]
+        assert a == b, (prog, a, b)
