@@ -34,7 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     registration order = COVERAGE.md r11 ledger / tools/headcheck.py
 #     --ledger; pre-verified 35/35 typed-equal in the committed
 #     HEADCHECK_r12_plan.json at the r11 close),
-# (2) the first 15 of the 48-query r08 cohort in registration order
+# (2) the ONE query added in r12: jq_native_growth (driver gate for
+#     the VERDICT r11 #5 native-tier growth — contains-select,
+#     whole-element has under iterate, full split arrays),
+# (3) the first 14 of the 48-query r08 cohort in registration order
 #     (fills: pre-paying r13's lead block, which the r08 cohort owns).
 _DRIVER_HEAD = [
     # -- (1) last driver-checked r07, staleness 4 (35) --
@@ -73,7 +76,9 @@ _DRIVER_HEAD = [
     "calibration_ece",
     "k_anonymity_audit",
     "conformal_interval",
-    # -- (2) r08 cohort fills, first 15 in registration order --
+    # -- (2) new in r12 (1) --
+    "jq_native_growth",
+    # -- (3) r08 cohort fills, first 14 in registration order --
     "jq_extract_agg",
     "jq_native_agg",
     "jq_select_filter",
@@ -88,7 +93,6 @@ _DRIVER_HEAD = [
     "region_revenue",
     "window_topk",
     "rollup_counts",
-    "setops",
 ]
 
 

@@ -3612,3 +3612,4 @@ from . import queries_r9  # noqa: E402,F401  isort:skip
 from . import queries_r10  # noqa: E402,F401  isort:skip
 
 from . import queries_r11  # noqa: E402,F401  isort:skip
+from . import queries_r12  # noqa: E402,F401  isort:skip

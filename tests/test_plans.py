@@ -753,3 +753,18 @@ def test_jq_keys_explode_no_python_and_pruned(spark):
     assert "Join" not in plan
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" not in read and "doc_id" in read
+
+
+def test_jq_native_growth_no_python_and_pruned(spark):
+    """r12 plan gate (VERDICT r11 #5): all three growth programs —
+    contains-select, whole-element has under an iterate, full split
+    array — compile natively: zero Python nodes anywhere, no joins,
+    and every documents scan prunes the unused text column."""
+    plan = formatted_plan(spark, "jq_native_growth")
+    for node in PY_NODES:
+        assert node not in plan, node
+    assert "Join" not in plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads, "expected parquet scans"
+    for read in reads:
+        assert "text" not in read, read
