@@ -1403,6 +1403,20 @@ def _dup_suspect(col: Column) -> Column:
     return F.coalesce(col.rlike(_DUP_KEY_RE), F.lit(False))
 
 
+def _dup_fixed_num(col: Column, path: Path) -> Column:
+    """Double-typed path read for compiled arithmetic, duplicate-key
+    aware (r12 randomized-differential find: expr specs read the
+    FIRST occurrence through get_json_object where jq computes with
+    the last)."""
+    raw = F.get_json_object(col, _json_path(path))
+    v = F.try_variant_get(F.try_parse_json(col), _json_path(path), "variant")
+    return (
+        F.when(~_dup_suspect(col), raw)
+        .otherwise(v.try_cast("string"))
+        .try_cast("double")
+    )
+
+
 def _dup_fixed_raw(col: Column, raw: Column, v: Column) -> Column:
     """Raw-text view with duplicate-key suspects read from the variant
     (last-occurrence-wins, like jq).  Composites keep the raw text —
@@ -2088,9 +2102,7 @@ def _filter_col(json_col: Column, f: Filter) -> Column:
     if f.lhs_expr is not None:
         c = _compile_expr(
             f.lhs_expr,
-            lambda p: F.get_json_object(json_col, _json_path(f.lhs + p)).try_cast(
-                "double"
-            ),
+            lambda p: _dup_fixed_num(json_col, f.lhs + p),
         )
         return _cmp_with_null_order(c, f.op, f.lit)
     raw = F.get_json_object(json_col, _json_path(f.lhs))
@@ -2488,9 +2500,7 @@ class NativePlan:
                     _, ast, base = spec
                     c = _compile_expr(
                         ast,
-                        lambda p: F.get_json_object(
-                            col, _json_path(tuple(base) + p)
-                        ).try_cast("double"),
+                        lambda p: _dup_fixed_num(col, tuple(base) + p),
                     )
                     out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "fnchain":

@@ -1829,6 +1829,24 @@ def test_native_randomized_program_differential(spark):
         )
         return d
 
+    def doc_text(d) -> str:
+        """Serialize + r12 raw-text mutations the dict route can't
+        express: DUPLICATE top-level keys (a decoy FIRST occurrence —
+        json.loads and jq both keep the LAST, so ground truth is
+        unchanged and the native tier must route through the variant)
+        and scientific-notation number tokens in the digit-shift
+        exponent range (jq prints them positionally)."""
+        txt = _json.dumps(d)
+        if crng.random() < 0.3 and "n" in d:
+            txt = "{" + '"n": -777, ' + txt[1:]
+        if crng.random() < 0.3 and "s" in d:
+            txt = "{" + '"s": "DECOY", ' + txt[1:]
+        sci = crng.choice(
+            ["1.23456789E7", "1.5E-4", "2.5E2", "1.5E300", "7.0E3"]
+        )
+        txt = txt[:-1] + ', "sci": {"a": %s, "b": [1.5E-1]}}' % sci
+        return txt
+
     programs = [
         ("{o: .s}", ("o:string",)),
         ("{o: .n, p: .x}", ("o:int", "p:double")),
@@ -1862,13 +1880,21 @@ def test_native_randomized_program_differential(spark):
         ("limit(2; .items[]) | {u: .u}", ("u:string",)),
         (".items[].u", ("string",)),
         ('{o: (.s // "dflt")}', ("o:string",)),
+        # r12: dup-key last-wins reads, digit-shift sci tokens,
+        # contains in select, full split arrays, whole-element has
+        ("{o: .n, p: .s}", ("o:int", "p:string")),
+        ("{o: (.sci | tostring)}", ("o:string",)),
+        ('{o: "c-\\(.sci)"}', ("o:string",)),
+        ('select(.s | contains("b")) | {o: .s}', ("o:string",)),
+        ('{o: (.t | split("-"))}', ("o:array<string>",)),
+        ('.items[] | select(has("v")) | {o: .v}', ("o:int",)),
     ]
     compared = 0
     for pi, (prog, decls) in enumerate(programs):
         assert compile_native(prog, decls) is not None, prog
         docs, expected = [], []
         for di in range(14):
-            doc = _json.dumps(rand_doc(dirty=di % 3 == 2))
+            doc = doc_text(rand_doc(dirty=di % 3 == 2))
             try:
                 rows = run_jq(prog, doc, *decls)
             except Exception:
