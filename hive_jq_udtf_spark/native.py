@@ -758,7 +758,9 @@ def _reduce_update_ok(ast: AST, var: str) -> bool:
 
 
 def _reduce_col(json_col: Column, path: Path, init, upd: AST) -> Column:
-    raw = F.get_json_object(json_col, _json_path(path))
+    # dup-key aware (r12): the fold must see the LAST occurrence's
+    # array like jq; array element order survives the variant cast
+    raw = _dup_fixed_json_text(json_col, path)
     arr = F.from_json(raw, T.ArrayType(T.DoubleType()))
 
     def build(a: AST, acc: Column, x: Column) -> Column:
@@ -1415,6 +1417,17 @@ def _dup_fixed_num(col: Column, path: Path) -> Column:
         .otherwise(v.try_cast("string"))
         .try_cast("double")
     )
+
+
+def _dup_fixed_json_text(col: Column, path: Path) -> Column:
+    """Raw JSON text of the value at a path, duplicate-key aware.
+    Unlike `_dup_fixed_raw`, COMPOSITES substitute too: the arrayfn /
+    reduce callers from_json the text by position or field name, so
+    the variant cast's sorted-key rendering cannot change a value,
+    while array element order is preserved."""
+    raw = F.get_json_object(col, _json_path(path))
+    v = F.try_variant_get(F.try_parse_json(col), _json_path(path), "variant")
+    return F.when(~_dup_suspect(col), raw).otherwise(v.try_cast("string"))
 
 
 def _dup_fixed_raw(col: Column, raw: Column, v: Column) -> Column:
@@ -2105,7 +2118,6 @@ def _filter_col(json_col: Column, f: Filter) -> Column:
             lambda p: _dup_fixed_num(json_col, f.lhs + p),
         )
         return _cmp_with_null_order(c, f.op, f.lit)
-    raw = F.get_json_object(json_col, _json_path(f.lhs))
     if f.op == "truthy":
         # exact JSON type via the variant reader (same technique as the
         # `//` projection below): get_json_object strips quotes, so the
@@ -2131,8 +2143,15 @@ def _filter_col(json_col: Column, f: Filter) -> Column:
         )
         return _string_pred_col(_variant_string_only(v), f.op, f.lit)
     if f.lit is None:
-        # `== null` is true for both JSON null and missing (jq)
-        return raw.isNull() if f.op == "==" else raw.isNotNull()
+        # `== null` is true for both JSON null and missing (jq).
+        # Read the exact-typed variant, not the raw text (r12: the
+        # raw view sees the FIRST occurrence on duplicate-key docs
+        # where jq tests the last; corrupt docs are NULL either way)
+        v = F.try_variant_get(
+            F.try_parse_json(json_col), _json_path(f.lhs), "variant"
+        )
+        is_null = v.isNull() | (F.schema_of_variant(v) == F.lit("VOID"))
+        return is_null if f.op == "==" else ~is_null
     # exact jq total-order comparison (null/missing and cross-type
     # values compare DEFINED, per the type ranking) via the variant
     # reader — the text view cannot type its value
@@ -2306,7 +2325,10 @@ def _arrayfn_col(json_col: Column, path: Path, fn: str, args, out_dt: T.DataType
     array_join) or an aggregate() fold for add.  jq deltas are the
     documented cast-garbage class: jq aborts on wrong-typed input,
     this tier yields NULL."""
-    raw = F.get_json_object(json_col, _json_path(path))
+    # dup-key aware (r12): same last-occurrence substitution as the
+    # plain-path reads (array order survives the variant cast; nested
+    # object keys re-sort, harmless to the positional/number folds)
+    raw = _dup_fixed_json_text(json_col, path)
 
     def lenient(dt: T.DataType) -> T.DataType:
         # integral decls parse as double then truncate, matching the
@@ -2591,22 +2613,20 @@ class NativePlan:
                     out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "alt":
                     _, path, dflt = spec
-                    raw = F.get_json_object(col, _json_path(path))
-                    # jq // substitutes when the value is null/missing OR
-                    # boolean false.  The text view alone cannot tell
-                    # boolean false from the STRING "false", so the
-                    # exact JSON type comes from the variant reader.
-                    vt = F.schema_of_variant(
-                        F.try_variant_get(
-                            F.try_parse_json(col), _json_path(path), "variant"
-                        )
+                    # jq // substitutes when the value is null/missing
+                    # OR boolean false — exactly NOT jq-truthy, read
+                    # from the exact-typed variant (r12: the old
+                    # raw-text null test saw the FIRST occurrence on
+                    # duplicate-key docs where jq substitutes on the
+                    # last).  Both branches pre-cast to the declared
+                    # type so when() type unification can't introduce
+                    # a stricter common type (ANSI cast crash).
+                    v = F.try_variant_get(
+                        F.try_parse_json(col), _json_path(path), "variant"
                     )
-                    is_false = (vt == F.lit("BOOLEAN")) & (raw == F.lit("false"))
-                    # both branches pre-cast to the declared type so
-                    # Spark's when() type unification can't introduce a
-                    # stricter common type (ANSI cast crash on garbage)
                     c = F.when(
-                        raw.isNull() | is_false, F.lit(dflt).try_cast(fdt.dataType)
+                        ~_variant_truthy(v),
+                        F.lit(dflt).try_cast(fdt.dataType),
                     ).otherwise(_scalar_out_col(col, path, fdt.dataType))
                     out_cols.append(c.alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "strcat":

@@ -2078,6 +2078,40 @@ def test_native_dup_key_last_wins(spark):
             "{v: .a}",
             "v:struct<x:int,y:int>",
         ),
+        # r12 second audit: expr arithmetic, arrayfn folds, reduce,
+        # and // alternatives must all see the LAST occurrence too
+        (num_docs, "{v: (.a + 3)}", "v:double"),
+        (
+            ['{"xs":[1,2],"xs":[5,6,7]}', '{"xs":[9]}'],
+            "{v: (.xs | add)}",
+            "v:double",
+        ),
+        (
+            ['{"xs":[1,2],"xs":[5,6,7]}', '{"xs":[9]}'],
+            "{v: (reduce .xs[] as $q (0; . + $q))}",
+            "v:double",
+        ),
+        (
+            [
+                '{"a":null,"a":"v"}',
+                '{"a":"w","a":null}',
+                '{"a":false,"a":"z"}',
+                '{"a":"y","a":false}',
+                '{"b":1}',
+            ],
+            '{v: (.a // "dflt")}',
+            "v:string",
+        ),
+        (
+            ['{"a":1,"a":null}', '{"a":null,"a":1}', '{"a":null}', '{"b":2}'],
+            "select(.a == null) | {v: 1}",
+            "v:int",
+        ),
+        (
+            ['{"a":1,"a":null}', '{"a":null,"a":1}', '{"a":null}', '{"b":2}'],
+            "select(.a != null) | {v: 1}",
+            "v:int",
+        ),
     ]
     for docs, prog, decl in cases:
         df = spark.createDataFrame([(d,) for d in docs], "j string")
