@@ -19,6 +19,64 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 
 
+# --- probe-gate decision logic (pure; unit-tested without Spark in
+# tests/test_bench_gate.py — VERDICT r12 #7) ---------------------------
+
+
+def gate_suspects(timings, cold, query_probe, spike_thr):
+    """Which queries need quarantine-and-retry, most expensive first.
+
+    A query is SUSPECT if (a) a bracket probe spiked — the host
+    observably stalled around its measurement window — or (b) warm >
+    1.5x its own cold (the old steady-state-impossibility signal,
+    kept because a stall can land between two clean probes).  Failed
+    queries (negative sentinel) are never retried here."""
+    out = []
+    for name, t in timings.items():
+        if t < 0:
+            continue
+        qp = query_probe.get(name, [])
+        bracket_spiked = any(p > spike_thr for p in qp)
+        c = cold.get(name, -1.0)
+        warm_anomaly = c > 0 and t > max(1.0, 1.5 * c)
+        if bracket_spiked or warm_anomaly:
+            out.append(name)
+    return sorted(out, key=lambda n: -timings[n])
+
+
+def gate_retry(
+    measure, first, first_bracket, spike_thr, deadline, now=time.time
+):
+    """Quarantine-and-retry one suspect: up to 2 re-measurements of
+    ``measure() -> (sec, probe_before, probe_after)`` within the
+    wall-clock ``deadline``, stopping early on a clean bracket.
+
+    Returns (kept_sec, attempts, clean_seen, extra_brackets):
+    kept = min(attempts) — every attempt is a fully-warm plan, so the
+    minimum is the least contaminated sample under intermittent
+    stalls; clean_seen=False means NO attempt (original included) had
+    a clean bracket and the kept number should be discounted
+    (ADVICE r12: surfaced as the artifact's still_suspect list)."""
+    attempts = [first]
+    clean_seen = bool(first_bracket) and not any(
+        p > spike_thr for p in first_bracket
+    )
+    extra_brackets: list[float] = []
+    for _ in range(2):
+        if now() > deadline:
+            break
+        try:
+            dt, p0, p1 = measure()
+        except Exception:
+            break
+        attempts.append(dt)
+        extra_brackets.extend([p0, p1])
+        if p0 <= spike_thr and p1 <= spike_thr:
+            clean_seen = True
+            break
+    return min(attempts), attempts, clean_seen, extra_brackets
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -115,6 +173,99 @@ def main() -> None:
     except Exception as ex:
         sys.stderr.write(f"bench staging skipped: {ex}\n")
         staging_seconds = -1.0
+
+    # --- pre-flight host-factor gate (VERDICT r12 #2) -----------------
+    # A 20-oracle DuckDB subset (single-process, zero Spark) timed
+    # against its committed r10-closing anchor BEFORE any measurement:
+    # the ratio is a pure host-speed factor, so cross-round absolute
+    # comparisons are ratio-first by construction.  The subset is the
+    # 20 most expensive NON-audit oracles from the r10 closing
+    # artifact (git 4f91c45:bench_full.json) — audit oracles
+    # (setsim_neardup/dbscan_ivf/ann_pq_topk) are excluded because
+    # their brute-force SQL dominates total time and its cost tracks
+    # query redefinitions, not host speed.  Oracles missing at run
+    # time (redefined/renamed) are skipped on BOTH sides of the ratio.
+    # The driver's per-round call always proceeds (the artifact
+    # self-describes via "preflight"); a closing run launched with
+    # --require-clean aborts early when the factor exceeds 1.3 so a
+    # contaminated window never overwrites the committed artifact.
+    _PREFLIGHT_ANCHOR_R10 = {
+        "dedup_components": 2.504,
+        "minhash_neardup": 1.487,
+        "dedup_components_lsss": 1.436,
+        "pagerank_bipartite": 1.372,
+        "semantic_dedup": 1.310,
+        "kmeans_embeddings": 1.122,
+        "lpa_communities": 1.057,
+        "neardup_jaccard": 0.827,
+        "embedding_covariance": 0.736,
+        "embedding_whiten": 0.736,
+        "embedding_neardup": 0.707,
+        "semantic_dedup_whitened": 0.673,
+        "embedding_pca_topk": 0.662,
+        "simhash_neardup": 0.659,
+        "containment_neardup": 0.564,
+        "dup_ngram_spans": 0.554,
+        "dbscan_clusters": 0.472,
+        "cms_heavy_hitters": 0.465,
+        "knn_eval_ivf": 0.418,
+        "session_funnel_windowed": 0.392,
+    }
+    preflight = {"host_factor": -1.0, "anchor": "r10-close (4f91c45)"}
+    try:
+        import duckdb as _dk
+
+        from hive_jq_udtf_spark.plans.queries import ORACLES as _ORC
+        from hive_jq_udtf_spark.sources.tables import TABLES as _TBL
+
+        _pc = _dk.connect()
+        for _t in _TBL:
+            _pc.execute(
+                f"CREATE VIEW {_t} AS SELECT * FROM '{sf_dir}/{_t}.parquet'"
+            )
+        _now: dict[str, float] = {}
+        for _n, _anchor_s in _PREFLIGHT_ANCHOR_R10.items():
+            if _n not in _ORC:
+                continue
+            _t0 = time.time()
+            try:
+                _pc.execute(_ORC[_n]).fetchall()
+                _now[_n] = round(time.time() - _t0, 3)
+            except Exception:
+                pass
+        _pc.close()
+        _a = sum(_PREFLIGHT_ANCHOR_R10[n] for n in _now)
+        preflight = {
+            "host_factor": round(sum(_now.values()) / _a, 3) if _a else -1.0,
+            "subset_seconds": round(sum(_now.values()), 3),
+            "anchor_seconds": round(_a, 3),
+            "n_subset": len(_now),
+            "per_query": _now,
+            "anchor": "r10-close (4f91c45)",
+            "note": (
+                "sf0.1-anchored; at other SFs the factor is only a "
+                "rough host signal"
+            ),
+        }
+    except Exception as ex:
+        sys.stderr.write(f"bench preflight skipped: {ex}\n")
+    if "--require-clean" in sys.argv and not (
+        0 < preflight["host_factor"] <= 1.3
+    ):
+        print(
+            json.dumps(
+                {
+                    "metric": "suite_seconds",
+                    "value": -1.0,
+                    "unit": "sec",
+                    "aborted_unclean_host": True,
+                    "preflight": preflight,
+                    "sf": sf,
+                },
+                separators=(",", ":"),
+            )
+        )
+        return
 
     # warm-up: JVM codegen AND the Python/pandas-UDF worker pool, so
     # the first timed query doesn't absorb one-time startup
@@ -220,7 +371,13 @@ def main() -> None:
     # extra run times the steady-state trigger latency instead.
     # Recorded in the artifact as streaming_warm_runs.
     serial_draws: list[dict[str, float]] = []
-    query_probe: dict[str, list[float]] = {}  # kept draw's [before, after]
+    # ALL probe brackets for the query, in draw/retry order — 2 per
+    # measurement (ADVICE r12: multi-draw runs previously overwrote
+    # this with the LAST draw's bracket while timings kept the
+    # median; now every measurement's bracket is recorded and
+    # query_probe_ratio is the WORST instant observed around any of
+    # this query's measurements)
+    query_probe: dict[str, list[float]] = {}
     for d in range(draws):
         t_d: dict[str, float] = {}
         for name, fn in QUERIES.items():
@@ -228,7 +385,7 @@ def main() -> None:
                 if name.startswith("stream"):
                     run_once(name, fn)
                 t_d[name], p0, p1 = timed_with_probe(name, fn)
-                query_probe[name] = [p0, p1]
+                query_probe.setdefault(name, []).extend([p0, p1])
             except Exception as ex:  # record failures as negative sentinel
                 sys.stderr.write(f"bench {name} failed: {ex}\n")
                 t_d[name] = -1.0
@@ -255,35 +412,28 @@ def main() -> None:
     # Expensive suspects retry first so the wall-clock budget goes to
     # the queries that move the suite number.
     remeasured: dict[str, list[float]] = {}
+    # Queries where EVERY attempt's bracket spiked (ADVICE r12): the
+    # kept min(attempts) is still the least contaminated sample, but
+    # no clean-window measurement ever landed — BASELINE readers
+    # should discount these numbers.
+    still_suspect: list[str] = []
     if draws == 1:
-        suspects = []
-        for name, t in timings.items():
-            if t < 0:
-                continue
-            qp = query_probe.get(name, [])
-            bracket_spiked = any(p > spike_thr for p in qp)
-            c = cold.get(name, -1.0)
-            warm_anomaly = c > 0 and t > max(1.0, 1.5 * c)
-            if bracket_spiked or warm_anomaly:
-                suspects.append(name)
         retry_budget = 300.0  # wall-clock bound replacing the 15-query cap
-        retry_t0 = time.time()
-        for name in sorted(suspects, key=lambda n: -timings[n]):
-            attempts = [timings[name]]
-            for _ in range(2):
-                if time.time() - retry_t0 > retry_budget:
-                    break
-                try:
-                    dt, p0, p1 = timed_with_probe(name, QUERIES[name])
-                except Exception:
-                    break
-                attempts.append(dt)
-                query_probe[name] = [p0, p1]
-                if p0 <= spike_thr and p1 <= spike_thr:
-                    break
+        deadline = time.time() + retry_budget
+        for name in gate_suspects(timings, cold, query_probe, spike_thr):
+            kept, attempts, clean_seen, extra = gate_retry(
+                lambda _n=name: timed_with_probe(_n, QUERIES[_n]),
+                timings[name],
+                query_probe.get(name, []),
+                spike_thr,
+                deadline,
+            )
+            query_probe.setdefault(name, []).extend(extra)
             if len(attempts) > 1:
                 remeasured[name] = attempts
-                timings[name] = min(attempts)
+                timings[name] = kept
+            if not clean_seen:
+                still_suspect.append(name)
 
     # Whole-run probe summary: the interleaved samples (2 per timed
     # query + retries) observe the host across the ENTIRE measurement
@@ -306,9 +456,10 @@ def main() -> None:
             2,
         ),
     }
-    # Per-query probe-normalized context (bench_full only): the kept
-    # measurement's bracket, as a ratio to the clean anchor — a query
-    # whose ratio is ~1 was measured on a clean host.
+    # Per-query probe-normalized context (bench_full only): the WORST
+    # probe instant observed around any of this query's measurements
+    # (all draws + retries), as a ratio to the clean anchor — a query
+    # whose ratio is ~1 was only ever measured on a clean host.
     query_probe_ratio = {
         n: round(max(ps) / max(probe_base, 1e-9), 2)
         for n, ps in query_probe.items()
@@ -531,6 +682,26 @@ def main() -> None:
         if t >= 0 and oracle_seconds.get(n, -1.0) > 0 and t > 2 * oracle_seconds[n]
     )
 
+    # Floor-adjusted per-query ratio (VERDICT r12 #3): the raw 2x-vs-
+    # oracle column is dominated by Spark's per-query CONSTANT floor
+    # (scheduler + one exchange, ~0.1-0.7 s on these hosts) against
+    # DuckDB medians of 10-100 ms — an artifact of toy SF, flat at the
+    # 100 TB design point (tools/scaling.py).  Publish
+    # (t_query - floor) / oracle with the floor taken from THIS run's
+    # own floor block (scheduler + one shuffle; the Python-worker
+    # roundtrip is NOT subtracted — only Python-tier probes pay it and
+    # they are deliberate), clamped at 0, so the gate measures
+    # throughput rather than scheduling.
+    _floor_const = floor["scheduler_sec"] + floor["one_shuffle_sec"]
+    query_ratio_floor_adj = {
+        n: round(max(0.0, t - _floor_const) / oracle_seconds[n], 2)
+        for n, t in timings.items()
+        if t >= 0 and oracle_seconds.get(n, -1.0) > 0
+    }
+    over_2x_floor_adj = sorted(
+        n for n, r in query_ratio_floor_adj.items() if r > 2
+    )
+
     full = {
         "metric": "suite_seconds",
         "value": total,
@@ -542,6 +713,22 @@ def main() -> None:
         "local_dir_fs": "tmpfs" if shm else "disk",
         "n_over_2x_oracle": len(over_2x),
         "over_2x_oracle": over_2x,
+        "query_ratio_floor_adj": query_ratio_floor_adj,
+        "n_over_2x_floor_adj": len(over_2x_floor_adj),
+        "over_2x_floor_adj": over_2x_floor_adj,
+        "preflight": preflight,
+        # ratio-first cross-round table (VERDICT r12 #2): per query,
+        # [spark_sec, oracle_sec, worst probe ratio around its
+        # measurements] — everything a cross-round comparison needs
+        # without re-deriving from three separate dicts
+        "query_table": {
+            n: [
+                t,
+                oracle_seconds.get(n, -1.0),
+                query_probe_ratio.get(n, -1.0),
+            ]
+            for n, t in timings.items()
+        },
         "sf": sf,
         "cpus": int(cpus),
         "cold_suite_seconds": round(cold_total, 3),
@@ -550,6 +737,7 @@ def main() -> None:
         "concurrent_threads": 8,
         "concurrent_failures": conc_failures,
         "remeasured": remeasured,
+        "still_suspect": still_suspect,
         "floor": floor,
         "host_probe": host_probe,
         "probe_gate": probe_gate,
@@ -586,6 +774,7 @@ def main() -> None:
         **full,
         "over_2x_oracle": len(over_2x),
         "remeasured": len(remeasured),
+        "still_suspect": len(still_suspect),
         # stdout carries only the family total; bench_full.json has
         # the per-query steady-state detail + protocol note
         "steady_state_queries": len(steady_state),
@@ -605,6 +794,12 @@ def main() -> None:
     del line_base["steady_state_note"]
     del line_base["query_probe"]
     del line_base["query_probe_ratio"]
+    del line_base["query_ratio_floor_adj"]
+    del line_base["query_table"]
+    line_base["over_2x_floor_adj"] = len(over_2x_floor_adj)
+    line_base["preflight"] = {
+        "host_factor": preflight.get("host_factor", -1.0)
+    }
     # failures (negative sentinel) always make the line, then slowest-first
     ordered = sorted(timings.items(), key=lambda kv: (kv[1] >= 0, -abs(kv[1])))
     shown: dict[str, float] = {}

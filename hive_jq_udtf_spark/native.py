@@ -58,12 +58,22 @@ plain-path reads route suspect rows (`_dup_suspect`, a backreference
 regex over the raw text) through the variant instead of the
 first-occurrence get_json_object text, and keys/keys_unsorted
 dedupe to first-occurrence document order like jq's in-place
-jv_object_set.  Narrowed residuals, documented here: STRING-declared
-COMPOSITE outputs and tostring/interpolation views keep the raw
-first-occurrence text on true-duplicate docs (the variant cast
-sorts keys, which would be wrong more often than the duplicate is),
-and iterate-over-a-duplicate-key OBJECT yields the first
-occurrence's value/position via the text twin.  sqrt of a
+jv_object_set.  r13 (VERDICT r12 #4) closes the composite-value
+residual VALUE-PRECISELY: suspect COMPOSITES substitute the variant
+render only when the raw text's parsed value actually differs from
+the last-wins variant (`_dup_fixed_raw`), so false positives keep
+document-order text and true duplicates get correct last-wins
+VALUES everywhere (STRING-declared composites, tostring /
+interpolation views, keys_unsorted under a duplicated ancestor,
+type-changing duplicates in both directions).  Narrowed residuals,
+documented here: on TRUE-duplicate docs the substituted composite
+render lists multi-key nested objects in SORTED key order where jq
+keeps last-occurrence document order (ORDER-only, values exact);
+duplicate keys spelled with DIFFERENT JSON escapes ("a" vs
+"\\u0061") evade the byte-level suspect regex and keep the
+first-occurrence read; and iterate-over-a-duplicate-key OBJECT
+yields the first occurrence's value/position via the text twin.
+sqrt of a
 negative yields NaN natively where the Python tier raises the jq
 error — same class.  On clean data the tiers agree BIT-FOR-BIT —
 pinned by the property tests in tests/test_native.py; transcendental
@@ -110,6 +120,7 @@ _SPEC_KINDS = {
     "keyssorted",
     "keysunsorted",
     "arrayfn",
+    "slicearr",
     "strpred",
     "ifelse",
     "splitidx",
@@ -296,6 +307,8 @@ def _flatten(ast: AST, out: list) -> bool:
                 proj[k_ast[1]] = ("strpred",) + sp
             elif (af := _as_arrayfn(v_ast)) is not None:
                 proj[k_ast[1]] = ("arrayfn",) + af
+            elif (sl := _as_slice(v_ast)) is not None:
+                proj[k_ast[1]] = ("slicearr",) + sl
             elif (si := _as_split_index(v_ast)) is not None:
                 proj[k_ast[1]] = ("splitidx",) + si
             elif (sa := _as_split_full(v_ast)) is not None:
@@ -680,13 +693,51 @@ def _as_strpred(ast: AST):
     return (path, last[1], args[0][1])
 
 
+def _as_slice(ast: AST):
+    """``.path[lo:hi]`` as a projection value → (path, lo, hi) with
+    lo/hi int|None (r13 growth, VERDICT r12 #5 — formerly rejected
+    because jq's slice also applies to STRING values).  The compiled
+    column (`_slice_col`) gates on the EXACT-TYPED variant so each
+    declared shape honors only its own type: ARRAY values slice under
+    an array decl, STRING values substring (by codepoints) under a
+    string decl; the cross-type cases and OBJECT inputs are NULL (jq
+    errors on objects — the documented NULL-delta class)."""
+    if ast[0] != "slice_on":
+        return None
+    base = _as_path(ast[1])
+    if base is None or (
+        base and isinstance(base[0], str) and base[0] in _SPEC_KINDS
+    ):
+        return None
+
+    def lit_idx(n):
+        if n is None:
+            return None, True
+        if (
+            n[0] == "literal"
+            and isinstance(n[1], int)
+            and not isinstance(n[1], bool)
+        ):
+            return n[1], True
+        if (
+            n[0] == "neg"
+            and n[1][0] == "literal"
+            and isinstance(n[1][1], int)
+            and not isinstance(n[1][1], bool)
+        ):
+            return -n[1][1], True
+        return None, False
+
+    lo, ok_lo = lit_idx(ast[2])
+    hi, ok_hi = lit_idx(ast[3])
+    if not (ok_lo and ok_hi):
+        return None
+    return (base, lo, hi)
+
+
 def _as_arrayfn(ast: AST):
     """``.path | add/max/min/first/last/reverse/sort/unique/join/map``
-    or ``.path[lo:hi]`` → (path, fn, args), else None."""
-
-    # NOTE: .path[lo:hi] slices are NOT in the native subset: jq's
-    # slice also applies to STRING values ("nope"[1:3] == "op"), which
-    # a statically-typed array parse cannot honor — Python tier only.
+    → (path, fn, args), else None."""
     nodes: list = []
     _pipe_list(ast, nodes)
     last = nodes[-1]
@@ -1259,6 +1310,12 @@ def _analyze_ast(ast: AST, single_call: Optional[str] = None) -> Optional[Native
                     "reduce",
                 ):
                     proj[k] = (v[0], tuple(base) + v[1]) + v[2:]
+                elif isinstance(v, tuple) and v and v[0] == "slicearr":
+                    if seen_iterate:
+                        # slices under an iterate stay Python-tier
+                        # (r13 scope: scalar projections only)
+                        return None
+                    proj[k] = (v[0], tuple(base) + v[1]) + v[2:]
                 elif isinstance(v, tuple) and v and v[0] in ("strcat", "strinterp"):
                     proj[k] = (
                         v[0],
@@ -1398,7 +1455,19 @@ def _json_path(p: Path) -> str:
 # once spark.sql.variant.allowDuplicateKeys is on (jq_explode sets it
 # when applying a native plan), so suspect rows read through the
 # variant instead of the raw text.
-_DUP_KEY_RE = '("(?:[^"\\\\]|\\\\.)*")[ \\t\\r\\n]*:(?s:.*)\\1[ \\t\\r\\n]*:'
+#
+# r13 notes (ADVICE r12): (1) the key tokens compare BYTE-FOR-BYTE —
+# duplicate keys spelled with different JSON escapes ("a" vs
+# "\\u0061", the same key to jq) are NOT detected and keep the
+# first-occurrence read (documented residual: escape-variant
+# duplicate keys); (2) the inner string-token quantifiers are
+# POSSESSIVE (*+) — the alternation's branches are disjoint
+# prefix-free token classes, so possessiveness never changes what
+# matches but caps the backtracking on large documents (the `(?s:.*)`
+# gap scan remains O(doc) per key position, bounded by Java's
+# regex engine; rows without a repeated quoted token reject at the
+# backreference immediately).
+_DUP_KEY_RE = '("(?:[^"\\\\]|\\\\.)*+")[ \\t\\r\\n]*:(?s:.*)\\1[ \\t\\r\\n]*:'
 
 
 def _dup_suspect(col: Column) -> Column:
@@ -1409,37 +1478,75 @@ def _dup_fixed_num(col: Column, path: Path) -> Column:
     """Double-typed path read for compiled arithmetic, duplicate-key
     aware (r12 randomized-differential find: expr specs read the
     FIRST occurrence through get_json_object where jq computes with
-    the last)."""
+    the last).  Old-Spark fallback (ADVICE r12): when the variant
+    parse is unavailable (no allowDuplicateKeys conf) the substitution
+    coalesces back to the raw text — the delta stays first-occurrence,
+    never NULL."""
     raw = F.get_json_object(col, _json_path(path))
     v = F.try_variant_get(F.try_parse_json(col), _json_path(path), "variant")
     return (
         F.when(~_dup_suspect(col), raw)
-        .otherwise(v.try_cast("string"))
+        .otherwise(_dup_sub(raw, v))
         .try_cast("double")
     )
 
 
 def _dup_fixed_json_text(col: Column, path: Path) -> Column:
     """Raw JSON text of the value at a path, duplicate-key aware.
-    Unlike `_dup_fixed_raw`, COMPOSITES substitute too: the arrayfn /
-    reduce callers from_json the text by position or field name, so
-    the variant cast's sorted-key rendering cannot change a value,
-    while array element order is preserved."""
+    Unlike `_dup_fixed_raw`, COMPOSITES substitute unconditionally:
+    the arrayfn / reduce callers from_json the text by position or
+    field name, so the variant cast's sorted-key rendering cannot
+    change a value, while array element order is preserved.  NULL
+    variant (old Spark / unparseable) coalesces back to the raw
+    text (ADVICE r12)."""
     raw = F.get_json_object(col, _json_path(path))
     v = F.try_variant_get(F.try_parse_json(col), _json_path(path), "variant")
-    return F.when(~_dup_suspect(col), raw).otherwise(v.try_cast("string"))
+    return F.when(~_dup_suspect(col), raw).otherwise(_dup_sub(raw, v))
+
+
+def _dup_sub(raw: Column, v: Column) -> Column:
+    """The suspect-row substitution value: the canonical variant
+    render, EXCEPT when the variant itself is missing —
+    schema_of_variant NULL means the doc never parsed to a variant
+    (older Spark without allowDuplicateKeys, or a doc the variant
+    parser rejects) and the substitution keeps the raw text so the
+    old-Spark delta stays first-occurrence TEXT, never NULL (ADVICE
+    r12).  A genuine JSON null at the path is a VOID variant (vt
+    non-NULL) and still renders NULL like get_json_object — the
+    r12-pinned null semantics are unchanged."""
+    vt = F.schema_of_variant(v)
+    return F.when(vt.isNull(), raw).otherwise(v.try_cast("string"))
 
 
 def _dup_fixed_raw(col: Column, raw: Column, v: Column) -> Column:
     """Raw-text view with duplicate-key suspects read from the variant
-    (last-occurrence-wins, like jq).  Composites keep the raw text —
-    the variant cast sorts object keys, which would be wrong more
-    often than the duplicate is (the documented narrowed residual)."""
+    (last-occurrence-wins, like jq).
+
+    r13 (VERDICT r12 #4): suspect COMPOSITES now substitute too, but
+    only VALUE-PRECISELY — the raw first-occurrence text is kept when
+    it parses to the same value as the last-wins variant (canonical-
+    render equality), so the over-approximate document gate's false
+    positives (the same key at two different nesting levels — e.g.
+    every arrays-of-objects document) keep their document-order raw
+    text and pay one extra parse, never a wrong value.  True
+    differences substitute the canonical variant render: correct
+    last-wins VALUES (the callers' canonicalizer fixes the render's
+    number lexemes); multi-key nested objects re-sort their keys —
+    the narrowed ORDER-ONLY residual (module docstring).  This also
+    fixes type-changing duplicates in BOTH directions (composite →
+    scalar kept first-occurrence composite text pre-r13).
+
+    Old-Spark fallback (ADVICE r12): a MISSING variant
+    (schema_of_variant NULL — no allowDuplicateKeys conf, or a doc
+    the variant parser rejects) keeps the raw text, so the delta
+    stays first-occurrence text, never NULL; a genuine JSON null
+    (VOID variant) still renders NULL like get_json_object."""
+    vr = v.try_cast("string")
     vt = F.schema_of_variant(v)
     iscomp = vt.startswith("ARRAY") | vt.startswith("OBJECT")
-    return F.when(~_dup_suspect(col) | iscomp, raw).otherwise(
-        v.try_cast("string")
-    )
+    same = F.equal_null(F.try_parse_json(raw).try_cast("string"), vr)
+    sub = F.when(vt.isNull() | (iscomp & same), raw).otherwise(vr)
+    return F.when(~_dup_suspect(col), raw).otherwise(sub)
 
 
 def _scalar_out_col(col: Column, path: Path, dt: T.DataType) -> Column:
@@ -1464,8 +1571,9 @@ def _scalar_out_col(col: Column, path: Path, dt: T.DataType) -> Column:
         return _m2_gate(raw2, _m2_string_view(raw2, v))
     # non-string decls substitute composites too: from_json resolves
     # nested fields BY NAME, so the variant cast's sorted-key text
-    # still parses to the right (last-wins) values
-    raw2 = F.when(~_dup_suspect(col), raw).otherwise(v.try_cast("string"))
+    # still parses to the right (last-wins) values; a MISSING variant
+    # (old Spark / rejected doc) keeps the raw text (ADVICE r12)
+    raw2 = F.when(~_dup_suspect(col), raw).otherwise(_dup_sub(raw, v))
     return _cast_extracted(raw2, dt)
 
 
@@ -1760,8 +1868,17 @@ _CANON_NEGZERO_RE = _JSTR + r"|(?<![eE\d.])-(0)" + _NUMEND
 # mantissa: one digit, optional significant fraction, then any
 # trailing zeros (Double.toString never emits them, but nested
 # BigDecimal re-prints preserve scale: "1.50E-7", "1.00E+22");
-# positive exponents may carry BigDecimal's explicit "+"
-_SCI_MANT = r"(-?\d(?:\.\d*[1-9])?)(?:\.0+|0+)?"
+# positive exponents may carry BigDecimal's explicit "+".
+# r13 (ADVICE r12 high): a LEFT BOUNDARY lookbehind — without it the
+# mantissa matched at an INTERIOR digit of a multi-digit-integer-part
+# token ("21.5E-1" matched at "1.5E-1", leaving the "2" behind →
+# silently wrong values), and the bare trailing-zero swallow ate
+# INTEGER-part zeros ("20E3" → mantissa "2", losing a power of ten).
+# The swallow is now conditional on a fraction actually preceding it
+# (bounded-length lookbehind — Java regex, used by rlike/
+# regexp_replace, supports it), so it only ever drops value-neutral
+# trailing FRACTION zeros.
+_SCI_MANT = r"(?<![\d.])(-?\d(?:\.\d*[1-9])?)(?:\.0+|(?<=\.\d{1,330})0+)?"
 _CANON_SCI_POS_RE = (
     _JSTR + "|" + _SCI_MANT + r"E\+?(1[7-9]|[2-9]\d|[1-9]\d{2})" + _NUMEND
 )
@@ -1777,9 +1894,34 @@ _CANON_SCI_NEG2_RE = _JSTR + "|" + _SCI_MANT + r"E-([1-9]\d{1,2})" + _NUMEND
 # exponent, \x05 negative) and then a tokenize → per-token transform
 # → reassemble pass (`_shift_rebuild`) — still pure codegen, and the
 # rebuild only evaluates on rows that actually carry a marked token.
-_CANON_SHIFT_POS_RE = _JSTR + "|" + _SCI_MANT + r"E\+?(1[0-6]|\d)" + _NUMEND
-_CANON_SHIFT_NEG_RE = _JSTR + "|" + _SCI_MANT + r"E-([1-4])" + _NUMEND
-_SHIFT_TOK_RE = "-?\\d(?:\\.\\d+)?[\x04\x05]\\d{1,2}"
+#
+# r13 (ADVICE r12 high): the shift class is GENERALIZED.  The
+# mantissa now admits a MULTI-DIGIT integer part (JSON-valid, so it
+# starts [1-9]; capped at 17 digits — beyond double precision the
+# token stays raw, the documented ≥18-significant-digit class) and a
+# lowercase exponent marker, and the written exponent may be any 1–2
+# digit value: the REBUILD computes the true decimal exponent
+# t = e + len(intpart) − 1 per token and picks the jq output form
+# (positional 0 ≤ t ≤ 16, leading-zero positional −4 ≤ t ≤ −1, or
+# jq/Python scientific otherwise — with k ≤ 17 and e ≤ 99, |t| ≤ 115
+# never overflows a double's exponent range).  This makes formerly
+# mis-shifted user tokens ("21.5E-1" → 2.15, "20E3" → 20000,
+# "-31.5E-2" → -0.315) EXACT, and is idempotent on this module's own
+# lowercase outputs ("1.5e+20" re-marks and rebuilds to itself).
+# Remaining residuals: zero integer-part scientific ("0.5E3") and
+# 3-digit exponents on multi-digit-intpart or lowercase tokens pass
+# through raw (formatting-only); mantissas with ≥18 significant
+# digits shift with ALL their digits kept ("1.23456789012345678E5"
+# → "123456.789012345678" where jq rounds through the double to
+# "123456.78901234567") — the documented digit-precision class, a
+# text rewrite cannot round through the double.
+_SHIFT_MANT = (
+    r"(?<![\d.])(-?[1-9]\d{0,16}(?:\.\d*[1-9])?)"
+    r"(?:\.0+|(?<=\.\d{1,330})0+)?"
+)
+_CANON_SHIFT_POS_RE = _JSTR + "|" + _SHIFT_MANT + r"[eE]\+?(\d{1,2})" + _NUMEND
+_CANON_SHIFT_NEG_RE = _JSTR + "|" + _SHIFT_MANT + r"[eE]-(\d{1,2})" + _NUMEND
+_SHIFT_TOK_RE = "-?[1-9]\\d{0,16}(?:\\.\\d+)?[\x04\x05]\\d{1,2}"
 
 
 def _shift_rebuild(c: Column) -> Column:
@@ -1796,23 +1938,51 @@ def _shift_rebuild(c: Column) -> Column:
 
     def shift(t: Column) -> Column:
         sign = F.when(t.startswith("-"), F.lit("-")).otherwise(F.lit(""))
-        d = F.regexp_extract(t, r"(\d)", 1)
+        ipart = F.regexp_extract(t, r"^-?(\d+)", 1)
         fr = F.regexp_extract(t, r"\.(\d+)", 1)
-        digits = F.concat(d, fr)
+        digits = F.concat(ipart, fr)
         e = F.regexp_extract(t, "[\x04\x05](\\d+)$", 1).try_cast("int")
+        # true decimal exponent: value = 0.digits × 10^(td+1), i.e.
+        # first significant digit sits at decimal position td
+        # (digits never start with 0 — the mantissa regex is [1-9]-led)
+        td = F.when(t.rlike("\x05"), F.length(ipart) - 1 - e).otherwise(
+            F.length(ipart) - 1 + e
+        )
+        # positional, 0 <= td <= 16 (jq prints integral doubles < 1e17
+        # as integer text; trailing fraction zeros are insignificant)
         pad = F.repeat(
-            F.lit("0"), F.greatest(e + F.lit(1) - F.length(digits), F.lit(0))
+            F.lit("0"), F.greatest(td + F.lit(1) - F.length(digits), F.lit(0))
         )
         dp = F.concat(digits, pad)
-        ip = dp.substr(F.lit(1), e + F.lit(1))
-        fp = dp.substr(e + F.lit(2), F.lit(400))
+        ip = dp.substr(F.lit(1), td + F.lit(1))
+        fp = F.regexp_replace(
+            dp.substr(td + F.lit(2), F.lit(400)), "0+$", ""
+        )
         pos = F.when(fp == F.lit(""), F.concat(sign, ip)).otherwise(
             F.concat(sign, ip, F.lit("."), fp)
         )
+        # leading-zero positional, -4 <= td <= -1
+        stripped = F.regexp_replace(digits, "0+$", "")
         neg = F.concat(
-            sign, F.lit("0."), F.repeat(F.lit("0"), e - F.lit(1)), digits
+            sign, F.lit("0."), F.repeat(F.lit("0"), -td - F.lit(1)), stripped
         )
-        return F.when(t.rlike("\x05"), neg).otherwise(pos)
+        # both-scientific regime (td >= 17 or td <= -5): jq/Python text
+        rest = stripped.substr(F.lit(2), F.lit(400))
+        mant = F.when(
+            rest == F.lit(""), F.concat(sign, stripped.substr(1, 1))
+        ).otherwise(
+            F.concat(sign, stripped.substr(1, 1), F.lit("."), rest)
+        )
+        esig = F.when(td < 0, F.lit("-")).otherwise(F.lit("+"))
+        sci = F.concat(
+            mant,
+            F.lit("e"),
+            esig,
+            F.lpad(F.abs(td).cast("string"), 2, "0"),
+        )
+        return F.when((td >= 0) & (td <= 16), pos).otherwise(
+            F.when((td >= -4) & (td < 0), neg).otherwise(sci)
+        )
 
     head = F.zip_with(
         F.slice(parts, F.lit(1), F.size(toks)),
@@ -2039,7 +2209,9 @@ def _tojson_view(raw: Column, v: Column) -> Column:
     )
 
 
-def _keys_unsorted_col(raw: Column, v: Column) -> Column:
+def _keys_unsorted_col(
+    raw: Column, v: Column, doc: Column | None = None
+) -> Column:
     """jq ``keys_unsorted``: object keys in DOCUMENT order —
     ``json_object_keys`` over the raw text preserves field order,
     where variants sort keys (r10); arrays yield index strings like
@@ -2047,7 +2219,17 @@ def _keys_unsorted_col(raw: Column, v: Column) -> Column:
     (r12): duplicate-key objects list each key once at its FIRST
     position — jq's jv_object_set updates an existing key in place,
     so insertion order is first-occurrence order; identity on clean
-    documents."""
+    documents.
+
+    r13 (VERDICT r12 #4): when the enclosing document (``doc``) is
+    supplied, the text twin goes through the value-precise dup-key
+    substitution — a DUPLICATED ANCESTOR path no longer lists the
+    FIRST occurrence's keys (a wrong key SET pre-r13); the substituted
+    variant render lists the last occurrence's keys in SORTED order,
+    the narrowed order-only residual (``keys`` proper is exact — it
+    reads `_variant_keys`)."""
+    if doc is not None:
+        raw = _dup_fixed_raw(doc, raw, v)
     vt = F.schema_of_variant(v)
     arr_n = F.size(v.try_cast("array<variant>"))
     idx = F.when(
@@ -2316,6 +2498,51 @@ def _java_quote(s: str) -> str:
 _NUMERIC_TYPES = (T.IntegerType, T.LongType, T.DoubleType, T.FloatType, T.ShortType)
 
 
+def _slice_idx(idx, n: Column, default: Column) -> Column:
+    """jq slice index → effective 0-based offset Column: negatives
+    count from the end, the result clamps to [0, n]."""
+    if idx is None:
+        return default
+    i = F.lit(idx)
+    eff = F.when(i < 0, n + i).otherwise(i)
+    return F.greatest(F.least(eff, n), F.lit(0))
+
+
+def _slice_col(
+    json_col: Column, path: Path, lo, hi, out_dt: T.DataType
+) -> Column:
+    """jq ``.path[lo:hi]`` at the scalar tier (r13 growth, VERDICT r12
+    #5).  Exact-typed variant gate: ARRAY values slice under an ARRAY
+    decl (from_json with the declared element type — same strict parse
+    as a plain-path read — then clamped index arithmetic, negatives
+    from the end); STRING values substring by CODEPOINTS under a
+    STRING decl (Spark length/substr count characters, matching
+    Python/jq).  Cross-type and OBJECT inputs are NULL — jq errors on
+    objects and slices the type the decl didn't ask for, the
+    documented NULL-delta class.  Duplicate-key docs read last-wins
+    (`_dup_fixed_json_text`)."""
+    raw = _dup_fixed_json_text(json_col, path)
+    v = F.try_variant_get(
+        F.try_parse_json(json_col), _json_path(path), "variant"
+    )
+    vt = F.schema_of_variant(v)
+    if isinstance(out_dt, T.ArrayType):
+        arr = F.from_json(raw, out_dt)
+        n = F.size(arr)
+        lo_c = _slice_idx(lo, n, F.lit(0))
+        hi_c = _slice_idx(hi, n, n)
+        cnt = F.greatest(hi_c - lo_c, F.lit(0))
+        return F.when(
+            vt.startswith("ARRAY"), F.slice(arr, lo_c + F.lit(1), cnt)
+        )
+    s = _variant_string_only(v)
+    n = F.length(s)
+    lo_c = _slice_idx(lo, n, F.lit(0))
+    hi_c = _slice_idx(hi, n, n)
+    cnt = F.greatest(hi_c - lo_c, F.lit(0))
+    return s.substr(lo_c + F.lit(1), cnt)
+
+
 def _arrayfn_col(json_col: Column, path: Path, fn: str, args, out_dt: T.DataType) -> Column:
     """Array-function projection over the scalar (non-iterate) tier.
 
@@ -2421,6 +2648,12 @@ def _validate_new_specs(project: Optional[dict], schema: T.StructType) -> None:
             # declared targets would need Jackson-lenient coercion —
             # Python tier
             raise _SchemaConflict(spec)
+        if spec[0] == "slicearr" and not isinstance(
+            dt, (T.ArrayType, T.StringType)
+        ):
+            # a slice yields an array or a string; other declared
+            # targets would need lenient coercion — Python tier
+            raise _SchemaConflict(spec)
         if spec[0] == "arrayfn":
             _, _path, fn, _args = spec
             if fn == "add" and not isinstance(dt, _NUMERIC_TYPES):
@@ -2496,7 +2729,7 @@ class NativePlan:
                 kc = _variant_length(v)
             else:
                 raw = F.get_json_object(col, jp) if path else col
-                kc = _keys_unsorted_col(raw, v)
+                kc = _keys_unsorted_col(raw, v, doc=col)
             out_cols.append(kc.try_cast(fdt.dataType).alias(fdt.name))
         elif self.single and ir.project is None:
             # (wrapped_single projects fall through to the project
@@ -2702,7 +2935,9 @@ class NativePlan:
                     )
                     out_cols.append(
                         _keys_unsorted_col(
-                            F.get_json_object(col, _json_path(spec[1])), vv
+                            F.get_json_object(col, _json_path(spec[1])),
+                            vv,
+                            doc=col,
                         )
                         .try_cast(fdt.dataType)
                         .alias(fdt.name)
@@ -2725,6 +2960,10 @@ class NativePlan:
                 elif isinstance(spec, tuple) and spec and spec[0] == "arrayfn":
                     _, path, fn, fargs = spec
                     c = _arrayfn_col(col, path, fn, fargs, fdt.dataType)
+                    out_cols.append(c.try_cast(fdt.dataType).alias(fdt.name))
+                elif isinstance(spec, tuple) and spec and spec[0] == "slicearr":
+                    _, path, lo, hi = spec
+                    c = _slice_col(col, path, lo, hi, fdt.dataType)
                     out_cols.append(c.try_cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "reduce":
                     _, path, init, upd, _var = spec
@@ -3375,7 +3614,7 @@ class NativePlan:
                     )
                 else:
                     raw = elem_txt
-                kc = _keys_unsorted_col(raw, c)
+                kc = _keys_unsorted_col(raw, c, doc=elem_txt)
             out_cols.append(kc.try_cast(fdt0.dataType).alias(fdt0.name))
         elif self.single and ir.project is None:
             c = ec
@@ -3562,7 +3801,7 @@ class NativePlan:
                         else F.lit(None).cast(T.StringType())
                     )
                     out_cols.append(
-                        _keys_unsorted_col(raw, c)
+                        _keys_unsorted_col(raw, c, doc=elem_txt)
                         .try_cast(fdt.dataType)
                         .alias(fdt.name)
                     )

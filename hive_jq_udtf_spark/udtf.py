@@ -247,6 +247,7 @@ def jq_explode(
     native: str = "auto",
     min_parallelism: int | None = None,
     extended: bool = False,
+    allow_duplicate_keys: bool = True,
 ) -> DataFrame:
     """LATERAL VIEW jq(...) equivalent: every input column is kept,
     generated columns appear flattened under their declared names
@@ -266,6 +267,19 @@ def jq_explode(
     files.  A real multi-file dataset already exceeds it, so this is
     a no-op at scale; never applied to the native tier (pure codegen
     needs no Python parallelism boost).
+
+    allow_duplicate_keys (default True): compiling a NATIVE plan sets
+    ``spark.sql.variant.allowDuplicateKeys=true`` on the DataFrame's
+    SparkSession so duplicate-key documents read last-occurrence-wins
+    like jq.  NOTE this is a SESSION-GLOBAL setting (ADVICE r12): it
+    cannot be scoped to the returned lazy plan, so it also changes
+    ``parse_json``/``try_parse_json``/variant behavior for every other
+    query in the session — duplicate-key documents that previously
+    parsed to NULL parse last-wins once any native jq plan compiles.
+    Pass ``allow_duplicate_keys=False`` to leave the session conf
+    untouched; duplicate-key documents then keep the documented
+    first-occurrence-text delta (the substitution coalesces back to
+    the raw text when the variant parse rejects the doc).
     """
     if native not in ("auto", "never", "require"):
         raise ValueError("native must be auto|never|require")
@@ -283,12 +297,20 @@ def jq_explode(
             # class).  With this conf the variant keeps the last
             # occurrence — exactly jq — and clean documents parse
             # identically, so the setting is behavior-widening only.
-            try:
-                df.sparkSession.conf.set(
-                    "spark.sql.variant.allowDuplicateKeys", "true"
-                )
-            except Exception:
-                pass  # older Spark without the conf: keep the documented delta
+            # SESSION-GLOBAL (see the allow_duplicate_keys docstring
+            # note): the lazy plan reads the conf at execution time,
+            # so it cannot be restored after compile.  Opt out with
+            # allow_duplicate_keys=False.
+            if allow_duplicate_keys:
+                try:
+                    df.sparkSession.conf.set(
+                        "spark.sql.variant.allowDuplicateKeys", "true"
+                    )
+                except Exception:
+                    # older Spark without the conf: the dup-key
+                    # substitutions coalesce back to the raw text, so
+                    # the delta stays first-occurrence text, not NULL
+                    pass
             return plan.apply(df, column, outer=outer)
         if native == "require":
             raise ValueError(

@@ -916,6 +916,20 @@ GROWTH_CASES = [
     ('{parts: (.name | split("o"))}', ("parts:array<string>",)),
     ('{p2: (.name | split("or")), oid0: (.orders | length)}',
      ("p2:array<string>", "oid0:int")),
+    # round-13 growth (VERDICT r12 #5): array slices in scalar
+    # projections — array decl slices arrays, string decl slices
+    # strings (codepoints); negatives from the end, clamped,
+    # lo/hi optional
+    ("{v: .nums[1:3]}", ("v:array<double>",)),
+    ("{v: .nums[:2]}", ("v:array<double>",)),
+    ("{v: .nums[-2:]}", ("v:array<double>",)),
+    ("{v: .nums[1:-1]}", ("v:array<double>",)),
+    ("{v: .nums[3:1]}", ("v:array<double>",)),
+    ("{v: .words[0:2]}", ("v:array<string>",)),
+    ("{v: .name[1:4]}", ("v:string",)),
+    ("{v: .name[-3:]}", ("v:string",)),
+    ("{v: .name[:2], w: .nums[0:1]}", ("v:string", "w:array<double>")),
+    (".nums[0:2]", ("array<double>",)),
 ]
 
 
@@ -930,6 +944,42 @@ def test_native_growth_matches_python_tier(nested_df, program, decls):
     a = sorted(map(tuple, nat.select(cols).collect()), key=str)
     b = sorted(map(tuple, py.select(cols).collect()), key=str)
     assert a == b
+
+
+def test_native_slice_deltas_and_dispatch(spark):
+    """r13 slice growth (VERDICT r12 #5) — the documented edges:
+    cross-type slices are the NULL-delta class (jq slices the type
+    the decl didn't ask for, then the marshaller leniently coerces;
+    the native variant gate yields NULL instead), object slices are
+    the abort-delta class (jq errors the row), non-array/string decls
+    fall back to the Python tier, and slices UNDER AN ITERATE stay
+    Python-tier (r13 scope)."""
+    from hive_jq_udtf_spark.native import compile_native
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    # dispatch pins
+    assert compile_native("{v: .a[1:3]}", ("v:int",)) is None
+    assert compile_native(".items[] | {v: .a[1:3]}", ("v:array<int>",)) is None
+    assert compile_native("{v: .a[1:3]}", ("v:array<int>",)) is not None
+    # data-dependent deltas
+    df = spark.createDataFrame(
+        [
+            ('{"a":"notarray"}',),   # string under array decl
+            ('{"a":[1,2,3]}',),      # array under string decl
+            ('{"a":{"k":1}}',),      # object: jq aborts the row
+        ],
+        "j string",
+    )
+    arr = jq_explode(df, "j", "{v: .a[1:3]}", "v:array<int>", native="require")
+    vals = [r.v for r in arr.collect()]
+    assert vals[0] is None  # jq: "ot" -> lenient []; native NULL delta
+    assert vals[1] == [2, 3]
+    assert vals[2] is None  # jq: error; native NULL (abort-delta class)
+    s = jq_explode(df, "j", "{v: .a[1:3]}", "v:string", native="require")
+    svals = [r.v for r in s.collect()]
+    assert svals[0] == "ot"
+    assert svals[1] is None  # jq: [2,3] -> "[2,3]" M2; native NULL delta
+    assert svals[2] is None
 
 
 def test_native_elementwide_predicate_compiles(nested_df):
@@ -1842,7 +1892,22 @@ def test_native_randomized_program_differential(spark):
         if crng.random() < 0.3 and "s" in d:
             txt = "{" + '"s": "DECOY", ' + txt[1:]
         sci = crng.choice(
-            ["1.23456789E7", "1.5E-4", "2.5E2", "1.5E300", "7.0E3"]
+            [
+                "1.23456789E7",
+                "1.5E-4",
+                "2.5E2",
+                "1.5E300",
+                "7.0E3",
+                # r13 (ADVICE r12 high): multi-digit integer parts,
+                # integer-part zeros, lowercase exponents — the
+                # boundary-bug shapes, now exact via the rebuild
+                "21.5E-1",
+                "20E3",
+                "-31.5E-2",
+                "12.5e3",
+                "9.9E16",
+                "250E-2",
+            ]
         )
         txt = txt[:-1] + ', "sci": {"a": %s, "b": [1.5E-1]}}' % sci
         return txt
@@ -2112,6 +2177,43 @@ def test_native_dup_key_last_wins(spark):
             "select(.a != null) | {v: 1}",
             "v:int",
         ),
+        # r13 (VERDICT r12 #4): former STRING-declared-composite
+        # residuals — value-precise substitution makes ARRAY values,
+        # single-key objects, and type-CHANGING duplicates exact
+        # (multi-key object ORDER stays the narrowed residual, pinned
+        # in test_native_dup_key_documented_residuals)
+        (
+            ['{"a":[1,2],"a":[5,6,7]}', '{"a":[9]}', '{"a":[1,"x",true]}'],
+            "{v: .a}",
+            "v:string",
+        ),
+        (
+            ['{"a":{"k":1},"a":{"k":3}}', '{"a":{"z":2}}'],
+            "{v: .a}",
+            "v:string",
+        ),
+        (
+            ['{"a":"x","a":[1,2]}', '{"a":[1,2],"a":"x"}', '{"a":[0],"a":7}'],
+            "{v: .a}",
+            "v:string",
+        ),
+        (
+            ['{"a":[1,2],"a":[5,6]}', '{"a":"s","a":[2.5]}'],
+            "{v: (.a|tostring)}",
+            "v:string",
+        ),
+        (
+            ['{"a":[1,2],"a":[5,6]}', '{"a":{"q":1},"a":{"q":4}}'],
+            '{v: "n-\\(.a)"}',
+            "v:string",
+        ),
+        # keys (sorted) reads the exact-typed variant: a duplicated
+        # ANCESTOR path lists the LAST occurrence's keys
+        (
+            ['{"a":{"k":1},"a":{"z":2,"k":3}}', '{"a":{"m":1}}'],
+            "{v: (.a|keys)}",
+            "v:array<string>",
+        ),
     ]
     for docs, prog, decl in cases:
         df = spark.createDataFrame([(d,) for d in docs], "j string")
@@ -2159,10 +2261,15 @@ def test_native_dup_key_gate_false_positive_safe(spark):
 
 def test_native_dup_key_documented_residuals(spark):
     """Pins the NARROWED duplicate-key residuals (native.py module
-    docstring) so silent drift is caught: keys_unsorted under a
-    DUPLICATED ANCESTOR path sees the first occurrence's text twin,
-    and STRING-declared composite outputs keep the raw
-    first-occurrence text (the variant cast would sort keys)."""
+    docstring) so silent drift is caught.  r13 (VERDICT r12 #4): the
+    former wrong-VALUE residuals are closed — what remains is
+    ORDER-only: on a true-duplicate doc the substituted composite
+    render lists multi-key nested objects in SORTED key order where
+    jq keeps the last occurrence's document order, and keys_unsorted
+    under a duplicated ancestor lists the last occurrence's keys
+    sorted.  Values are exact in all cases.  Escape-variant duplicate
+    keys ("a" vs "\\u0061") evade the byte-level suspect regex and
+    keep the first-occurrence read (ADVICE r12, documented)."""
     from hive_jq_udtf_spark.udtf import jq_explode
 
     df = spark.createDataFrame(
@@ -2171,9 +2278,17 @@ def test_native_dup_key_documented_residuals(spark):
     out = jq_explode(
         df, "j", "{v: (.a|keys_unsorted)}", "v:array<string>", native="require"
     )
-    assert [r.v for r in out.collect()] == [["k"]]  # jq: ["z","k"]
+    # pre-r13: ["k"] (first occurrence — wrong SET); jq: ["z","k"]
+    assert [r.v for r in out.collect()] == [["k", "z"]]
     out2 = jq_explode(df, "j", "{v: .a}", "v:string", native="require")
-    assert [r.v for r in out2.collect()] == ['{"k":1}']  # jq: {"z":2,"k":3}
+    # pre-r13: '{"k":1}' (wrong VALUES); jq: '{"z":2,"k":3}'
+    assert [r.v for r in out2.collect()] == ['{"k":3,"z":2}']
+    # escape-variant duplicate key: "a" == "a" to jq (last wins,
+    # → 2) but the byte-level gate can't see the duplication → the
+    # first-occurrence read survives
+    df2 = spark.createDataFrame([('{"a":1,"\\u0061":2}',)], "j string")
+    out3 = jq_explode(df2, "j", "{v: .a}", "v:int", native="require")
+    assert [r.v for r in out3.collect()] == [1]  # jq: 2
 
 
 def test_native_nested_digit_shift_tokens(spark):
@@ -2189,6 +2304,15 @@ def test_native_nested_digit_shift_tokens(spark):
         '{"v":{"t":3.125E-2,"w":1.5E300,"y":2.5E-308}}',
         '{"v":[9.9E0,1.0E0,-3.5E-1,1.5E+7]}',
         '{"v":{"mix":[1.50E2,{"d":-2.5E-4}]}}',
+        # r13 (ADVICE r12 high): multi-digit integer-part mantissas —
+        # pre-fix these matched at an INTERIOR digit or swallowed an
+        # integer-part zero and emitted silently wrong values
+        # (21.5E-1 → 20.15, 20E3 → 2000); now exact via the
+        # generalized rebuild (true-exponent shift)
+        '{"v":[21.5E-1,-31.5E-2,20E3,12.5e3,99.0E1]}',
+        '{"v":{"a":2.05E2,"b":250E-2,"c":25E16,"d":1200E-2}}',
+        '{"v":[1005E-1,12.500E3,10.00E2,20E0,"skip 21.5E-1",19E1]}',
+        '{"v":{"lc":[1.5e-1,7e2,-7.25e+1,1.5e20],"w":119E-1}}',
     ]
     df = spark.createDataFrame([(d,) for d in docs], "j string")
     for prog in ["{t: (.v | tostring)}", "{t: (.v | tojson)}", '{t: "p-\\(.v)"}']:
