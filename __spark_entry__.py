@@ -24,75 +24,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness harness compares the FIRST 50 queries() entries
-# (observed: CORRECTNESS_r01-r11 are exactly list(queries())[:50]).
+# (observed: CORRECTNESS_r01-r12 are exactly list(queries())[:50]).
 # The repo has grown past 50, so the head below rotates coverage so
 # every query appears in a driver artifact within a bounded number of
 # rounds (see README "Correctness coverage rotation" and COVERAGE.md
-# for the per-round staleness table).  Round 12 head, exactly 50
-# entries (VERDICT r11 "Next round" #1):
-# (1) the 35-query r07-cohort remainder at staleness 4 (MUST lead —
-#     registration order = COVERAGE.md r11 ledger / tools/headcheck.py
-#     --ledger; pre-verified 35/35 typed-equal in the committed
-#     HEADCHECK_r12_plan.json at the r11 close),
-# (2) the ONE query added in r12: jq_native_growth (driver gate for
-#     the VERDICT r11 #5 native-tier growth — contains-select,
-#     whole-element has under iterate, full split arrays),
-# (3) the first 14 of the 48-query r08 cohort in registration order
-#     (fills: pre-paying r13's lead block, which the r08 cohort owns).
+# for the per-round staleness table).  Round 13 head, exactly 50
+# entries (VERDICT r12 "Next round" #1):
+# (1) the 34-query r08-cohort remainder at staleness 4 (MUST lead —
+#     registration order = COVERAGE.md r12 ledger / tools/headcheck.py
+#     --ledger; pre-verified 34/34 typed-equal in the committed
+#     HEADCHECK_r13_plan.json at the r12 close),
+# (2) the ONE query added in r13: jq_native_growth2 (driver gate for
+#     the VERDICT r12 #5 native-tier growth — array/string slices,
+#     trims in fn chains, regex test in select),
+# (3) the first 15 of the 47-query r09 cohort in registration order
+#     (fills: pre-paying r14's lead block, which the r09 cohort owns).
 _DRIVER_HEAD = [
-    # -- (1) last driver-checked r07, staleness 4 (35) --
-    "distinct_agg",
-    "pivot_counts",
-    "asof_attribution",
-    "range_attribution",
-    "jq_sql_lateral",
-    "stateful_running_totals",
-    "train_test_split",
-    "pack_documents",
-    "percentiles",
-    "approx_percentiles",
-    "stream_dedup",
-    "jq_scalar_functions",
-    "jq_native_multicol",
-    "jq_native_select",
-    "jq_native_expr_filter",
-    "token_heavy_hitters",
-    "stratified_sample",
-    "jq_native_strings",
-    "jq_native_alternative",
-    "jq_native_length",
-    "jq_native_map_preds",
-    "chunk_dedup",
-    "knn_eval_ivf",
-    "knn_recall_ivf",
-    "embedding_quantize_int8",
-    "supplier_affinity_cn",
-    "ngram_novelty",
-    "pareto_frontier",
-    "jq_recursive_update",
-    "setsim_neardup",
-    "embedding_pca_power",
-    "bootstrap_ci_poisson",
-    "calibration_ece",
-    "k_anonymity_audit",
-    "conformal_interval",
-    # -- (2) new in r12 (1) --
-    "jq_native_growth",
-    # -- (3) r08 cohort fills, first 14 in registration order --
-    "jq_extract_agg",
-    "jq_native_agg",
-    "jq_select_filter",
-    "jq_multicol",
-    "jq_fanout",
-    "jq_error_channel",
-    "jq_single_type",
-    "jq_tostring",
-    "jq_builtins",
-    "pricing_summary",
-    "top_revenue_orders",
-    "region_revenue",
-    "window_topk",
-    "rollup_counts",
+    # -- (1) last driver-checked r08, staleness 4 (34) --
+    "setops",
+    "semi_anti_join",
+    "pii_redaction",
+    "decontaminate",
+    "mixture_sample",
+    "quality_classifier",
+    "grouping_sets",
+    "window_range_frame",
+    "jq_native_has_not",
+    "bm25_topk",
+    "importance_weights",
+    "cdc_latest",
+    "scd2_history",
+    "zorder_layout",
+    "hll_distinct",
+    "importance_resample",
+    "order_priority_exists",
+    "small_qty_revenue",
+    "supplier_parts_in",
+    "bloom_semi_join",
+    "stream_static_enrich",
+    "unigram_ppl",
+    "hybrid_rrf",
+    "grouped_regression",
+    "funnel_conversion",
+    "retention_cohorts",
+    "time_weighted_avg",
+    "stream_file_sink",
+    "stream_dedup_watermark",
+    "lpa_communities",
+    "cuped_adjusted_lift",
+    "bfs_hop_histogram",
+    "jq_native_limit",
+    "embedding_pca_topk",
+    # -- (2) new in r13 (1) --
+    "jq_native_growth2",
+    # -- (3) r09 cohort fills, first 15 in registration order --
+    "entropy_udaf",
+    "stream_stream_join",
+    "jq_native_multi_iterate",
+    "jq_extended_types",
+    "training_pipeline",
+    "repetition_filter",
+    "format_roundtrip",
+    "inverted_index",
+    "batch_sessionize",
+    "jw_linkage",
+    "session_funnel",
+    "dq_checks",
+    "skew_report",
+    "ann_pq_topk",
+    "jq_native_arrayfns",
 ]
 
 

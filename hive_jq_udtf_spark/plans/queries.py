@@ -3613,3 +3613,4 @@ from . import queries_r10  # noqa: E402,F401  isort:skip
 
 from . import queries_r11  # noqa: E402,F401  isort:skip
 from . import queries_r12  # noqa: E402,F401  isort:skip
+from . import queries_r13  # noqa: E402,F401  isort:skip

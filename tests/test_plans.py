@@ -768,3 +768,18 @@ def test_jq_native_growth_no_python_and_pruned(spark):
     assert reads, "expected parquet scans"
     for read in reads:
         assert "text" not in read, read
+
+
+def test_jq_native_growth2_no_python_and_pruned(spark):
+    """r13 plan gate (VERDICT r12 #5): all four growth programs —
+    array slices, string slices, trims composed in a chain, regex
+    select — compile natively: zero Python nodes anywhere, no joins,
+    and every documents scan prunes the unused text column."""
+    plan = formatted_plan(spark, "jq_native_growth2")
+    for node in PY_NODES:
+        assert node not in plan, node
+    assert "Join" not in plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads, "expected parquet scans"
+    for read in reads:
+        assert "text" not in read, read

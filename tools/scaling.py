@@ -9,6 +9,12 @@ the plan's data-dependent cost is still far below it; a ratio near
 100 would mean the operator is already data-bound at toy scale.
 
 Usage: python tools/scaling.py [query ...]   (default: the spread below)
+       python tools/scaling.py --all [--skip-01] [--out SCALING_rN.json]
+           full registered suite (VERDICT r12 #6): every QUERIES
+           entry, an on-disk artifact with per-query x100 ratios and
+           a `flagged` list (ratio > 3 — a super-linear term hiding
+           under the local-mode floor).  --skip-01 sweeps only
+           sf0.001 and sf0.1 (the ratio's two endpoints).
 """
 
 from __future__ import annotations
@@ -70,11 +76,25 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT
+    args = list(sys.argv[1:])
+    out_file = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_file = args[i + 1]
+        del args[i : i + 2]
+    skip_01 = "--skip-01" in args
+    if skip_01:
+        args.remove("--skip-01")
+    run_all = "--all" in args
+    if run_all:
+        args.remove("--all")
 
     from pyspark.sql import SparkSession
 
     from hive_jq_udtf_spark.plans.queries import QUERIES
+
+    names = args or (list(QUERIES) if run_all else DEFAULT)
+    sfs = [SFS[0], SFS[2]] if skip_01 else SFS
 
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
@@ -95,14 +115,14 @@ def main() -> None:
     # sweep measures steady-state (same methodology as bench.py)
     for n in names:
         try:
-            QUERIES[n](spark, SFS[-1]).collect()
+            QUERIES[n](spark, sfs[-1]).collect()
         except Exception as ex:
             sys.stderr.write(f"warm {n} failed: {ex}\n")
 
     out: dict[str, dict] = {}
     for n in names:
         row: dict[str, float] = {}
-        for sf_dir in SFS:
+        for sf_dir in sfs:
             sf = sf_dir.rsplit("sf", 1)[-1]
             t0 = time.time()
             try:
@@ -116,7 +136,28 @@ def main() -> None:
         out[n] = row
         print(f"{n:24s} " + "  ".join(f"{k}={v}" for k, v in row.items()), flush=True)
 
-    print(json.dumps({"scaling": out}))
+    flagged = sorted(
+        n for n, r in out.items() if r.get("x100_ratio", 0) > 3
+    )
+    doc = {
+        "sfs": [s.rsplit("sf", 1)[-1] for s in sfs],
+        "n_queries": len(out),
+        "flagged_over_3x": flagged,
+        "note": (
+            "x100_ratio = t(sf0.1)/t(sf0.001) for 100x the data; the "
+            "local-mode per-query floor dominates at these SFs so a "
+            "near-flat ratio means the data-dependent cost is far "
+            "below the floor.  flagged_over_3x lists queries whose "
+            "ratio exceeds 3 — each needs an adjudication in "
+            "BASELINE.md (expected members: genuinely data-bound "
+            "scans and the deliberate quadratic audit gates)."
+        ),
+        "scaling": out,
+    }
+    if out_file:
+        with open(out_file, "w") as fh:
+            json.dump(doc, fh, indent=1)
+    print(json.dumps({"scaling": out, "flagged_over_3x": flagged}))
 
 
 if __name__ == "__main__":
