@@ -1953,6 +1953,17 @@ def test_native_randomized_program_differential(spark):
         ('select(.s | contains("b")) | {o: .s}', ("o:string",)),
         ('{o: (.t | split("-"))}', ("o:array<string>",)),
         ('.items[] | select(has("v")) | {o: .v}', ("o:int",)),
+        # r13: slices, trims composed in chains, regex select (the
+        # growth constructs enter the randomized harness like r12's);
+        # slice targets use fields the dirty-chaos mutator never
+        # touches (cmp.g / t) so cross-type slice deltas — pinned in
+        # test_native_slice_deltas_and_dispatch — can't false-fail
+        ("{o: .cmp.g[0:1]}", ("o:array<double>",)),
+        ("{o: .cmp.g[-1:]}", ("o:array<double>",)),
+        ("{o: .t[0:2]}", ("o:string",)),
+        ("{o: .t[-2:]}", ("o:string",)),
+        ('{o: (.t | ltrimstr("q") | rtrimstr("z"))}', ("o:string",)),
+        ('select(.t | test("^q|z$")) | {o: .t}', ("o:string",)),
     ]
     compared = 0
     for pi, (prog, decls) in enumerate(programs):
