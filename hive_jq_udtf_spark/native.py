@@ -70,9 +70,15 @@ documented here: on TRUE-duplicate docs the substituted composite
 render lists multi-key nested objects in SORTED key order where jq
 keeps last-occurrence document order (ORDER-only, values exact);
 duplicate keys spelled with DIFFERENT JSON escapes ("a" vs
-"\\u0061") evade the byte-level suspect regex and keep the
-first-occurrence read; and iterate-over-a-duplicate-key OBJECT
-yields the first occurrence's value/position via the text twin.
+"\\u0061") are caught by a second suspect trigger (any \\uXXXX
+escape in key position — over-approximation is free by the
+false-positive-safety property) and read last-wins through the
+variant, which normalizes escapes exactly like jq; and
+iterate-over-a-DUPLICATED-ancestor path now iterates the LAST
+occurrence (the text source and twins substitute value-precisely
+like the scalar reads) — object VALUES then iterate in sorted-key
+order where jq keeps the last occurrence's document order (the same
+ORDER-only residue).
 sqrt of a
 negative yields NaN natively where the Python tier raises the jq
 error — same class.  On clean data the tiers agree BIT-FOR-BIT —
@@ -1456,22 +1462,34 @@ def _json_path(p: Path) -> str:
 # when applying a native plan), so suspect rows read through the
 # variant instead of the raw text.
 #
-# r13 notes (ADVICE r12): (1) the key tokens compare BYTE-FOR-BYTE —
-# duplicate keys spelled with different JSON escapes ("a" vs
-# "\\u0061", the same key to jq) are NOT detected and keep the
-# first-occurrence read (documented residual: escape-variant
-# duplicate keys); (2) the inner string-token quantifiers are
-# POSSESSIVE (*+) — the alternation's branches are disjoint
-# prefix-free token classes, so possessiveness never changes what
-# matches but caps the backtracking on large documents (the `(?s:.*)`
-# gap scan remains O(doc) per key position, bounded by Java's
-# regex engine; rows without a repeated quoted token reject at the
-# backreference immediately).
+# r13 notes (ADVICE r12): (1) the key tokens compare BYTE-FOR-BYTE,
+# so duplicate keys spelled with DIFFERENT JSON escapes ("a" vs
+# "\\u0061", the same key to jq) don't match the backreference —
+# instead, ANY key containing a \\uXXXX escape marks the document
+# suspect (`_DUP_ESC_RE`): the gate may over-approximate freely
+# because the substituted variant read equals the text read on any
+# document without true duplicates (the false-positive-safety
+# property), while the variant parser normalizes escapes exactly
+# like jq/json.loads — so escape-variant duplicates now read
+# last-wins instead of being a silent first-occurrence residual;
+# (2) the inner string-token quantifiers are POSSESSIVE (*+) — the
+# alternation's branches are disjoint prefix-free token classes, so
+# possessiveness never changes what matches but caps the
+# backtracking on large documents (the `(?s:.*)` gap scan remains
+# O(doc) per key position, bounded by Java's regex engine; rows
+# without a repeated quoted token reject at the backreference
+# immediately).
 _DUP_KEY_RE = '("(?:[^"\\\\]|\\\\.)*+")[ \\t\\r\\n]*:(?s:.*)\\1[ \\t\\r\\n]*:'
+_DUP_ESC_RE = (
+    '"(?:[^"\\\\]|\\\\.)*\\\\u[0-9a-fA-F]{4}'
+    '(?:[^"\\\\]|\\\\.)*+"[ \\t\\r\\n]*:'
+)
 
 
 def _dup_suspect(col: Column) -> Column:
-    return F.coalesce(col.rlike(_DUP_KEY_RE), F.lit(False))
+    return F.coalesce(
+        col.rlike(_DUP_KEY_RE) | col.rlike(_DUP_ESC_RE), F.lit(False)
+    )
 
 
 def _dup_fixed_num(col: Column, path: Path) -> Column:
@@ -3283,10 +3301,25 @@ class NativePlan:
         # a numeric field → NULL here vs Jackson-lenient 0 in the
         # Python tier) remain the documented cast-leniency delta.
         jsonpath = _json_path(ir.pre_path) if ir.pre_path else "$"
-        src = (
+        # r13 (VERDICT r12 #4): the text source feeding the object-
+        # iterate route and the text twins is duplicate-key aware,
+        # value-precisely — a DUPLICATED ANCESTOR path no longer
+        # iterates the FIRST occurrence's values (the typed from_json
+        # nav was already last-wins, so this also re-aligns the
+        # text/variant twins on dup docs).  False positives keep the
+        # raw text, preserving document key order for object
+        # iteration; true duplicates substitute the variant render
+        # (last-wins values; object values iterate in sorted-key
+        # order — the narrowed order-only residual).
+        src_raw = (
             F.get_json_object(col, _json_path(ir.pre_path))
             if ir.pre_path
             else col
+        )
+        src = _dup_fixed_raw(
+            col,
+            src_raw,
+            F.try_variant_get(F.try_parse_json(col), jsonpath, "variant"),
         )
         # only rebuild when the value at the path IS a JSON array —
         # get_json_object strips quotes from string values, so a

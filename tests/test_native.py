@@ -2225,6 +2225,19 @@ def test_native_dup_key_last_wins(spark):
             "{v: (.a|keys)}",
             "v:array<string>",
         ),
+        # r13: ITERATES over a duplicated-ancestor ARRAY see the last
+        # occurrence (typed nav was already last-wins; the text source
+        # and twins now substitute value-precisely too)
+        (
+            ['{"xs":[1],"xs":[5,6]}', '{"xs":[9]}'],
+            ".xs[] | {v: .}",
+            "v:int",
+        ),
+        (
+            ['{"xs":["a"],"xs":["b","c"]}', '{"xs":["d"]}'],
+            ".xs[] | {v: .}",
+            "v:string",
+        ),
     ]
     for docs, prog, decl in cases:
         df = spark.createDataFrame([(d,) for d in docs], "j string")
@@ -2279,8 +2292,9 @@ def test_native_dup_key_documented_residuals(spark):
     jq keeps the last occurrence's document order, and keys_unsorted
     under a duplicated ancestor lists the last occurrence's keys
     sorted.  Values are exact in all cases.  Escape-variant duplicate
-    keys ("a" vs "\\u0061") evade the byte-level suspect regex and
-    keep the first-occurrence read (ADVICE r12, documented)."""
+    keys ("a" vs "\\u0061") are caught by the \\uXXXX-in-key-position
+    suspect trigger and read last-wins through the variant (ADVICE
+    r12 — formerly a silent first-occurrence miss)."""
     from hive_jq_udtf_spark.udtf import jq_explode
 
     df = spark.createDataFrame(
@@ -2294,12 +2308,26 @@ def test_native_dup_key_documented_residuals(spark):
     out2 = jq_explode(df, "j", "{v: .a}", "v:string", native="require")
     # pre-r13: '{"k":1}' (wrong VALUES); jq: '{"z":2,"k":3}'
     assert [r.v for r in out2.collect()] == ['{"k":3,"z":2}']
-    # escape-variant duplicate key: "a" == "a" to jq (last wins,
-    # → 2) but the byte-level gate can't see the duplication → the
-    # first-occurrence read survives
+    # escape-variant duplicate key: "a" == "a" to jq (last wins
+    # → 2); the byte-level backreference can't see the duplication,
+    # but the \uXXXX-in-key trigger routes the read through the
+    # variant, which normalizes escapes exactly like jq (r13)
     df2 = spark.createDataFrame([('{"a":1,"\\u0061":2}',)], "j string")
     out3 = jq_explode(df2, "j", "{v: .a}", "v:int", native="require")
-    assert [r.v for r in out3.collect()] == [1]  # jq: 2
+    assert [r.v for r in out3.collect()] == [2]
+    # reversed spelling order + an escape-key doc with NO duplication
+    # (false positive of the trigger — must read its own value)
+    df3 = spark.createDataFrame(
+        [('{"\\u0061":7,"a":9}',), ('{"\\u0062x":3,"a":4}',)], "j string"
+    )
+    out4 = jq_explode(df3, "j", "{v: .a}", "v:int", native="require")
+    assert [r.v for r in out4.collect()] == [9, 4]
+    # iterate over a duplicated-ancestor OBJECT (r13): the LAST
+    # occurrence's values now iterate (was: first occurrence) — in
+    # SORTED-key order via the substituted render (jq: doc order of
+    # the last occurrence, [2, 3]) — the same order-only residue
+    out5 = jq_explode(df, "j", ".a[] | {v: .}", "v:int", native="require")
+    assert [r.v for r in out5.collect()] == [3, 2]
 
 
 def test_native_nested_digit_shift_tokens(spark):
