@@ -28,71 +28,74 @@ def entry(spark: SparkSession) -> DataFrame:
 # The repo has grown past 50, so the head below rotates coverage so
 # every query appears in a driver artifact within a bounded number of
 # rounds (see README "Correctness coverage rotation" and COVERAGE.md
-# for the per-round staleness table).  Round 13 head, exactly 50
-# entries (VERDICT r12 "Next round" #1):
-# (1) the 34-query r08-cohort remainder at staleness 4 (MUST lead —
-#     registration order = COVERAGE.md r12 ledger / tools/headcheck.py
-#     --ledger; pre-verified 34/34 typed-equal in the committed
-#     HEADCHECK_r13_plan.json at the r12 close),
-# (2) the ONE query added in r13: jq_native_growth2 (driver gate for
-#     the VERDICT r12 #5 native-tier growth — array/string slices,
-#     trims in fn chains, regex test in select),
-# (3) the first 15 of the 47-query r09 cohort in registration order
-#     (fills: pre-paying r14's lead block, which the r09 cohort owns).
+# for the per-round staleness table).  Round 14 head, exactly 50
+# entries (VERDICT r13 "Next round" #1):
+# (1) the 32-query r09-cohort remainder at staleness 4 (MUST lead —
+#     registration order = COVERAGE.md r13 ledger / tools/headcheck.py
+#     --ledger; pre-verified 32/32 typed-equal in the committed
+#     HEADCHECK_r14_plan.json at the r13 close),
+# (2) the ONE query added in r14: jq_native_growth3 (driver gate for
+#     the VERDICT r13 #4 native-tier growth — sub-in-chain first-
+#     occurrence replace + capture named groups to struct), plus the
+#     ONE redefined query jq_native_growth2 (ADVICE r13 low: the
+#     slice_str leg now carries an explicit length(lang)=2
+#     precondition on both legs) — redefinitions re-head by rule,
+# (3) the first 16 of the 50-query r10 cohort in registration order
+#     (fills: pre-paying r15's lead block, which the r10 cohort owns).
 _DRIVER_HEAD = [
-    # -- (1) last driver-checked r08, staleness 4 (34) --
-    "setops",
-    "semi_anti_join",
-    "pii_redaction",
-    "decontaminate",
-    "mixture_sample",
-    "quality_classifier",
-    "grouping_sets",
-    "window_range_frame",
-    "jq_native_has_not",
-    "bm25_topk",
-    "importance_weights",
-    "cdc_latest",
-    "scd2_history",
-    "zorder_layout",
-    "hll_distinct",
-    "importance_resample",
-    "order_priority_exists",
-    "small_qty_revenue",
-    "supplier_parts_in",
-    "bloom_semi_join",
-    "stream_static_enrich",
-    "unigram_ppl",
-    "hybrid_rrf",
-    "grouped_regression",
-    "funnel_conversion",
-    "retention_cohorts",
-    "time_weighted_avg",
-    "stream_file_sink",
-    "stream_dedup_watermark",
-    "lpa_communities",
-    "cuped_adjusted_lift",
-    "bfs_hop_histogram",
-    "jq_native_limit",
-    "embedding_pca_topk",
-    # -- (2) new in r13 (1) --
+    # -- (1) last driver-checked r09, staleness 4 (32) --
+    "jq_python_stress",
+    "cms_heavy_hitters",
+    "stream_incremental_mv",
+    "tdigest_percentiles",
+    "weighted_sample",
+    "funnel_windowed",
+    "topk_join",
+    "triangle_count",
+    "stratified_topk_sample",
+    "semantic_dedup",
+    "dedup_time_window",
+    "winsorized_stats",
+    "kcore",
+    "interval_overlap",
+    "sliding_chunks",
+    "bpe_merge_candidates",
+    "jq_native_reduce",
+    "multimodal_features",
+    "session_funnel_windowed",
+    "topk_join_dynamic_k",
+    "hll_join_cardinality",
+    "jq_first_values_sql",
+    "kmeans_embeddings",
+    "dup_ngram_spans",
+    "embedding_standardize",
+    "equidepth_histogram",
+    "event_transitions",
+    "negative_sampling",
+    "stream_hll_window",
+    "stream_chained_windows",
+    "stream_cms_topk",
+    "semantic_dedup_whitened",
+    # -- (2) new in r14 (1) + redefined in r14 (1) --
+    "jq_native_growth3",
     "jq_native_growth2",
-    # -- (3) r09 cohort fills, first 15 in registration order --
-    "entropy_udaf",
-    "stream_stream_join",
-    "jq_native_multi_iterate",
-    "jq_extended_types",
-    "training_pipeline",
-    "repetition_filter",
-    "format_roundtrip",
-    "inverted_index",
-    "batch_sessionize",
-    "jw_linkage",
-    "session_funnel",
-    "dq_checks",
-    "skew_report",
-    "ann_pq_topk",
-    "jq_native_arrayfns",
+    # -- (3) r10 cohort fills, first 16 in registration order --
+    "dedup_exact",
+    "dedup_fingerprint",
+    "neardup_jaccard",
+    "simsearch_topk",
+    "text_stats",
+    "quality_score",
+    "doc_fingerprints",
+    "jq_assignment",
+    "jq_reduce",
+    "stream_stream_left_outer",
+    "pagerank_bipartite",
+    "rolling_anomaly",
+    "snapshot_diff",
+    "bmp_decode_stats",
+    "wav_decode_stats",
+    "ab_experiment_readout",
 ]
 
 

@@ -98,7 +98,12 @@ def q_jq_native_growth2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "piece:string",
             native="require",
         )
-        .where(F.col("piece") == F.col("lang"))
+        # r14 (ADVICE r13 low): the piece == lang proof of the negative
+        # slice only holds for 2-char langs — make that precondition
+        # EXPLICIT on both legs (the oracle carries the same
+        # length(lang) = 2 predicate) instead of encoding an
+        # undocumented dataset-shape invariant.
+        .where((F.length("lang") == 2) & (F.col("piece") == F.col("lang")))
         .groupBy(F.lit("slice_str").alias("op"), F.col("head").alias("k"))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -153,7 +158,8 @@ WITH a AS (
   SELECT 'slice_str' AS op,
          substr(source || '-' || lang, 1, 4) AS k,
          count(*) AS n, CAST(sum(n_chars) AS DOUBLE) AS s
-  FROM documents GROUP BY substr(source || '-' || lang, 1, 4)
+  FROM documents WHERE length(lang) = 2
+  GROUP BY substr(source || '-' || lang, 1, 4)
 ), c AS (
   SELECT 'trims' AS op, upper(source) AS k, count(*) AS n,
          CAST(sum(doc_id) AS DOUBLE) AS s

@@ -783,3 +783,18 @@ def test_jq_native_growth2_no_python_and_pruned(spark):
     assert reads, "expected parquet scans"
     for read in reads:
         assert "text" not in read, read
+
+
+def test_jq_native_growth3_no_python_and_pruned(spark):
+    """r14 plan gate (VERDICT r13 #4): sub-in-chain (first-occurrence
+    splice) and capture-to-struct (per-group regexp_extract, reordered
+    declaration) compile natively in ONE plan: zero Python nodes, no
+    joins, a single documents scan that prunes the unused text
+    column."""
+    plan = formatted_plan(spark, "jq_native_growth3")
+    for node in PY_NODES:
+        assert node not in plan, node
+    assert "Join" not in plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert len(reads) == 1, reads
+    assert "text" not in reads[0], reads[0]
