@@ -65,20 +65,27 @@ the last-wins variant (`_dup_fixed_raw`), so false positives keep
 document-order text and true duplicates get correct last-wins
 VALUES everywhere (STRING-declared composites, tostring /
 interpolation views, keys_unsorted under a duplicated ancestor,
-type-changing duplicates in both directions).  Narrowed residuals,
-documented here: on TRUE-duplicate docs the substituted composite
-render lists multi-key nested objects in SORTED key order where jq
-keeps last-occurrence document order (ORDER-only, values exact);
-duplicate keys spelled with DIFFERENT JSON escapes ("a" vs
-"\\u0061") are caught by a second suspect trigger (any \\uXXXX
-escape in key position — over-approximation is free by the
-false-positive-safety property) and read last-wins through the
-variant, which normalizes escapes exactly like jq; and
-iterate-over-a-DUPLICATED-ancestor path now iterates the LAST
-occurrence (the text source and twins substitute value-precisely
-like the scalar reads) — object VALUES then iterate in sorted-key
-order where jq keeps the last occurrence's document order (the same
-ORDER-only residue).
+type-changing duplicates in both directions).  r14 (VERDICT r13 #3)
+closes the former ORDER-only residue: true-difference composites
+substitute a DOCUMENT-ORDER rebuild (`_dup_doc_render`) — a
+last-occurrence path walk over ``from_json(.., map<string,string>)``
+entries (which preserve duplicate keys in document order with
+order-preserving subtree texts) plus a first-position/last-value
+object render exactly like jq's in-place jv_object_set — so
+STRING-declared composites, tostring/tojson/interpolation views,
+keys_unsorted, and object iteration all see jq's key order on
+true-duplicate docs.  The same closure fixed a SILENT r13
+wrong-render: a subtree whose own object carried the duplicate
+({"k":1,"k":3,"z":2}) parsed value-equal on both sides of the
+keep-raw gate and kept its duplicate-key raw text.  Narrowed
+residuals, documented here: still-suspect composites nested MORE
+than `_DUP_RENDER_DEPTH` (=2) levels below the read fall back to
+the sorted variant render (values exact, order sorted); duplicate
+keys spelled with DIFFERENT JSON escapes ("a" vs "\\u0061") are
+caught by a second suspect trigger (any \\uXXXX escape in key
+position — over-approximation is free by the false-positive-safety
+property) and read last-wins through the variant, which normalizes
+escapes exactly like jq.
 sqrt of a
 negative yields NaN natively where the Python tier raises the jq
 error — same class.  On clean data the tiers agree BIT-FOR-BIT —
@@ -128,6 +135,7 @@ _SPEC_KINDS = {
     "arrayfn",
     "slicearr",
     "strpred",
+    "capture",
     "ifelse",
     "splitidx",
     "splitarr",
@@ -311,6 +319,8 @@ def _flatten(ast: AST, out: list) -> bool:
                 proj[k_ast[1]] = ("strinterp", tuple(si2))
             elif (sp := _as_strpred(v_ast)) is not None:
                 proj[k_ast[1]] = ("strpred",) + sp
+            elif (cp := _as_capture(v_ast)) is not None:
+                proj[k_ast[1]] = ("capture",) + cp
             elif (af := _as_arrayfn(v_ast)) is not None:
                 proj[k_ast[1]] = ("arrayfn",) + af
             elif (sl := _as_slice(v_ast)) is not None:
@@ -349,6 +359,10 @@ _STR_FNS = {
     "tostring": 0,
     "tojson": 0,
     "gsub": 2,
+    # r14 growth (VERDICT r13 #4): FIRST-occurrence replace — Spark
+    # has no replaceFirst builtin, so the compiled form splices
+    # around the first match (regexp_instr + regexp_extract)
+    "sub": 2,
 }
 # NOTE deliberately excludes the transcendentals (exp/log/log2/log10/
 # pow): JVM Math.* is only 1-ulp-accurate while the Python tier's
@@ -385,6 +399,78 @@ def _regex_portable(pat: str) -> bool:
         if ch.isalnum() and ch not in "dDwWsSbBnrtf":
             return False
     return True
+
+
+def _capture_names(pat: str):
+    """Named-group inventory (in appearance order) for a pattern whose
+    ``capture`` compiles to per-group ``regexp_extract`` — else None.
+
+    Compilable means the Java/Python semantics are identical AND every
+    named group PARTICIPATES in any overall match (jq renders a
+    non-participating group as null; regexp_extract renders it '' —
+    a value divergence, not just a null-vs-error delta).  Enforced
+    conservatively: every '(' is escaped, inside a character class, a
+    named group ``(?<name>``, or non-capturing ``(?:``; no '|' outside
+    character classes; no zero-admitting quantifier (?, *, {0...})
+    after the ')' of any group that contains a named group; escapes
+    restricted to the shared re/Java core (like _regex_portable);
+    names unique (jq object keys) and identifier-shaped (both regex
+    dialects' named-group grammar)."""
+    import re as _re
+
+    for m in _re.finditer(r"\\(.)", pat):
+        ch = m.group(1)
+        if ch.isalnum() and ch not in "dDwWsSbBnrtf":
+            return None
+    names: list[str] = []
+    stack: list[bool] = []  # per open group: contains a named group?
+    i, n = 0, len(pat)
+    in_class = False
+    while i < n:
+        ch = pat[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            i += 1
+            continue
+        if ch == "|":
+            return None
+        if ch == "(":
+            m = _re.match(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>", pat[i:])
+            if m:
+                names.append(m.group(1))
+                stack.append(True)
+                i += m.end()
+                continue
+            if pat.startswith("(?:", i):
+                stack.append(False)
+                i += 3
+                continue
+            return None
+        if ch == ")":
+            if not stack:
+                return None
+            has_named = stack.pop()
+            if has_named and stack:
+                stack[-1] = True
+            rest = pat[i + 1 :]
+            if has_named and (
+                rest[:1] in ("?", "*") or _re.match(r"\{0", rest)
+            ):
+                return None
+            i += 1
+            continue
+        i += 1
+    if in_class or stack or not names or len(set(names)) != len(names):
+        return None
+    return tuple(names)
 
 
 def _as_length_chain(ast: AST) -> Optional[Path]:
@@ -463,8 +549,8 @@ def _fn_info(node: AST):
         if a[0] != "literal" or not isinstance(a[1], str):
             return None
         lits.append(a[1])
-    if name == "gsub" and not _regex_portable(lits[0]):
-        # gsub's pattern must mean the same under re and Java regex
+    if name in ("gsub", "sub") and not _regex_portable(lits[0]):
+        # the pattern must mean the same under re and Java regex
         return None
     return (name, lits)
 
@@ -619,6 +705,23 @@ def _apply_fnchain(c: Column, fns) -> Column:
             # they aren't string literals)
             esc = repl.replace("\\", "\\\\").replace("$", "\\$")
             c = F.regexp_replace(c, pat, esc)
+        elif name == "sub":
+            # r14 growth (VERDICT r13 #4): replace the FIRST match
+            # only.  regexp_instr finds its 1-based start,
+            # regexp_extract(…, 0) its text; splice the literal
+            # replacement between the surrounding substrings (no
+            # regexp_replace, so no $/backslash escaping needed).
+            # No match (idx = 0) keeps the input, like jq; an empty
+            # match at position 1 prepends, like jq sub("";"x").
+            pat, repl = args
+            idx = F.regexp_instr(c, F.lit(pat))
+            m = F.regexp_extract(c, pat, 0)
+            spliced = F.concat(
+                c.substr(F.lit(1), idx - F.lit(1)),
+                F.lit(repl),
+                c.substr(idx + F.length(m), F.length(c) + F.lit(1)),
+            )
+            c = F.when(idx > 0, spliced).otherwise(c)
         elif name == "tostring":
             # the string view of a JSON value IS jq's tostring (both
             # get_json_object and from_json string fields re-serialize
@@ -697,6 +800,31 @@ def _as_strpred(ast: AST):
     if path is None:
         return None
     return (path, last[1], args[0][1])
+
+
+def _as_capture(ast: AST):
+    """``.path | capture("(?<x>...)-(?<y>...)")`` as a projected
+    OBJECT of named groups → (path, pattern, names), else None (r14
+    growth, VERDICT r13 #4).  The pattern gate (`_capture_names`)
+    guarantees every named group participates in any match, so each
+    declared struct field is one ``regexp_extract`` by group index."""
+    nodes: list = []
+    _pipe_list(ast, nodes)
+    last = nodes[-1]
+    if last[0] != "call" or last[1] != "capture":
+        return None
+    args = last[2]
+    if len(args) != 1 or args[0][0] != "literal" or not isinstance(
+        args[0][1], str
+    ):
+        return None
+    names = _capture_names(args[0][1])
+    if names is None:
+        return None
+    path = _path_prefix(nodes[:-1])
+    if path is None:
+        return None
+    return (path, args[0][1], names)
 
 
 def _as_slice(ast: AST):
@@ -1316,10 +1444,14 @@ def _analyze_ast(ast: AST, single_call: Optional[str] = None) -> Optional[Native
                     "reduce",
                 ):
                     proj[k] = (v[0], tuple(base) + v[1]) + v[2:]
-                elif isinstance(v, tuple) and v and v[0] == "slicearr":
+                elif isinstance(v, tuple) and v and v[0] in (
+                    "slicearr",
+                    "capture",
+                ):
                     if seen_iterate:
-                        # slices under an iterate stay Python-tier
-                        # (r13 scope: scalar projections only)
+                        # slices/captures under an iterate stay
+                        # Python-tier (r13/r14 scope: scalar
+                        # projections only)
                         return None
                     proj[k] = (v[0], tuple(base) + v[1]) + v[2:]
                 elif isinstance(v, tuple) and v and v[0] in ("strcat", "strinterp"):
@@ -1536,7 +1668,273 @@ def _dup_sub(raw: Column, v: Column) -> Column:
     return F.when(vt.isNull(), raw).otherwise(v.try_cast("string"))
 
 
-def _dup_fixed_raw(col: Column, raw: Column, v: Column) -> Column:
+# r14 (VERDICT r13 #3): nesting levels BELOW the read that the
+# document-order rebuild unrolls; deeper still-suspect subtrees fall
+# back to the sorted variant render (values exact — the former
+# whole-composite residual, now pushed beyond this depth).  2 keeps
+# the CASE-gated expression tree (and its codegen) bounded; the
+# randomized differential exercises depths 0-2.
+_DUP_RENDER_DEPTH = 2
+
+
+def _let(val: Column, body) -> Column:
+    """Catalyst let-binding: evaluate ``val`` once and reference it as
+    a LAMBDA VARIABLE inside ``body`` — a single-element transform.
+    Column references otherwise re-inline their whole sub-expression
+    tree, which makes the recursive dup-key rebuild EXPONENTIAL in
+    depth at plan-build/analysis time; with the binding every
+    reference is a leaf and the tree stays linear."""
+    return F.try_element_at(F.transform(F.array(val), body), F.lit(1))
+
+
+def _sql_lit(s: str) -> str:
+    """A Python string as a Spark SQL single-quoted literal (default
+    escapedStringLiterals=false: backslash escapes active)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+# The rebuild is generated as ONE SQL text and parsed JVM-side with a
+# single F.expr call: building the same tree through the Column API
+# costs thousands of py4j round-trips (~5 s per occurrence, measured),
+# while the SQL parse is milliseconds.  Let-bindings are spelled as
+# single-element transforms — `try_element_at(transform(array(VAL),
+# name -> BODY), 1)` — so every reference of a bound value is a
+# lambda-variable leaf and the tree stays linear in rebuild depth.
+def _dupsql_suspect(x: str) -> str:
+    return (
+        f"coalesce((rlike({x}, {_sql_lit(_DUP_KEY_RE)}) or "
+        f"rlike({x}, {_sql_lit(_DUP_ESC_RE)})), false)"
+    )
+
+
+def _dupsql_let(val: str, name: str, body: str) -> str:
+    return f"try_element_at(transform(array({val}), {name} -> {body}), 1)"
+
+
+def _dupsql_quote(x: str) -> str:
+    """`_json_quote` in SQL text: quoted, Jackson-escaped string token
+    via to_json(named_struct(..)) wrapper-stripping; NULL -> 'null'."""
+    js = f"to_json(named_struct('s', {x}))"
+    return (
+        f"(case when {x} is null then 'null' "
+        f"else substr({js}, 6, length({js}) - 6) end)"
+    )
+
+
+def _dupsql_entry(sv: str, vv: str, depth: int, n: list) -> str:
+    """`_dup_entry_render` in SQL text: strings re-quote with Jackson
+    escaping (the string twin and the variant cast both hold the
+    DECODED content), null/VOID renders 'null', other scalars take the
+    variant's canonical render (the callers' composite canonicalizer
+    trims the decimal tails), and composites recurse through
+    `_dupsql_node` to `_DUP_RENDER_DEPTH` before falling back to the
+    pre-r14 policy (raw text when not suspect, else the sorted variant
+    render)."""
+    n[0] += 1
+    p = f"dp{n[0]}"
+    ps, pv = f"{p}.s", f"{p}.v"
+    vt = f"schema_of_variant({pv})"
+    vstr = f"try_cast({pv} as string)"
+    if depth < _DUP_RENDER_DEPTH:
+        comp = f"coalesce({_dupsql_node(ps, depth + 1, n)}, {vstr})"
+    else:
+        susp = _dupsql_suspect(ps)
+        comp = (
+            f"(case when not {susp} then {ps} "
+            f"else coalesce({vstr}, {ps}) end)"
+        )
+    body = (
+        f"(case when {vt} is null or {vt} = 'VOID' then 'null' "
+        f"when {vt} = 'STRING' then {_dupsql_quote(vstr)} "
+        f"when startswith({vt}, 'ARRAY') or startswith({vt}, 'OBJECT') "
+        f"then {comp} "
+        f"else coalesce({vstr}, 'null') end)"
+    )
+    return _dupsql_let(f"named_struct('s', {sv}, 'v', {vv})", p, body)
+
+
+def _dupsql_node(s: str, depth: int, n: list) -> str:
+    """`_dup_node_render` in SQL text: document-order render of a
+    (possibly duplicate-key) JSON value raw text — the VERDICT r13 #3
+    closure of the ORDER-only residual.
+
+    Objects rebuild first-position/last-value like jq's in-place
+    ``jv_object_set`` (and jackson-jq's LinkedHashMap put):
+    ``from_json(s, 'map<string,string>')`` preserves duplicate entries
+    in DOCUMENT order with order-preserving re-serialized subtree
+    texts (verified empirically on Spark 4.1: inner duplicates survive
+    too), and a positionally aligned ``map<string,variant>`` twin
+    supplies the value types.  Arrays re-render each element so nested
+    dup-key objects inside them rebuild too.  A non-suspect node keeps
+    its raw text untouched (document order and values already exact).
+    NULL on any parse failure — callers coalesce to the sorted variant
+    render (the pre-r14 behavior)."""
+    n[0] += 1
+    sb = f"dn{n[0]}"
+    n[0] += 1
+    b = f"db{n[0]}"
+    es, ev, ks, asv, avv = (
+        f"{b}.es",
+        f"{b}.ev",
+        f"{b}.ks",
+        f"{b}.asv",
+        f"{b}.avv",
+    )
+    bound = (
+        "named_struct("
+        f"'es', map_entries(from_json({sb}, 'map<string,string>')), "
+        f"'ev', map_entries(from_json({sb}, 'map<string,variant>')), "
+        f"'ks', transform(map_entries(from_json({sb}, "
+        "'map<string,string>')), ke -> ke.key), "
+        f"'asv', from_json({sb}, 'array<string>'), "
+        f"'avv', from_json({sb}, 'array<variant>'))"
+    )
+    # object: keep first occurrences in position, read the LAST
+    # occurrence's value per key (1-based from the front via reverse)
+    n[0] += 1
+    e = f"de{n[0]}"
+    n[0] += 1
+    li = f"dl{n[0]}"
+    li_val = (
+        f"cast(size({ks}) - array_position(reverse({ks}), {e}.key) + 1 "
+        "as int)"
+    )
+    pair = _dupsql_let(
+        li_val,
+        li,
+        f"concat({_dupsql_quote(e + '.key')}, ':', "
+        + _dupsql_entry(
+            f"try_element_at({es}, {li}).value",
+            f"try_element_at({ev}, {li}).value",
+            depth,
+            n,
+        )
+        + ")",
+    )
+    kept = (
+        f"filter({es}, ({e}, i{n[0]}) -> "
+        f"array_position({ks}, {e}.key) = i{n[0]} + 1)"
+    )
+    obj = f"concat('{{', array_join(transform({kept}, {e} -> {pair}), ','), '}}')"
+    n[0] += 1
+    sv = f"ds{n[0]}"
+    items = (
+        f"transform({asv}, ({sv}, j{n[0]}) -> "
+        + _dupsql_entry(
+            sv, f"try_element_at({avv}, cast(j{n[0]} + 1 as int))", depth, n
+        )
+        + ")"
+    )
+    arr = f"concat('[', array_join({items}, ',', 'null'), ']')"
+    first = f"substring(ltrim({sb}), 1, 1)"
+    comp = (
+        f"(case when {first} = '{{' then {obj} "
+        f"when {first} = '[' then {arr} else {sb} end)"
+    )
+    susp = _dupsql_suspect(sb)
+    body = (
+        f"(case when not {susp} then {sb} "
+        f"else {_dupsql_let(bound, b, comp)} end)"
+    )
+    return _dupsql_let(s, sb, body)
+
+
+def _dup_doc_render(colsql: str, path: Path) -> Column:
+    """Last-occurrence path walk + document-order rebuild for a
+    TRUE-duplicate composite read (VERDICT r13 #3).  Each object step
+    takes the LAST entry whose (decoded) key matches — exactly the
+    navigation over jq's parse-resolved document, and the step that
+    ``get_json_object`` (first match) cannot express; array steps
+    index the string twin.  The walked subtree text then rebuilds in
+    document order via `_dupsql_node`.  NULL whenever a step fails to
+    parse or match — the caller coalesces to the sorted variant
+    render.  ``colsql`` is the doc column as a SQL fragment (threaded
+    from ``apply``; Spark 4 Columns expose no SQL render) — the
+    generated text is instantiated with ONE F.expr call for py4j
+    economy."""
+    cur = colsql
+    n = [0]
+    for step in path:
+        if isinstance(step, int):
+            idx = step + 1 if step >= 0 else step
+            cur = f"try_element_at(from_json({cur}, 'array<string>'), {idx})"
+        else:
+            n[0] += 1
+            w = f"dw{n[0]}"
+            cur = (
+                "try_element_at(filter(map_entries(from_json("
+                f"{cur}, 'map<string,string>')), {w} -> {w}.key = "
+                f"{_sql_lit(step)}), -1).value"
+            )
+    return F.expr(_dupsql_node(cur, 0, n))
+
+
+def _dup_fixed_view(
+    col: Column,
+    raw: Column,
+    v: Column,
+    path: Path | None,
+    view,
+    colsql: str | None = None,
+) -> Column:
+    """``view`` applied to the duplicate-key-aware text of the value
+    at ``path`` — the composition point that keeps plans SMALL and the
+    hot path in whole-stage codegen (r14).
+
+    Views (_m2_string_view, fn chains, interpolation renders)
+    reference their text argument 10-15×; applying one directly to
+    `_dup_fixed_raw`'s output re-inlines the whole substitution tree
+    per reference (a 24 MiB task binary on the tostring chain,
+    pre-fix), and each view BUILD costs ~0.4 s of py4j round-trips.
+    Branch layout instead:
+
+    1. non-suspect doc → ``view(raw)`` — raw is just get_json_object,
+       so the clean-row hot path stays tiny and fully codegen;
+    2. suspect → the substitution CASE (kept raw / variant render /
+       document-order rebuild, which itself is ONE F.expr) bound once
+       with `_let` and ``view`` applied to the lambda variable.  The
+       let's higher-order function evaluates interpreted
+       (CodegenFallback), but CASE codegen only reaches it on suspect
+       rows.  Two view builds total, and every big subtree appears
+       exactly once in the plan."""
+    vr = v.try_cast("string")
+    vt = F.schema_of_variant(v)
+    iscomp = vt.startswith("ARRAY") | vt.startswith("OBJECT")
+    same = F.equal_null(
+        F.try_parse_json(raw).try_cast("string"),
+        F.try_parse_json(vr).try_cast("string"),
+    )
+    rendered = (
+        _dup_doc_render(colsql, path)
+        if path is not None and colsql is not None
+        else None
+    )
+    # Tightening `keep` by the raw subtree's own suspicion (the r14
+    # subtree-internal-duplicate closure) is only SAFE when the
+    # document-order rebuild exists: rebuilding a false positive is
+    # content-identity, whereas the vr fallback would SORT a clean
+    # value-equal composite (a regression the elem-text growth cases
+    # caught).  Without a rebuild (no colsql — element-level reads
+    # under iterates) the r13 value-precise gate stands, and the
+    # subtree-internal duplicate render stays an r13-documented
+    # residual there.
+    keep = same & ~_dup_suspect(raw) if rendered is not None else same
+    csub = F.coalesce(rendered, vr) if rendered is not None else vr
+    sub = F.when(vt.isNull() | (iscomp & keep), raw).otherwise(
+        F.when(iscomp, csub).otherwise(vr)
+    )
+    return F.when(~_dup_suspect(col), view(raw)).otherwise(
+        _let(sub, lambda r: view(r))
+    )
+
+
+def _dup_fixed_raw(
+    col: Column,
+    raw: Column,
+    v: Column,
+    path: Path | None = None,
+    colsql: str | None = None,
+) -> Column:
     """Raw-text view with duplicate-key suspects read from the variant
     (last-occurrence-wins, like jq).
 
@@ -1549,25 +1947,40 @@ def _dup_fixed_raw(col: Column, raw: Column, v: Column) -> Column:
     text and pay one extra parse, never a wrong value.  True
     differences substitute the canonical variant render: correct
     last-wins VALUES (the callers' canonicalizer fixes the render's
-    number lexemes); multi-key nested objects re-sort their keys —
-    the narrowed ORDER-ONLY residual (module docstring).  This also
-    fixes type-changing duplicates in BOTH directions (composite →
-    scalar kept first-occurrence composite text pre-r13).
+    number lexemes).  This also fixes type-changing duplicates in
+    BOTH directions (composite → scalar kept first-occurrence
+    composite text pre-r13).
+
+    r14 (VERDICT r13 #3): when the caller supplies the read ``path``,
+    a true-difference COMPOSITE substitutes the DOCUMENT-ORDER rebuild
+    (`_dup_doc_render`: last-occurrence path walk + first-position/
+    last-value object render) instead of the sorted variant render —
+    the former ORDER-only residual.  The sorted render remains the
+    coalesce fallback (walk/parse failure, or still-suspect subtrees
+    beyond `_DUP_RENDER_DEPTH` nesting levels below the read).
 
     Old-Spark fallback (ADVICE r12): a MISSING variant
     (schema_of_variant NULL — no allowDuplicateKeys conf, or a doc
     the variant parser rejects) keeps the raw text, so the delta
     stays first-occurrence text, never NULL; a genuine JSON null
     (VOID variant) still renders NULL like get_json_object."""
-    vr = v.try_cast("string")
-    vt = F.schema_of_variant(v)
-    iscomp = vt.startswith("ARRAY") | vt.startswith("OBJECT")
-    same = F.equal_null(F.try_parse_json(raw).try_cast("string"), vr)
-    sub = F.when(vt.isNull() | (iscomp & same), raw).otherwise(vr)
-    return F.when(~_dup_suspect(col), raw).otherwise(sub)
+    # r14 (ADVICE r13 high): the keep-raw equality is LEXEME-insensitive
+    # — get_json_object and the variant render preserve decimal scale
+    # differently (doc token 1.50E2 -> raw '150.0' but reparse '150'
+    # vs variant render '150.0'), so both sides re-render through the
+    # same parse+cast before comparing.  r14 (VERDICT r13 #3): keeping
+    # the raw text ALSO requires the raw subtree itself not to be
+    # dup-suspect — the parse RESOLVES duplicates, so a subtree whose
+    # own object carries a true duplicate ({"k":1,"k":3,"z":2}) read
+    # value-equal to the variant and kept its duplicate-key raw render
+    # (a silent r13 wrong-render, closed by the rebuild).  Branch
+    # layout and size discipline live in `_dup_fixed_view`.
+    return _dup_fixed_view(col, raw, v, path, lambda r: r, colsql=colsql)
 
 
-def _scalar_out_col(col: Column, path: Path, dt: T.DataType) -> Column:
+def _scalar_out_col(
+    col: Column, path: Path, dt: T.DataType, colsql: str | None = None
+) -> Column:
     """Plain-path output at the scalar tier: STRING-declared outputs
     go through the variant-gated M2 normalization (`_m2_string_view`,
     r10), everything else through `_cast_extracted`.  The
@@ -1575,18 +1988,23 @@ def _scalar_out_col(col: Column, path: Path, dt: T.DataType) -> Column:
     subexpression elimination.
 
     Duplicate-key documents (r12): suspect rows substitute the raw
-    text with ``cast(variant as string)`` — last-occurrence-wins like
-    jq, NULL for missing/JSON-null exactly like get_json_object.  The
-    CASE branch keeps the variant parse off the clean-row hot path.
-    STRING-declared composites keep the raw text (the variant cast
-    sorts object keys — jq preserves document order), the narrowed
-    residual documented in the module docstring."""
+    text — last-occurrence-wins like jq, NULL for missing/JSON-null
+    exactly like get_json_object.  The CASE branch keeps the variant
+    parse off the clean-row hot path.  r14: true-difference
+    STRING-declared composites substitute the document-order rebuild
+    via `_dup_fixed_view` (jq key order; module docstring)."""
     jp = _json_path(path)
     raw = F.get_json_object(col, jp)
     v = F.try_variant_get(F.try_parse_json(col), jp, "variant")
     if isinstance(dt, T.StringType):
-        raw2 = _dup_fixed_raw(col, raw, v)
-        return _m2_gate(raw2, _m2_string_view(raw2, v))
+        return _dup_fixed_view(
+            col,
+            raw,
+            v,
+            path,
+            lambda r: _m2_gate(r, _m2_string_view(r, v)),
+            colsql=colsql,
+        )
     # non-string decls substitute composites too: from_json resolves
     # nested fields BY NAME, so the variant cast's sorted-key text
     # still parses to the right (last-wins) values; a MISSING variant
@@ -1992,12 +2410,16 @@ def _shift_rebuild(c: Column) -> Column:
             F.concat(sign, stripped.substr(1, 1), F.lit("."), rest)
         )
         esig = F.when(td < 0, F.lit("-")).otherwise(F.lit("+"))
-        sci = F.concat(
-            mant,
-            F.lit("e"),
-            esig,
-            F.lpad(F.abs(td).cast("string"), 2, "0"),
-        )
+        # r14 (ADVICE r13 medium): NO lpad — Spark's lpad TRUNCATES
+        # strings longer than the target length (the module's own
+        # _sci_python_text note), and the r13-generalized mantissa
+        # lets |td| reach 3 digits ("12E99" → td=100), which lpad
+        # silently rendered as "1.2e+10".  Pad conditionally instead.
+        tdabs = F.abs(td).cast("string")
+        tdpad = F.when(
+            F.length(tdabs) < 2, F.concat(F.lit("0"), tdabs)
+        ).otherwise(tdabs)
+        sci = F.concat(mant, F.lit("e"), esig, tdpad)
         return F.when((td >= 0) & (td <= 16), pos).otherwise(
             F.when((td >= -4) & (td < 0), neg).otherwise(sci)
         )
@@ -2228,7 +2650,11 @@ def _tojson_view(raw: Column, v: Column) -> Column:
 
 
 def _keys_unsorted_col(
-    raw: Column, v: Column, doc: Column | None = None
+    raw: Column,
+    v: Column,
+    doc: Column | None = None,
+    path: Path | None = None,
+    colsql: str | None = None,
 ) -> Column:
     """jq ``keys_unsorted``: object keys in DOCUMENT order —
     ``json_object_keys`` over the raw text preserves field order,
@@ -2242,12 +2668,13 @@ def _keys_unsorted_col(
     r13 (VERDICT r12 #4): when the enclosing document (``doc``) is
     supplied, the text twin goes through the value-precise dup-key
     substitution — a DUPLICATED ANCESTOR path no longer lists the
-    FIRST occurrence's keys (a wrong key SET pre-r13); the substituted
-    variant render lists the last occurrence's keys in SORTED order,
-    the narrowed order-only residual (``keys`` proper is exact — it
-    reads `_variant_keys`)."""
+    FIRST occurrence's keys (a wrong key SET pre-r13).  r14 (VERDICT
+    r13 #3): with the read ``path`` supplied too, the substitution is
+    the DOCUMENT-ORDER rebuild, so the listed keys come back in the
+    last occurrence's document order exactly like jq (``keys`` proper
+    is exact — it reads `_variant_keys`)."""
     if doc is not None:
-        raw = _dup_fixed_raw(doc, raw, v)
+        raw = _dup_fixed_raw(doc, raw, v, path=path, colsql=colsql)
     vt = F.schema_of_variant(v)
     arr_n = F.size(v.try_cast("array<variant>"))
     idx = F.when(
@@ -2550,10 +2977,19 @@ def _slice_col(
         lo_c = _slice_idx(lo, n, F.lit(0))
         hi_c = _slice_idx(hi, n, n)
         cnt = F.greatest(hi_c - lo_c, F.lit(0))
-        return F.when(
-            vt.startswith("ARRAY"), F.slice(arr, lo_c + F.lit(1), cnt)
-        )
-    s = _variant_string_only(v)
+        # r14 (ADVICE r13 low): a MISSING variant (old Spark without
+        # the allowDuplicateKeys conf, or a doc the variant parser
+        # rejects) must not NULL the whole slice — fall back to gating
+        # on the raw-text from_json parse succeeding, mirroring the
+        # _dup_sub missing-variant policy (delta stays first-occurrence
+        # text semantics, never NULL).
+        is_arr = F.coalesce(vt.startswith("ARRAY"), arr.isNotNull())
+        return F.when(is_arr, F.slice(arr, lo_c + F.lit(1), cnt))
+    # string slice: missing variant falls back to the raw text view
+    # (get_json_object already unquotes string values); the cross-type
+    # ambiguity (a number would slice as its text) only exists on the
+    # no-variant fallback path and keeps the never-NULL policy.
+    s = F.when(vt.isNull(), raw).otherwise(_variant_string_only(v))
     n = F.length(s)
     lo_c = _slice_idx(lo, n, F.lit(0))
     hi_c = _slice_idx(hi, n, n)
@@ -2700,6 +3136,20 @@ def _validate_new_specs(project: Optional[dict], schema: T.StructType) -> None:
             raise _SchemaConflict(spec)  # numeric fold only
         elif spec[0] == "strpred" and not isinstance(dt, T.BooleanType):
             raise _SchemaConflict(spec)
+        elif spec[0] == "capture":
+            # capture yields an object of named-group STRINGS; the
+            # declared struct must resolve by name to a subset of the
+            # pattern's groups (extra object keys are ignored by the
+            # marshaller, missing ones can't be extracted) — anything
+            # else needs lenient coercion, Python tier
+            _, _path, _pat, names = spec
+            if not isinstance(dt, T.StructType) or not dt.fields:
+                raise _SchemaConflict(spec)
+            for f in dt.fields:
+                if not isinstance(f.dataType, T.StringType):
+                    raise _SchemaConflict(spec)
+                if f.name not in names:
+                    raise _SchemaConflict(spec)
         elif spec[0] == "splitidx" and not isinstance(dt, T.StringType):
             raise _SchemaConflict(spec)
         elif spec[0] == "splitarr" and not (
@@ -2718,6 +3168,8 @@ class _SchemaConflict(Exception):
 class NativePlan:
     """Executable plan: apply(df, column, alias, outer) → DataFrame
     with the same shape jq_explode produces."""
+
+    _colsql: str | None = None  # set per-apply; None → no dup rebuild
 
     def __init__(self, ir: NativeIR, decls: tuple[str, ...]):
         self.ir = ir
@@ -2747,7 +3199,9 @@ class NativePlan:
                 kc = _variant_length(v)
             else:
                 raw = F.get_json_object(col, jp) if path else col
-                kc = _keys_unsorted_col(raw, v, doc=col)
+                kc = _keys_unsorted_col(
+                    raw, v, doc=col, path=tuple(path), colsql=self._colsql
+                )
             out_cols.append(kc.try_cast(fdt.dataType).alias(fdt.name))
         elif self.single and ir.project is None:
             # (wrapped_single projects fall through to the project
@@ -2760,7 +3214,9 @@ class NativePlan:
                 )
             else:
                 out_cols.append(
-                    _scalar_out_col(col, src or (), fdt.dataType).alias(fdt.name)
+                    _scalar_out_col(
+                        col, src or (), fdt.dataType, colsql=self._colsql
+                    ).alias(fdt.name)
                 )
         elif ir.project is not None:
             for fdt in self.schema.fields:
@@ -2778,17 +3234,22 @@ class NativePlan:
                     out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "fnchain":
                     _, path, fns = spec
-                    raw = F.get_json_object(col, _json_path(path))
+                    raw0 = F.get_json_object(col, _json_path(path))
                     # duplicate-key suspects read the LAST occurrence
-                    # through the variant (r12) — the fn-chain views
-                    # below otherwise see the first occurrence's text
-                    raw = _dup_fixed_raw(
-                        col,
-                        raw,
-                        F.try_variant_get(
-                            F.try_parse_json(col), _json_path(path), "variant"
-                        ),
+                    # (r12; r14 document-order rebuild) — the fn-chain
+                    # views below otherwise see the first occurrence's
+                    # text.  Composed through _dup_fixed_view so the
+                    # chain's many text references don't re-inline the
+                    # rebuild tree (r14 task-binary discipline).
+                    dupv = F.try_variant_get(
+                        F.try_parse_json(col), _json_path(path), "variant"
                     )
+
+                    def _dupfix(view_fn, _p=tuple(path), _v=dupv):
+                        return _dup_fixed_view(
+                            col, raw0, _v, _p, view_fn, colsql=self._colsql
+                        )
+
                     if fns[0][0] == "type":
                         # r11: type name from the exact-typed variant;
                         # corrupt docs poison to NULL like the sibling
@@ -2824,15 +3285,19 @@ class NativePlan:
                             if fns[0][0] == "tojson"
                             else _tostring_view
                         )
-                        first = F.when(
-                            F.try_parse_json(col).isNotNull(),
-                            view(raw, v),
-                        )
-                        c = (
-                            _apply_fnchain(first, fns[1:])
-                            if len(fns) > 1
-                            else first
-                        )
+
+                        def _ts_view(r, _v=v, _view=view, _fns=fns):
+                            first = F.when(
+                                F.try_parse_json(col).isNotNull(),
+                                _view(r, _v),
+                            )
+                            return (
+                                _apply_fnchain(first, _fns[1:])
+                                if len(_fns) > 1
+                                else first
+                            )
+
+                        c = _dupfix(_ts_view)
                         out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
                         continue
                     if fns[0][0] in _STR_ONLY_HEADS | _NUM_ONLY_HEADS:
@@ -2842,26 +3307,40 @@ class NativePlan:
                         v = F.try_variant_get(
                             F.try_parse_json(col), _json_path(path), "variant"
                         )
-                        first = (
-                            _variant_string_only(v)
-                            if fns[0][0] in _STR_ONLY_HEADS
-                            else _num_only_view(raw, v)
-                        )
-                        c = _apply_fnchain(first, fns)
+                        if fns[0][0] in _STR_ONLY_HEADS:
+                            c = _apply_fnchain(_variant_string_only(v), fns)
+                        else:
+                            c = _dupfix(
+                                lambda r, _v=v, _fns=fns: _apply_fnchain(
+                                    _num_only_view(r, _v), _fns
+                                )
+                            )
                         out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
                         continue
-                    c = _apply_fnchain(raw, fns)
-                    if fns[0][0] in ("ltrimstr", "rtrimstr"):
-                        # jq passes NON-string values through these
-                        # unchanged (no abort) — gate on the exact type
-                        vt = F.schema_of_variant(
-                            F.try_variant_get(
-                                F.try_parse_json(col), _json_path(path), "variant"
+
+                    def _chain_view(r, _fns=fns, _p=path):
+                        c = _apply_fnchain(r, _fns)
+                        if _fns[0][0] in ("ltrimstr", "rtrimstr"):
+                            # jq passes NON-string values through these
+                            # unchanged (no abort) — gate on exact type
+                            vt = F.schema_of_variant(
+                                F.try_variant_get(
+                                    F.try_parse_json(col),
+                                    _json_path(_p),
+                                    "variant",
+                                )
                             )
-                        )
-                        rest = _apply_fnchain(raw, fns[1:]) if len(fns) > 1 else raw
-                        c = F.when(vt == F.lit("STRING"), c).otherwise(rest)
-                    out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
+                            rest = (
+                                _apply_fnchain(r, _fns[1:])
+                                if len(_fns) > 1
+                                else r
+                            )
+                            c = F.when(vt == F.lit("STRING"), c).otherwise(rest)
+                        return c
+
+                    out_cols.append(
+                        _dupfix(_chain_view).cast(fdt.dataType).alias(fdt.name)
+                    )
                 elif isinstance(spec, tuple) and spec and spec[0] == "alt":
                     _, path, dflt = spec
                     # jq // substitutes when the value is null/missing
@@ -2878,7 +3357,11 @@ class NativePlan:
                     c = F.when(
                         ~_variant_truthy(v),
                         F.lit(dflt).try_cast(fdt.dataType),
-                    ).otherwise(_scalar_out_col(col, path, fdt.dataType))
+                    ).otherwise(
+                        _scalar_out_col(
+                            col, path, fdt.dataType, colsql=self._colsql
+                        )
+                    )
                     out_cols.append(c.alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "strcat":
                     # doc-validity gate: a corrupt doc parses to a
@@ -2904,19 +3387,29 @@ class NativePlan:
                             _json_path(val),
                             "variant",
                         )
+
                         # duplicate-key suspects interpolate the LAST
-                        # occurrence through the variant (r12)
-                        raw = _dup_fixed_raw(
+                        # occurrence (r12; r14 document-order rebuild),
+                        # composed via _dup_fixed_view so the render's
+                        # text references don't re-inline the rebuild
+                        def _seg_view(r, _v=v, _kind=kind):
+                            view = (
+                                _tojson_view
+                                if _kind == "pathjson"
+                                else _tostring_view
+                            )(r, _v)
+                            return (
+                                _b64_view(view) if _kind == "pathb64" else view
+                            )
+
+                        return _dup_fixed_view(
                             _col,
                             F.get_json_object(_col, _json_path(val)),
                             v,
+                            tuple(val),
+                            _seg_view,
+                            colsql=self._colsql,
                         )
-                        view = (
-                            _tojson_view
-                            if kind == "pathjson"
-                            else _tostring_view
-                        )(raw, v)
-                        return _b64_view(view) if kind == "pathb64" else view
 
                     segs = [
                         F.lit(val) if kind == "lit" else _interp_seg(kind, val)
@@ -2956,6 +3449,8 @@ class NativePlan:
                             F.get_json_object(col, _json_path(spec[1])),
                             vv,
                             doc=col,
+                            path=tuple(spec[1]),
+                            colsql=self._colsql,
                         )
                         .try_cast(fdt.dataType)
                         .alias(fdt.name)
@@ -2975,6 +3470,29 @@ class NativePlan:
                     else:
                         c = _string_pred_col(s, pname, plit)
                     out_cols.append(c.cast(fdt.dataType).alias(fdt.name))
+                elif isinstance(spec, tuple) and spec and spec[0] == "capture":
+                    # r14 growth (VERDICT r13 #4): one regexp_extract
+                    # per declared named group (group index = order of
+                    # appearance — the gate admits ONLY named capturing
+                    # groups).  Non-matching / non-string / missing
+                    # values yield a NULL struct (jq errors the row —
+                    # the documented NULL-delta class); rlike and
+                    # regexp_extract both java.util.regex-search
+                    # unanchored, like jq's capture.
+                    _, path, pat, names = spec
+                    s = _variant_string_only(
+                        F.try_variant_get(
+                            F.try_parse_json(col), _json_path(path), "variant"
+                        )
+                    )
+                    fields = [
+                        F.regexp_extract(s, pat, names.index(f.name) + 1).alias(
+                            f.name
+                        )
+                        for f in fdt.dataType.fields
+                    ]
+                    c = F.when(s.rlike(pat), F.struct(*fields))
+                    out_cols.append(c.alias(fdt.name))
                 elif isinstance(spec, tuple) and spec and spec[0] == "arrayfn":
                     _, path, fn, fargs = spec
                     c = _arrayfn_col(col, path, fn, fargs, fdt.dataType)
@@ -3023,7 +3541,9 @@ class NativePlan:
                     def _branch(sp, _dt=fdt.dataType):
                         if sp[0] == "lit":
                             return F.lit(sp[1]).try_cast(_dt)
-                        return _scalar_out_col(col, sp[1], _dt)
+                        return _scalar_out_col(
+                            col, sp[1], _dt, colsql=self._colsql
+                        )
 
                     c = F.when(cond, _branch(t_spec)).otherwise(_branch(e_spec))
                     out_cols.append(c.alias(fdt.name))
@@ -3033,7 +3553,9 @@ class NativePlan:
                     )
                 else:
                     out_cols.append(
-                        _scalar_out_col(col, spec, fdt.dataType).alias(fdt.name)
+                        _scalar_out_col(
+                            col, spec, fdt.dataType, colsql=self._colsql
+                        ).alias(fdt.name)
                     )
         else:
             # bare path + NAME:TYPE decls → destructure result object
@@ -3047,7 +3569,12 @@ class NativePlan:
                     )
                     continue
                 out_cols.append(
-                    _scalar_out_col(col, base + (fdt.name,), fdt.dataType).alias(
+                    _scalar_out_col(
+                        col,
+                        base + (fdt.name,),
+                        fdt.dataType,
+                        colsql=self._colsql,
+                    ).alias(
                         fdt.name
                     )
                 )
@@ -3308,9 +3835,11 @@ class NativePlan:
         # nav was already last-wins, so this also re-aligns the
         # text/variant twins on dup docs).  False positives keep the
         # raw text, preserving document key order for object
-        # iteration; true duplicates substitute the variant render
-        # (last-wins values; object values iterate in sorted-key
-        # order — the narrowed order-only residual).
+        # iteration; true duplicates substitute the DOCUMENT-ORDER
+        # rebuild (r14, VERDICT r13 #3) — last-wins values, object
+        # values iterating in the last occurrence's document order
+        # like jq (sorted-render fallback only beyond the rebuild
+        # depth or on walk failure).
         src_raw = (
             F.get_json_object(col, _json_path(ir.pre_path))
             if ir.pre_path
@@ -3320,6 +3849,8 @@ class NativePlan:
             col,
             src_raw,
             F.try_variant_get(F.try_parse_json(col), jsonpath, "variant"),
+            path=tuple(ir.pre_path or ()),
+            colsql=self._colsql,
         )
         # only rebuild when the value at the path IS a JSON array —
         # get_json_object strips quotes from string values, so a
@@ -3647,7 +4178,9 @@ class NativePlan:
                     )
                 else:
                     raw = elem_txt
-                kc = _keys_unsorted_col(raw, c, doc=elem_txt)
+                kc = _keys_unsorted_col(
+                    raw, c, doc=elem_txt, path=tuple(ir.single_path or ())
+                )
             out_cols.append(kc.try_cast(fdt0.dataType).alias(fdt0.name))
         elif self.single and ir.project is None:
             c = ec
@@ -3834,7 +4367,9 @@ class NativePlan:
                         else F.lit(None).cast(T.StringType())
                     )
                     out_cols.append(
-                        _keys_unsorted_col(raw, c, doc=elem_txt)
+                        _keys_unsorted_col(
+                            raw, c, doc=elem_txt, path=tuple(path)
+                        )
                         .try_cast(fdt.dataType)
                         .alias(fdt.name)
                     )
@@ -3857,6 +4392,15 @@ class NativePlan:
 
     def apply(self, df: DataFrame, column: str | Column, outer: bool = False) -> DataFrame:
         col = F.col(column) if isinstance(column, str) else column
+        # SQL fragment for the doc column (r14): the document-order
+        # dup-key rebuild is generated as ONE SQL text for py4j
+        # economy, which needs the doc as SQL; a Column-typed doc has
+        # no SQL render on Spark 4 → no rebuild (sorted fallback).
+        self._colsql = (
+            "`%s`" % column.replace("`", "``")
+            if isinstance(column, str)
+            else None
+        )
         if self.ir.iterate:
             return self._apply_explode(df, col, outer)
         return self._apply_scalar(df, col)
