@@ -573,3 +573,34 @@ def test_recurse_is_path_trackable():
     assert jq_compile("del(.. | select(. == 2))")({"a": 2, "b": [2, 3]}) == [
         {"b": [3]}
     ]
+
+
+def test_large_int_tostring_exact():
+    """r14 (VERDICT r13 #7): int64-exact number text — a DELIBERATE,
+    documented divergence from jq-1.6 (docs/conformance_deltas.md).
+    jq 1.6 rounds `123456789012345678 | tostring` through a C double
+    to "123456789012345680"; jackson-jq — the engine the reference
+    actually embeds (Java longs end-to-end) — and jq >= 1.7
+    (decNumber) both print it EXACTLY, and so do we.  If the system
+    jq binary is 1.6, assert its rounded output too so the pin
+    records the divergence it expects rather than hiding it."""
+    import json
+    import shutil
+    import subprocess
+
+    n = "123456789012345678"
+    assert jq_compile("tostring")(json.loads(n)) == [n]
+    assert jq_compile("tojson")(json.loads(n)) == [n]
+    assert jq_compile(".")(json.loads(n)) == [json.loads(n)]
+    # 2^53+1: above double precision, exact in longs
+    assert jq_compile("tostring")(9007199254740993) == ["9007199254740993"]
+    jqbin = shutil.which("jq")
+    if jqbin:
+        p = subprocess.run(
+            [jqbin, "tostring"], input=n, capture_output=True, text=True
+        )
+        if p.returncode == 0 and "1.6" in subprocess.run(
+            [jqbin, "--version"], capture_output=True, text=True
+        ).stdout:
+            # the divergence this pin EXPECTS: jq-1.6 double-rounds
+            assert json.loads(p.stdout) == "123456789012345680"

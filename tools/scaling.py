@@ -133,6 +133,35 @@ def main() -> None:
                 row[sf] = -1.0
         if row.get("0.001", 0) > 0 and row.get("0.1", 0) > 0:
             row["x100_ratio"] = round(row["0.1"] / row["0.001"], 2)
+        # r14 (VERDICT r13 #5): with three scale points, fit
+        # t = a + b*sf by least squares — `a` is the per-query
+        # constant floor (plan build + scheduling + stream triggers),
+        # `b` the data-linear slope in seconds per sf unit, and r2
+        # the fit confidence.  sf_data_eq_floor = a/b is the scale
+        # factor at which the data term would OVERTAKE the floor —
+        # the honest extrapolation anchor (sf1.0 ~ 1 GB here; the
+        # 100 TB question is whether b stays linear, which the
+        # near-1 r2 of a pure a+b*sf law supports).
+        pts = [
+            (float(sf), row[sf])
+            for sf in ("0.001", "0.01", "0.1")
+            if row.get(sf, -1.0) > 0
+        ]
+        if len(pts) == 3:
+            m = len(pts)
+            sx = sum(x for x, _ in pts)
+            sy = sum(y for _, y in pts)
+            sxx = sum(x * x for x, _ in pts)
+            sxy = sum(x * y for x, y in pts)
+            b = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+            a = (sy - b * sx) / m
+            ss_res = sum((y - (a + b * x)) ** 2 for x, y in pts)
+            ss_tot = sum((y - sy / m) ** 2 for _, y in pts)
+            row["fit_a"] = round(a, 3)
+            row["fit_b"] = round(b, 3)
+            row["fit_r2"] = round(1 - ss_res / ss_tot, 3) if ss_tot > 0 else 1.0
+            if b > 0:
+                row["sf_data_eq_floor"] = round(a / b, 3) if a > 0 else 0.0
         out[n] = row
         print(f"{n:24s} " + "  ".join(f"{k}={v}" for k, v in row.items()), flush=True)
 
@@ -150,7 +179,12 @@ def main() -> None:
             "below the floor.  flagged_over_3x lists queries whose "
             "ratio exceeds 3 — each needs an adjudication in "
             "BASELINE.md (expected members: genuinely data-bound "
-            "scans and the deliberate quadratic audit gates)."
+            "scans and the deliberate quadratic audit gates).  "
+            "fit_a/fit_b/fit_r2 (r14): least-squares t = a + b*sf "
+            "over the three points — a = constant floor (sec), b = "
+            "data-linear slope (sec per sf unit), r2 = confidence; "
+            "sf_data_eq_floor = a/b is the scale factor where the "
+            "data term overtakes the floor."
         ),
         "scaling": out,
     }
