@@ -77,15 +77,22 @@ keys_unsorted, and object iteration all see jq's key order on
 true-duplicate docs.  The same closure fixed a SILENT r13
 wrong-render: a subtree whose own object carried the duplicate
 ({"k":1,"k":3,"z":2}) parsed value-equal on both sides of the
-keep-raw gate and kept its duplicate-key raw text.  Narrowed
+keep-raw gate and kept its duplicate-key raw text.  The iterate
+text SOURCE resolves SHALLOWLY (`_dupsql_shallow`: last-occurrence
+walk + top-level first-position/last-value dedup, child texts kept
+RAW) so object iteration emits jq's row set without spending the
+rebuild depth budget before per-element readers — which carry their
+own budget from the element's text twin — ever run.  Narrowed
 residuals, documented here: still-suspect composites nested MORE
-than `_DUP_RENDER_DEPTH` (=2) levels below the read fall back to
-the sorted variant render (values exact, order sorted); duplicate
-keys spelled with DIFFERENT JSON escapes ("a" vs "\\u0061") are
-caught by a second suspect trigger (any \\uXXXX escape in key
-position — over-approximation is free by the false-positive-safety
-property) and read last-wins through the variant, which normalizes
-escapes exactly like jq.
+than `_DUP_RENDER_DEPTH` (=2) levels below the reading site fall
+back to the sorted variant render (values exact, order sorted), and
+element-level reads whose text twin has no SQL form (single-level
+posexplode) keep the r13 sorted fallback; duplicate keys spelled
+with DIFFERENT JSON escapes ("a" vs "\\u0061") are caught by a
+second suspect trigger (any \\uXXXX escape in key position —
+over-approximation is free by the false-positive-safety property)
+and read last-wins through the variant, which normalizes escapes
+exactly like jq.
 sqrt of a
 negative yields NaN natively where the Python tier raises the jq
 error — same class.  On clean data the tiers agree BIT-FOR-BIT —
@@ -1839,7 +1846,82 @@ def _dupsql_node(s: str, depth: int, n: list) -> str:
     return _dupsql_let(s, sb, body)
 
 
-def _dup_doc_render(colsql: str, path: Path) -> Column:
+def _dupsql_entry_shallow(sv: str, vv: str, n: list) -> str:
+    """Shallow value render: strings re-quote, null/VOID → 'null',
+    everything else keeps its RAW subtree text (number lexemes,
+    booleans, and composites — including any inner duplicate keys,
+    which the next reader resolves with its own depth budget)."""
+    n[0] += 1
+    p = f"dq{n[0]}"
+    vt = f"schema_of_variant({p}.v)"
+    vstr = f"try_cast({p}.v as string)"
+    body = (
+        f"(case when {vt} is null or {vt} = 'VOID' then 'null' "
+        f"when {vt} = 'STRING' then {_dupsql_quote(vstr)} "
+        f"else coalesce({p}.s, {vstr}, 'null') end)"
+    )
+    return _dupsql_let(f"named_struct('s', {sv}, 'v', {vv})", p, body)
+
+
+def _dupsql_shallow(s: str, n: list) -> str:
+    """SHALLOW document-order resolve for the iterate text SOURCE
+    (r14): a duplicate-key OBJECT dedups first-position/last-value
+    like jq's parse — so object iteration emits jq's row set in jq's
+    order — but every VALUE keeps its raw subtree text untouched.
+    The deep `_dupsql_node` is wrong here: it spends the rebuild
+    depth budget at the source, pre-sorting inner objects before the
+    per-element readers (which carry their own budget from the
+    element's text twin) ever see them.  Arrays and scalars pass
+    through raw (array elements split by position downstream)."""
+    n[0] += 1
+    sb = f"dh{n[0]}"
+    n[0] += 1
+    b = f"dg{n[0]}"
+    es, ev, ks = f"{b}.es", f"{b}.ev", f"{b}.ks"
+    bound = (
+        "named_struct("
+        f"'es', map_entries(from_json({sb}, 'map<string,string>')), "
+        f"'ev', map_entries(from_json({sb}, 'map<string,variant>')), "
+        f"'ks', transform(map_entries(from_json({sb}, "
+        "'map<string,string>')), kh -> kh.key))"
+    )
+    n[0] += 1
+    e = f"df{n[0]}"
+    n[0] += 1
+    li = f"dm{n[0]}"
+    li_val = (
+        f"cast(size({ks}) - array_position(reverse({ks}), {e}.key) + 1 "
+        "as int)"
+    )
+    pair = _dupsql_let(
+        li_val,
+        li,
+        f"concat({_dupsql_quote(e + '.key')}, ':', "
+        + _dupsql_entry_shallow(
+            f"try_element_at({es}, {li}).value",
+            f"try_element_at({ev}, {li}).value",
+            n,
+        )
+        + ")",
+    )
+    kept = (
+        f"filter({es}, ({e}, h{n[0]}) -> "
+        f"array_position({ks}, {e}.key) = h{n[0]} + 1)"
+    )
+    obj = f"concat('{{', array_join(transform({kept}, {e} -> {pair}), ','), '}}')"
+    susp = _dupsql_suspect(sb)
+    first = f"substring(ltrim({sb}), 1, 1)"
+    body = (
+        f"(case when not {susp} then {sb} "
+        f"when {first} = '{{' then {_dupsql_let(bound, b, obj)} "
+        f"else {sb} end)"
+    )
+    return _dupsql_let(s, sb, body)
+
+
+def _dup_doc_render(
+    colsql: str, path: Path, shallow: bool = False
+) -> Column:
     """Last-occurrence path walk + document-order rebuild for a
     TRUE-duplicate composite read (VERDICT r13 #3).  Each object step
     takes the LAST entry whose (decoded) key matches — exactly the
@@ -1851,7 +1933,8 @@ def _dup_doc_render(colsql: str, path: Path) -> Column:
     render.  ``colsql`` is the doc column as a SQL fragment (threaded
     from ``apply``; Spark 4 Columns expose no SQL render) — the
     generated text is instantiated with ONE F.expr call for py4j
-    economy."""
+    economy.  ``shallow`` selects the iterate-source resolve
+    (`_dupsql_shallow`: top-level dedup only, raw child texts)."""
     cur = colsql
     n = [0]
     for step in path:
@@ -1866,6 +1949,8 @@ def _dup_doc_render(colsql: str, path: Path) -> Column:
                 f"{cur}, 'map<string,string>')), {w} -> {w}.key = "
                 f"{_sql_lit(step)}), -1).value"
             )
+    if shallow:
+        return F.expr(_dupsql_shallow(cur, n))
     return F.expr(_dupsql_node(cur, 0, n))
 
 
@@ -1876,6 +1961,7 @@ def _dup_fixed_view(
     path: Path | None,
     view,
     colsql: str | None = None,
+    shallow: bool = False,
 ) -> Column:
     """``view`` applied to the duplicate-key-aware text of the value
     at ``path`` — the composition point that keeps plans SMALL and the
@@ -1905,7 +1991,7 @@ def _dup_fixed_view(
         F.try_parse_json(vr).try_cast("string"),
     )
     rendered = (
-        _dup_doc_render(colsql, path)
+        _dup_doc_render(colsql, path, shallow=shallow)
         if path is not None and colsql is not None
         else None
     )
@@ -1934,6 +2020,7 @@ def _dup_fixed_raw(
     v: Column,
     path: Path | None = None,
     colsql: str | None = None,
+    shallow: bool = False,
 ) -> Column:
     """Raw-text view with duplicate-key suspects read from the variant
     (last-occurrence-wins, like jq).
@@ -1975,7 +2062,9 @@ def _dup_fixed_raw(
     # value-equal to the variant and kept its duplicate-key raw render
     # (a silent r13 wrong-render, closed by the rebuild).  Branch
     # layout and size discipline live in `_dup_fixed_view`.
-    return _dup_fixed_view(col, raw, v, path, lambda r: r, colsql=colsql)
+    return _dup_fixed_view(
+        col, raw, v, path, lambda r: r, colsql=colsql, shallow=shallow
+    )
 
 
 def _scalar_out_col(
@@ -3851,6 +3940,7 @@ class NativePlan:
             F.try_variant_get(F.try_parse_json(col), jsonpath, "variant"),
             path=tuple(ir.pre_path or ()),
             colsql=self._colsql,
+            shallow=True,
         )
         # only rebuild when the value at the path IS a JSON array —
         # get_json_object strips quotes from string values, so a
@@ -3973,6 +4063,13 @@ class NativePlan:
         )
         elem_var = None
         elem_txt = None
+        # SQL fragment for elem_txt where one exists (r14): mid-path
+        # explode levels materialize the text twin as a real struct
+        # field, so element-level dup-key reads can take the
+        # document-order rebuild; the posexplode twin is a derived
+        # expression with no SQL name -> no rebuild there (sorted
+        # fallback, documented residual)
+        elem_txt_sql = None
         if ir.mid_paths:
             # chained explode for multi-iterate programs (.a[].b[]).
             # from_json nulls the DEEPEST mismatching node (an inner
@@ -4089,6 +4186,7 @@ class NativePlan:
                 ex = F.col(f"__jq_elem{lvl}").getField("x")
             elem_var = ev  # last level's variant twin
             elem_txt = ex  # last level's raw-text twin
+            elem_txt_sql = f"`__jq_elem{lvl}`.x"
         elif needs_ev or needs_ex:
             # posexplode keeps the element index so the element's
             # variant can be read from the doc-level variant array
@@ -4179,7 +4277,11 @@ class NativePlan:
                 else:
                     raw = elem_txt
                 kc = _keys_unsorted_col(
-                    raw, c, doc=elem_txt, path=tuple(ir.single_path or ())
+                    raw,
+                    c,
+                    doc=elem_txt,
+                    path=tuple(ir.single_path or ()),
+                    colsql=elem_txt_sql,
                 )
             out_cols.append(kc.try_cast(fdt0.dataType).alias(fdt0.name))
         elif self.single and ir.project is None:
@@ -4368,7 +4470,11 @@ class NativePlan:
                     )
                     out_cols.append(
                         _keys_unsorted_col(
-                            raw, c, doc=elem_txt, path=tuple(path)
+                            raw,
+                            c,
+                            doc=elem_txt,
+                            path=tuple(path),
+                            colsql=elem_txt_sql,
                         )
                         .try_cast(fdt.dataType)
                         .alias(fdt.name)

@@ -2328,6 +2328,13 @@ def test_native_dup_key_last_wins(spark):
             "{v: .a[0]}",
             "v:string",
         ),
+        # r14: the iterate SOURCE resolves SHALLOWLY (top-level
+        # first-position/last-value, raw child texts) so a direct
+        # object iterate over an internally-duplicated object emits
+        # jq's row set (no phantom duplicate-entry rows); the
+        # two-level keys_unsorted pin lives in
+        # test_native_dup_key_documented_residuals
+        (['{"a":{"z":1,"b":2,"z":3}}'], ".a[] | {v: .}", "v:int"),
     ]
     for docs, prog, decl in cases:
         df = spark.createDataFrame([(d,) for d in docs], "j string")
@@ -2400,6 +2407,17 @@ def test_native_dup_key_documented_residuals(spark):
     assert [r.v for r in out2.collect()] == ['{"z":2,"k":3}']
     out5 = jq_explode(df, "j", ".a[] | {v: .}", "v:int", native="require")
     assert [r.v for r in out5.collect()] == [2, 3]
+    # the iterate SOURCE resolves shallowly (r14): a dup-key object
+    # under TWO iterate levels keeps its raw text until the element
+    # reader rebuilds it with a FRESH budget — jq key order holds
+    dfn = spark.createDataFrame(
+        [('{"xs":[{"ys":[{"z":1,"b":2,"z":3}]}]}',)], "j string"
+    )
+    outn = jq_explode(
+        dfn, "j", ".xs[].ys[] | keys_unsorted", "array<string>",
+        native="require",
+    )
+    assert [r.col1 for r in outn.collect()] == [["z", "b"]]
     # the DEPTH residual: a true-duplicate object THREE levels below
     # the read renders its keys sorted ({"b":2,"z":3}) where jq keeps
     # document order ({"z":3,"b":2}) — values exact
