@@ -752,7 +752,11 @@ def main() -> None:
             }
     except Exception:
         pass
-    if abs(sf - 0.1) < 1e-9:
+    try:
+        _sf_num = float(sf)
+    except ValueError:
+        _sf_num = -1.0
+    if abs(_sf_num - 0.1) < 1e-9:
         flagged = set(still_suspect) | set(kept_contaminated)
         for n, t in timings.items():
             ps = query_probe.get(n, [])
