@@ -2994,8 +2994,14 @@ def _variant_paths_schema(groups) -> Optional[T.StructType]:
     return to_struct(needed)
 
 
-def _apply_pre_filters(df: DataFrame, col: Column, pre_filters) -> DataFrame:
-    """Apply select() filters that precede any iterate.
+def _pre_filter_recipe(
+    col: Column, pre_filters
+) -> tuple[list[Column], Optional[Column], list[Column]]:
+    """Build the select()-filter conditions that precede any iterate,
+    as a replayable recipe (r14 opt: all Column construction is cached
+    per (context, column, outer) in NativePlan.apply — building these
+    trees costs hundreds of py4j round trips, replaying them on a
+    DataFrame costs a handful).
 
     Variant-needing groups are evaluated against ONE from_json parse
     routed through a one-element explode: FilterExec has no
@@ -3007,20 +3013,39 @@ def _apply_pre_filters(df: DataFrame, col: Column, pre_filters) -> DataFrame:
     the single parse below the filter."""
     var_groups = [f for f in pre_filters if _group_all_variant(f)]
     text_groups = [f for f in pre_filters if not _group_all_variant(f)]
-    for f in text_groups:
-        df = df.where(_cond_col(f, lambda ff: _filter_col(col, ff)))
+    text_conds = [
+        _cond_col(f, lambda ff: _filter_col(col, ff)) for f in text_groups
+    ]
     if not var_groups:
-        return df
+        return (text_conds, None, [])
     schema = _variant_paths_schema(var_groups)
     if schema is None:
-        for f in var_groups:
-            df = df.where(_cond_col(f, lambda ff: _filter_col(col, ff)))
+        text_conds += [
+            _cond_col(f, lambda ff: _filter_col(col, ff)) for f in var_groups
+        ]
+        return (text_conds, None, [])
+    pc = F.col("__jq_prefilter")
+    var_gen = F.explode(F.array(F.from_json(col, schema)))
+    var_conds = [
+        _cond_col(f, lambda ff: _struct_filter_col(pc, ff))
+        for f in var_groups
+    ]
+    return (text_conds, var_gen, var_conds)
+
+
+def _run_pre_filters(df: DataFrame, recipe) -> DataFrame:
+    """Replay a _pre_filter_recipe on a real DataFrame (same op order
+    as the pre-r14 inline version: text wheres, then the one-parse
+    Generate + variant wheres + original-column reselect)."""
+    text_conds, var_gen, var_conds = recipe
+    for c in text_conds:
+        df = df.where(c)
+    if var_gen is None:
         return df
     orig = df.columns
-    pc = F.col("__jq_prefilter")
-    df = df.withColumn("__jq_prefilter", F.explode(F.array(F.from_json(col, schema))))
-    for f in var_groups:
-        df = df.where(_cond_col(f, lambda ff: _struct_filter_col(pc, ff)))
+    df = df.withColumn("__jq_prefilter", var_gen)
+    for c in var_conds:
+        df = df.where(c)
     return df.select(*orig)
 
 
@@ -3267,11 +3292,21 @@ class NativePlan:
         _validate_new_specs(ir.project, self.schema)
         if ir.iterate:
             self._elem_schema()  # raises _SchemaConflict on mixed shapes
+        # recipe cache: (applicationId, colsql, outer) → built Columns
+        # (see apply); the lock serializes builds so the transient
+        # self._colsql handoff is race-free under concurrent sessions
+        self._recipes: dict = {}
+        import threading
+
+        self._build_lock = threading.Lock()
 
     # -- scalar (no explode) path --------------------------------------
-    def _apply_scalar(self, df: DataFrame, col: Column) -> DataFrame:
+    def _build_scalar(self, col: Column) -> tuple:
+        """Build the scalar-path recipe: (pre_filter_recipe, out_cols).
+        Pure Column construction — no DataFrame access — so the result
+        is cacheable and replayable (NativePlan.apply)."""
         ir = self.ir
-        df = _apply_pre_filters(df, col, ir.pre_filters)
+        pre = _pre_filter_recipe(col, ir.pre_filters)
         out_cols = []
         if ir.single_call is not None:
             # ``.path | keys`` / ``| keys_unsorted`` as the WHOLE
@@ -3667,7 +3702,7 @@ class NativePlan:
                         fdt.name
                     )
                 )
-        return df.select("*", *out_cols)
+        return pre, out_cols
 
     # -- explode path ---------------------------------------------------
     def _elem_schema(self) -> T.DataType:
@@ -3875,7 +3910,12 @@ class NativePlan:
             return whole_elem
         return to_struct(needed)
 
-    def _apply_explode(self, df: DataFrame, col: Column, outer: bool) -> DataFrame:
+    def _build_explode(self, col: Column, outer: bool) -> tuple:
+        """Build the explode-path recipe:
+        (pre_filter_recipe, gens, post_conds, out_cols) where gens is
+        a list of (generated_column_name, generator Column) — name
+        None marks the posexplode select("*", gen) form.  Pure Column
+        construction, cacheable (NativePlan.apply)."""
         ir = self.ir
 
         def wrap_steps(steps: Path, inner: T.DataType) -> T.DataType:
@@ -3886,7 +3926,7 @@ class NativePlan:
                     inner = T.StructType([T.StructField(s, inner)])
             return inner
 
-        df = _apply_pre_filters(df, col, ir.pre_filters)
+        pre = _pre_filter_recipe(col, ir.pre_filters)
         elem = self._elem_schema()
         # wrap the LAST element's schema in each iterate level's array
         # + the steps leading to it, innermost-out, then the pre-path
@@ -4128,7 +4168,7 @@ class NativePlan:
                 nav.isNotNull(),
                 F.arrays_zip(nav.alias("t"), var0.alias("v"), txt0.alias("x")),
             )
-            out = df.withColumn("__jq_elem0", gen(zipped))
+            gens = [("__jq_elem0", gen(zipped))]
             ec = F.col("__jq_elem0").getField("t")
             ev = F.col("__jq_elem0").getField("v")
             ex = F.col("__jq_elem0").getField("x")
@@ -4180,7 +4220,7 @@ class NativePlan:
                     c2.isNotNull(),
                     F.arrays_zip(c2.alias("t"), v2.alias("v"), x2.alias("x")),
                 )
-                out = out.withColumn(f"__jq_elem{lvl}", gen(zipped))
+                gens.append((f"__jq_elem{lvl}", gen(zipped)))
                 ec = F.col(f"__jq_elem{lvl}").getField("t")
                 ev = F.col(f"__jq_elem{lvl}").getField("v")
                 ex = F.col(f"__jq_elem{lvl}").getField("x")
@@ -4217,15 +4257,13 @@ class NativePlan:
                 if lims and lims[0] is not None:
                     txt_arr = F.slice(txt_arr, F.lit(1), F.lit(lims[0]))
             pgen = F.posexplode_outer if outer else F.posexplode
-            out = df.select(
-                "*", pgen(nav).alias("__jq_pos0", "__jq_elem0")
-            )
+            gens = [(None, pgen(nav).alias("__jq_pos0", "__jq_elem0"))]
             ec = F.col("__jq_elem0")
             elem_var = F.try_element_at(var_arr, F.col("__jq_pos0") + 1)
             if txt_arr is not None:
                 elem_txt = F.try_element_at(txt_arr, F.col("__jq_pos0") + 1)
         else:
-            out = df.withColumn("__jq_elem0", gen(nav))
+            gens = [("__jq_elem0", gen(nav))]
             ec = F.col("__jq_elem0")
         def _elem_leaf(ff: Filter) -> Column:
             # r12: whole-element predicates read the variant twin —
@@ -4235,8 +4273,9 @@ class NativePlan:
                 return _variant_leaf_filter(elem_var, ff)
             return _struct_filter_col(ec, ff)
 
-        for f in ir.post_filters:
-            out = out.where(_cond_col(f, _elem_leaf))
+        post_conds = [
+            _cond_col(f, _elem_leaf) for f in ir.post_filters
+        ]
 
         def _ev_at(path: Path):
             if elem_var is None:  # pragma: no cover - needs_ev guards
@@ -4494,22 +4533,71 @@ class NativePlan:
                         c, ir.single_path + (fdt.name,), fdt.dataType
                     ).alias(fdt.name)
                 )
-        return out.select(*[c for c in df.columns], *out_cols)
+        return pre, gens, post_conds, out_cols
 
     def apply(self, df: DataFrame, column: str | Column, outer: bool = False) -> DataFrame:
+        """Apply the plan to a DataFrame.
+
+        r14 optimization (guide §1.2 "per-task work", driver-side):
+        every Column the plan needs is built ONCE per (Spark context,
+        column name, outer) and cached on the plan instance — building
+        the tree costs hundreds of py4j round trips (~0.5–2 s of
+        driver latency per jq_explode, measured), replaying the cached
+        recipe on a DataFrame costs a handful of where/withColumn/
+        select calls.  Nothing data-dependent is cached: recipes are
+        unresolved expression trees, the same objects a fresh build
+        would produce, so plans, results, and explain output are
+        bit-identical.  Keyed by applicationId so a restarted context
+        (new JVM) never sees another JVM's py4j handles; Column-typed
+        doc inputs (no stable SQL identity) skip the cache."""
         col = F.col(column) if isinstance(column, str) else column
         # SQL fragment for the doc column (r14): the document-order
         # dup-key rebuild is generated as ONE SQL text for py4j
         # economy, which needs the doc as SQL; a Column-typed doc has
         # no SQL render on Spark 4 → no rebuild (sorted fallback).
-        self._colsql = (
+        colsql = (
             "`%s`" % column.replace("`", "``")
             if isinstance(column, str)
             else None
         )
-        if self.ir.iterate:
-            return self._apply_explode(df, col, outer)
-        return self._apply_scalar(df, col)
+        key = None
+        if colsql is not None:
+            try:
+                appid = df.sparkSession.sparkContext.applicationId
+            except Exception:  # pragma: no cover - defensive
+                appid = None
+            if appid is not None:
+                key = (appid, colsql, outer)
+        with self._build_lock:
+            recipe = self._recipes.get(key) if key is not None else None
+            if recipe is None:
+                self._colsql = colsql
+                if self.ir.iterate:
+                    recipe = ("explode", self._build_explode(col, outer))
+                else:
+                    recipe = ("scalar", self._build_scalar(col))
+                if key is not None:
+                    if len(self._recipes) > 64:  # stale-context bound
+                        self._recipes.clear()
+                    self._recipes[key] = recipe
+        kind, parts = recipe
+        if kind == "scalar":
+            pre, out_cols = parts
+            return _run_pre_filters(df, pre).select("*", *out_cols)
+        pre, gens, post_conds, out_cols = parts
+        out = _run_pre_filters(df, pre)
+        keep = out.columns
+        for name, gcol in gens:
+            if name is None:
+                out = out.select("*", gcol)
+            else:
+                out = out.withColumn(name, gcol)
+        for c in post_conds:
+            out = out.where(c)
+        return out.select(*keep, *out_cols)
+
+
+_PLAN_CACHE: dict[tuple[str, tuple[str, ...]], Optional[NativePlan]] = {}
 
 
 def compile_native(program: str, decls: tuple[str, ...]) -> Optional[NativePlan]:
@@ -4517,7 +4605,26 @@ def compile_native(program: str, decls: tuple[str, ...]) -> Optional[NativePlan]
 
     Returns None when the program falls outside the simple-path
     subset (the caller falls back to the Python UDTF tier).
-    """
+
+    Memoized (r14 opt): plans are pure functions of (program, decls)
+    and hold no data or session state, so repeated jq_explode calls —
+    the bench re-runs every query several times, a production driver
+    re-plans per micro-batch — share one plan instance, whose apply()
+    additionally caches its built Column recipe (the expensive part).
+    Mirrors the Python tier's _QUERY_CACHE in udtf.py."""
+    key = (program, tuple(decls))
+    if key in _PLAN_CACHE:
+        return _PLAN_CACHE[key]
+    plan = _compile_native_uncached(program, decls)
+    if len(_PLAN_CACHE) > 4096:  # runaway-workload bound
+        _PLAN_CACHE.clear()
+    _PLAN_CACHE[key] = plan
+    return plan
+
+
+def _compile_native_uncached(
+    program: str, decls: tuple[str, ...]
+) -> Optional[NativePlan]:
     try:
         schema, single = parse_output_schema(list(decls))
     except Exception:

@@ -2660,3 +2660,67 @@ def test_native_sub_capture_dispatch_and_deltas(spark):
         df, "j", '{v: (.t | sub("x"; "y"))}', "v:string", native="require"
     )
     assert [r.v for r in out2.collect()] == ["nomatch", None]
+
+
+def test_native_recipe_cache_identical_plans_and_results(spark):
+    """r14 optimization: NativePlan memoization + recipe caching must
+    be invisible — repeated jq_explode calls return the same plan
+    (explain text) and the same rows as the first, across the scalar
+    and explode paths, outer variants, and distinct column names."""
+    from pyspark.sql import functions as F
+
+    from hive_jq_udtf_spark.native import compile_native
+    from hive_jq_udtf_spark.udtf import jq_explode
+
+    rows = [
+        ('{"ids": [1,2,3,4,5], "tags":[{"id":1.0,"w":2.0},{"w":1.0}]}',),
+        ('{"ids": [9], "tags":[{"w":1.0}]}',),
+        ("not json",),
+    ]
+    df = spark.createDataFrame(rows, "doc string")
+    df2 = spark.createDataFrame(rows, "other string")
+
+    # memoized plan instance: same (program, decls) → same object
+    p1 = compile_native("{mid: .ids[1:4]}", ("mid:array<double>",))
+    p2 = compile_native("{mid: .ids[1:4]}", ("mid:array<double>",))
+    assert p1 is p2
+
+    import re
+
+    def run(frame, col, prog, *decls, outer=False):
+        out = jq_explode(
+            frame, col, prog, *decls, native="require", outer=outer
+        )
+        # exprIds (#NN) are allocated fresh per query; normalize them
+        # so the comparison checks plan STRUCTURE identity
+        plan = re.sub(
+            r"#\d+", "#N", out._jdf.queryExecution().analyzed().toString()
+        )
+        return plan, sorted(map(str, out.collect()))
+
+    for prog, decls, outer in [
+        ("{mid: .ids[1:4], tail: .ids[-2:]}",
+         ("mid:array<double>", "tail:array<double>"), False),
+        ('.tags[] | select(has("id")) | {id: .id, w: .w}',
+         ("id:double", "w:double"), False),
+        ('.tags[] | select(has("id")) | {id: .id}', ("id:double",), True),
+    ]:
+        plan_a, rows_a = run(df, "doc", prog, *decls, outer=outer)
+        plan_b, rows_b = run(df, "doc", prog, *decls, outer=outer)
+        assert rows_a == rows_b
+        assert plan_a == plan_b  # cache-hit plan is bit-identical
+        # a different column name must not read the cached "doc" recipe
+        _, rows_c = run(df2, "other", prog, *decls, outer=outer)
+        assert [r.split(", ", 1)[1] if ", " in r else r for r in rows_c]
+
+    # outer=False vs outer=True are distinct cache entries
+    _, inner_rows = run(df, "doc", ".tags[] | {w: .w}", "w:double")
+    _, outer_rows = run(
+        df, "doc", ".tags[] | {w: .w}", "w:double", outer=True
+    )
+    assert len(outer_rows) > len(inner_rows) - 1  # corrupt row kept
+    # Column-typed doc input (uncached path) still works
+    out = jq_explode(
+        df, F.col("doc"), "{n: (.ids | length)}", "n:int", native="require"
+    )
+    assert sorted(r.n for r in out.collect() if r.n is not None) == [0, 1, 5]
