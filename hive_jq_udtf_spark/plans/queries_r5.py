@@ -497,6 +497,9 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard) in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.transform("embedding", lambda x: x.cast("double"))
+    # (r14 note: a lazy broadcast variant of this collect was measured
+    # SLOWER — 0.57 → 0.93 s — the extra AQE broadcast stage costs more
+    # than the eager O(d)-row job it replaces; kept eager on evidence.)
     stats = (
         emb.select(F.posexplode(vec).alias("pos", "val"))
         .groupBy("pos")
@@ -687,32 +690,39 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the optimizer/statistics primitive for selectivity estimation and
     the binning step for feature discretization at 100 TB (the scale
     path swaps the exact percentile for the t-digest/GK sketches this
-    repo also ships; the binning scan is unchanged)."""
+    repo also ships; the binning scan is unchanged).  r14 (guide §5):
+    the bounds used to be an eager collect re-embedded as literals;
+    they now ride the same 1-row broadcast lazily, so the whole query
+    is one action with no driver round-trip."""
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
     n_buckets = 10
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds_row = li.agg(
+    bounds = li.agg(
         F.expr(
             "percentile(l_extendedprice, array({}))".format(
                 ",".join(str(q) for q in qs)
             )
-        ).alias("b")
-    ).collect()[0]
-    bounds = [float(b) for b in bounds_row["b"]]
+        ).alias("_b")
+    )
     # bucket i covers (bounds[i-1], bounds[i]]; first bucket (-inf, b0]
-    idx = F.lit(0)
-    for b in bounds:
-        idx = idx + F.when(F.col("l_extendedprice") > F.lit(b), 1).otherwise(0)
+    idx = F.aggregate(
+        "_b",
+        F.lit(0),
+        lambda acc, b: acc
+        + F.when(F.col("l_extendedprice") > b, 1).otherwise(0),
+    )
     return (
-        li.select(idx.alias("bucket"))
+        li.join(F.broadcast(bounds))
+        .select(idx.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(bounds))
         .withColumn(
             "lo",
             F.when(
                 F.col("bucket") == 0, F.lit(None).cast("double")
             ).otherwise(
-                F.element_at(F.lit(bounds), F.col("bucket").cast("int"))
+                F.element_at(F.col("_b"), F.col("bucket").cast("int"))
             ),
         )
         .withColumn(
@@ -720,9 +730,10 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.col("bucket") == n_buckets - 1, F.lit(None).cast("double")
             ).otherwise(
-                F.element_at(F.lit(bounds), F.col("bucket").cast("int") + 1)
+                F.element_at(F.col("_b"), F.col("bucket").cast("int") + 1)
             ),
         )
+        .drop("_b")
         .orderBy("bucket")
     )
 
@@ -1734,25 +1745,29 @@ def q_timeseries_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast-sized), so the only real exchange is the daily
     aggregation of the fact table; gap filling itself never shuffles
     events.  Verification aggregates the densified series (total
-    days, zero-filled days, value sum) per user."""
+    days, zero-filled days, value sum) per user.  r14 (guide §5): the
+    [min, max] bounds ride the spine plan as a 1-row aggregate instead
+    of an eager collect — one action, no driver round-trip."""
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 25)
     bounds = ev.agg(
         F.date_trunc("day", F.min("ts")).alias("lo"),
         F.date_trunc("day", F.max("ts")).alias("hi"),
-    ).collect()[0]
+    )
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(F.round(F.sum("value"), 4).alias("v"), F.count(F.lit(1)).alias("n"))
     users = ev.select("user_id").distinct()
     spine = users.crossJoin(
-        spark.range(1).select(
-            F.explode(
-                F.sequence(
-                    F.lit(bounds["lo"]),
-                    F.lit(bounds["hi"]),
-                    F.expr("INTERVAL 1 DAY"),
-                )
-            ).alias("day")
+        F.broadcast(
+            bounds.select(
+                F.explode(
+                    F.sequence(
+                        F.col("lo"),
+                        F.col("hi"),
+                        F.expr("INTERVAL 1 DAY"),
+                    )
+                ).alias("day")
+            )
         )
     )
     dense = spine.join(daily, ["user_id", "day"], "left").select(
@@ -2120,13 +2135,19 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream aggregate is deterministic in both engines
     wr = Window.partitionBy("event_type").orderBy("value")
     ranked = ev.withColumn("rk", F.row_number().over(wr))
+    # r14 (guide §5): the common-length threshold rides a 1-row
+    # broadcast instead of an eager collect — one action, no driver
+    # round-trip (values unchanged: same min-of-group-maxes).
     n_common = (
         ranked.groupBy("event_type")
         .agg(F.max("rk").alias("n"))
-        .agg(F.min("n").alias("m"))
-        .collect()[0]["m"]
+        .agg(F.min("n").alias("_m"))
     )
-    trunc = ranked.where(F.col("rk") <= n_common)
+    trunc = (
+        ranked.join(F.broadcast(n_common))
+        .where(F.col("rk") <= F.col("_m"))
+        .drop("_m")
+    )
     rank_means = trunc.groupBy("rk").agg(F.avg("value").alias("qn_value"))
     out = trunc.join(rank_means, "rk")
     return (
@@ -2406,16 +2427,19 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(pairs)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
-    n_docs = docs.count()
-    in_clusters = sizes.agg(
-        F.coalesce(F.sum("sz"), F.lit(0)).alias("n_in"),
-        F.count(F.lit(1)).alias("n_clusters"),
-    ).collect()[0]
+    # r14 (guide §5): the singleton count used to be two eager driver
+    # jobs (docs.count() + the clustered-row sum) rebuilt into a
+    # literal row; it is now the same arithmetic over two 1-row
+    # aggregates joined lazily — one action, no driver round-trips.
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_nd"))
+    in_clusters = sizes.agg(F.coalesce(F.sum("sz"), F.lit(0)).alias("_nin"))
+    one_row = n_docs.join(F.broadcast(in_clusters)).select(
+        F.lit(1).alias("sz"),
+        (F.col("_nd") - F.col("_nin")).alias("n_clusters"),
+    )
     hist = (
         sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("n_clusters"))
     )
-    singletons = n_docs - int(in_clusters["n_in"])
-    one_row = spark.createDataFrame([(1, singletons)], "sz int, n_clusters long")
     return (
         hist.select(F.col("sz").cast("int"), F.col("n_clusters"))
         .unionByName(one_row)
@@ -2666,26 +2690,47 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = per_cust.select(
         "rev", F.row_number().over(w).alias("i")
     )
-    # bottom-share thresholds need n first; one tiny driver round-trip
-    # over the already-aggregated customer frame (O(customers) rows)
-    n_total = ranked.agg(F.count(F.lit(1)), F.sum("rev")).collect()[0]
-    n, total = int(n_total[0]), float(n_total[1])
-    shares = ranked.agg(
+    # r14 (guide §5): the (n, total) pair used to be an eager driver
+    # round-trip rebuilt into literals; it now rides a 1-row broadcast
+    # and the bottom-share thresholds are the same double-multiply +
+    # truncating cast the Python int() performed — one action, no
+    # driver round-trip, bit-identical values.
+    n_total = ranked.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("rev").alias("_t")
+    )
+    shares = ranked.join(F.broadcast(n_total)).agg(
+        F.max("_n").alias("_n"),
+        F.max("_t").alias("_t"),
         F.round(
-            F.sum(F.when(F.col("i") <= int(n * 0.5), F.col("rev"))) / total, 6
+            F.sum(
+                F.when(
+                    F.col("i") <= F.expr("CAST(_n * 0.5 AS BIGINT)"),
+                    F.col("rev"),
+                )
+            )
+            / F.max("_t"),
+            6,
         ).alias("bottom50_share"),
         F.round(
-            F.sum(F.when(F.col("i") <= int(n * 0.9), F.col("rev"))) / total, 6
+            F.sum(
+                F.when(
+                    F.col("i") <= F.expr("CAST(_n * 0.9 AS BIGINT)"),
+                    F.col("rev"),
+                )
+            )
+            / F.max("_t"),
+            6,
         ).alias("bottom90_share"),
         F.round(
-            (2.0 * F.sum(F.col("i") * F.col("rev"))) / (n * total)
-            - (n + 1.0) / n,
+            (F.lit(2.0) * F.sum(F.col("i") * F.col("rev")))
+            / (F.max("_n") * F.max("_t"))
+            - (F.max("_n") + F.lit(1.0)) / F.max("_n"),
             6,
         ).alias("gini"),
     )
     return shares.select(
-        F.lit(n).alias("n_customers"),
-        F.round(F.lit(total), 2).alias("total_revenue"),
+        F.col("_n").cast("int").alias("n_customers"),
+        F.round(F.col("_t"), 2).alias("total_revenue"),
         "gini",
         "bottom50_share",
         "bottom90_share",
