@@ -836,14 +836,17 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitor).  Everything is codegen: hash, offset, modulo, one join
     keyed on the (uniform, unskewed) sampled id."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    n_docs = docs.count()
+    # r14 (guide §5): the corpus count rides a 1-row broadcast instead
+    # of an eager count() — one action, no driver round-trip.
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_nd"))
     k = 3
     anchors = docs.select(
         F.col("doc_id").alias("anchor_id"), F.col("lang").alias("anchor_lang")
     ).where(F.col("anchor_id") < 500)
-    pairs = anchors.select(
+    pairs = anchors.join(F.broadcast(n_docs)).select(
         "anchor_id",
         "anchor_lang",
+        "_nd",
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
     ).select(
         "anchor_id",
@@ -868,10 +871,10 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                         16,
                         10,
                     ).cast("bigint"),
-                    F.lit(n_docs - 1),
+                    F.col("_nd") - 1,
                 )
             )
-            % n_docs
+            % F.col("_nd")
         ).alias("neg_id"),
     )
     return (
@@ -1447,18 +1450,22 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", F.col("user_id"))
         ).alias("n_purchase"),
     )
+    # r14 (guide §5): the exact-intersection count rides a 1-row
+    # broadcast instead of an eager count() job (the SKETCH collect
+    # above stays eager by design: the estimation arithmetic is the
+    # operator's documented driver-side step over s x k bounded rows).
     inter_exact = (
         ev.where(F.col("event_type") == "view")
         .select("user_id")
         .intersect(
             ev.where(F.col("event_type") == "purchase").select("user_id")
         )
-        .count()
+        .agg(F.count(F.lit(1)).alias("_nb"))
     )
-    return exact.select(
+    return exact.join(F.broadcast(inter_exact)).select(
         "n_view",
         "n_purchase",
-        F.lit(inter_exact).alias("n_both"),
+        F.col("_nb").alias("n_both"),
         (
             F.abs(F.lit(est_view) - F.col("n_view")) <= 0.18 * F.col("n_view")
         ).alias("view_est_ok"),
@@ -1467,8 +1474,8 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.18 * F.col("n_purchase")
         ).alias("purchase_est_ok"),
         (
-            F.abs(F.lit(est_inter) - F.lit(inter_exact))
-            <= 0.25 * F.lit(inter_exact)
+            F.abs(F.lit(est_inter) - F.col("_nb"))
+            <= 0.25 * F.col("_nb")
         ).alias("inter_est_ok"),
     )
 
@@ -1825,7 +1832,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit rank.  At 100 TB this is the inverted-index cost
     class — everything map-side combinable."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    n_docs = docs.count()
+    # r14 (guide §5): the corpus count rides a 1-row broadcast instead
+    # of an eager count() — one action, no driver round-trip; the
+    # (n+1) cast to double reproduces the old float() literal exactly.
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_nd"))
     toks = docs.select(
         "doc_id",
         "lang",
@@ -1839,9 +1849,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(df_, "tok")
+        .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.col("tf") * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)),
+            F.col("tf")
+            * F.log((F.col("_nd") + 1).cast("double") / (F.col("df") + 1)),
         )
         .groupBy("lang", "tok")
         .agg(F.round(F.sum("tfidf"), 6).alias("score"))
@@ -2491,12 +2503,26 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o",
         ((F.col("o") - e) * (F.col("o") - e) / e).alias("t"),
     )
-    n_types = ev.select("event_type").distinct().count()
-    n_bands = ev.select("band").distinct().count()
-    return terms.agg(
-        F.round(F.sum("t"), 6).alias("chi2"),
-        F.lit((n_types - 1) * (n_bands - 1)).alias("dof"),
-        F.count(F.lit(1)).alias("n_cells"),
+    # r14 (guide §5): the two distinct counts used to be two eager
+    # driver jobs; they are now ONE lazy aggregate riding a 1-row
+    # broadcast into the final single-row result.
+    dims = ev.agg(
+        F.countDistinct("event_type").alias("_nt"),
+        F.countDistinct("band").alias("_nb"),
+    )
+    return (
+        terms.agg(
+            F.round(F.sum("t"), 6).alias("chi2"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .join(F.broadcast(dims))
+        .select(
+            "chi2",
+            ((F.col("_nt") - 1) * (F.col("_nb") - 1))
+            .cast("int")
+            .alias("dof"),
+            "n_cells",
+        )
     )
 
 

@@ -116,7 +116,9 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_orders = basket.select("l_orderkey").distinct().count()
+    # r14 (guide §5): the order count rides a 1-row broadcast instead
+    # of an eager distinct().count() job over the checkpointed basket.
+    n_orders = basket.agg(F.countDistinct("l_orderkey").alias("_no"))
     a, b = basket.alias("a"), basket.alias("b")
     pairs = (
         a.join(b, "l_orderkey")
@@ -131,15 +133,16 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(freq.withColumnsRenamed({"l_partkey": "p1", "c": "c1"}), "p1")
         .join(freq.withColumnsRenamed({"l_partkey": "p2", "c": "c2"}), "p2")
+        .join(F.broadcast(n_orders))
         .select(
             "p1",
             "p2",
             "both",
             F.round(
-                (F.col("both") / F.lit(n_orders))
+                (F.col("both") / F.col("_no"))
                 / (
-                    (F.col("c1") / F.lit(n_orders))
-                    * (F.col("c2") / F.lit(n_orders))
+                    (F.col("c1") / F.col("_no"))
+                    * (F.col("c2") / F.col("_no"))
                 ),
                 4,
             ).alias("lift"),
