@@ -371,7 +371,14 @@ def test_rfm_windows_run_on_aggregated_frame(spark):
 
 def test_basket_lift_pairs_join_on_orderkey_not_cartesian(spark):
     plan = formatted_plan(spark, "basket_lift")
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the pair fan-out must join on l_orderkey (hash join) — the ONLY
+    # nested-loop join allowed is the 1-row n_orders broadcast (r14:
+    # the eager distinct-count job became a lazy IdentityBroadcastMode
+    # cross, the documented scalar-parameter shape of the r7c gate)
+    # one BNLJ node = two mentions in a formatted plan (tree + detail)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "IdentityBroadcastMode" in plan
     assert "partial_count" in plan
 
 
@@ -393,11 +400,28 @@ def test_layout_queries_have_no_single_partition_sort(spark):
     # zorder/hilbert file assignment must be the two-phase
     # range-partitioned ranking (operators/layout.py) — never an
     # `Exchange SinglePartition -> Window [ntile]` that pulls the
-    # whole table through one task
+    # whole table through one task.  Since the r14 lazy rewrite the
+    # plan DOES contain SinglePartition exchanges, but only under
+    # constant-size frames (the 1-row percentile_approx global
+    # aggregate and the ≤num_partitions-row offsets window — the work
+    # that used to run as eager driver collects, guide §5); the
+    # invariant is that every window's spec keys on the _range split,
+    # so the data-sized ranking never collapses to one task.
     for name in ("zorder_layout", "hilbert_layout"):
         plan = formatted_plan(spark, name)
-        assert "SinglePartition" not in plan, name
-        assert "ntile" not in plan, name  # bucket math is pure DIV codegen
+        # bucket math is pure DIV codegen — no ntile() window function
+        # ("ntile" alone would also match the in-plan percentile_approx
+        # split-point aggregate since the r14 lazy rewrite)
+        assert "ntile(" not in plan, name
+        assert "row_number() windowspecdefinition(_range#" in plan, name
+        lines = plan.splitlines()
+        n_windows = 0
+        for i, l in enumerate(lines):
+            if l.startswith("(") and ") Window" in l:
+                n_windows += 1
+                args = lines[i + 2]
+                assert "windowspecdefinition(_range#" in args, (name, args)
+        assert n_windows >= 1, name
 
 
 def test_ivf_candidate_queries_no_cartesian_no_python(spark):
