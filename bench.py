@@ -786,6 +786,87 @@ def main() -> None:
         except Exception as ex:
             sys.stderr.write(f"bench best-known write skipped: {ex}\n")
 
+    # --- per-query core-scaling evidence (VERDICT r14 #7) -------------
+    # Re-run the 20 slowest non-streaming queries of the timed pass at
+    # a LOW core count in a fresh session (same process, same staged
+    # data, JVM/janino caches warm): cores_scaling.per_query[name] =
+    # t(low)/t(main) — well above 1 means the query parallelizes
+    # (losing cores costs time), ~1 means per-query fixed cost.
+    # Additions-only: the headline value/queries and their methodology
+    # are untouched, this pass runs AFTER every timed measurement.
+    # Skipped when the main run is already low-core (the driver's own
+    # SPARK_GRAFT_CPUS=8 scaling call) so that run isn't double-paying.
+    cores_scaling: dict = {}
+    if int(cpus) >= 16:
+        try:
+            cpus_low = max(4, int(cpus) // 4)
+            top = [
+                n
+                for n, t in sorted(timings.items(), key=lambda kv: -kv[1])
+                if t >= 0 and not n.startswith("stream")
+            ][:20]
+            spark.stop()
+            spark_low = (
+                SparkSession.builder.master(f"local[{cpus_low}]")
+                .appName("spark-graft-bench-cscale")
+                .config("spark.local.dir", local_dir)
+                .config(
+                    "spark.sql.shuffle.partitions",
+                    str(max(cpus_low * 2, 16)),
+                )
+                .config("spark.sql.adaptive.enabled", "true")
+                .config(
+                    "spark.sql.adaptive.coalescePartitions.enabled", "true"
+                )
+                .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+                .config(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch", "50000"
+                )
+                .config("spark.driver.memory", "24g")
+                .config("spark.sql.codegen.cache.maxEntries", "2000")
+                .config("spark.ui.enabled", "false")
+                .config("spark.ui.showConsoleProgress", "false")
+                .config("spark.sql.session.timeZone", "UTC")
+                .getOrCreate()
+            )
+            spark_low.sparkContext.setLogLevel("ERROR")
+            if staging_seconds >= 0:
+                spark_low.conf.set(
+                    "spark.sql.files.maxPartitionBytes", str(1 << 20)
+                )
+            cs_per_query: dict[str, float] = {}
+            for n in top:
+                try:
+                    t0 = time.time()
+                    df = QUERIES[n](spark_low, sf_dir)
+                    df.collect()
+                    dt = round(time.time() - t0, 3)
+                    df = None
+                    gc.collect()
+                    cs_per_query[n] = (
+                        round(dt / timings[n], 2) if timings[n] > 0 else -1.0
+                    )
+                except Exception as ex:
+                    sys.stderr.write(f"bench cscale {n} failed: {ex}\n")
+                    cs_per_query[n] = -1.0
+            spark_low.stop()
+            ratios = sorted(v for v in cs_per_query.values() if v > 0)
+            cores_scaling = {
+                "cpus_low": cpus_low,
+                "note": (
+                    "t(low cores)/t(main cores) per top-20 non-streaming"
+                    " query, one fresh-plan run each in a low-core"
+                    " session after all timed passes (JVM warm);"
+                    " >1 = parallel, ~1 = per-query fixed cost"
+                ),
+                "median_ratio": (
+                    ratios[len(ratios) // 2] if ratios else -1.0
+                ),
+                "per_query": cs_per_query,
+            }
+        except Exception as ex:
+            sys.stderr.write(f"bench cores-scaling pass skipped: {ex}\n")
+
     full = {
         "metric": "suite_seconds",
         "value": total,
@@ -839,6 +920,7 @@ def main() -> None:
             round(sum(t for t in d.values() if t >= 0), 3) for d in serial_draws
         ],
         "concurrent_draw_totals": conc_draws,
+        "cores_scaling": cores_scaling,
         "streaming_mean_sec": streaming_mean,
         "streaming_warm_runs": 2,
         "steady_state_queries": steady_state,
@@ -882,6 +964,15 @@ def main() -> None:
             "spike_count": probe_gate["spike_count"],
         },
     }
+    if cores_scaling:
+        # stdout carries the summary; bench_full.json has per_query
+        line_base["cores_scaling"] = {
+            "cpus_low": cores_scaling["cpus_low"],
+            "median_ratio": cores_scaling["median_ratio"],
+            "n": len(cores_scaling["per_query"]),
+        }
+    else:
+        del line_base["cores_scaling"]
     del line_base["steady_state_note"]
     del line_base["query_probe"]
     del line_base["query_probe_ratio"]

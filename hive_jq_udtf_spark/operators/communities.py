@@ -145,7 +145,15 @@ def _lpa_run(
     e.count()  # materialize the layout once
 
     try:
-        labels = nodes.select("node", F.col("node").alias("lab"))
+        # EAGER-checkpoint the initial label frame: the first
+        # checkpoint-window job then starts from the same child shape
+        # (an RDD scan of (node, lab)) as every later one, so when
+        # the cadence divides the iteration count all jobs compile to
+        # ONE plan shape and codegen hits the janino cache from job 2
+        # on (r15; a cadence-1 variant measured no faster warm)
+        labels = nodes.select(
+            "node", F.col("node").alias("lab")
+        ).localCheckpoint(eager=True)
         for i in range(iterations):
             lab_in = F.broadcast(labels) if broadcast_labels else labels
             neigh = e.join(lab_in, e["src"] == lab_in["node"]).select(

@@ -180,8 +180,17 @@ def global_ntile(
         F.sum("_cnt").over(allw).alias("_total"),
     )
     w = Window.partitionBy("_range").orderBy(*sort_cols)
-    ranked = parted.join(F.broadcast(offsets), "_range").withColumn(
-        "_rn", F.row_number().over(w).cast("long") + F.col("_off")
+    # LEFT join + coalesce (ADVICE r14): with cache_input=False and a
+    # nondeterministic upstream, a recomputed _range absent from the
+    # counts pass must keep its rows (offset 0 → wrong rank, row
+    # present) rather than silently dropping them — the inner join's
+    # failure mode.  Such a row's _total is NULL, so its bucket comes
+    # out NULL (honest: the split it landed in was never counted).
+    # Deterministic/cached inputs produce identical rows either way.
+    ranked = parted.join(F.broadcast(offsets), "_range", "left").withColumn(
+        "_rn",
+        F.row_number().over(w).cast("long")
+        + F.coalesce(F.col("_off"), F.lit(0).cast("long")),
     )
     # SQL-standard ntile split on the broadcast total: q = n div k,
     # r = n mod k, first r buckets get q + 1 rows.  `DIV` is exact
@@ -291,7 +300,15 @@ def global_cumsum(
     w = Window.partitionBy("_range").orderBy(*sort_cols).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    out = parted.join(F.broadcast(offsets), "_range")
+    # LEFT join + per-column coalesce (ADVICE r14): a recomputed
+    # _range absent from the totals pass (possible only for uncached
+    # nondeterministic inputs) keeps its rows at offset 0 instead of
+    # being silently dropped by an inner join.  Deterministic/cached
+    # inputs produce identical rows either way.
+    out = parted.join(F.broadcast(offsets), "_range", "left")
     for c in sum_cols:
-        out = out.withColumn(prefix + c, F.sum(c).over(w) + F.col(f"_off_{c}"))
+        out = out.withColumn(
+            prefix + c,
+            F.sum(c).over(w) + F.coalesce(F.col(f"_off_{c}"), F.lit(0)),
+        )
     return out.drop("_range", *[f"_off_{c}" for c in sum_cols])

@@ -143,7 +143,18 @@ def _pagerank_run(
     contrib_edges.count()  # materialize the layout once
 
     try:
-        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+        # EAGER-checkpoint the initial rank frame so the FIRST
+        # checkpoint-window job sees the same child plan as every
+        # later one (an RDD scan of (node, rank)) — when the cadence
+        # divides the iteration count evenly, all jobs then compile
+        # to the IDENTICAL plan shape and whole-stage codegen hits
+        # the janino source cache from job 2 on (r15, guide §1.2;
+        # the frame is |V| rows — trivial.  A checkpoint-every-1
+        # variant was interleave-A/B'd and measured SLOWER warm:
+        # extra job launches cost more than the codegen they save)
+        ranks = nodes.select(
+            "node", F.lit(1.0 / n).alias("rank")
+        ).localCheckpoint(eager=True)
         base = (1.0 - damping) / n
         for i in range(iterations):
             r_in = F.broadcast(ranks) if broadcast_ranks else ranks

@@ -693,7 +693,7 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (edges both directions, so no dangling nodes), 10 iterations,
     d=0.85.  Each iteration is one join + one aggregation, both
     hash-partitioned on the node id; lineage truncated by
-    localCheckpoint every 3 iterations (operators/pagerank.py).  The
+    localCheckpoint every iteration (operators/pagerank.py).  The
     oracle unrolls the identical 10 steps as chained CTEs."""
     from ..operators.pagerank import pagerank
 
@@ -705,9 +705,13 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = sp.union(sp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # shuffle width scoped to the NODE set (21k at sf0.1) — the rank
     # frame pays per-partition scheduling every iteration.
-    # checkpoint_every=2 (r10): shorter eager-materialization chains
-    # beat the 3-deep recompute at this |E| (A/B: c2 3.15-3.58 s vs
-    # c3 3.47-3.81 s warm; AQE ON is load-bearing — 5.3-7.3 s without)
+    # checkpoint_every=2 (r10 A/B: c2 3.15-3.58 s vs c3 3.47-3.81 s
+    # warm; AQE ON is load-bearing — 5.3-7.3 s without).  r15: the
+    # initial rank frame is now eager-checkpointed inside pagerank(),
+    # so all 5 two-step jobs compile to ONE plan shape (janino cache
+    # hits from job 2 on); a checkpoint-every-1 variant was
+    # interleave-A/B'd and measured SLOWER warm (min 4.02 vs 3.38 s —
+    # 5 extra job launches cost more than the codegen they save)
     pr = pagerank(
         edges, iterations=10, damping=0.85, shuffle_partitions=8,
         checkpoint_every=2,

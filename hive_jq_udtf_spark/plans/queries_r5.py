@@ -693,7 +693,12 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo also ships; the binning scan is unchanged).  r14 (guide §5):
     the bounds used to be an eager collect re-embedded as literals;
     they now ride the same 1-row broadcast lazily, so the whole query
-    is one action with no driver round-trip."""
+    is one action with no driver round-trip.  r15 (ADVICE r14 medium):
+    the bounds array is carried THROUGH the bucket aggregation via
+    first(_b) instead of a second broadcast join, so the exact-
+    percentile subtree (a full-table scan) plans ONCE — the r14 shape
+    planned it twice (no ReusedExchange across the two broadcast
+    sights: 3 parquet scans, now 2)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
     n_buckets = 10
     qs = [i / n_buckets for i in range(1, n_buckets)]
@@ -713,10 +718,12 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(bounds))
-        .select(idx.alias("bucket"))
+        .select(idx.alias("bucket"), "_b")
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .join(F.broadcast(bounds))
+        # _b is the SAME 1-row broadcast value on every row, so
+        # first() is deterministic; carrying it here keeps the
+        # percentile subtree out of the plan a second time
+        .agg(F.count(F.lit(1)).alias("n"), F.first("_b").alias("_b"))
         .withColumn(
             "lo",
             F.when(

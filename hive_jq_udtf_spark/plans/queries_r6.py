@@ -178,10 +178,18 @@ def q_knn_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), "cell"
     )
     cc = ivf_cells_codegen(emb, cents, 1).select(F.col("vec_id").alias("cid"), "cell")
+    # r15 (guide §2.4, VERDICT r14 #3): pre-partition the candidate
+    # stream on qid so ONE exchange serves both the distinct (its
+    # (qid, cid) clustering is satisfied by hash(qid)) and the
+    # row_number window below (partitionBy qid) — the r14 plan paid
+    # two: hash(qid, cid) for the distinct, then hash(qid) for the
+    # window.  Ties stay deterministic: (cos DESC, cid) is a total
+    # order per qid because cid is unique after the distinct.
     cand = (
         cc.join(bcast(qc), "cell")
         .where(F.col("qid") != F.col("cid"))
         .select("qid", "cid")
+        .repartition(F.col("qid"))
         .distinct()
     )
     q = probe.select(
@@ -306,19 +314,36 @@ def q_knn_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("nc", norm_col(F.col("ce")))
     cos = (dot_col(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nc"))).alias("cos")
     wk = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    # r15 (guide §2.4, VERDICT r14 #3): the r14 shape joined the two
+    # top-5 row sets on (qid, cid), which re-exchanged BOTH window
+    # outputs from hash(qid) to hash(qid, cid) and then exchanged the
+    # join output back to hash(qid) for the per-query rollup — three
+    # extra shuffles carrying the same rows.  Collapsing each side to
+    # ONE row per qid (its top-5 cids as an array, an aggregation
+    # that reuses the window's hash(qid) layout) makes the hits join
+    # a co-partitioned join on qid alone and the whole tail
+    # exchange-free; hits = |array_intersect| of two duplicate-free
+    # arrays, exactly the former per-row hit count.  Row_number ties
+    # stay deterministic end-to-end: (cos DESC, cid) is a total order
+    # per qid (cid unique per side), so both top-5 sets — and hence
+    # the intersection size — are reproducible run-to-run.
     exact5 = (
         c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
         .select("qid", "cid", cos)
         .withColumn("rk", F.row_number().over(wk))
         .where(F.col("rk") <= 5)
-        .select("qid", "cid")
+        .groupBy("qid")
+        .agg(F.collect_list("cid").alias("e5"))
     )
     qc = ivf_cells_codegen(probe, cents, 2).select(F.col("vec_id").alias("qid"), "cell")
     cc = ivf_cells_codegen(emb, cents, 1).select(F.col("vec_id").alias("cid"), "cell")
+    # pre-partition on qid: one exchange serves the (qid, cid)
+    # distinct, the window, and the array rollup (same as knn_eval_ivf)
     cand = (
         cc.join(F.broadcast(qc), "cell")
         .where(F.col("qid") != F.col("cid"))
         .select("qid", "cid")
+        .repartition(F.col("qid"))
         .distinct()
     )
     ivf5 = (
@@ -327,12 +352,17 @@ def q_knn_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", cos)
         .withColumn("rk", F.row_number().over(wk))
         .where(F.col("rk") <= 5)
-        .select("qid", "cid")
+        .groupBy("qid")
+        .agg(F.collect_list("cid").alias("i5"))
     )
     hits = (
-        exact5.join(ivf5.withColumn("hit", F.lit(1)), ["qid", "cid"], "left")
-        .groupBy("qid")
-        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("hits"))
+        exact5.join(ivf5, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(
+                F.size(F.array_intersect("e5", "i5")), F.lit(0)
+            ).alias("hits"),
+        )
     )
     return hits.agg(
         F.count(F.lit(1)).alias("n_queries"),
