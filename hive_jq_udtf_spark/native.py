@@ -1625,9 +1625,76 @@ _DUP_ESC_RE = (
 )
 
 
-def _dup_suspect(col: Column) -> Column:
+# --- doc-level bind-once (r15, guide §1.2 per-task work) -----------------
+# A compiled plan's output columns re-derive the SAME two per-document
+# values many times per row: the duplicate-key suspect flag (two
+# whole-document regex scans per read — ~24 RLIKE occurrences in a
+# typical 2-output plan) and the variant parse (~26 parseJson
+# occurrences).  Catalyst's CollapseProject re-inlines projected
+# aliases into every use, and the variant machinery is CodegenFallback
+# (no whole-stage codegen, so no subexpression elimination), so each
+# occurrence really evaluates per row — measured ~12-16 us each, the
+# dominant per-row cost of the native tier at bench SF.
+#
+# Fix: NativePlan.apply binds both values ONCE per row in a one-element
+# explode (a Generate blocks alias re-inlining — the _pre_filter_recipe
+# idiom), and every builder that would re-derive them from the TOP-LEVEL
+# doc column references the bound struct field instead.  The rewrite is
+# IDENTITY-GATED: a builder's column is substituted only when its SQL
+# rendering equals the plan's doc column, so subtree texts, element
+# twins and Column-typed docs keep the inline computation — results are
+# expression-for-expression identical, just evaluated once.
+_DOC_BINDING: "contextvars.ContextVar[tuple[str, str] | None]"
+import contextvars
+
+_DOC_BINDING = contextvars.ContextVar("jq_doc_binding", default=None)
+_BIND_COL = "__jq_docbind"
+
+
+def _doc_bound_field(col: Column, field: str) -> Optional[Column]:
+    b = _DOC_BINDING.get()
+    if b is None:
+        return None
+    try:
+        if col._jc.toString() == b[0]:
+            return F.col(b[1])[field]
+    except Exception:  # pragma: no cover - defensive (Connect etc.)
+        pass
+    return None
+
+
+def _dup_suspect_expr(col: Column) -> Column:
     return F.coalesce(
         col.rlike(_DUP_KEY_RE) | col.rlike(_DUP_ESC_RE), F.lit(False)
+    )
+
+
+def _dup_suspect(col: Column) -> Column:
+    bound = _doc_bound_field(col, "s")
+    return bound if bound is not None else _dup_suspect_expr(col)
+
+
+def _parse_doc(col: Column) -> Column:
+    """``try_parse_json`` with the doc-level bind-once substitution."""
+    bound = _doc_bound_field(col, "v")
+    return bound if bound is not None else F.try_parse_json(col)
+
+
+def _with_doc_binding(df: DataFrame, col: Column) -> DataFrame:
+    """Attach the per-row (suspect, variant) struct through a
+    one-element explode so downstream projections cannot re-inline
+    (and hence re-evaluate) it.  array() is never NULL, so exactly one
+    row comes out per input row."""
+    return df.withColumn(
+        _BIND_COL,
+        F.explode(
+            F.array(
+                F.struct(
+                    _dup_suspect_expr(col).alias("s"),
+                    F.try_parse_json(col).alias("v"),
+                )
+            )
+        ),
     )
 
 
@@ -1640,7 +1707,7 @@ def _dup_fixed_num(col: Column, path: Path) -> Column:
     coalesces back to the raw text — the delta stays first-occurrence,
     never NULL."""
     raw = F.get_json_object(col, _json_path(path))
-    v = F.try_variant_get(F.try_parse_json(col), _json_path(path), "variant")
+    v = F.try_variant_get(_parse_doc(col), _json_path(path), "variant")
     return (
         F.when(~_dup_suspect(col), raw)
         .otherwise(_dup_sub(raw, v))
@@ -1657,7 +1724,7 @@ def _dup_fixed_json_text(col: Column, path: Path) -> Column:
     variant (old Spark / unparseable) coalesces back to the raw
     text (ADVICE r12)."""
     raw = F.get_json_object(col, _json_path(path))
-    v = F.try_variant_get(F.try_parse_json(col), _json_path(path), "variant")
+    v = F.try_variant_get(_parse_doc(col), _json_path(path), "variant")
     return F.when(~_dup_suspect(col), raw).otherwise(_dup_sub(raw, v))
 
 
@@ -1987,8 +2054,8 @@ def _dup_fixed_view(
     vt = F.schema_of_variant(v)
     iscomp = vt.startswith("ARRAY") | vt.startswith("OBJECT")
     same = F.equal_null(
-        F.try_parse_json(raw).try_cast("string"),
-        F.try_parse_json(vr).try_cast("string"),
+        _parse_doc(raw).try_cast("string"),
+        _parse_doc(vr).try_cast("string"),
     )
     rendered = (
         _dup_doc_render(colsql, path, shallow=shallow)
@@ -2084,7 +2151,7 @@ def _scalar_out_col(
     via `_dup_fixed_view` (jq key order; module docstring)."""
     jp = _json_path(path)
     raw = F.get_json_object(col, jp)
-    v = F.try_variant_get(F.try_parse_json(col), jp, "variant")
+    v = F.try_variant_get(_parse_doc(col), jp, "variant")
     if isinstance(dt, T.StringType):
         return _dup_fixed_view(
             col,
@@ -2270,7 +2337,7 @@ def _elem_out_col(c: Column, dt: T.DataType) -> Column:
 def _scalar_map_col(json_col: Column, path: Path, dt: T.MapType) -> Column:
     """Scalar-tier map-declared output: variant-gated M4 rule
     (object → map, null/missing → NULL, any other value → empty map)."""
-    vv = F.try_variant_get(F.try_parse_json(json_col), _json_path(path), "variant")
+    vv = F.try_variant_get(_parse_doc(json_col), _json_path(path), "variant")
     vt = F.schema_of_variant(vv)
     return (
         F.when(vv.isNull() | (vt == F.lit("VOID")), F.lit(None).cast(dt))
@@ -2823,7 +2890,7 @@ def _filter_col(json_col: Column, f: Filter) -> Column:
         # of null/missing is 0 (jq), booleans (jq error) take the
         # NULL→false delta like every native-tier abort class
         jp = _json_path(f.lhs) if f.lhs else "$"
-        v = F.try_variant_get(F.try_parse_json(json_col), jp, "variant")
+        v = F.try_variant_get(_parse_doc(json_col), jp, "variant")
         return F.coalesce(
             _CMP_FN[f.op](_variant_length(v), F.lit(float(f.lit))),
             F.lit(False),
@@ -2839,12 +2906,12 @@ def _filter_col(json_col: Column, f: Filter) -> Column:
         # `//` projection below): get_json_object strips quotes, so the
         # STRING "false" would otherwise be confused with boolean false
         v = F.try_variant_get(
-            F.try_parse_json(json_col), _json_path(f.lhs), "variant"
+            _parse_doc(json_col), _json_path(f.lhs), "variant"
         )
         return _variant_truthy(v)
     if f.op in ("not_truthy", "has"):
         v = F.try_variant_get(
-            F.try_parse_json(json_col), _json_path(f.lhs), "variant"
+            _parse_doc(json_col), _json_path(f.lhs), "variant"
         )
         if f.op == "not_truthy":
             return ~_variant_truthy(v)
@@ -2855,7 +2922,7 @@ def _filter_col(json_col: Column, f: Filter) -> Column:
         # the serialization (".tags | test(..)" on an array must be
         # the null→false delta, not a match against '["..."]')
         v = F.try_variant_get(
-            F.try_parse_json(json_col), _json_path(f.lhs), "variant"
+            _parse_doc(json_col), _json_path(f.lhs), "variant"
         )
         return _string_pred_col(_variant_string_only(v), f.op, f.lit)
     if f.lit is None:
@@ -2864,14 +2931,14 @@ def _filter_col(json_col: Column, f: Filter) -> Column:
         # raw view sees the FIRST occurrence on duplicate-key docs
         # where jq tests the last; corrupt docs are NULL either way)
         v = F.try_variant_get(
-            F.try_parse_json(json_col), _json_path(f.lhs), "variant"
+            _parse_doc(json_col), _json_path(f.lhs), "variant"
         )
         is_null = v.isNull() | (F.schema_of_variant(v) == F.lit("VOID"))
         return is_null if f.op == "==" else ~is_null
     # exact jq total-order comparison (null/missing and cross-type
     # values compare DEFINED, per the type ranking) via the variant
     # reader — the text view cannot type its value
-    v = F.try_variant_get(F.try_parse_json(json_col), _json_path(f.lhs), "variant")
+    v = F.try_variant_get(_parse_doc(json_col), _json_path(f.lhs), "variant")
     return _variant_cmp(v, f.op, f.lit)
 
 
@@ -3082,7 +3149,7 @@ def _slice_col(
     (`_dup_fixed_json_text`)."""
     raw = _dup_fixed_json_text(json_col, path)
     v = F.try_variant_get(
-        F.try_parse_json(json_col), _json_path(path), "variant"
+        _parse_doc(json_col), _json_path(path), "variant"
     )
     vt = F.schema_of_variant(v)
     if isinstance(out_dt, T.ArrayType):
@@ -3316,7 +3383,7 @@ class NativePlan:
             fdt = self.schema.fields[0]
             path = ir.single_path or ()
             jp = _json_path(path) if path else "$"
-            v = F.try_variant_get(F.try_parse_json(col), jp, "variant")
+            v = F.try_variant_get(_parse_doc(col), jp, "variant")
             if ir.single_call == "keys":
                 kc = _variant_keys(v)
             elif ir.single_call == "length":
@@ -3366,7 +3433,7 @@ class NativePlan:
                     # chain's many text references don't re-inline the
                     # rebuild tree (r14 task-binary discipline).
                     dupv = F.try_variant_get(
-                        F.try_parse_json(col), _json_path(path), "variant"
+                        _parse_doc(col), _json_path(path), "variant"
                     )
 
                     def _dupfix(view_fn, _p=tuple(path), _v=dupv):
@@ -3379,10 +3446,10 @@ class NativePlan:
                         # corrupt docs poison to NULL like the sibling
                         # heads (tostring/tojson gate)
                         v = F.try_variant_get(
-                            F.try_parse_json(col), _json_path(path), "variant"
+                            _parse_doc(col), _json_path(path), "variant"
                         )
                         first = F.when(
-                            F.try_parse_json(col).isNotNull(),
+                            _parse_doc(col).isNotNull(),
                             _variant_type_name(v),
                         )
                         c = (
@@ -3402,7 +3469,7 @@ class NativePlan:
                         # would fabricate a value where the Python
                         # tier errors the row (r10, ADVICE class)
                         v = F.try_variant_get(
-                            F.try_parse_json(col), _json_path(path), "variant"
+                            _parse_doc(col), _json_path(path), "variant"
                         )
                         view = (
                             _tojson_view
@@ -3412,7 +3479,7 @@ class NativePlan:
 
                         def _ts_view(r, _v=v, _view=view, _fns=fns):
                             first = F.when(
-                                F.try_parse_json(col).isNotNull(),
+                                _parse_doc(col).isNotNull(),
                                 _view(r, _v),
                             )
                             return (
@@ -3429,7 +3496,7 @@ class NativePlan:
                         # NULL where jq aborts, never a value computed
                         # from their serialization
                         v = F.try_variant_get(
-                            F.try_parse_json(col), _json_path(path), "variant"
+                            _parse_doc(col), _json_path(path), "variant"
                         )
                         if fns[0][0] in _STR_ONLY_HEADS:
                             c = _apply_fnchain(_variant_string_only(v), fns)
@@ -3449,7 +3516,7 @@ class NativePlan:
                             # unchanged (no abort) — gate on exact type
                             vt = F.schema_of_variant(
                                 F.try_variant_get(
-                                    F.try_parse_json(col),
+                                    _parse_doc(col),
                                     _json_path(_p),
                                     "variant",
                                 )
@@ -3476,7 +3543,7 @@ class NativePlan:
                     # type so when() type unification can't introduce
                     # a stricter common type (ANSI cast crash).
                     v = F.try_variant_get(
-                        F.try_parse_json(col), _json_path(path), "variant"
+                        _parse_doc(col), _json_path(path), "variant"
                     )
                     c = F.when(
                         ~_variant_truthy(v),
@@ -3495,11 +3562,11 @@ class NativePlan:
                     # poison the whole result to NULL instead (r10,
                     # ADVICE fix)
                     c = F.when(
-                        F.try_parse_json(col).isNotNull(),
+                        _parse_doc(col).isNotNull(),
                         _strcat_col(
                             spec[1],
                             lambda p: F.try_variant_get(
-                                F.try_parse_json(col), _json_path(p), "variant"
+                                _parse_doc(col), _json_path(p), "variant"
                             ),
                         ),
                     )
@@ -3507,7 +3574,7 @@ class NativePlan:
                 elif isinstance(spec, tuple) and spec and spec[0] == "strinterp":
                     def _interp_seg(kind, val, _col=col):
                         v = F.try_variant_get(
-                            F.try_parse_json(_col),
+                            _parse_doc(_col),
                             _json_path(val),
                             "variant",
                         )
@@ -3544,7 +3611,7 @@ class NativePlan:
                     # literals+"null" text for unparseable docs
                     out_cols.append(
                         F.when(
-                            F.try_parse_json(col).isNotNull(),
+                            _parse_doc(col).isNotNull(),
                             F.concat(*segs),
                         )
                         .cast(fdt.dataType)
@@ -3552,21 +3619,21 @@ class NativePlan:
                     )
                 elif isinstance(spec, tuple) and spec and spec[0] == "length":
                     vv = F.try_variant_get(
-                        F.try_parse_json(col), _json_path(spec[1]), "variant"
+                        _parse_doc(col), _json_path(spec[1]), "variant"
                     )
                     out_cols.append(
                         _variant_length(vv).try_cast(fdt.dataType).alias(fdt.name)
                     )
                 elif isinstance(spec, tuple) and spec and spec[0] == "keyssorted":
                     vv = F.try_variant_get(
-                        F.try_parse_json(col), _json_path(spec[1]), "variant"
+                        _parse_doc(col), _json_path(spec[1]), "variant"
                     )
                     out_cols.append(
                         _variant_keys(vv).try_cast(fdt.dataType).alias(fdt.name)
                     )
                 elif isinstance(spec, tuple) and spec and spec[0] == "keysunsorted":
                     vv = F.try_variant_get(
-                        F.try_parse_json(col), _json_path(spec[1]), "variant"
+                        _parse_doc(col), _json_path(spec[1]), "variant"
                     )
                     out_cols.append(
                         _keys_unsorted_col(
@@ -3586,7 +3653,7 @@ class NativePlan:
                     # their JSON serialization
                     s = _variant_string_only(
                         F.try_variant_get(
-                            F.try_parse_json(col), _json_path(path), "variant"
+                            _parse_doc(col), _json_path(path), "variant"
                         )
                     )
                     if pname == "contains":
@@ -3606,7 +3673,7 @@ class NativePlan:
                     _, path, pat, names = spec
                     s = _variant_string_only(
                         F.try_variant_get(
-                            F.try_parse_json(col), _json_path(path), "variant"
+                            _parse_doc(col), _json_path(path), "variant"
                         )
                     )
                     fields = [
@@ -3636,7 +3703,7 @@ class NativePlan:
                     # serialization (r9)
                     s = _variant_string_only(
                         F.try_variant_get(
-                            F.try_parse_json(col), _json_path(path), "variant"
+                            _parse_doc(col), _json_path(path), "variant"
                         )
                     )
                     parts = F.split(s, _java_quote(sep), -1)
@@ -3650,7 +3717,7 @@ class NativePlan:
                     _, path, sep = spec
                     s = _variant_string_only(
                         F.try_variant_get(
-                            F.try_parse_json(col), _json_path(path), "variant"
+                            _parse_doc(col), _json_path(path), "variant"
                         )
                     )
                     c = F.split(s, _java_quote(sep), -1)
@@ -3977,7 +4044,7 @@ class NativePlan:
         src = _dup_fixed_raw(
             col,
             src_raw,
-            F.try_variant_get(F.try_parse_json(col), jsonpath, "variant"),
+            F.try_variant_get(_parse_doc(col), jsonpath, "variant"),
             path=tuple(ir.pre_path or ()),
             colsql=self._colsql,
             shallow=True,
@@ -3986,7 +4053,7 @@ class NativePlan:
         # get_json_object strips quotes from string values, so a
         # string "[1,2]" would otherwise fabricate rows
         is_array = F.schema_of_variant(
-            F.try_variant_get(F.try_parse_json(col), jsonpath, "variant")
+            F.try_variant_get(_parse_doc(col), jsonpath, "variant")
         ).startswith("ARRAY")
         et = lvl0.elementType
 
@@ -4024,7 +4091,7 @@ class NativePlan:
         # document-order treatment from the raw-text twin threaded
         # through the chained explodes below (r9).
         is_object = F.schema_of_variant(
-            F.try_variant_get(F.try_parse_json(col), jsonpath, "variant")
+            F.try_variant_get(_parse_doc(col), jsonpath, "variant")
         ).startswith("OBJECT")
         obj_vals = F.map_values(
             F.from_json(src, T.MapType(T.StringType(), T.VariantType()))
@@ -4144,7 +4211,7 @@ class NativePlan:
             txt_map_t = T.MapType(T.StringType(), T.StringType())
             var_map_t = T.MapType(T.StringType(), T.VariantType())
             var0 = F.try_variant_get(
-                F.try_parse_json(col), jsonpath, "array<variant>"
+                _parse_doc(col), jsonpath, "array<variant>"
             )
             # object-iterated level 0: the variant twin must come from
             # the SAME from_json parse as nav so the zip stays
@@ -4234,7 +4301,7 @@ class NativePlan:
             # array the nav branch used, keeping index alignment)
             var_arr = F.coalesce(
                 F.try_variant_get(
-                    F.try_parse_json(col), jsonpath, "array<variant>"
+                    _parse_doc(col), jsonpath, "array<variant>"
                 ),
                 F.when(is_object, obj_vals),
             )
@@ -4572,21 +4639,50 @@ class NativePlan:
             recipe = self._recipes.get(key) if key is not None else None
             if recipe is None:
                 self._colsql = colsql
-                if self.ir.iterate:
-                    recipe = ("explode", self._build_explode(col, outer))
-                else:
-                    recipe = ("scalar", self._build_scalar(col))
+                # doc-level bind-once (r15): while building, reads of
+                # the top-level doc column reference the per-row
+                # (suspect, variant) binding that replay injects below
+                token = None
+                if colsql is not None:
+                    try:
+                        doc_sql = col._jc.toString()
+                    except Exception:  # pragma: no cover - defensive
+                        doc_sql = None
+                    if doc_sql is not None:
+                        token = _DOC_BINDING.set((doc_sql, _BIND_COL))
+                try:
+                    if self.ir.iterate:
+                        recipe = (
+                            "explode",
+                            self._build_explode(col, outer),
+                            token is not None,
+                        )
+                    else:
+                        recipe = (
+                            "scalar",
+                            self._build_scalar(col),
+                            token is not None,
+                        )
+                finally:
+                    if token is not None:
+                        _DOC_BINDING.reset(token)
                 if key is not None:
                     if len(self._recipes) > 64:  # stale-context bound
                         self._recipes.clear()
                     self._recipes[key] = recipe
-        kind, parts = recipe
+        kind, parts, bound = recipe
+        src = _with_doc_binding(df, col) if bound else df
         if kind == "scalar":
             pre, out_cols = parts
-            return _run_pre_filters(df, pre).select("*", *out_cols)
+            out = _run_pre_filters(src, pre)
+            if bound:
+                return out.select(
+                    *[c for c in out.columns if c != _BIND_COL], *out_cols
+                )
+            return out.select("*", *out_cols)
         pre, gens, post_conds, out_cols = parts
-        out = _run_pre_filters(df, pre)
-        keep = out.columns
+        out = _run_pre_filters(src, pre)
+        keep = [c for c in out.columns if c != _BIND_COL]
         for name, gcol in gens:
             if name is None:
                 out = out.select("*", gcol)

@@ -2724,3 +2724,40 @@ def test_native_recipe_cache_identical_plans_and_results(spark):
         df, F.col("doc"), "{n: (.ids | length)}", "n:int", native="require"
     )
     assert sorted(r.n for r in out.collect() if r.n is not None) == [0, 1, 5]
+
+
+def test_native_doc_binding_evaluates_suspect_and_parse_once(spark):
+    """r15 bind-once: a compiled plan's executed plan must carry
+    exactly ONE try_parse_json of the doc column and at most the TWO
+    suspect regexes (inside the one-element-explode binding), instead
+    of re-deriving them per output-column read; the internal binding
+    column must never leak into the output schema, and duplicate keys
+    must still read last-occurrence-wins through the bound flag."""
+    df = spark.createDataFrame(
+        [
+            (1, '{"a": [1,2,3,4,5], "t": "hi-en", "b": {"x": 1, "x": 2}}'),
+            (2, '{"a": [], "t": "zz", "b": null}'),
+            (3, "not json"),
+            (4, None),
+        ],
+        "id long, doc string",
+    )
+    out = jq_explode(
+        df,
+        "doc",
+        "{mid: .a[1:4], head: .t[0:4]}",
+        "mid:array<double>",
+        "head:string",
+        native="require",
+    )
+    out.collect()
+    ep = out._jdf.queryExecution().executedPlan().toString()
+    assert ep.count("parseJson(doc") == 1, ep.count("parseJson(doc")
+    assert ep.count("RLIKE(doc") <= 2, ep.count("RLIKE(doc")
+    assert "__jq_docbind" not in [f.name for f in out.schema.fields]
+    # last-occurrence-wins still routes through the bound suspect flag
+    dup = jq_explode(
+        df.where("id = 1"), "doc", "{bx: .b.x}", "bx:double",
+        native="require",
+    )
+    assert [r.bx for r in dup.collect()] == [2.0]
