@@ -45,7 +45,18 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinHash/fingerprint dedup family uses, dedup.py:91); grams is
     # consumed by three downstream aggregations, so materialize the
     # exploded+distinct pass once instead of recomputing it per branch
-    grams = (
+    # r15 (guide §2.4): lay the gram stream out hash(sh) ONCE in a
+    # partitioning-preserving persist (the pagerank/LPA edge idiom —
+    # a localCheckpoint's LogicalRDD loses outputPartitioning under
+    # AQE and every consumer re-exchanges): the (doc_id, sh) distinct
+    # (its clustering is satisfied by the sh subset), the df count,
+    # the rare join and the sh self-join below then all reuse the one
+    # exchange; only the per-doc size count and the pair aggregation
+    # still shuffle.  The repartition carries the same rows the
+    # distinct exchange used to.
+    from ..operators.layout import _ring_persist
+
+    grams = _ring_persist(
         toks.select(
             "doc_id",
             F.explode(
@@ -55,8 +66,8 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("sh"),
         )
+        .repartition(F.col("sh"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = grams.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= 20)
